@@ -1,0 +1,81 @@
+"""Doc-level BM25 retrieval — the exhaustive (oracle) query path.
+
+Each document is its own class: the degenerate case of the c-TF-IDF math
+(``_ctfidf.py:54-115``) with bm25_weighting. score(q, d) = Σ over the
+query's distinct terms of the doc's term score; top-k by (score desc,
+doc_id asc) — the deterministic tie-break that makes rank-identity survive
+float summation-order jitter across cluster sizes.
+
+Physical shape (SURVEY §3.2): the query set is small → broadcast the
+tokenized query terms onto the postings (an inverted-index probe: only
+postings of matching terms survive the join), then one groupBy(query, doc)
+shuffle whose cardinality is |matching postings|, then a per-query window
+top-k. No cross join, no dense matrix. The block-max WAND path
+(index/wand.py) must be rank-identical to this.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from bertopic_spark.operators.ctfidf import ctfidf, term_stats
+from bertopic_spark.operators.postings import doc_term_counts
+
+
+def doc_scores(
+    corpus: DataFrame,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    mode: str = "ascii_code",
+    bm25_weighting: bool = True,
+    reduce_frequent_words: bool = False,
+) -> DataFrame:
+    """The scored doc-level index: (doc_id, term, tf, score)."""
+    x = doc_term_counts(corpus, text_col, [id_col], mode, with_len=True)
+    x = x.withColumnRenamed("doc_len", "class_len")
+    return ctfidf(
+        x, [id_col],
+        bm25_weighting=bm25_weighting,
+        reduce_frequent_words=reduce_frequent_words,
+    )
+
+
+def queries_df(spark, queries: Mapping[int, str]) -> DataFrame:
+    return spark.createDataFrame(
+        [(int(k), v) for k, v in sorted(queries.items())],
+        "query_id long, query_text string",
+    )
+
+
+def query_terms(qdf: DataFrame, mode: str = "ascii_code") -> DataFrame:
+    """Distinct (query_id, term) — unweighted query bag (set semantics)."""
+    from bertopic_spark.tokenizer import with_tokens
+
+    return (
+        with_tokens(qdf, "query_text", mode)
+        .select("query_id", F.explode("tokens").alias("term"))
+        .distinct()
+    )
+
+
+def bm25_topk(
+    scores: DataFrame,
+    qterms: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(query_id, doc_id, score, rank) — exhaustive top-k retrieval."""
+    hits = (
+        scores.join(F.broadcast(qterms), "term")
+        .groupBy("query_id", id_col)
+        .agg(F.sum("score").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        hits.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "rank")
+    )

@@ -1,0 +1,66 @@
+"""Doc-level BM25 retrieval: Spark exhaustive scorer vs local oracle —
+rank-identical docIDs AND scores (north rule gate)."""
+
+import pytest
+
+from bertopic_spark import oracle
+from bertopic_spark.corpus import fixture_queries
+from bertopic_spark.operators.bm25 import bm25_topk, doc_scores, queries_df, query_terms
+
+MODE = "ascii_code"
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return fixture_queries(40)
+
+
+@pytest.fixture(scope="module")
+def spark_topk(spark, corpus_df, queries):
+    scores = doc_scores(corpus_df, mode=MODE).cache()
+    qt = query_terms(queries_df(spark, queries), MODE)
+    rows = bm25_topk(scores, qt, k=10).collect()
+    out = {}
+    for r in rows:
+        out.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    return {q: [(d, s) for _, d, s in sorted(v)] for q, v in out.items()}
+
+
+@pytest.fixture(scope="module")
+def oracle_topk(corpus_rows, queries):
+    return oracle.bm25_topk(
+        [r["content"] for r in corpus_rows],
+        [r["doc_id"] for r in corpus_rows],
+        queries, k=10, mode=MODE,
+    )
+
+
+def test_rank_identical_to_oracle(spark_topk, oracle_topk, queries):
+    for qid in queries:
+        want = oracle_topk[qid]
+        got = spark_topk.get(qid, [])
+        assert [d for d, _ in got] == [d for d, _ in want], (qid, queries[qid])
+        for (gd, gs), (wd, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, abs=1e-9), (qid, gd)
+
+
+def test_stop_term_queries_covered(spark_topk, oracle_topk):
+    # stop-term-only queries (0-4) hit (almost) every doc → full top-10;
+    # OOV-bearing queries (5-9) are covered by the rank-identity test.
+    for qid in range(5):
+        assert len(oracle_topk[qid]) == 10
+        assert len(spark_topk[qid]) == 10
+
+
+def test_rank_stable_across_parallelism(spark, corpus_df, queries, spark_topk):
+    # same job, different partitioning → identical ranking (doc_id tie-break
+    # + integer-derived scores make this deterministic)
+    scores = doc_scores(corpus_df.repartition(3), mode=MODE)
+    qt = query_terms(queries_df(spark, queries), MODE)
+    rows = bm25_topk(scores, qt, k=10).collect()
+    out = {}
+    for r in rows:
+        out.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"]))
+    got = {q: [d for _, d in sorted(v)] for q, v in out.items()}
+    want = {q: [d for d, _ in v] for q, v in spark_topk.items()}
+    assert got == want
