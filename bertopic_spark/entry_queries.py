@@ -342,6 +342,239 @@ WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus"""
 
 
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators (dedup / similarity / text analysis)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup via content digest (hash-groupBy)."""
+    from bertopic_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir), "text", "doc_id")
+
+
+SQL_DEDUP_EXACT = (
+    "SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS dup_count, "
+    "md5(text) AS digest FROM documents GROUP BY md5(text)"
+)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Near-dup pairs by 2-gram Jaccard ≥ 0.2."""
+    from bertopic_spark.operators.dedup import jaccard_pairs
+
+    return jaccard_pairs(_docs(spark, sf_dir), "text", "doc_id", n=2, threshold=0.2)
+
+
+SQL_NGRAM_JACCARD = f"""WITH
+tk AS (SELECT doc_id, {duckdb_tokens_sql('text', MODE)} AS ts FROM documents),
+sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] AS shingle
+       FROM tk, unnest(generate_series(1, greatest(len(ts)-1, 0))) AS u(i)),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS i
+          FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+SELECT id_a, id_b, round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE i / (sa.sz + sb.sz - i) >= 0.2"""
+
+
+def q_minhash_signatures(spark, sf_dir):
+    from bertopic_spark.operators.dedup import minhash_signatures
+
+    return minhash_signatures(_docs(spark, sf_dir), "text", "doc_id", num_perm=8)
+
+
+def _sql_minhash(num_perm: int = 8, seed: int = 42) -> str:
+    from bertopic_spark.operators.dedup import minhash_params
+
+    params = minhash_params(num_perm, seed)
+    sig_exprs = ", ".join(
+        f"CAST(min((h * {a % 2147483647} + {b % 2147483647}) % 2147483647) AS BIGINT) AS sig_{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    return f"""WITH
+tk AS (SELECT doc_id, {duckdb_tokens_sql('text', MODE)} AS ts FROM documents),
+sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] AS shingle
+       FROM tk, unnest(generate_series(1, greatest(len(ts)-1, 0))) AS u(i)),
+hs AS (SELECT doc_id,
+       CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) % 2147483647 AS h
+       FROM sh)
+SELECT doc_id, {sig_exprs} FROM hs GROUP BY doc_id"""
+
+
+def q_simhash(spark, sf_dir):
+    from bertopic_spark.operators.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir), "text", "doc_id", bits=16)
+
+
+def _sql_simhash(bits: int = 16) -> str:
+    bit_cases = " + ".join(
+        f"CASE WHEN sum(CASE WHEN (h >> {j}) & 1 = 1 THEN tf ELSE -tf END) > 0 "
+        f"THEN {1 << j} ELSE 0 END"
+        for j in range(bits)
+    )
+    return f"""WITH
+tk AS (SELECT doc_id, unnest({duckdb_tokens_sql('text', MODE)}) AS term FROM documents),
+x AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tk GROUP BY doc_id, term),
+hx AS (SELECT doc_id, tf, CAST(concat('0x', substr(md5(term), 1, 15)) AS BIGINT) AS h FROM x)
+SELECT doc_id, CAST({bit_cases} AS BIGINT) AS simhash FROM hx GROUP BY doc_id"""
+
+
+ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force exact cosine top-10 (ANN baseline)."""
+    from bertopic_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk(emb, ANN_QUERY_IDS, k=10)
+
+
+_SQL_COS_CORE = """
+v AS (SELECT vec_id, i - 1 AS dim, CAST(val AS DOUBLE) AS val
+      FROM (SELECT vec_id, unnest(embedding) AS val, generate_subscripts(embedding, 1) AS i
+            FROM embeddings)),
+norms AS (SELECT vec_id, sqrt(sum(val * val)) AS nrm FROM v GROUP BY vec_id)"""
+
+
+def _sql_ann(topk: int, bucketed: bool) -> str:
+    ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    bucket_cte = """
+buckets AS (
+  SELECT vec_id, CAST(sum(CASE WHEN val > 0 THEN 1 << dim ELSE 0 END) AS BIGINT) AS bucket
+  FROM v WHERE dim < 8 GROUP BY vec_id),"""
+    bucket_join = "JOIN buckets ba ON ba.vec_id = d.vec_id JOIN buckets bq ON bq.vec_id = q.vec_id AND ba.bucket = bq.bucket" if bucketed else ""
+    return f"""WITH {_SQL_COS_CORE},
+{bucket_cte if bucketed else ''}
+dots AS (
+  SELECT q.vec_id AS query_vec_id, d.vec_id AS vec_id, sum(q.val * d.val) AS dot
+  FROM v q JOIN v d ON q.dim = d.dim {bucket_join}
+  WHERE q.vec_id IN ({ids}) AND d.vec_id != q.vec_id
+  GROUP BY q.vec_id, d.vec_id),
+sims AS (
+  SELECT query_vec_id, dots.vec_id AS vec_id, dot / (nq.nrm * nd.nrm) AS cos
+  FROM dots JOIN norms nq ON nq.vec_id = query_vec_id
+            JOIN norms nd ON nd.vec_id = dots.vec_id),
+ranked AS (
+  SELECT query_vec_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_vec_id ORDER BY cos DESC, vec_id ASC) AS rn
+  FROM sims)
+SELECT query_vec_id, vec_id, round(cos, 6) AS cos, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= {topk}"""
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """Sign-LSH bucketed approximate cosine top-10 (the scale path)."""
+    from bertopic_spark.operators.similarity import lsh_cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_cosine_topk(emb, ANN_QUERY_IDS, k=10, n_bits=8)
+
+
+def q_class_centroids(spark, sf_dir):
+    """A7: per-label mean embedding (topic vectors)."""
+    from bertopic_spark.operators.similarity import class_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return (
+        class_centroids(emb, "label")
+        .select(F.col("label").cast("long").alias("label"),
+                F.col("dim").cast("long").alias("dim"), "mean_val", "n")
+    )
+
+
+SQL_CLASS_CENTROIDS = """
+SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS dim,
+       round(avg(val), 6) AS mean_val, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT label, unnest(embedding) AS val, generate_subscripts(embedding, 1) AS i
+      FROM embeddings)
+GROUP BY label, i"""
+
+
+def q_token_stats(spark, sf_dir):
+    from bertopic_spark.operators.textstats import token_stats
+
+    return token_stats(_docs(spark, sf_dir), "text", "doc_id")
+
+
+def _sql_token_stats() -> str:
+    from bertopic_spark.operators.textstats import STOPWORDS
+
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""WITH tk AS (SELECT doc_id, {duckdb_tokens_sql('text', MODE)} AS ts FROM documents)
+SELECT doc_id,
+  CAST(len(ts) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct(ts)) AS BIGINT) AS n_distinct,
+  round(CASE WHEN len(ts) > 0 THEN list_sum(list_transform(ts, t -> length(t))) * 1.0 / len(ts) ELSE 0.0 END, 6) AS avg_token_len,
+  round(CASE WHEN len(ts) > 0 THEN len(list_filter(ts, t -> list_contains([{stop_list}], t))) * 1.0 / len(ts) ELSE 0.0 END, 6) AS stopword_ratio,
+  round(CASE WHEN len(ts) > 0 THEN len(list_distinct(ts)) * 1.0 / len(ts) ELSE 0.0 END, 6) AS ttr
+FROM tk"""
+
+
+def q_quality_score(spark, sf_dir):
+    from bertopic_spark.operators.textstats import quality_score
+
+    return quality_score(_docs(spark, sf_dir), "text", "doc_id")
+
+
+def _sql_quality_score() -> str:
+    return f"""WITH tk AS (SELECT doc_id, text, {duckdb_tokens_sql('text', MODE)} AS ts FROM documents),
+s AS (SELECT doc_id,
+        CAST(len(ts) AS BIGINT) AS n_tokens,
+        CASE WHEN len(ts) > 0 THEN len(list_distinct(ts)) * 1.0 / len(ts) ELSE 0.0 END AS ttr,
+        round(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) * 1.0 /
+              greatest(length(text), 1), 6) AS alpha_ratio
+      FROM tk)
+SELECT doc_id,
+  round((CASE WHEN n_tokens < 5 THEN 0.2 WHEN n_tokens > 5000 THEN 0.5 ELSE 1.0 END)
+        * (0.5 + 0.5 * ttr) * alpha_ratio, 6) AS quality
+FROM s"""
+
+
+def q_fingerprint(spark, sf_dir):
+    from bertopic_spark.operators.textstats import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir), "text", "doc_id")
+
+
+SQL_FINGERPRINT = f"""WITH tk AS (SELECT doc_id, {duckdb_tokens_sql('text', MODE)} AS ts FROM documents)
+SELECT doc_id,
+  CAST(list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(ts, t -> CAST(concat('0x', substr(md5(t), 1, 7)) AS BIGINT))),
+    (a, b) -> (a * 31 + b) % 2147483647) AS BIGINT) AS fp
+FROM tk"""
+
+
+def q_assign_nearest_class(spark, sf_dir):
+    """Nearest-class assignment (BERTopic transform analog / lang-ID)."""
+    from bertopic_spark.operators.textstats import assign_nearest_class
+
+    return assign_nearest_class(_docs(spark, sf_dir), "text", "doc_id", "lang")
+
+
+SQL_ASSIGN_NEAREST = f"""WITH {_TOKS}, {_XCLS},
+{_stats_sql('xcls', 'lang', False)},
+scores AS (
+  SELECT x.lang, x.term, (x.tf / clen.class_len) * idf.idf AS cls_score
+  FROM xcls x JOIN clen USING (lang) JOIN idf USING (term)),
+xdoc AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, term),
+dlen AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len FROM xdoc GROUP BY doc_id),
+sims AS (
+  SELECT d.doc_id, s.lang, sum((d.tf * 1.0 / dlen.doc_len) * s.cls_score) AS sim
+  FROM xdoc d JOIN dlen USING (doc_id) JOIN scores s USING (term)
+  GROUP BY d.doc_id, s.lang),
+ranked AS (
+  SELECT doc_id, lang, sim,
+         row_number() OVER (PARTITION BY doc_id ORDER BY sim DESC, lang ASC) AS rn
+  FROM sims)
+SELECT doc_id, lang AS pred_class, round(sim, 6) AS score FROM ranked WHERE rn = 1"""
+
+
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "tokenize_doc_counts": (q_tokenize_doc_counts, SQL_TOKENIZE),
     "class_postings": (q_class_postings, SQL_CLASS_POSTINGS),
@@ -355,4 +588,15 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "topics_over_time": (q_topics_over_time, SQL_TOPICS_OVER_TIME),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "dedup_minhash_signatures": (q_minhash_signatures, _sql_minhash(8)),
+    "dedup_simhash": (q_simhash, _sql_simhash(16)),
+    "ann_cosine_topk": (q_ann_cosine_topk, _sql_ann(10, False)),
+    "ann_lsh_topk": (q_ann_lsh_topk, _sql_ann(10, True)),
+    "class_centroids": (q_class_centroids, SQL_CLASS_CENTROIDS),
+    "token_stats": (q_token_stats, _sql_token_stats()),
+    "quality_score": (q_quality_score, _sql_quality_score()),
+    "doc_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "assign_nearest_class": (q_assign_nearest_class, SQL_ASSIGN_NEAREST),
 }

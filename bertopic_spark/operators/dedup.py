@@ -1,0 +1,195 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (hash groupBy), n-gram Jaccard, MinHash+LSH, SimHash, and
+embedding-cosine near-dup. All hashing is md5-based (present in both Spark
+and DuckDB with identical output) so every op has a cross-engine oracle;
+xxhash64 would be faster JVM-side but is Spark-only — swap via ``hash_expr``
+when no oracle is needed.
+
+Scale notes (100 TB):
+* exact: one shuffle on the 128-bit digest; trivially skew-free.
+* jaccard: shingle self-join is quadratic per shared shingle — production
+  path prunes with document-frequency cap on shingles (drop shingles in
+  > max_df docs: they generate huge candidate lists but never discriminate).
+* minhash-lsh: candidate generation is a groupBy on (band, band_hash) —
+  bounded by band width; verification joins only bucket-mates.
+* simhash: one narrow pass + one self-join on the 16-bit key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bertopic_spark.tokenizer import with_tokens
+
+# 60-bit hash from the md5 hex prefix — identical in DuckDB via
+# CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT).
+def md5_long(col, nhex: int = 15):
+    return F.conv(F.substring(F.md5(col), 1, nhex), 16, 10).cast("long")
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dup groups: (keep_id, dup_count) — keep the min id per digest."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("digest"))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+        .select("keep_id", "dup_count", "digest")
+    )
+
+
+def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3,
+             mode: str = "ascii_code") -> DataFrame:
+    """Distinct token n-gram shingles per doc: (id, shingle)."""
+    toks = with_tokens(df.select(id_col, text_col), text_col, mode)
+    # n-gram shingles via transform over token positions (JVM-side)
+    sh = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.slice(F.col("tokens"), 1,
+                        F.greatest(F.size("tokens") - (n - 1), F.lit(0))),
+                lambda _, i: F.concat_ws(" ", F.slice(F.col("tokens"), i + 1, n)),
+            )
+        ).alias("shingle"),
+    )
+    return sh.distinct()
+
+
+def jaccard_pairs(df: DataFrame, text_col: str, id_col: str, n: int = 3,
+                  threshold: float = 0.5, mode: str = "ascii_code",
+                  max_df: int | None = None) -> DataFrame:
+    """Near-dup pairs by n-gram Jaccard ≥ threshold: (id_a, id_b, jaccard).
+
+    id_a < id_b. ``max_df`` drops shingles occurring in more than that many
+    docs before the self-join (the candidate-explosion guard at scale).
+    """
+    sh = shingles(df, text_col, id_col, n, mode)
+    if max_df is not None:
+        from pyspark.sql import Window  # noqa: F401
+
+        keep = sh.groupBy("shingle").count().filter(F.col("count") <= max_df)
+        sh = sh.join(F.broadcast(keep.select("shingle")), "shingle")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# MinHash permutation constants: h_i(x) = (a_i * x + b_i) mod P, seeded and
+# shared verbatim with the DuckDB oracle SQL (entry_queries builds the SQL
+# string from these exact values).
+MINHASH_P = 2305843009213693951  # 2^61 - 1 (Mersenne prime)
+
+
+def minhash_params(num_perm: int = 16, seed: int = 42) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(seed)
+    return [(rng.randrange(1, MINHASH_P), rng.randrange(0, MINHASH_P)) for _ in range(num_perm)]
+
+
+def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
+                       num_perm: int = 16, seed: int = 42, n: int = 2,
+                       mode: str = "ascii_code") -> DataFrame:
+    """(id, sig_0..sig_{num_perm-1}) MinHash over n-gram shingle hashes.
+
+    a*h is computed in double precision modular arithmetic? No — to stay
+    exact AND cross-engine we keep everything in BIGINT with a reduced
+    multiplier: h < 2^60, a < 2^31 ⇒ a*h would overflow, so we use
+    (a * (h % 2^31) + b) % P' with P' = 2^31-1; 31-bit minhash values are
+    plenty for 16 permutations at corpus scale.
+    """
+    params = minhash_params(num_perm, seed)
+    sh = shingles(df, text_col, id_col, n, mode)
+    h = (md5_long(F.col("shingle")) % F.lit(2147483647)).alias("h")
+    base = sh.select(id_col, h)
+    aggs = []
+    for i, (a, b) in enumerate(params):
+        a31, b31 = a % 2147483647, b % 2147483647
+        aggs.append(F.min((F.col("h") * a31 + b31) % 2147483647).alias(f"sig_{i}"))
+    return base.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
+                      num_perm: int = 16, bands: int = 4, seed: int = 42,
+                      n: int = 2, mode: str = "ascii_code") -> DataFrame:
+    """Candidate near-dup pairs: docs sharing ≥1 LSH band (rows = num_perm/bands).
+
+    Returns (id_a, id_b, n_bands) with id_a < id_b. Verification (exact
+    jaccard on candidates only) is the caller's second step.
+    """
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, seed, n, mode)
+    rows_per_band = num_perm // bands
+    band_cols = []
+    for bnd in range(bands):
+        cols = [F.col(f"sig_{bnd * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(bnd).alias("band"), F.concat_ws("_", *[c.cast("string") for c in cols]).alias("key"))
+        )
+    exploded = sigs.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")) \
+        .select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = exploded.select(F.col(id_col).alias("id_a"), "band", "key")
+    b = exploded.select(F.col(id_col).alias("id_b"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16,
+            mode: str = "ascii_code") -> DataFrame:
+    """(id, simhash) — tf-weighted sign-sum over md5-derived term bits."""
+    toks = with_tokens(df.select(id_col, text_col), text_col, mode)
+    terms = (
+        toks.select(id_col, F.explode("tokens").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("h", md5_long(F.col("term")))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, F.col("tf"))
+            .otherwise(-F.col("tf"))
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    agg = terms.groupBy(id_col).agg(*bit_sums)
+    sig = None
+    for j in range(bits):
+        bit = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return agg.select(F.col(id_col), sig.cast("long").alias("simhash"))
+
+
+def embedding_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            threshold: float = 0.95) -> DataFrame:
+    """(id_a, id_b, cos) pairs with cosine ≥ threshold (brute-force all-pairs;
+    the LSH-bucketed variant in similarity.py is the scale path)."""
+    from bertopic_spark.operators.similarity import cosine_expr
+
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine_expr(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )

@@ -1,0 +1,124 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline (reference analog:
+``cosine_similarity`` calls all over ``_bertopic.py`` — J4 in SURVEY §2.5),
+plus a sign-LSH bucketed variant as the scale path: at 10^9+ vectors the
+cross join is infeasible; bucketing by hyperplane sign bits bounds each
+probe to one bucket (recall < 1 by design, measured in tests).
+
+Everything is JVM-side array expressions (zip_with/aggregate) — no UDFs.
+Dot products fold sequentially in array order, so results are deterministic
+and match the DuckDB oracle's per-index join to the last ulp (rounded 6dp).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k: (query_vec_id, vec_id, cos, rn).
+
+    The query side is a tiny broadcast; the corpus side streams — one pass,
+    no shuffle except the per-query window top-k (W1 analog).
+    """
+    base = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    q = base.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_vec_id"), F.col("v").alias("qv")
+    )
+    pairs = base.crossJoin(F.broadcast(q)).filter(F.col(id_col) != F.col("query_vec_id"))
+    scored = pairs.select(
+        "query_vec_id", id_col, cosine_expr(F.col("qv"), F.col("v")).alias("cos")
+    )
+    w = Window.partitionBy("query_vec_id").orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select("query_vec_id", id_col, F.round("cos", 6).alias("cos"), "rn")
+    )
+
+
+def sign_bucket_expr(vec: Column, n_bits: int = 8) -> Column:
+    """Sign-LSH bucket id from the first n_bits dimensions' signs.
+
+    Production would use seeded random hyperplanes (dot-product signs);
+    using leading dims keeps the oracle SQL trivial while exercising the
+    identical plan shape (bucket → co-bucket join → rerank).
+    """
+    bucket = F.lit(0)
+    for j in range(n_bits):
+        bucket = bucket + F.when(F.element_at(vec, j + 1) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket.cast("long")
+
+
+def lsh_cosine_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k restricted to the query's sign-LSH bucket.
+
+    Same output shape as cosine_topk; recall measured in tests. At scale the
+    bucket column is a partition key — each probe touches one partition.
+    """
+    base = emb.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("bucket", sign_bucket_expr(F.col("v"), n_bits))
+    q = base.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_vec_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    pairs = base.join(
+        F.broadcast(q), F.col("bucket") == F.col("qbucket")
+    ).filter(F.col(id_col) != F.col("query_vec_id"))
+    scored = pairs.select(
+        "query_vec_id", id_col, cosine_expr(F.col("qv"), F.col("v")).alias("cos")
+    )
+    w = Window.partitionBy("query_vec_id").orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select("query_vec_id", id_col, F.round("cos", 6).alias("cos"), "rn")
+    )
+
+
+def class_centroids(emb: DataFrame, label_col: str = "label",
+                    vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """A7: per-group mean vector (topic embeddings, _bertopic.py:4334-4343).
+
+    posexplode → groupBy(label, dim).avg — shuffles (label, dim) pairs, not
+    vectors; at scale this beats collecting arrays per group.
+    """
+    exploded = emb.select(
+        F.col(label_col), F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "val")
+    )
+    return (
+        exploded.groupBy(label_col, "dim")
+        .agg(F.round(F.avg("val"), 6).alias("mean_val"), F.count(F.lit(1)).alias("n"))
+    )

@@ -1,0 +1,134 @@
+"""Text analysis for training-data pipelines: token stats, quality
+scoring, document fingerprinting, nearest-class assignment (lang-ID).
+
+All JVM-side expressions over the token array — no Python in the hot path.
+Every op has a DuckDB oracle (entry_queries.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bertopic_spark.operators.ctfidf import ctfidf
+from bertopic_spark.operators.postings import class_term_counts, doc_term_counts
+from bertopic_spark.tokenizer import with_tokens
+
+# Tiny embedded stopword list (whitespace/quality heuristics, not linguistics).
+STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+             "this", "that", "for", "on", "with", "as", "at", "by"]
+
+
+def token_stats(df: DataFrame, text_col: str, id_col: str,
+                mode: str = "ascii_code") -> DataFrame:
+    """(id, n_tokens, n_distinct, avg_token_len, stopword_ratio, ttr)."""
+    toks = with_tokens(df.select(id_col, text_col), text_col, mode)
+    n_tok = F.size("tokens").cast("long")
+    n_dis = F.size(F.array_distinct("tokens")).cast("long")
+    tot_len = F.aggregate(
+        F.transform("tokens", lambda t: F.length(t)), F.lit(0), lambda a, v: a + v
+    )
+    n_stop = F.size(F.filter("tokens", lambda t: t.isin(STOPWORDS))).cast("long")
+    return toks.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        n_dis.alias("n_distinct"),
+        F.round(
+            F.when(n_tok > 0, tot_len / n_tok).otherwise(F.lit(0.0)), 6
+        ).alias("avg_token_len"),
+        F.round(
+            F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0)), 6
+        ).alias("stopword_ratio"),
+        F.round(
+            F.when(n_tok > 0, n_dis / n_tok).otherwise(F.lit(0.0)), 6
+        ).alias("ttr"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str, id_col: str,
+                  mode: str = "ascii_code") -> DataFrame:
+    """(id, quality) ∈ [0,1]: composite of length band, type-token ratio and
+    alpha density — the standard cheap pre-filter before expensive stages."""
+    stats = token_stats(df, text_col, id_col, mode)
+    alpha_ratio = (
+        F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z ]", ""))
+        / F.greatest(F.length(F.col(text_col)), F.lit(1))
+    )
+    base = df.select(F.col(id_col), F.round(alpha_ratio, 6).alias("alpha_ratio"))
+    length_band = (
+        F.when(F.col("n_tokens") < 5, 0.2)
+        .when(F.col("n_tokens") > 5000, 0.5)
+        .otherwise(1.0)
+    )
+    # unrounded ttr (the exported stats column is rounded for display)
+    ttr = F.when(
+        F.col("n_tokens") > 0, F.col("n_distinct") / F.col("n_tokens")
+    ).otherwise(F.lit(0.0))
+    return (
+        stats.join(base, id_col)
+        .select(
+            F.col(id_col),
+            F.round(
+                length_band * (0.5 + 0.5 * ttr) * F.col("alpha_ratio"), 6
+            ).alias("quality"),
+        )
+    )
+
+
+FP_MOD = 2147483647  # 2^31-1: keeps the polynomial fold overflow-free in
+# BIGINT on both engines (acc < 2^31 ⇒ acc*31 + h < 2^36).
+
+
+def fingerprint(df: DataFrame, text_col: str, id_col: str,
+                mode: str = "ascii_code") -> DataFrame:
+    """(id, fp) order-sensitive polynomial token fingerprint mod 2^31-1.
+
+    fp = fold(tokens, acc ← (acc*31 + md5_28(token)) mod P). Same fold in
+    DuckDB via list_reduce — token order is preserved by both extractors.
+    """
+    from bertopic_spark.operators.dedup import md5_long
+
+    toks = with_tokens(df.select(id_col, text_col), text_col, mode)
+    hashed = F.transform("tokens", lambda t: F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("long"))
+    fp = F.aggregate(hashed, F.lit(0).cast("long"),
+                     lambda acc, h: (acc * 31 + h) % FP_MOD)
+    return toks.select(F.col(id_col), fp.alias("fp"))
+
+
+def assign_nearest_class(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    class_col: str,
+    mode: str = "ascii_code",
+    bm25_weighting: bool = False,
+) -> DataFrame:
+    """(id, pred_class, score): nearest class by c-TF-IDF dot product —
+    the engine's analog of BERTopic ``transform`` (reduced-model path,
+    _bertopic.py:611-619: cosine of doc vs topic vectors, argmax).
+
+    Doc tf (L1-normalized) dotted with each class's c-TF-IDF scores via the
+    inverted index (term join) — never a dense doc×class matrix.
+    """
+    from pyspark.sql import Window
+
+    dt = doc_term_counts(df, text_col, [class_col, id_col], mode, with_len=True)
+    x = class_term_counts(dt.drop("doc_len"), [class_col])
+    cls_scores = ctfidf(x, [class_col], bm25_weighting=bm25_weighting).withColumnRenamed(
+        "score", "cls_score"
+    )
+    doc_side = dt.select(
+        F.col(id_col), "term", (F.col("tf") / F.col("doc_len")).alias("doc_w")
+    )
+    sims = (
+        doc_side.join(cls_scores.select(class_col, "term", "cls_score"), "term")
+        .groupBy(id_col, class_col)
+        .agg(F.sum(F.col("doc_w") * F.col("cls_score")).alias("sim"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc(class_col))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col(id_col), F.col(class_col).alias("pred_class"),
+                F.round("sim", 6).alias("score"))
+    )
