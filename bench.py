@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Benchmark harness. Prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, ...extras}
+
+Workloads:
+* registry queries from __spark_entry__ over $SPARK_GRAFT_SF_DIR
+  (default /root/testdata/sf0.1),
+* the north-star workload on the synthetic source-code corpus:
+  full BM25 index build (docs/sec) and per-query latency p50/p99
+  over the fixture query set against the cached index.
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
+SPARK_GRAFT_BENCH_FILES (corpus size, default 20000),
+SPARK_GRAFT_BENCH_NQ (latency queries, default 12).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_FILES = int(os.environ.get("SPARK_GRAFT_BENCH_FILES", "20000"))
+N_LAT_Q = int(os.environ.get("SPARK_GRAFT_BENCH_NQ", "12"))
+
+# Registry queries benchmarked at the sf dir (a representative slice: text
+# pipeline, retrieval, slicing, dedup, ANN, relational, windows).
+BENCH_QUERIES = [
+    "tokenize_doc_counts",
+    "class_postings",
+    "ctfidf_topk_bm25_sqrt",
+    "bm25_doc_topk",
+    "topics_over_time",
+    "dedup_minhash_signatures",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "quality_score",
+    "doc_fingerprint",
+    "assign_nearest_class",
+    "events_hourly",
+    "pricing_summary",
+]
+
+
+def _run(df) -> int:
+    """Force full execution without driver-side materialization cost."""
+    return df.write.format("noop").mode("overwrite").save() or 0
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry
+    from bertopic_spark.corpus import fixture_queries, load_corpus
+    from bertopic_spark.operators.bm25 import bm25_topk, doc_scores, queries_df, query_terms
+    from bertopic_spark.session import get_spark
+
+    spark = get_spark("bench", cpus=CPUS, shuffle_partitions=max(CPUS, 32))
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+    extras: dict[str, object] = {}
+
+    qs = entry.queries()
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        _run(qs[name](spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # --- north-star: index build throughput on the synthetic code corpus ---
+    corpus = load_corpus(spark, N_FILES)
+    n_docs = corpus.count()  # warm the file cache; excluded from build time
+    t0 = time.perf_counter()
+    scores = doc_scores(corpus, text_col="content", id_col="doc_id", mode="ascii_code")
+    scores = scores.persist()
+    n_postings = scores.count()
+    build_sec = time.perf_counter() - t0
+    timings["index_build_codecorpus"] = round(build_sec, 3)
+    extras["index_build_docs_per_sec"] = round(n_docs / build_sec, 1)
+    extras["index_postings"] = n_postings
+    extras["index_docs"] = n_docs
+
+    # --- north-star: BM25 query latency p50/p99 against the cached index ---
+    fq = fixture_queries(40)
+    lat = []
+    for qid in sorted(fq)[:N_LAT_Q]:
+        qt = query_terms(queries_df(spark, {qid: fq[qid]}), "ascii_code")
+        t0 = time.perf_counter()
+        bm25_topk(scores, qt, k=10).collect()
+        lat.append(time.perf_counter() - t0)
+    scores.unpersist()
+    lat.sort()
+    extras["bm25_query_p50_sec"] = round(statistics.median(lat), 4)
+    extras["bm25_query_p99_sec"] = round(lat[min(len(lat) - 1, int(len(lat) * 0.99))], 4)
+    timings["bm25_query_batch"] = round(sum(lat), 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(json.dumps({
+        "metric": "bench_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": CPUS,
+        "corpus_files": N_FILES,
+        **extras,
+    }))
+
+
+if __name__ == "__main__":
+    main()
