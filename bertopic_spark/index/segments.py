@@ -1,0 +1,144 @@
+"""SPIMI-style distributed index build → compressed posting segments.
+
+Pipeline (SURVEY §4.2):
+
+1. ``assign_doc_ids`` — deterministic dense doc_id from the natural key
+   order (repo, path, commit) WITHOUT a global single-partition window:
+   range-repartition on the key, sort within partitions, then
+   per-partition row_number + exclusive prefix-sum of partition counts
+   (the classic zipWithIndex shape, expressed on DataFrames). Stable
+   across cluster sizes — required for rank-identity and resume.
+2. tokenize → per-doc counts (partial agg = the in-memory SPIMI run)
+   → BM25/c-TF-IDF scoring (operators/, all JVM expressions).
+3. block assembly — groupBy (term, blk = doc_id // SPAN):
+   ``sort_array(collect_list(struct(doc_id, tf, score)))`` then an
+   Arrow-vectorized pandas UDF encodes each group to a delta+varint
+   payload with per-block max_score/doc-range metadata. Heavy (stop)
+   terms split across many (term, blk) groups — the composite key is the
+   deterministic skew salt.
+4. segment write — parquet partitioned-by hash bucket of term, plus a
+   JSON manifest with per-partition lineage (rows/terms/bytes) and the
+   corpus fingerprint for resume (checkpoint.py).
+
+The per-row invariant (sha256(content) vs source) is asserted in
+``verify_content_sha`` at build and re-scan time (north rule).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType
+
+from bertopic_spark.index.blocks import DEFAULT_SPAN, decode_block, encode_block
+
+
+def assign_doc_ids(df: DataFrame, order_cols: Sequence[str],
+                   num_partitions: int | None = None) -> DataFrame:
+    """Dense deterministic doc_id by (order_cols) without a global window.
+
+    Two narrow jobs: one to count rows per range partition (tiny collect),
+    one to add offsets. Scales to any corpus size; `monotonically_increasing_id`
+    is banned (nondeterministic across retries/cluster sizes).
+    """
+    from pyspark.sql import Window
+
+    n_part = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parted = (
+        df.repartitionByRange(n_part, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    parted = parted.persist()
+    counts = {r["_pid"]: r["cnt"] for r in
+              parted.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_df = F.broadcast(df.sparkSession.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _offset long"))
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    out = (
+        parted.join(off_df, "_pid")
+        .withColumn("doc_id", (F.row_number().over(w) - 1 + F.col("_offset")).cast("long"))
+        .drop("_pid", "_offset")
+    )
+    return out
+
+
+def verify_content_sha(df: DataFrame, content_col: str = "content",
+                       sha_col: str = "content_sha") -> int:
+    """North-rule per-row invariant: sha256(content) == source sha. Returns
+    the mismatch count (caller asserts == 0); one narrow pass."""
+    return df.filter(F.sha2(F.col(content_col), 256) != F.col(sha_col)).count()
+
+
+def _encode_udf(span: int):
+    @F.pandas_udf(BinaryType())
+    def enc(blk: pd.Series, postings: pd.Series) -> pd.Series:
+        out = []
+        for b, plist in zip(blk, postings):
+            rs = int(b) * span
+            ids = [int(p["doc_id"]) for p in plist]
+            tfs = [int(p["tf"]) for p in plist]
+            scs = [float(p["score"]) for p in plist]
+            out.append(encode_block(ids, tfs, scs, rs))
+        return pd.Series(out)
+
+    return enc
+
+
+def build_block_index(scores: DataFrame, span: int = DEFAULT_SPAN) -> DataFrame:
+    """(term, blk, n_docs, doc_min, doc_max, max_score, sum_tf, payload).
+
+    ``scores`` is the doc-level scored postings (doc_id, term, tf, score)
+    from operators/bm25.doc_scores. One shuffle on (term, blk).
+    """
+    grouped = (
+        scores.withColumn("blk", (F.col("doc_id") / span).cast("long"))
+        .groupBy("term", "blk")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("doc_min"),
+            F.max("doc_id").alias("doc_max"),
+            F.max("score").alias("max_score"),
+            F.sum("tf").alias("sum_tf"),
+            F.sort_array(F.collect_list(F.struct("doc_id", "tf", "score"))).alias("plist"),
+        )
+    )
+    enc = _encode_udf(span)
+    return grouped.withColumn("payload", enc(F.col("blk"), F.col("plist"))).drop("plist")
+
+
+def decode_blocks(blocks: DataFrame, span: int = DEFAULT_SPAN) -> DataFrame:
+    """Inverse of build_block_index → (term, doc_id, tf, score) long form.
+
+    mapInPandas (Arrow batches): one narrow pass, no shuffle.
+    """
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType)
+
+    out_schema = StructType([
+        StructField("term", StringType()),
+        StructField("doc_id", LongType()),
+        StructField("tf", LongType()),
+        StructField("score", DoubleType()),
+    ])
+
+    def gen(batches):
+        for pdf in batches:
+            terms, dids, tfs, scs = [], [], [], []
+            for term, blk, payload in zip(pdf["term"], pdf["blk"], pdf["payload"]):
+                ids, t, s = decode_block(bytes(payload), int(blk) * span)
+                terms.extend([term] * len(ids))
+                dids.extend(ids)
+                tfs.extend(t)
+                scs.extend(s)
+            yield pd.DataFrame({"term": terms, "doc_id": dids, "tf": tfs, "score": scs})
+
+    return blocks.select("term", "blk", "payload").mapInPandas(gen, out_schema)

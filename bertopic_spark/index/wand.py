@@ -1,0 +1,101 @@
+"""Block-max pruned top-k retrieval over compressed posting segments.
+
+Distributed adaptation of block-max WAND (Ding & Suel 2011, public): the
+classic algorithm walks per-term cursors with a heap — inherently serial
+per query. At cluster scale we prune at BUCKET granularity instead: blocks
+are doc-range aligned (blocks.py), so for each query the upper bound of any
+doc in bucket r is  ub(q, r) = Σ_{t ∈ q} max_score(t, r)  — one groupBy.
+
+Two phases, both safe (never prunes a true top-k doc):
+
+  A. seed θ: exact-score the ``seed_buckets`` highest-ub buckets per query
+     → θ_q = k-th best score found (−∞ if < k docs seen).
+  B. prune: drop buckets with ub < θ_q (any doc there scores ≤ ub < θ_q);
+     exact-score survivors, window top-k.
+
+Exact scoring decodes payloads in an Arrow-vectorized pass restricted to
+(query term × surviving bucket) — the decoded volume is the pruning win;
+scores are float64 end-to-end, so results are RANK-IDENTICAL to the
+exhaustive scorer (tested on every fixture query).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
+                               StructType)
+
+from bertopic_spark.index.blocks import DEFAULT_SPAN, decode_block
+
+
+def _decode_score(cand: DataFrame, span: int) -> DataFrame:
+    """(query_id, term, blk, payload) → exact (query_id, doc_id, score) sums."""
+    out_schema = StructType([
+        StructField("query_id", LongType()),
+        StructField("doc_id", LongType()),
+        StructField("score", DoubleType()),
+    ])
+
+    def gen(batches):
+        for pdf in batches:
+            qids, dids, scs = [], [], []
+            for qid, blk, payload in zip(pdf["query_id"], pdf["blk"], pdf["payload"]):
+                ids, _, s = decode_block(bytes(payload), int(blk) * span)
+                qids.extend([int(qid)] * len(ids))
+                dids.extend(ids)
+                scs.extend(s)
+            yield pd.DataFrame({"query_id": qids, "doc_id": dids, "score": scs})
+
+    decoded = cand.select("query_id", "blk", "payload").mapInPandas(gen, out_schema)
+    return decoded.groupBy("query_id", "doc_id").agg(F.sum("score").alias("score"))
+
+
+def blockmax_topk(
+    blocks: DataFrame,
+    qterms: DataFrame,
+    k: int = 10,
+    span: int = DEFAULT_SPAN,
+    seed_buckets: int = 4,
+) -> DataFrame:
+    """(query_id, doc_id, score, rank) — rank-identical to the exhaustive
+    scorer; prunes buckets whose block-max upper bound can't reach top-k.
+
+    ``blocks``: build_block_index output (persist it across query batches).
+    ``qterms``: (query_id, term) distinct.
+    """
+    cand = blocks.join(F.broadcast(qterms), "term").select(
+        "query_id", "term", "blk", "max_score", "payload"
+    )
+    cand = cand.persist()
+    try:
+        ub = cand.groupBy("query_id", "blk").agg(F.sum("max_score").alias("ub"))
+        w_ub = Window.partitionBy("query_id").orderBy(F.desc("ub"), F.asc("blk"))
+        seed = ub.withColumn("r", F.row_number().over(w_ub)).filter(F.col("r") <= seed_buckets)
+        seed_scores = _decode_score(
+            cand.join(seed.select("query_id", "blk"), ["query_id", "blk"]), span
+        )
+        w_seed = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        theta = (
+            seed_scores.withColumn("r", F.row_number().over(w_seed))
+            .filter(F.col("r") == k)
+            .select("query_id", F.col("score").alias("theta"))
+        )
+        survivors = ub.join(theta, "query_id", "left").filter(
+            F.col("theta").isNull() | (F.col("ub") >= F.col("theta"))
+        )
+        final = _decode_score(
+            cand.join(survivors.select("query_id", "blk"), ["query_id", "blk"]), span
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            final.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "doc_id", "score", "rank")
+        )
+    finally:
+        # lazy plans keep the persisted lineage; unpersist after action is
+        # the caller's concern when reusing — here we leave it cached only
+        # within the returned plan's lifetime.
+        pass

@@ -1,0 +1,94 @@
+"""Checkpoint/lineage/resume (north rule): kill-resume equality, stage
+skipping, sha256 per-row invariant."""
+
+import json
+import os
+import shutil
+
+import pytest
+
+from bertopic_spark.index.checkpoint import IndexBuild, df_fingerprint
+from bertopic_spark.index.segments import assign_doc_ids, decode_blocks
+
+
+@pytest.fixture()
+def root(tmp_path):
+    return str(tmp_path / "index")
+
+
+def _decoded(spark, blocks_df, span=4096):
+    return {
+        (r["term"], r["doc_id"]): (r["tf"], round(r["score"], 12))
+        for r in decode_blocks(blocks_df, span).collect()
+    }
+
+
+def test_build_resume_and_equality(spark, corpus_df, root):
+    b = IndexBuild(spark, root)
+    blocks1 = b.build(corpus_df)
+    full = _decoded(spark, blocks1)
+    st = b.status()
+    assert all(st[s] is not None for s in IndexBuild.STAGES)
+
+    # simulate a crash after the postings stage: blocks output lost
+    shutil.rmtree(os.path.join(root, "blocks"))
+    docids_manifest = os.path.join(root, "docids", "_MANIFEST.json")
+    mtime_before = os.path.getmtime(docids_manifest)
+
+    blocks2 = IndexBuild(spark, root).build(corpus_df)
+    assert _decoded(spark, blocks2) == full  # content-identical after resume
+    # earlier stages were skipped, not recomputed
+    assert os.path.getmtime(docids_manifest) == mtime_before
+
+
+def test_stage_skip_on_same_input(spark, corpus_df, root):
+    b = IndexBuild(spark, root)
+    b.build(corpus_df)
+    m = json.load(open(os.path.join(root, "blocks", "_MANIFEST.json")))
+    created = m["created_utc"]
+    b.build(corpus_df)  # no-op: fingerprints unchanged
+    m2 = json.load(open(os.path.join(root, "blocks", "_MANIFEST.json")))
+    assert m2["created_utc"] == created
+
+
+def test_input_change_triggers_rebuild(spark, corpus_df, root):
+    b = IndexBuild(spark, root)
+    b.build(corpus_df.limit(100))
+    m = json.load(open(os.path.join(root, "docids", "_MANIFEST.json")))
+    b2 = IndexBuild(spark, root)
+    b2.build(corpus_df.limit(120))
+    m2 = json.load(open(os.path.join(root, "docids", "_MANIFEST.json")))
+    assert m["input_fingerprint"] != m2["input_fingerprint"]
+    assert m2["rows"] == 120
+
+
+def test_sha_invariant_rejects_corruption(spark, corpus_df, root):
+    from pyspark.sql import functions as F
+
+    corrupted = corpus_df.withColumn(
+        "content",
+        F.when(F.col("doc_id") == 7, F.lit("tampered")).otherwise(F.col("content")),
+    )
+    with pytest.raises(ValueError, match="sha mismatch on 1 rows"):
+        IndexBuild(spark, str(root) + "_c").build(corrupted)
+
+
+def test_manifest_lineage_fields(spark, corpus_df, root):
+    IndexBuild(spark, root).build(corpus_df)
+    m = json.load(open(os.path.join(root, "postings", "_MANIFEST.json")))
+    assert m["rows"] > 0 and m["n_partitions"] >= 1
+    assert all("rows" in p and "file" in p for p in m["partitions"])
+    assert m["bytes"] > 0
+
+
+def test_assign_doc_ids_deterministic_dense(spark, corpus_df):
+    a = assign_doc_ids(corpus_df.drop("doc_id"), ["repo", "path", "commit"], 4)
+    b = assign_doc_ids(corpus_df.drop("doc_id").repartition(13), ["repo", "path", "commit"], 9)
+    ga = {(r["repo"], r["path"], r["commit"]): r["doc_id"] for r in a.collect()}
+    gb = {(r["repo"], r["path"], r["commit"]): r["doc_id"] for r in b.collect()}
+    assert ga == gb
+    ids = sorted(ga.values())
+    assert ids == list(range(len(ids)))  # dense 0..n-1
+    # matches the natural-key sort order
+    by_key = sorted(ga)
+    assert [ga[k] for k in by_key] == list(range(len(by_key)))

