@@ -1,0 +1,139 @@
+"""Incremental / online index maintenance (SURVEY §2.9, ST1-ST4).
+
+The reference's online path (``bertopic/vectorizers/_online_cv.py``) is
+batch-incremental: per mini-batch it (1) unions out-of-vocabulary terms
+into the vocabulary with fresh ids, (2) decays accumulated counts
+``X ← X·(1−decay) + X_batch``, (3) prunes terms whose decayed total falls
+below ``delete_min_df``. We re-express each as a distributed MERGE-shaped
+job over the long-form state (class, term, tf) plus a Structured Streaming
+wrapper (``foreachBatch``) for true stream ingestion.
+
+State is a parquet dir rewritten per batch (at production scale this would
+be Iceberg/Delta MERGE INTO; plain parquet keeps the sandbox dependency-free
+while the job shape — broadcast anti-join + unionByName + groupBy — is
+identical).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bertopic_spark.operators.postings import class_term_counts, doc_term_counts
+
+
+def vocab_union(vocab: DataFrame, new_terms: DataFrame) -> DataFrame:
+    """ST2/T3/U1 (``_online_cv.py:76-100``): append OOV terms with fresh
+    dense ids (max_id + row_number over term order — deterministic)."""
+    from pyspark.sql import Window
+
+    oov = new_terms.select("term").distinct().join(vocab.select("term"), "term", "left_anti")
+    max_id = vocab.agg(F.coalesce(F.max("term_id"), F.lit(-1)).alias("m")).collect()[0]["m"]
+    w = Window.orderBy("term")
+    fresh = oov.withColumn("term_id", F.row_number().over(w).cast("long") + max_id)
+    return vocab.unionByName(fresh)
+
+
+def decayed_update(state: DataFrame, batch_counts: DataFrame, decay: float = 0.0,
+                   delete_min_df: float | None = None,
+                   class_cols: tuple[str, ...] = ("topic",)) -> DataFrame:
+    """ST3/A11 (``_online_cv.py:120-158``): X ← X·(1−decay) + X_new, then
+    prune terms whose total falls below delete_min_df.
+
+    state/batch_counts: (class_cols..., term, tf:double|long). One
+    unionByName + one groupBy — no per-key state shuffle beyond the agg.
+    """
+    old = state.select(*class_cols, "term", (F.col("tf") * (1.0 - decay)).alias("tf"))
+    new = batch_counts.select(*class_cols, "term", F.col("tf").cast("double").alias("tf"))
+    merged = old.unionByName(new).groupBy(*class_cols, "term").agg(F.sum("tf").alias("tf"))
+    if delete_min_df is not None:
+        keep = (
+            merged.groupBy("term").agg(F.sum("tf").alias("total"))
+            .filter(F.col("total") >= delete_min_df)
+            .select("term")
+        )
+        merged = merged.join(F.broadcast(keep), "term")
+    return merged
+
+
+class IncrementalIndex:
+    """ST1: partial_fit pipeline (``_bertopic.py:649-795`` analog) —
+    per batch: tokenize → counts → vocab union → decayed state update.
+    State lives under ``root/{state,vocab}`` parquet dirs."""
+
+    def __init__(self, spark: SparkSession, root: str,
+                 class_cols: tuple[str, ...] = ("topic",),
+                 decay: float = 0.0, delete_min_df: float | None = None,
+                 mode: str = "ascii_code"):
+        self.spark, self.root = spark, root
+        self.class_cols, self.decay, self.delete_min_df = class_cols, decay, delete_min_df
+        self.mode = mode
+        os.makedirs(root, exist_ok=True)
+
+    def _read(self, name: str, schema: str) -> DataFrame:
+        p = os.path.join(self.root, name)
+        if os.path.exists(os.path.join(p, "_SUCCESS")):
+            return self.spark.read.parquet(p)
+        return self.spark.createDataFrame([], schema)
+
+    def _write(self, df: DataFrame, name: str) -> None:
+        # rewrite via a temp dir: parquet state is small relative to the
+        # corpus (class×term), and production swaps this for MERGE INTO
+        tmp = os.path.join(self.root, f"_tmp_{name}")
+        df.write.mode("overwrite").parquet(tmp)
+        final = os.path.join(self.root, name)
+        back = self.spark.read.parquet(tmp)
+        back.write.mode("overwrite").parquet(final)
+
+    def state(self) -> DataFrame:
+        cls = ", ".join(f"{c} string" for c in self.class_cols)
+        return self._read("state", f"{cls}, term string, tf double")
+
+    def vocab(self) -> DataFrame:
+        return self._read("vocab", "term string, term_id long")
+
+    def partial_fit(self, batch: DataFrame, text_col: str, class_col_values: list[str]) -> None:
+        dt = doc_term_counts(batch, text_col, [*class_col_values, "doc_id"], self.mode)
+        counts = class_term_counts(dt, class_col_values)
+        for src, dst in zip(class_col_values, self.class_cols):
+            if src != dst:
+                counts = counts.withColumnRenamed(src, dst)
+        new_vocab = vocab_union(self.vocab(), counts.select("term"))
+        self._write(new_vocab, "vocab")
+        new_state = decayed_update(self.state(), counts, self.decay,
+                                   self.delete_min_df, self.class_cols)
+        self._write(new_state, "state")
+
+    def scores(self, bm25_weighting: bool = False,
+               reduce_frequent_words: bool = False) -> DataFrame:
+        """Re-extract c-TF-IDF from the accumulated state (the reference
+        recomputes topic representations per partial_fit round)."""
+        from bertopic_spark.operators.ctfidf import ctfidf
+
+        st = self.state().withColumn("tf", F.col("tf"))
+        return ctfidf(st, list(self.class_cols), bm25_weighting, reduce_frequent_words)
+
+
+def stream_ingest(spark: SparkSession, input_dir: str, idx: IncrementalIndex,
+                  text_col: str, class_col: str, schema: str,
+                  checkpoint_dir: str, trigger_once: bool = True):
+    """Structured Streaming wrapper: file-source stream → foreachBatch →
+    IncrementalIndex.partial_fit. Watermarks are unnecessary (counts are
+    time-agnostic); late files simply join a later batch — same semantics
+    as the reference's partial_fit ordering."""
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        idx.partial_fit(batch_df, text_col, [class_col])
+
+    writer = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

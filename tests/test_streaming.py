@@ -1,0 +1,87 @@
+"""Incremental/online maintenance (ST1-ST4) + Structured Streaming ingest."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from bertopic_spark.streaming.incremental import (
+    IncrementalIndex,
+    decayed_update,
+    stream_ingest,
+    vocab_union,
+)
+
+
+def test_vocab_union_assigns_fresh_dense_ids(spark):
+    vocab = spark.createDataFrame([("aa", 0), ("bb", 1)], "term string, term_id long")
+    new = spark.createDataFrame([("bb",), ("cc",), ("dd",)], "term string")
+    out = {r["term"]: r["term_id"] for r in vocab_union(vocab, new).collect()}
+    assert out == {"aa": 0, "bb": 1, "cc": 2, "dd": 3}
+
+
+def test_vocab_union_from_empty(spark):
+    vocab = spark.createDataFrame([], "term string, term_id long")
+    new = spark.createDataFrame([("x",), ("y",)], "term string")
+    out = {r["term"]: r["term_id"] for r in vocab_union(vocab, new).collect()}
+    assert out == {"x": 0, "y": 1}
+
+
+def test_decayed_update_math(spark):
+    # _online_cv.py:132-135 semantics: X*(1-decay) + X_new
+    state = spark.createDataFrame(
+        [("t0", "aa", 10.0), ("t0", "bb", 4.0)], "topic string, term string, tf double")
+    batch = spark.createDataFrame(
+        [("t0", "aa", 2), ("t1", "aa", 1)], "topic string, term string, tf long")
+    out = {(r["topic"], r["term"]): r["tf"]
+           for r in decayed_update(state, batch, decay=0.5).collect()}
+    assert out[("t0", "aa")] == pytest.approx(10 * 0.5 + 2)
+    assert out[("t0", "bb")] == pytest.approx(2.0)
+    assert out[("t1", "aa")] == pytest.approx(1.0)
+
+
+def test_decayed_update_prunes_min_df(spark):
+    state = spark.createDataFrame(
+        [("t0", "rare", 0.5), ("t0", "keep", 5.0)], "topic string, term string, tf double")
+    batch = spark.createDataFrame([], "topic string, term string, tf long")
+    out = {r["term"] for r in
+           decayed_update(state, batch, decay=0.0, delete_min_df=1.0).collect()}
+    assert out == {"keep"}  # _online_cv.py:139-158: columns shrink only
+
+
+def test_incremental_index_matches_one_shot(spark, documents_df, tmp_path):
+    """Invariant from the reference's online tests: accumulating batches
+    with decay=0 equals the one-shot build."""
+    from bertopic_spark.operators.postings import class_term_counts, doc_term_counts
+
+    idx = IncrementalIndex(spark, str(tmp_path / "inc"), class_cols=("lang",))
+    b1 = documents_df.filter("doc_id % 2 = 0")
+    b2 = documents_df.filter("doc_id % 2 = 1")
+    idx.partial_fit(b1, "text", ["lang"])
+    idx.partial_fit(b2, "text", ["lang"])
+    got = {(r["lang"], r["term"]): r["tf"] for r in idx.state().collect()}
+    want_df = class_term_counts(
+        doc_term_counts(documents_df, "text", ["lang", "doc_id"], "ascii_code"), ["lang"])
+    want = {(r["lang"], r["term"]): float(r["tf"]) for r in want_df.collect()}
+    assert got == want
+    # vocab is dense 0..n-1 and covers every term
+    vocab = {r["term"]: r["term_id"] for r in idx.vocab().collect()}
+    assert sorted(vocab.values()) == list(range(len(vocab)))
+    assert set(vocab) == {t for _, t in want}
+    # scores come out of the accumulated state
+    assert idx.scores().count() == len(want)
+
+
+def test_stream_ingest_foreachbatch(spark, documents_df, tmp_path):
+    src = str(tmp_path / "src")
+    documents_df.limit(50).write.parquet(src + "/b1")
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    # file-source streams read a directory of files
+    flat = str(tmp_path / "flat")
+    spark.read.parquet(src + "/b1").write.parquet(flat)
+    idx = IncrementalIndex(spark, str(tmp_path / "sinc"), class_cols=("lang",))
+    q = stream_ingest(spark, flat, idx, "text", "lang", schema,
+                      str(tmp_path / "ckpt"), trigger_once=True)
+    q.awaitTermination(120)
+    assert idx.state().count() > 0
+    assert idx.vocab().count() > 0
