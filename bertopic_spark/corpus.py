@@ -56,10 +56,13 @@ def _identifier_pool(rng: random.Random, n: int = 5000) -> List[str]:
 
 def generate_rows(n_files: int, seed: int = 42) -> List[Tuple[str, str, str, str, str, str]]:
     """Rows of (repo, path, commit, lang, content, content_sha)."""
+    from itertools import accumulate
+
     rng = random.Random(seed)
     pool = _identifier_pool(rng)
-    # zipf-ish ranks: identifier i sampled with weight ~ 1/(i+1)
-    weights = [1.0 / (i + 1) for i in range(len(pool))]
+    # zipf-ish ranks: identifier i sampled with weight ~ 1/(i+1).
+    # cum_weights makes each draw O(log n) (identical output to weights=).
+    cum_weights = list(accumulate(1.0 / (i + 1) for i in range(len(pool))))
     rows = []
     for i in range(n_files):
         repo = f"org{i % 7}/repo{i % 23}"
@@ -71,7 +74,7 @@ def generate_rows(n_files: int, seed: int = 42) -> List[Tuple[str, str, str, str
         n_lines = rng.randint(30, 300)
         lines = [f"// {' '.join(rng.choices(STOP_TERMS, k=8))}"]
         for _ in range(n_lines):
-            idents = rng.choices(pool, weights=weights, k=rng.randint(2, 6))
+            idents = rng.choices(pool, cum_weights=cum_weights, k=rng.randint(2, 6))
             stops = rng.choices(STOP_TERMS, k=rng.randint(1, 4))
             lines.append(" ".join(stops[:1] + idents + stops[1:]))
         content = "\n".join(lines)
@@ -96,16 +99,16 @@ def write_corpus_parquet(spark, n_files: int, seed: int = 42,
 
 
 def load_corpus(spark, n_files: int, seed: int = 42, cache_dir: str = "/root/repo/.cache"):
-    """Corpus DataFrame with a deterministic dense doc_id (SURVEY §4.2 #4)."""
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
+    """Corpus DataFrame with a deterministic dense doc_id (SURVEY §4.2 #4).
+
+    Uses the scalable zipWithIndex-style assignment (range repartition +
+    per-partition offsets) — a global row_number window would collapse the
+    corpus to ONE partition and serialize every downstream stage.
+    """
+    from bertopic_spark.index.segments import assign_doc_ids
 
     df = spark.read.parquet(write_corpus_parquet(spark, n_files, seed, cache_dir))
-    w = Window.orderBy("repo", "path", "commit")
-    # row_number over a global order: acceptable at driver-bench scale; the
-    # 100 TB path would use repartitionByRange + per-partition offsets (same
-    # deterministic order, no single-partition window) — see index/segments.py.
-    return df.withColumn("doc_id", F.row_number().over(w).cast("long") - 1)
+    return assign_doc_ids(df, ["repo", "path", "commit"])
 
 
 def fixture_queries(n: int = 40, seed: int = 7, corpus_seed: int = 42) -> Dict[int, str]:

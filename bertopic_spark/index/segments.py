@@ -115,6 +115,77 @@ def build_block_index(scores: DataFrame, span: int = DEFAULT_SPAN) -> DataFrame:
     return grouped.withColumn("payload", enc(F.col("blk"), F.col("plist"))).drop("plist")
 
 
+N_TERM_BUCKETS = 64
+
+
+def write_index_segments(blocks: DataFrame, path: str,
+                         n_buckets: int = N_TERM_BUCKETS) -> None:
+    """Persist the block index partitioned by a term-hash bucket.
+
+    Serving-path layout: a query's terms map to ≤ |q| buckets, so the scan
+    prunes to n_buckets⁻¹ of the index per term (directory-level partition
+    pruning), and parquet term min/max stats prune row groups within a
+    bucket. At 100 TB this is the difference between touching the whole
+    index and touching ~1/64 of it per query term.
+    """
+    out = blocks.withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+    )
+    (
+        out.repartition("bucket")
+        .sortWithinPartitions("term", "blk")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def term_bucket(term: str, n_buckets: int = N_TERM_BUCKETS) -> int:
+    """Driver-side bucket id — bit-identical to the writer's
+    pmod(xxhash64(term), n) (verified pure-Python XXH64, no Spark job)."""
+    from bertopic_spark.index.xxh import xxhash64_str
+
+    return xxhash64_str(term) % n_buckets
+
+
+def pruned_block_scan(spark, path: str, terms: list[str],
+                      n_buckets: int = N_TERM_BUCKETS) -> DataFrame:
+    """Read only the buckets/terms a query needs. ``.explain`` shows
+    PartitionFilters on bucket and PushedFilters on term."""
+    buckets = sorted({term_bucket(t, n_buckets) for t in terms})
+    df = spark.read.parquet(path)
+    return df.filter(F.col("bucket").isin(buckets) & F.col("term").isin(list(terms)))
+
+
+def serve_topk(spark, path: str, query_terms: dict[int, list[str]], k: int = 10,
+               span: int = DEFAULT_SPAN, n_buckets: int = N_TERM_BUCKETS) -> DataFrame:
+    """Low-latency serving path: pruned scan → decode → score → top-k in a
+    SINGLE Spark job (vs blockmax_topk's multi-phase plan, which wins when
+    the candidate set is large; after bucket+term pruning it rarely is).
+
+    query_terms: {query_id: [terms]} for a whole batch — one job serves
+    the batch; per-query latency = job time / batch size.
+    """
+    from pyspark.sql import Window
+
+    from bertopic_spark.index.wand import _decode_score
+
+    all_terms = sorted({t for ts in query_terms.values() for t in ts})
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, ts in sorted(query_terms.items()) for t in set(ts)],
+        "query_id long, term string",
+    )
+    scan = pruned_block_scan(spark, path, all_terms, n_buckets)
+    cand = scan.join(F.broadcast(qt), "term").select("query_id", "blk", "payload")
+    scored = _decode_score(cand, span)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
 def decode_blocks(blocks: DataFrame, span: int = DEFAULT_SPAN) -> DataFrame:
     """Inverse of build_block_index → (term, doc_id, tf, score) long form.
 

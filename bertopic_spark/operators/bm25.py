@@ -32,10 +32,21 @@ def doc_scores(
     mode: str = "ascii_code",
     bm25_weighting: bool = True,
     reduce_frequent_words: bool = False,
+    persist_counts: bool = True,
 ) -> DataFrame:
-    """The scored doc-level index: (doc_id, term, tf, score)."""
+    """The scored doc-level index: (doc_id, term, tf, score).
+
+    The count relation feeds three consumers (idf stats, avg length, the
+    scored join); their column pruning differs, so Catalyst's ReuseExchange
+    can't dedupe them and tokenization would run 3×. Persisting the counts
+    (``persist_counts``) makes the build a single tokenize pass — ~3×
+    faster. The checkpointed IndexBuild path gets the same effect by
+    materializing the postings stage to parquet.
+    """
     x = doc_term_counts(corpus, text_col, [id_col], mode, with_len=True)
     x = x.withColumnRenamed("doc_len", "class_len")
+    if persist_counts:
+        x = x.persist()
     return ctfidf(
         x, [id_col],
         bm25_weighting=bm25_weighting,
