@@ -94,7 +94,8 @@ def write_corpus_parquet(spark, n_files: int, seed: int = 42,
     df = spark.createDataFrame(
         rows, "repo string, path string, commit string, lang string, content string, content_sha string"
     )
-    df.repartition(max(2, n_files // 10000)).write.mode("overwrite").parquet(path)
+    # enough files that a local[32] scan gets full input parallelism
+    df.repartition(max(16, n_files // 1250)).write.mode("overwrite").parquet(path)
     return path
 
 

@@ -145,11 +145,23 @@ class IndexBuild:
                                                    verify_content_sha)
         from bertopic_spark.operators.bm25 import doc_scores
 
-        fp_corpus = df_fingerprint(corpus)
+        # one pass: corpus fingerprint + the sha256 per-row invariant
         if sha_col and sha_col in corpus.columns:
-            mismatches = verify_content_sha(corpus, content_col, sha_col)
-            if mismatches:
-                raise ValueError(f"content sha mismatch on {mismatches} rows")
+            cols = corpus.columns
+            h1 = F.xxhash64(*[F.col(c) for c in cols])
+            h2 = F.xxhash64(F.lit(23), *[F.col(c) for c in cols])
+            bad = F.when(F.sha2(F.col(content_col), 256) != F.col(sha_col), 1).otherwise(0)
+            row = (
+                corpus.select(h1.alias("h1"), h2.alias("h2"), bad.alias("bad"))
+                .agg(F.count(F.lit(1)).alias("n"), F.bit_xor("h1").alias("x1"),
+                     F.bit_xor("h2").alias("x2"), F.sum("bad").alias("bad"))
+                .collect()[0]
+            )
+            if row["bad"]:
+                raise ValueError(f"content sha mismatch on {row['bad']} rows")
+            fp_corpus = f"n{row['n']}_x{row['x1']}_y{row['x2']}"
+        else:
+            fp_corpus = df_fingerprint(corpus)
 
         docids = run_stage(
             self.spark, self._dir("docids"), "docids", fp_corpus,

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
                                StructType)
 
-from bertopic_spark.index.blocks import DEFAULT_SPAN, decode_block
+from bertopic_spark.index.blocks import DEFAULT_SPAN
 
 
 def _decode_score(cand: DataFrame, span: int) -> DataFrame:
@@ -39,14 +39,25 @@ def _decode_score(cand: DataFrame, span: int) -> DataFrame:
     ])
 
     def gen(batches):
+        import numpy as np
+
+        from bertopic_spark.index.blocks import decode_block_arrays
+
         for pdf in batches:
             qids, dids, scs = [], [], []
             for qid, blk, payload in zip(pdf["query_id"], pdf["blk"], pdf["payload"]):
-                ids, _, s = decode_block(bytes(payload), int(blk) * span)
-                qids.extend([int(qid)] * len(ids))
-                dids.extend(ids)
-                scs.extend(s)
-            yield pd.DataFrame({"query_id": qids, "doc_id": dids, "score": scs})
+                ids, _, s = decode_block_arrays(bytes(payload), int(blk) * span)
+                qids.append(np.full(len(ids), int(qid), dtype=np.int64))
+                dids.append(ids)
+                scs.append(s)
+            if not dids:
+                yield pd.DataFrame({"query_id": [], "doc_id": [], "score": []})
+                continue
+            yield pd.DataFrame({
+                "query_id": np.concatenate(qids),
+                "doc_id": np.concatenate(dids),
+                "score": np.concatenate(scs),
+            })
 
     decoded = cand.select("query_id", "blk", "payload").mapInPandas(gen, out_schema)
     return decoded.groupBy("query_id", "doc_id").agg(F.sum("score").alias("score"))

@@ -46,6 +46,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # small-file-friendly splits: the sandbox corpora are O(100 MB); the
+        # 128 MB default would hand a whole table to 1-2 tasks
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(16 * 1024 * 1024)))
         .config("spark.ui.enabled", "false")
     )
     if extra_conf:

@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""spark-submit entry point: build the BM25 segment index end-to-end.
+
+Usage (cluster-shaped; local[N] in the sandbox):
+
+  spark-submit --py-files bertopic_spark.zip jobs/build_index.py \
+      --corpus /path/to/source_files.parquet \
+      --output /path/to/index_root \
+      [--span 4096] [--mode ascii_code] [--bench-json out.json]
+
+Runs the checkpointed IndexBuild (docids → scored postings → compressed
+blocks, with per-partition lineage manifests and the sha256 content
+invariant), then writes the term-bucketed serving segments. A second
+invocation with the same input resumes/skips completed stages.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--corpus", required=True, help="parquet with (repo,path,commit,lang,content[,content_sha])")
+    p.add_argument("--output", required=True, help="index root dir")
+    p.add_argument("--span", type=int, default=4096)
+    p.add_argument("--mode", default="ascii_code")
+    p.add_argument("--n-buckets", type=int, default=64)
+    p.add_argument("--bench-json", default=None)
+    p.add_argument("--warmup-corpus", default=None,
+                   help="small corpus built untimed first (JIT/classload warm-up "
+                        "so measured docs/sec is steady-state, as on a long-lived cluster)")
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("bertopic_spark_build_index").getOrCreate()
+    from bertopic_spark.index.checkpoint import IndexBuild
+    from bertopic_spark.index.segments import write_index_segments
+
+    if args.warmup_corpus:
+        import tempfile
+
+        wdir = tempfile.mkdtemp(prefix="warmup_idx_")
+        wb = IndexBuild(spark, wdir, span=args.span, mode=args.mode)
+        write_index_segments(wb.build(spark.read.parquet(args.warmup_corpus)),
+                             f"{wdir}/segments", args.n_buckets)
+
+    corpus = spark.read.parquet(args.corpus)
+    n_docs = corpus.count()
+    t0 = time.perf_counter()
+    build = IndexBuild(spark, args.output, span=args.span, mode=args.mode)
+    blocks = build.build(corpus)
+    write_index_segments(blocks, f"{args.output}/segments", args.n_buckets)
+    dt = time.perf_counter() - t0
+    result = {
+        "docs": n_docs,
+        "build_sec": round(dt, 3),
+        "docs_per_sec": round(n_docs / dt, 1),
+        "stages": build.status(),
+        "parallelism": spark.sparkContext.defaultParallelism,
+    }
+    print(json.dumps(result))
+    if args.bench_json:
+        with open(args.bench_json, "w") as f:
+            json.dump(result, f)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -7,17 +7,23 @@ from hypothesis import strategies as st
 from bertopic_spark.index.blocks import decode_block, encode_block
 
 
-@given(st.lists(st.tuples(st.integers(0, 10**7), st.integers(1, 1000),
+@given(st.lists(st.tuples(st.integers(0, 10**7), st.integers(1, 10**9),
                           st.floats(-100, 100, allow_nan=False)), max_size=200))
 @settings(max_examples=200, deadline=None)
 def test_codec_roundtrip_property(postings):
+    from bertopic_spark.index.blocks import decode_block_py, encode_block_py
+
     postings = sorted({p[0]: p for p in postings}.values())
     ids = [p[0] for p in postings]
     tfs = [p[1] for p in postings]
     scs = [float(p[2]) for p in postings]
     rs = (ids[0] // 4096) * 4096 if ids else 0
-    got = decode_block(encode_block(ids, tfs, scs, rs), rs)
-    assert got == (ids, tfs, scs)
+    payload = encode_block(ids, tfs, scs, rs)
+    # numpy encoder is byte-identical to the scalar reference encoder
+    assert payload == encode_block_py(ids, tfs, scs, rs)
+    # and both decoders invert it
+    assert decode_block(payload, rs) == (ids, tfs, scs)
+    assert decode_block_py(payload, rs) == (ids, tfs, scs)
 
 
 def test_codec_compression_ratio():
