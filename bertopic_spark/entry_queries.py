@@ -771,7 +771,218 @@ def q_mmr_topk(spark, sf_dir):
     return out.select("lang", "term", _r6(F.col("score")).alias("score"), "mmr_rank")
 
 
+# ---------------------------------------------------------------------------
+# Distribution / sampling / split / scatter / set ops / seeded idf
+# ---------------------------------------------------------------------------
+
+DIST_WIN, DIST_STRIDE = 4, 2
+
+
+def q_approx_distribution(spark, sf_dir):
+    """T4: sliding-window topic distribution per doc (approximate_distribution)."""
+    from bertopic_spark.operators.distribution import approximate_distribution
+
+    d = _docs(spark, sf_dir)
+    x = _cls_x(spark, sf_dir)
+    s = ctfidf(x, ["lang"])
+    out = approximate_distribution(d, s, ["lang"], "text", "doc_id",
+                                   DIST_WIN, DIST_STRIDE)
+    return out.select("doc_id", "lang", _r6(F.col("weight")).alias("weight"))
+
+
+SQL_APPROX_DISTRIBUTION = f"""WITH {_TOKS}, {_XCLS},
+{_stats_sql('xcls', 'lang', False)},
+scores AS (
+  SELECT x.lang, x.term, (x.tf / clen.class_len) * idf.idf AS score
+  FROM xcls x JOIN clen USING (lang) JOIN idf USING (term)),
+tk AS (SELECT doc_id, {duckdb_tokens_sql('text', MODE)} AS ts FROM documents),
+wins AS (
+  SELECT doc_id, w,
+         unnest(list_slice(ts, w * {DIST_STRIDE} + 1, w * {DIST_STRIDE} + {DIST_WIN})) AS term
+  FROM tk, unnest(generate_series(0,
+       greatest(CAST(ceil((len(ts) - {DIST_WIN}) / {DIST_STRIDE}.0) AS BIGINT), 0))) AS g(w)),
+mass AS (
+  SELECT wins.doc_id, s.lang, sum(s.score) AS mass
+  FROM wins JOIN scores s USING (term)
+  GROUP BY wins.doc_id, s.lang),
+tot AS (SELECT doc_id, sum(mass) AS total FROM mass GROUP BY doc_id)
+SELECT mass.doc_id, lang, round(mass / tot.total, 6) AS weight
+FROM mass JOIN tot USING (doc_id)"""
+
+
+def q_seeded_sample(spark, sf_dir):
+    """W9: deterministic per-class sample cap (seeded, oracle-reproducible)."""
+    from bertopic_spark.operators.distribution import seeded_sample_per_class
+
+    d = _docs(spark, sf_dir).select("lang", "doc_id")
+    return seeded_sample_per_class(d, ["lang"], "doc_id", n=20, seed=42)
+
+
+SQL_SEEDED_SAMPLE = """
+SELECT lang, doc_id FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(concat('42', '_', CAST(doc_id AS VARCHAR))), doc_id) AS r
+  FROM documents) WHERE r <= 20"""
+
+
+def q_zero_shot_split(spark, sf_dir):
+    """P2: threshold split + dense re-ID of both halves."""
+    from bertopic_spark.operators.distribution import zero_shot_split
+    from bertopic_spark.operators.textstats import assign_nearest_class
+
+    sims = assign_nearest_class(_docs(spark, sf_dir), "text", "doc_id", "lang")
+    hit, rest = zero_shot_split(sims, "score", threshold=0.0015)
+    return hit.select(F.lit("assigned").alias("side"), "new_id", "doc_id").unionByName(
+        rest.select(F.lit("rest").alias("side"), "new_id", "doc_id"))
+
+
+def _sql_zero_shot() -> str:
+    return f"""WITH sims AS ({SQL_ASSIGN_NEAREST}),
+hit AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS new_id
+        FROM sims WHERE score >= 0.0015),
+rest AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS new_id
+         FROM sims WHERE score < 0.0015)
+SELECT 'assigned' AS side, CAST(new_id AS BIGINT) AS new_id, doc_id FROM hit
+UNION ALL
+SELECT 'rest' AS side, CAST(new_id AS BIGINT) AS new_id, doc_id FROM rest"""
+
+
+PROB_MAPPING = {4: 2, 3: 2}
+
+
+def q_prob_scatter_add(spark, sf_dir):
+    """A10: fold probability mass of merged topics."""
+    from bertopic_spark.operators.distribution import scatter_add_probabilities
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    topics = spark.range(5).select(F.col("id").alias("topic"))
+    probs = d.crossJoin(topics).withColumn(
+        "prob", ((F.col("doc_id") * 7 + F.col("topic")) % 100) / 100.0)
+    out = scatter_add_probabilities(probs, PROB_MAPPING)
+    return out.select("doc_id", "topic", _r6(F.col("prob")).alias("prob"))
+
+
+SQL_PROB_SCATTER = """WITH probs AS (
+  SELECT doc_id, t.topic,
+         ((doc_id * 7 + t.topic) % 100) / 100.0 AS prob
+  FROM documents, (SELECT unnest(generate_series(0, 4)) AS topic) t),
+remap AS (
+  SELECT doc_id,
+         CASE WHEN topic IN (3, 4) THEN 2 ELSE topic END AS topic, prob
+  FROM probs)
+SELECT doc_id, CAST(topic AS BIGINT) AS topic, round(sum(prob), 6) AS prob
+FROM remap GROUP BY doc_id, topic"""
+
+
+def q_topic_set_ops(spark, sf_dir):
+    """U2/U5: topic-set difference and intersection between two slices."""
+    d = _docs(spark, sf_dir)
+    a = d.filter(F.col("source") == "src0").select("lang").distinct()
+    b = d.filter(F.col("source") == "src1").select("lang").distinct()
+    return (
+        a.exceptAll(b).select(F.lit("only_src0").alias("side"), "lang")
+        .unionByName(a.intersect(b).select(F.lit("both").alias("side"), "lang"))
+    )
+
+
+SQL_TOPIC_SET_OPS = """
+SELECT 'only_src0' AS side, lang FROM (
+  SELECT DISTINCT lang FROM documents WHERE source = 'src0'
+  EXCEPT
+  SELECT DISTINCT lang FROM documents WHERE source = 'src1')
+UNION ALL
+SELECT 'both' AS side, lang FROM (
+  SELECT DISTINCT lang FROM documents WHERE source = 'src0'
+  INTERSECT
+  SELECT DISTINCT lang FROM documents WHERE source = 'src1')"""
+
+
+SEED_WORDS = ["table", "scan", "merge"]
+
+
+def q_ctfidf_seeded_topk(spark, sf_dir):
+    """X5: seed-words idf multiplier (guided topics), top-5 terms."""
+    x = _cls_x(spark, sf_dir)
+    stats = term_stats(x, ["lang"], seed_words=SEED_WORDS, seed_multiplier=2.0)
+    t = top_k_terms(ctfidf(x, ["lang"], stats=stats), ["lang"], 5)
+    return t.select("lang", "term", _r6(F.col("score")).alias("score"),
+                    F.col("rank").cast("long").alias("rn"))
+
+
+def _sql_ctfidf_seeded() -> str:
+    seeds = ", ".join(f"'{s}'" for s in SEED_WORDS)
+    return f"""WITH {_TOKS}, {_XCLS},
+{_stats_sql('xcls', 'lang', False)},
+idf2 AS (SELECT term, df,
+                idf * CASE WHEN term IN ({seeds}) THEN 2.0 ELSE 1.0 END AS idf
+         FROM idf),
+scores AS (
+  SELECT x.lang, x.term, (x.tf / clen.class_len) * idf2.idf AS score
+  FROM xcls x JOIN clen USING (lang) JOIN idf2 USING (term)),
+ranked AS (
+  SELECT lang, term, score,
+         row_number() OVER (PARTITION BY lang ORDER BY score DESC, term ASC) AS rn
+  FROM scores)
+SELECT lang, term, round(score, 6) AS score, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 5"""
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """LSH candidate pairs: docs sharing ≥1 of 4 bands (2 sigs each)."""
+    from bertopic_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir), "text", "doc_id",
+                             num_perm=8, bands=4)
+
+
+def _sql_minhash_lsh() -> str:
+    base = _sql_minhash(8)
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, concat(CAST(sig_{2*b} AS VARCHAR), '_', "
+        f"CAST(sig_{2*b+1} AS VARCHAR)) AS key FROM sigs"
+        for b in range(4)
+    )
+    return f"""WITH sigs AS ({base}),
+bands AS ({bands})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_bands
+FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+WHERE a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id"""
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (brute force, threshold 0.8)."""
+    from bertopic_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_neardup_pairs(emb, threshold=0.8)
+
+
+SQL_EMBEDDING_NEARDUP = """WITH
+v AS (SELECT vec_id, i - 1 AS dim, CAST(val AS DOUBLE) AS val
+      FROM (SELECT vec_id, unnest(embedding) AS val,
+                   generate_subscripts(embedding, 1) AS i FROM embeddings)),
+norms AS (SELECT vec_id, sqrt(sum(val * val)) AS nrm FROM v GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.val * b.val) AS dot
+  FROM v a JOIN v b ON a.dim = b.dim AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id),
+sims AS (
+  SELECT id_a, id_b, dot / (na.nrm * nb.nrm) AS cos
+  FROM dots JOIN norms na ON na.vec_id = id_a JOIN norms nb ON nb.vec_id = id_b)
+SELECT id_a, id_b, round(cos, 6) AS cos FROM sims WHERE cos >= 0.8"""
+
+
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
+    "approx_distribution": (q_approx_distribution, SQL_APPROX_DISTRIBUTION),
+    "seeded_sample": (q_seeded_sample, SQL_SEEDED_SAMPLE),
+    "zero_shot_split": (q_zero_shot_split, _sql_zero_shot()),
+    "prob_scatter_add": (q_prob_scatter_add, SQL_PROB_SCATTER),
+    "topic_set_ops": (q_topic_set_ops, SQL_TOPIC_SET_OPS),
+    "ctfidf_seeded_topk": (q_ctfidf_seeded_topk, _sql_ctfidf_seeded()),
+    "dedup_minhash_lsh_pairs": (q_minhash_lsh_pairs, _sql_minhash_lsh()),
+    "dedup_embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "topic_info": (q_topic_info, SQL_TOPIC_INFO),
     "merged_topics_topk": (q_merged_topics_topk, SQL_MERGED_TOPICS),
     "find_topics": (q_find_topics, _sql_find_topics()),

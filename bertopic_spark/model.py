@@ -1,0 +1,234 @@
+"""BERTopicSpark — the user-facing facade.
+
+Mirrors the reference's method surface (``BERTopic`` in
+``bertopic/_bertopic.py``) over the distributed operators, so a user of the
+reference can switch with the same call shapes:
+
+  model = BERTopicSpark(class_cols=["lang", "repo"])          # grouping key
+  model.fit(corpus_df, text_col="content")                    # fit_transform
+  model.get_topic_info() / get_topic(c) / get_topics()
+  model.transform(new_docs)                                   # nearest class
+  model.topics_over_time(slice_col) / topics_per_class(col)
+  model.find_topics("query text")
+  model.merge_topics({...}) / reduce_topics(k)
+  model.get_representative_docs()
+  model.save(dir) / BERTopicSpark.load(spark, dir)
+
+Differences from the reference, by design (SURVEY §0): the class label is a
+deterministic grouping key (the reference's own identity-cluster escape
+hatch, ``cluster/_base.py:4-41``), not an HDBSCAN output — stages 1-3 of
+the reference pipeline are pluggable no-ops. Everything returns DataFrames.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Mapping, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bertopic_spark.operators.ctfidf import ctfidf, term_stats, top_k_terms
+from bertopic_spark.operators.postings import class_term_counts, doc_term_counts
+
+
+class BERTopicSpark:
+    def __init__(
+        self,
+        class_cols: Sequence[str] = ("topic",),
+        mode: str = "ascii_code",
+        ngram_range: tuple[int, int] = (1, 1),
+        bm25_weighting: bool = False,
+        reduce_frequent_words: bool = False,
+        top_n_words: int = 10,
+    ):
+        self.class_cols = list(class_cols)
+        self.mode = mode
+        self.ngram_range = ngram_range
+        self.bm25_weighting = bm25_weighting
+        self.reduce_frequent_words = reduce_frequent_words
+        self.top_n_words = top_n_words
+        self.doc_terms_: DataFrame | None = None
+        self.scores_: DataFrame | None = None   # c_tf_idf_ analog
+        self.stats_: DataFrame | None = None    # idf diag analog
+        self.doc_table_: DataFrame | None = None
+        self._id_col = "doc_id"
+        self._text_col = "content"
+
+    # -- fit ---------------------------------------------------------------
+
+    def fit(self, df: DataFrame, text_col: str = "content", id_col: str = "doc_id"):
+        """Stages 4-9 of the reference lifecycle (SURVEY §3.1) — tokenize,
+        class-aggregate, weight, keep artifacts for every query method."""
+        self._text_col, self._id_col = text_col, id_col
+        self.doc_table_ = df
+        dt = doc_term_counts(df, text_col, [*self.class_cols, id_col],
+                             self.mode, self.ngram_range)
+        self.doc_terms_ = dt.persist()
+        x = class_term_counts(dt, self.class_cols)
+        self.stats_ = term_stats(x, self.class_cols, self.bm25_weighting).persist()
+        self.scores_ = ctfidf(
+            x, self.class_cols, self.bm25_weighting,
+            self.reduce_frequent_words, stats=self.stats_,
+        ).persist()
+        return self
+
+    def _check_fitted(self):
+        if self.scores_ is None:
+            raise RuntimeError("call fit() first")
+
+    # -- getters (reference: get_topics/get_topic/get_topic_info) -----------
+
+    def get_topics(self, k: int | None = None) -> DataFrame:
+        self._check_fitted()
+        return top_k_terms(self.scores_, self.class_cols, k or self.top_n_words)
+
+    def get_topic(self, **class_key) -> DataFrame:
+        self._check_fitted()
+        out = self.get_topics()
+        for c, v in class_key.items():
+            out = out.filter(F.col(c) == v)
+        return out
+
+    def get_topic_info(self) -> DataFrame:
+        self._check_fitted()
+        from bertopic_spark.operators.topics import topic_labels
+
+        sizes = self.doc_terms_.select(*self.class_cols, self._id_col).distinct() \
+            .groupBy(*self.class_cols).agg(F.count(F.lit(1)).alias("count"))
+        labels = topic_labels(self.get_topics(), self.class_cols)
+        return sizes.join(F.broadcast(labels), self.class_cols, "left")
+
+    def get_topic_freq(self) -> DataFrame:
+        self._check_fitted()
+        return self.get_topic_info().select(*self.class_cols, "count")
+
+    # -- query surface -------------------------------------------------------
+
+    def transform(self, df: DataFrame, text_col: str | None = None,
+                  id_col: str | None = None) -> DataFrame:
+        """Assign each new doc to the nearest fitted class (reference
+        reduced-model transform, _bertopic.py:611-619) via the inverted
+        index with the FROZEN idf (``stats_``)."""
+        self._check_fitted()
+        from pyspark.sql import Window
+
+        text_col = text_col or self._text_col
+        id_col = id_col or self._id_col
+        dt = doc_term_counts(df, text_col, [id_col], self.mode,
+                             self.ngram_range, with_len=True)
+        doc_w = dt.select(id_col, "term", (F.col("tf") / F.col("doc_len")).alias("w"))
+        sims = (
+            doc_w.join(self.scores_.select(*self.class_cols, "term", "score"), "term")
+            .groupBy(id_col, *self.class_cols)
+            .agg(F.sum(F.col("w") * F.col("score")).alias("sim"))
+        )
+        w = Window.partitionBy(id_col).orderBy(
+            F.desc("sim"), *[F.asc(c) for c in self.class_cols])
+        return (
+            sims.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(id_col, *self.class_cols, "sim")
+        )
+
+    def find_topics(self, query: str, top_n: int = 5) -> DataFrame:
+        self._check_fitted()
+        from bertopic_spark.operators.topics import find_topics
+
+        return find_topics(self.scores_, query, self.class_cols, top_n, self.mode)
+
+    def topics_per_class(self, slice_col: str, k: int | None = None) -> DataFrame:
+        """Single-pass sliced re-aggregation with frozen idf (reference
+        loops per slice, _bertopic.py:996-1016)."""
+        self._check_fitted()
+        dt = doc_term_counts(self.doc_table_, self._text_col,
+                             [*self.class_cols, slice_col, self._id_col],
+                             self.mode, self.ngram_range)
+        x = class_term_counts(dt, [*self.class_cols, slice_col])
+        s = ctfidf(x, [*self.class_cols, slice_col], self.bm25_weighting,
+                   self.reduce_frequent_words, stats=self.stats_)
+        return top_k_terms(s, [*self.class_cols, slice_col], k or self.top_n_words)
+
+    def topics_over_time(self, ts_col: str, k: int | None = None,
+                         evolution_tuning: bool = True) -> DataFrame:
+        self._check_fitted()
+        from bertopic_spark.operators.topics import evolution_tuning as evo
+
+        dt = doc_term_counts(self.doc_table_, self._text_col,
+                             [*self.class_cols, ts_col, self._id_col],
+                             self.mode, self.ngram_range)
+        x = class_term_counts(dt, [ts_col, *self.class_cols])
+        s = ctfidf(x, [ts_col, *self.class_cols], self.bm25_weighting,
+                   self.reduce_frequent_words, stats=self.stats_)
+        if evolution_tuning:
+            s = evo(s, ts_col, self.class_cols)
+        return top_k_terms(s, [ts_col, *self.class_cols], k or self.top_n_words)
+
+    def get_representative_docs(self, n_docs: int = 3) -> DataFrame:
+        self._check_fitted()
+        from bertopic_spark.operators.topics import representative_docs
+
+        return representative_docs(self.doc_terms_, self.scores_,
+                                   self.class_cols, self._id_col, n_docs)
+
+    # -- maintenance ---------------------------------------------------------
+
+    def merge_topics(self, mapping: Mapping[int, int]):
+        """J2 + re-agg; only for a single integer class column."""
+        self._check_fitted()
+        if len(self.class_cols) != 1:
+            raise ValueError("merge_topics needs a single class column")
+        from bertopic_spark.operators.topics import remap_topics
+
+        self.doc_terms_ = remap_topics(self.doc_terms_, mapping, self.class_cols[0]).persist()
+        x = class_term_counts(self.doc_terms_, self.class_cols)
+        self.stats_ = term_stats(x, self.class_cols, self.bm25_weighting).persist()
+        self.scores_ = ctfidf(x, self.class_cols, self.bm25_weighting,
+                              self.reduce_frequent_words, stats=self.stats_).persist()
+        return self
+
+    def reduce_topics(self, nr_topics: int):
+        self._check_fitted()
+        if len(self.class_cols) != 1:
+            raise ValueError("reduce_topics needs a single class column")
+        from bertopic_spark.operators.topics import reduce_topics_agglomerative
+
+        mapping, _ = reduce_topics_agglomerative(
+            self.doc_terms_, self.class_cols[0], nr_topics, self.bm25_weighting)
+        return self.merge_topics(mapping)
+
+    # -- persistence (S4/S5: parquet artifacts + json config) ----------------
+
+    def save(self, path: str) -> None:
+        self._check_fitted()
+        os.makedirs(path, exist_ok=True)
+        self.scores_.write.mode("overwrite").parquet(f"{path}/scores")
+        self.stats_.write.mode("overwrite").parquet(f"{path}/stats")
+        self.doc_terms_.write.mode("overwrite").parquet(f"{path}/doc_terms")
+        with open(f"{path}/config.json", "w") as f:
+            json.dump({
+                "class_cols": self.class_cols, "mode": self.mode,
+                "ngram_range": list(self.ngram_range),
+                "bm25_weighting": self.bm25_weighting,
+                "reduce_frequent_words": self.reduce_frequent_words,
+                "top_n_words": self.top_n_words,
+                "id_col": self._id_col, "text_col": self._text_col,
+            }, f)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "BERTopicSpark":
+        with open(f"{path}/config.json") as f:
+            cfg = json.load(f)
+        m = cls(
+            class_cols=cfg["class_cols"], mode=cfg["mode"],
+            ngram_range=tuple(cfg["ngram_range"]),
+            bm25_weighting=cfg["bm25_weighting"],
+            reduce_frequent_words=cfg["reduce_frequent_words"],
+            top_n_words=cfg["top_n_words"],
+        )
+        m._id_col, m._text_col = cfg["id_col"], cfg["text_col"]
+        m.scores_ = spark.read.parquet(f"{path}/scores")
+        m.stats_ = spark.read.parquet(f"{path}/stats")
+        m.doc_terms_ = spark.read.parquet(f"{path}/doc_terms")
+        return m

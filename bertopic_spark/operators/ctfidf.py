@@ -51,8 +51,15 @@ def term_stats(
     class_cols: Sequence[str],
     bm25_weighting: bool = False,
     clamp: float | None = DEFAULT_CLAMP,
+    seed_words: Sequence[str] | None = None,
+    seed_multiplier: float = 2.0,
 ) -> DataFrame:
-    """(term, df, idf) — the global statistics table. Small; broadcast it."""
+    """(term, df, idf) — the global statistics table. Small; broadcast it.
+
+    seed_words: per-term idf multiplier for guided topics (reference
+    ``_ctfidf.py:84-86`` driven from ``_bertopic.py:4433-4446``; exact
+    matches get ``seed_multiplier``, default 2).
+    """
     df_t = x.groupBy("term").agg(F.sum("tf").alias("df"))
     avg = avg_nr_samples(x, class_cols)
     joined = df_t.crossJoin(F.broadcast(avg))
@@ -63,6 +70,10 @@ def term_stats(
         idf = F.log(arg)
     else:
         idf = F.log(F.col("avg_nr_samples") / F.col("df") + 1.0)
+    if seed_words:
+        idf = idf * F.when(
+            F.col("term").isin(list(seed_words)), F.lit(float(seed_multiplier))
+        ).otherwise(F.lit(1.0))
     return joined.select("term", "df", idf.alias("idf"))
 
 

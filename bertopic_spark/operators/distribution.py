@@ -1,0 +1,95 @@
+"""Token-window topic distributions and split/sample/scatter operators
+(SURVEY §2.3 T4, §2.6 W9, §2.2 P2, §2.4 A10).
+
+``approximate_distribution`` (reference ``_bertopic.py:1204-1429``): slide a
+token window over each document, score every window against every class via
+the inverted index, sum per (doc, class), L1-normalize per doc. The
+reference batches docs in Python (batch_size=1000); Spark's partitioning
+subsumes that — the whole corpus is one plan.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from bertopic_spark.tokenizer import with_tokens
+
+
+def token_windows(df: DataFrame, text_col: str, id_col: str,
+                  window: int = 4, stride: int = 1,
+                  mode: str = "ascii_code") -> DataFrame:
+    """T4: (id, win_id, term) — sliding token windows, JVM expressions only.
+
+    Window w covers tokens [w*stride, w*stride+window). Docs shorter than
+    ``window`` yield one truncated window (reference's padding-free mode).
+    """
+    toks = with_tokens(df.select(id_col, text_col), text_col, mode)
+    n_win = F.greatest(
+        F.ceil((F.size("tokens") - F.lit(window)) / F.lit(stride)) + 1, F.lit(1)
+    ).cast("int")
+    wins = toks.select(
+        F.col(id_col),
+        F.posexplode(F.transform(F.sequence(F.lit(0), n_win - 1),
+                                 lambda w: F.slice("tokens", w * stride + 1, window)))
+        .alias("win_id", "win_tokens"),
+    ).filter(F.size("win_tokens") > 0)
+    return wins.select(id_col, "win_id", F.explode("win_tokens").alias("term"))
+
+
+def approximate_distribution(df: DataFrame, scores: DataFrame,
+                             class_cols: Sequence[str], text_col: str,
+                             id_col: str, window: int = 4, stride: int = 1,
+                             mode: str = "ascii_code") -> DataFrame:
+    """(id, class..., weight) — per-doc topic distribution, L1-normalized
+    (reference sum-normalize at _bertopic.py:1407-1418)."""
+    wt = token_windows(df, text_col, id_col, window, stride, mode)
+    hit = (
+        wt.join(scores.select(*class_cols, "term", "score"), "term")
+        .groupBy(id_col, *class_cols)
+        .agg(F.sum("score").alias("mass"))
+    )
+    total = Window.partitionBy(id_col)
+    return hit.withColumn(
+        "weight", F.col("mass") / F.sum("mass").over(total)
+    ).select(id_col, *class_cols, "weight")
+
+
+def seeded_sample_per_class(df: DataFrame, class_cols: Sequence[str],
+                            id_col: str, n: int = 500, seed: int = 42) -> DataFrame:
+    """W9 (reference groupby.sample(n, random_state=42), _bertopic.py:4267):
+    deterministic per-class cap via md5-ordered row_number (md5 exists in
+    both engines, so the oracle reproduces the exact sample)."""
+    w = Window.partitionBy(*class_cols).orderBy(
+        F.md5(F.concat_ws("_", F.lit(seed), F.col(id_col).cast("string"))), F.col(id_col))
+    return (
+        df.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= n)
+        .drop("_r")
+    )
+
+
+def zero_shot_split(assigned: DataFrame, sim_col: str = "sim",
+                    threshold: float = 0.5, id_col: str = "doc_id"):
+    """P2 (``_zeroshot_topic_modeling``, _bertopic.py:4010-4066): threshold
+    filter splits docs into (assigned, rest); both re-IDed densely by the
+    original id order (reference re-IDs at 4042/4058)."""
+    w = Window.orderBy(id_col)
+    hit = assigned.filter(F.col(sim_col) >= threshold).withColumn(
+        "new_id", F.row_number().over(w).cast("long") - 1)
+    rest = assigned.filter(F.col(sim_col) < threshold).withColumn(
+        "new_id", F.row_number().over(w).cast("long") - 1)
+    return hit, rest
+
+
+def scatter_add_probabilities(probs: DataFrame, mapping: dict,
+                              topic_col: str = "topic",
+                              id_col: str = "doc_id") -> DataFrame:
+    """A10 (``_map_probabilities``, _bertopic.py:4767-4798): fold the
+    probability mass of merged topics — a remap join + groupBy sum."""
+    from bertopic_spark.operators.topics import remap_topics
+
+    remapped = remap_topics(probs, mapping, topic_col)
+    return remapped.groupBy(id_col, topic_col).agg(F.sum("prob").alias("prob"))
