@@ -181,9 +181,10 @@ FROM ranked WHERE rn <= {k}"""
 
 def q_bm25_doc_topk(spark, sf_dir):
     """J4/W1: inverted-index BM25 retrieval, top-10 per query (SURVEY §3.2)."""
-    scores = doc_scores(_docs(spark, sf_dir), text_col="text", id_col="doc_id", mode=MODE)
+    from bertopic_spark.operators.bm25 import bm25_topk_adhoc
+
     qt = query_terms(queries_df(spark, DRIVER_QUERIES), MODE)
-    t = bm25_topk(scores, qt, k=10)
+    t = bm25_topk_adhoc(_docs(spark, sf_dir), qt, k=10, text_col="text", mode=MODE)
     return t.select(
         "query_id", "doc_id", _r6(F.col("score")).alias("score"),
         F.col("rank").cast("long").alias("rn"),

@@ -58,26 +58,23 @@ def write_stage(df: DataFrame, seg_dir: str, stage: str, input_fingerprint: str,
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(seg_dir)
-    spark = df.sparkSession
-    back = spark.read.parquet(seg_dir)
-    per_file = (
-        back.withColumn("_file", F.input_file_name())
-        .groupBy("_file")
-        .agg(F.count(F.lit(1)).alias("rows"))
-        .collect()
-    )
-    parts = sorted(
-        (
-            {
-                "file": os.path.basename(r["_file"]),
-                "rows": r["rows"],
-                "bytes": os.path.getsize(r["_file"].replace("file://", ""))
-                if os.path.exists(r["_file"].replace("file://", "")) else None,
-            }
-            for r in per_file
-        ),
-        key=lambda d: d["file"],
-    )
+    # Per-partition lineage from parquet FOOTERS (pyarrow metadata) — no
+    # re-scan of the data. A full read-back count here was a whole extra
+    # pass per stage; at 100 TB that pass costs as much as the stage.
+    import pyarrow.parquet as pq
+
+    parts = []
+    for dirpath, _dirs, files in os.walk(seg_dir):
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            fpath = os.path.join(dirpath, fn)
+            parts.append({
+                "file": os.path.relpath(fpath, seg_dir),
+                "rows": pq.ParquetFile(fpath).metadata.num_rows,
+                "bytes": os.path.getsize(fpath),
+            })
+    parts.sort(key=lambda d: d["file"])
     manifest = {
         "stage": stage,
         "input_fingerprint": input_fingerprint,

@@ -72,6 +72,41 @@ def query_terms(qdf: DataFrame, mode: str = "ascii_code") -> DataFrame:
     )
 
 
+def bm25_topk_adhoc(
+    corpus: DataFrame,
+    qterms: DataFrame,
+    k: int = 10,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    mode: str = "ascii_code",
+    bm25_weighting: bool = True,
+    reduce_frequent_words: bool = False,
+) -> DataFrame:
+    """Ad-hoc retrieval without a prebuilt index: identical results to
+    ``bm25_topk(doc_scores(corpus), qterms)`` but the postings are
+    SEMI-JOINED to the query's terms BEFORE the idf join and scoring, so
+    the scored relation shrinks from |all postings| to |postings of query
+    terms| (~100× at typical query widths). Global statistics still see
+    every posting (term_stats is one partial-agg pass over the counts —
+    that pass is irreducible: idf and avg length are corpus-wide).
+
+    Catalyst will not reorder the two broadcast joins on its own (no CBO);
+    the early filter is the explicit push-down.
+    """
+    x = doc_term_counts(corpus, text_col, [id_col], mode, with_len=True)
+    x = x.withColumnRenamed("doc_len", "class_len").persist()
+    stats = term_stats(x, [id_col], bm25_weighting=bm25_weighting)
+    terms_only = qterms.select("term").distinct()
+    xq = x.join(F.broadcast(terms_only), "term")
+    scores = ctfidf(
+        xq, [id_col],
+        bm25_weighting=bm25_weighting,
+        reduce_frequent_words=reduce_frequent_words,
+        stats=stats.join(F.broadcast(terms_only), "term"),
+    )
+    return bm25_topk(scores, qterms, k, id_col)
+
+
 def bm25_topk(
     scores: DataFrame,
     qterms: DataFrame,

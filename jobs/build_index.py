@@ -33,6 +33,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--warmup-corpus", default=None,
                    help="small corpus built untimed first (JIT/classload warm-up "
                         "so measured docs/sec is steady-state, as on a long-lived cluster)")
+    p.add_argument("--query-bench", type=int, default=0,
+                   help="after the build, run a batch of this many fixture "
+                        "queries against the segments and record queries/sec "
+                        "(north rule: scaling efficiency covers build AND "
+                        "query batches)")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -63,6 +68,26 @@ def main(argv: list[str] | None = None) -> int:
         "stages": build.status(),
         "parallelism": spark.sparkContext.defaultParallelism,
     }
+    if args.query_bench:
+        from bertopic_spark.corpus import fixture_queries
+        from bertopic_spark.index.segments import serve_topk
+        from bertopic_spark.tokenizer import tokenize_one
+
+        fq = fixture_queries(args.query_bench)
+        qts = {qid: sorted(set(tokenize_one(fq[qid], args.mode)))
+               for qid in sorted(fq)}
+        # one warm batch (plan/codegen), then the measured batch
+        serve_topk(spark, f"{args.output}/segments",
+                   dict(list(qts.items())[:8]), k=10,
+                   n_buckets=args.n_buckets).count()
+        t0 = time.perf_counter()
+        n_hits = serve_topk(spark, f"{args.output}/segments", qts, k=10,
+                            n_buckets=args.n_buckets).count()
+        qdt = time.perf_counter() - t0
+        result["query_batch"] = args.query_bench
+        result["query_batch_sec"] = round(qdt, 3)
+        result["queries_per_sec"] = round(args.query_bench / qdt, 1)
+        result["query_hits"] = n_hits
     print(json.dumps(result))
     if args.bench_json:
         with open(args.bench_json, "w") as f:

@@ -64,3 +64,17 @@ def test_rank_stable_across_parallelism(spark, corpus_df, queries, spark_topk):
     got = {q: [d for _, d in sorted(v)] for q, v in out.items()}
     want = {q: [d for d, _ in v] for q, v in spark_topk.items()}
     assert got == want
+
+
+def test_adhoc_path_rank_identical(spark, corpus_df, queries, spark_topk):
+    # bm25_topk_adhoc pushes the query-term filter below scoring; results
+    # must be identical to the full-index path (docIDs AND scores)
+    from bertopic_spark.operators.bm25 import bm25_topk_adhoc
+
+    qt = query_terms(queries_df(spark, queries), MODE)
+    rows = bm25_topk_adhoc(corpus_df, qt, k=10, mode=MODE).collect()
+    out = {}
+    for r in rows:
+        out.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    got = {q: [(d, s) for _, d, s in sorted(v)] for q, v in out.items()}
+    assert got == spark_topk
