@@ -167,9 +167,13 @@ def serve_topk(spark, path: str, query_terms: dict[int, list[str]], k: int = 10,
 
     query_terms: {query_id: [terms]} for a whole batch — one job serves
     the batch; per-query latency = job time / batch size.
-    """
-    from pyspark.sql import Window
 
+    Top-k uses sort_array(collect_list)[1:k] in the same per-query agg
+    shuffle rather than a rank window — one exchange + sort fewer per
+    job, which at serving candidate sizes (≤ a few k rows per query) is
+    the latency floor. Ordering key struct(-score, doc_id) ascending ≡
+    (score desc, doc_id asc), the engine-wide deterministic tie-break.
+    """
     from bertopic_spark.index.wand import _decode_score
 
     all_terms = sorted({t for ts in query_terms.values() for t in ts})
@@ -180,11 +184,21 @@ def serve_topk(spark, path: str, query_terms: dict[int, list[str]], k: int = 10,
     scan = pruned_block_scan(spark, path, all_terms, n_buckets)
     cand = scan.join(F.broadcast(qt), "term").select("query_id", "blk", "payload")
     scored = _decode_score(cand, span)
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    top = F.slice(
+        F.sort_array(
+            F.collect_list(F.struct((-F.col("score")).alias("ns"), F.col("doc_id")))
+        ),
+        1, k,
+    )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "doc_id", "score", "rank")
+        scored.groupBy("query_id").agg(top.alias("top"))
+        .select("query_id", F.posexplode("top").alias("pos", "s"))
+        .select(
+            "query_id",
+            F.col("s.doc_id").alias("doc_id"),
+            (-F.col("s.ns")).alias("score"),
+            (F.col("pos") + 1).cast("int").alias("rank"),
+        )
     )
 
 
