@@ -24,7 +24,14 @@ import time
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser()
-    p.add_argument("--corpus", required=True, help="parquet with (repo,path,commit,lang,content[,content_sha])")
+    p.add_argument("--corpus", required=True,
+                   help="source table with (repo,path,commit,lang,content[,content_sha]): "
+                        "a path (parquet/iceberg dir) or, with --source-format iceberg, "
+                        "a catalog table name")
+    p.add_argument("--source-format", default="parquet",
+                   help="spark.read format for the corpus (parquet|iceberg|delta|orc); "
+                        "iceberg needs the runtime jars + catalog conf on the cluster, "
+                        "e.g. --packages org.apache.iceberg:iceberg-spark-runtime-...")
     p.add_argument("--output", required=True, help="index root dir")
     p.add_argument("--span", type=int, default=4096)
     p.add_argument("--mode", default="ascii_code")
@@ -54,7 +61,8 @@ def main(argv: list[str] | None = None) -> int:
         write_index_segments(wb.build(spark.read.parquet(args.warmup_corpus)),
                              f"{wdir}/segments", args.n_buckets)
 
-    corpus = spark.read.parquet(args.corpus)
+    # iceberg's load() accepts both warehouse paths and catalog table names
+    corpus = spark.read.format(args.source_format).load(args.corpus)
     n_docs = corpus.count()
     t0 = time.perf_counter()
     build = IndexBuild(spark, args.output, span=args.span, mode=args.mode)
