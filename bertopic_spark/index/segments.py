@@ -37,12 +37,17 @@ from bertopic_spark.index.blocks import DEFAULT_SPAN, encode_block
 
 
 def assign_doc_ids(df: DataFrame, order_cols: Sequence[str],
-                   num_partitions: int | None = None) -> DataFrame:
-    """Dense deterministic doc_id by (order_cols) without a global window.
+                   num_partitions: int | None = None,
+                   out_col: str = "doc_id") -> DataFrame:
+    """Dense deterministic 0-based ``out_col`` by (order_cols) without a
+    global window.
 
     Two narrow jobs: one to count rows per range partition (tiny collect),
     one to add offsets. Scales to any corpus size; `monotonically_increasing_id`
-    is banned (nondeterministic across retries/cluster sizes).
+    is banned (nondeterministic across retries/cluster sizes). Also the
+    re-ID primitive behind zero_shot_split (P2) and vocab_union (T3/U1) —
+    every dense-renumber in the engine goes through this, never through a
+    partitionBy-less window.
     """
     from pyspark.sql import Window
 
@@ -65,7 +70,7 @@ def assign_doc_ids(df: DataFrame, order_cols: Sequence[str],
     w = Window.partitionBy("_pid").orderBy(*order_cols)
     out = (
         parted.join(off_df, "_pid")
-        .withColumn("doc_id", (F.row_number().over(w) - 1 + F.col("_offset")).cast("long"))
+        .withColumn(out_col, (F.row_number().over(w) - 1 + F.col("_offset")).cast("long"))
         .drop("_pid", "_offset")
     )
     return out

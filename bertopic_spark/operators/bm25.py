@@ -33,6 +33,7 @@ def doc_scores(
     bm25_weighting: bool = True,
     reduce_frequent_words: bool = False,
     persist_counts: bool = True,
+    _persisted_out: list | None = None,
 ) -> DataFrame:
     """The scored doc-level index: (doc_id, term, tf, score).
 
@@ -41,12 +42,16 @@ def doc_scores(
     can't dedupe them and tokenization would run 3×. Persisting the counts
     (``persist_counts``) makes the build a single tokenize pass — ~3×
     faster. The checkpointed IndexBuild path gets the same effect by
-    materializing the postings stage to parquet.
+    materializing the postings stage to parquet. Callers running many
+    builds in one session can collect the persisted handle via
+    ``_persisted_out`` and unpersist after materializing.
     """
     x = doc_term_counts(corpus, text_col, [id_col], mode, with_len=True)
     x = x.withColumnRenamed("doc_len", "class_len")
     if persist_counts:
         x = x.persist()
+        if _persisted_out is not None:
+            _persisted_out.append(x)
     return ctfidf(
         x, [id_col],
         bm25_weighting=bm25_weighting,
@@ -81,6 +86,8 @@ def bm25_topk_adhoc(
     mode: str = "ascii_code",
     bm25_weighting: bool = True,
     reduce_frequent_words: bool = False,
+    persist_counts: bool = True,
+    _persisted_out: list | None = None,
 ) -> DataFrame:
     """Ad-hoc retrieval without a prebuilt index: identical results to
     ``bm25_topk(doc_scores(corpus), qterms)`` but the postings are
@@ -92,9 +99,20 @@ def bm25_topk_adhoc(
 
     Catalyst will not reorder the two broadcast joins on its own (no CBO);
     the early filter is the explicit push-down.
+
+    Cache lifetime: the counts relation feeds both term_stats and the
+    scored join, so it is persisted (``persist_counts``). Long-lived
+    sessions serving many ad-hoc batches should either pass
+    ``persist_counts=False`` or pass a list as ``_persisted_out`` and
+    ``unpersist()`` its entries once the returned plan is materialized —
+    otherwise each call pins another copy in executor storage.
     """
     x = doc_term_counts(corpus, text_col, [id_col], mode, with_len=True)
-    x = x.withColumnRenamed("doc_len", "class_len").persist()
+    x = x.withColumnRenamed("doc_len", "class_len")
+    if persist_counts:
+        x = x.persist()
+        if _persisted_out is not None:
+            _persisted_out.append(x)
     stats = term_stats(x, [id_col], bm25_weighting=bm25_weighting)
     terms_only = qterms.select("term").distinct()
     xq = x.join(F.broadcast(terms_only), "term")

@@ -67,10 +67,11 @@ def jaccard_pairs(df: DataFrame, text_col: str, id_col: str, n: int = 3,
     """
     sh = shingles(df, text_col, id_col, n, mode)
     if max_df is not None:
-        from pyspark.sql import Window  # noqa: F401
-
-        keep = sh.groupBy("shingle").count().filter(F.col("count") <= max_df)
-        sh = sh.join(F.broadcast(keep.select("shingle")), "shingle")
+        # Anti-join against the HEAVY shingles (df > max_df) — by
+        # construction a tiny set (broadcastable at any corpus size),
+        # whereas the keep-set is nearly the whole shingle vocabulary.
+        heavy = sh.groupBy("shingle").count().filter(F.col("count") > max_df)
+        sh = sh.join(F.broadcast(heavy.select("shingle")), "shingle", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")

@@ -75,12 +75,18 @@ def zero_shot_split(assigned: DataFrame, sim_col: str = "sim",
                     threshold: float = 0.5, id_col: str = "doc_id"):
     """P2 (``_zeroshot_topic_modeling``, _bertopic.py:4010-4066): threshold
     filter splits docs into (assigned, rest); both re-IDed densely by the
-    original id order (reference re-IDs at 4042/4058)."""
-    w = Window.orderBy(id_col)
-    hit = assigned.filter(F.col(sim_col) >= threshold).withColumn(
-        "new_id", F.row_number().over(w).cast("long") - 1)
-    rest = assigned.filter(F.col(sim_col) < threshold).withColumn(
-        "new_id", F.row_number().over(w).cast("long") - 1)
+    original id order (reference re-IDs at 4042/4058).
+
+    Re-ID uses the range-repartition + per-partition prefix-sum pattern
+    (``assign_doc_ids``) — never a partitionBy-less window, which would
+    funnel each half through one task at scale.
+    """
+    from bertopic_spark.index.segments import assign_doc_ids
+
+    hit = assign_doc_ids(
+        assigned.filter(F.col(sim_col) >= threshold), [id_col], out_col="new_id")
+    rest = assign_doc_ids(
+        assigned.filter(F.col(sim_col) < threshold), [id_col], out_col="new_id")
     return hit, rest
 
 

@@ -26,13 +26,19 @@ from bertopic_spark.operators.postings import class_term_counts, doc_term_counts
 
 def vocab_union(vocab: DataFrame, new_terms: DataFrame) -> DataFrame:
     """ST2/T3/U1 (``_online_cv.py:76-100``): append OOV terms with fresh
-    dense ids (max_id + row_number over term order — deterministic)."""
-    from pyspark.sql import Window
+    dense ids (max_id + 1 + dense rank over term order — deterministic).
+
+    Id assignment goes through the range-repartition + prefix-sum pattern
+    (``assign_doc_ids``): on the first batch the OOV set IS the whole
+    vocabulary, so a partitionBy-less window here would serialize the
+    entire vocab through one task.
+    """
+    from bertopic_spark.index.segments import assign_doc_ids
 
     oov = new_terms.select("term").distinct().join(vocab.select("term"), "term", "left_anti")
     max_id = vocab.agg(F.coalesce(F.max("term_id"), F.lit(-1)).alias("m")).collect()[0]["m"]
-    w = Window.orderBy("term")
-    fresh = oov.withColumn("term_id", F.row_number().over(w).cast("long") + max_id)
+    fresh = assign_doc_ids(oov, ["term"], out_col="term_id").withColumn(
+        "term_id", F.col("term_id") + F.lit(int(max_id) + 1))
     return vocab.unionByName(fresh)
 
 
