@@ -762,14 +762,74 @@ FROM ranked WHERE rn <= 3"""
 
 
 def q_mmr_topk(spark, sf_dir):
-    """W8: MMR diversity re-rank of per-class top terms (greedy loop —
-    not SQL-expressible; driver records the weaker rows-only check)."""
+    """W8/X6: MMR diversity re-rank of per-class top terms.
+
+    The greedy argmax loop IS SQL-expressible at fixed k: the oracle unrolls
+    it into k chained CTEs (see ``_sql_mmr_topk``). Relevance is rounded to
+    6dp on BOTH sides before the loop so the argmax comparisons see
+    bit-identical doubles across engines (trigram-Jaccard sims are exact
+    small-int ratios already)."""
     from bertopic_spark.operators.topics import mmr_rerank
 
     x = _cls_x(spark, sf_dir)
-    topk = top_k_terms(ctfidf(x, ["lang"]), ["lang"], 10)
+    topk = top_k_terms(ctfidf(x, ["lang"]), ["lang"], 10).withColumn(
+        "score", _r6(F.col("score")))
     out = mmr_rerank(topk, ["lang"], k=5, diversity=0.3)
-    return out.select("lang", "term", _r6(F.col("score")).alias("score"), "mmr_rank")
+    return out.select("lang", "term", "score", "mmr_rank")
+
+
+def _sql_mmr_topk(k: int = 5, diversity: float = 0.3, n_cand: int = 10) -> str:
+    """Unrolled greedy MMR in DuckDB: step i picks, per class, the unselected
+    candidate maximizing (1-λ)·rel − λ·max-trigram-Jaccard-to-selected, ties
+    on term asc — exactly ``mmr_rerank``'s loop. λ weights are interpolated
+    via repr() so both engines multiply the same doubles."""
+    w_rel, w_div = repr(1 - diversity), repr(diversity)
+    parts = [f"""WITH {_TOKS}, {_XCLS}, {_scores_sql('xcls', 'lang', False, False)},
+cand AS (
+  SELECT lang, term, round(score, 6) AS score FROM (
+    SELECT lang, term, score,
+           row_number() OVER (PARTITION BY lang ORDER BY score DESC, term ASC) AS rn
+    FROM scores) WHERE rn <= {n_cand}),
+grams AS (
+  SELECT lang, term,
+         list_distinct(list_transform(range(1, length('  ' || term || ' ') - 1),
+             x -> substr('  ' || term || ' ', CAST(x AS INT), 3))) AS g
+  FROM cand),
+sims AS (
+  SELECT a.lang, a.term AS ta, b.term AS tb,
+         CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+           / greatest(len(list_distinct(list_concat(a.g, b.g))), 1) AS sim
+  FROM grams a JOIN grams b ON a.lang = b.lang AND a.term <> b.term),
+sel1 AS (
+  SELECT lang, term, 1 AS mmr_rank FROM (
+    SELECT lang, term,
+           row_number() OVER (PARTITION BY lang
+             ORDER BY CAST({w_rel} AS DOUBLE) * score DESC, term ASC) AS rn
+    FROM cand) WHERE rn = 1)"""]
+    for i in range(2, k + 1):
+        prev = " UNION ALL ".join(f"SELECT lang, term FROM sel{j}" for j in range(1, i))
+        parts.append(f""",
+selu{i - 1} AS ({prev}),
+msi{i} AS (
+  SELECT s.lang, s.ta AS term, max(s.sim) AS msim
+  FROM sims s JOIN selu{i - 1} p ON p.lang = s.lang AND p.term = s.tb
+  GROUP BY s.lang, s.ta),
+sel{i} AS (
+  SELECT lang, term, {i} AS mmr_rank FROM (
+    SELECT c.lang, c.term,
+           row_number() OVER (PARTITION BY c.lang
+             ORDER BY CAST({w_rel} AS DOUBLE) * c.score
+                      - CAST({w_div} AS DOUBLE) * m.msim DESC, c.term ASC) AS rn
+    FROM cand c
+    JOIN msi{i} m ON m.lang = c.lang AND m.term = c.term
+    WHERE NOT EXISTS (SELECT 1 FROM selu{i - 1} p
+                      WHERE p.lang = c.lang AND p.term = c.term)
+  ) WHERE rn = 1)""")
+    final = " UNION ALL ".join(f"SELECT * FROM sel{j}" for j in range(1, k + 1))
+    parts.append(f"""
+SELECT c.lang, c.term, c.score, CAST(s.mmr_rank AS BIGINT) AS mmr_rank
+FROM ({final}) s JOIN cand c ON c.lang = s.lang AND c.term = s.term""")
+    return "".join(parts)
 
 
 # ---------------------------------------------------------------------------
@@ -989,7 +1049,7 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "find_topics": (q_find_topics, _sql_find_topics()),
     "representative_docs": (q_representative_docs, SQL_REPRESENTATIVE_DOCS),
     "evolution_tuned_over_time": (q_evolution_tuned_over_time, SQL_EVOLUTION_TUNED),
-    "mmr_topk": (q_mmr_topk, None),
+    "mmr_topk": (q_mmr_topk, _sql_mmr_topk()),
     "tokenize_doc_counts": (q_tokenize_doc_counts, SQL_TOKENIZE),
     "class_postings": (q_class_postings, SQL_CLASS_POSTINGS),
     "term_stats_default": (_q_term_stats(False), _sql_term_stats(False)),
