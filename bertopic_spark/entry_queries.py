@@ -832,6 +832,129 @@ FROM ({final}) s JOIN cand c ON c.lang = s.lang AND c.term = s.term""")
     return "".join(parts)
 
 
+N_LANG_TOPICS = len(LANG_TOPIC)  # leaves of the hierarchy gate query
+
+OUTLIER_MOD = 7          # doc_id % 7 == 0 → synthetic outlier (-1)
+OUTLIER_THRESHOLD = 0.001
+
+
+def q_reduce_outliers(spark, sf_dir):
+    """P4 + reduce_outliers (ctfidf strategy): re-assign synthetic outliers
+    (doc_id % 7 == 0) against the model fitted on the non-outlier slice;
+    docs under the threshold stay at −1."""
+    from bertopic_spark.operators.outliers import reduce_outliers
+
+    d = _docs_with_topic(spark, sf_dir).withColumn(
+        "topic",
+        F.when(F.col("doc_id") % OUTLIER_MOD == 0, F.lit(-1))
+        .otherwise(F.col("topic")).cast("long"))
+    keep = d.filter(F.col("topic") != -1)
+    dt = doc_term_counts(keep, "text", ["topic", "doc_id"], MODE)
+    x = class_term_counts(dt, ["topic"])
+    s = ctfidf(x, ["topic"])
+    return reduce_outliers(d, s, "text", "doc_id", "topic", "ctfidf",
+                           threshold=OUTLIER_THRESHOLD, mode=MODE)
+
+
+SQL_REDUCE_OUTLIERS = f"""WITH
+docs2 AS (SELECT doc_id,
+                 CASE WHEN doc_id % {OUTLIER_MOD} = 0 THEN -1
+                      ELSE {_SQL_TOPIC_CASE} END AS topic,
+                 text FROM documents),
+keepd AS (SELECT * FROM docs2 WHERE topic <> -1),
+toks AS (SELECT doc_id, topic, unnest({duckdb_tokens_sql('text', MODE)}) AS term FROM keepd),
+xcls AS (SELECT topic, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY topic, term),
+{_stats_sql('xcls', 'topic', False)},
+scores AS (
+  SELECT x.topic, x.term, (x.tf / clen.class_len) * idf.idf AS score
+  FROM xcls x JOIN clen USING (topic) JOIN idf USING (term)),
+od AS (SELECT doc_id, text FROM docs2 WHERE topic = -1),
+otoks AS (SELECT doc_id, unnest({duckdb_tokens_sql('text', MODE)}) AS term FROM od),
+xdoc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM otoks GROUP BY doc_id, term),
+dlen AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len FROM xdoc GROUP BY doc_id),
+sims AS (
+  SELECT d.doc_id, s.topic,
+         round(sum((d.tf * 1.0 / dlen.doc_len) * s.score), 6) AS sim
+  FROM xdoc d JOIN dlen USING (doc_id) JOIN scores s USING (term)
+  GROUP BY d.doc_id, s.topic),
+ranked AS (
+  SELECT doc_id, topic, sim,
+         row_number() OVER (PARTITION BY doc_id ORDER BY sim DESC, topic ASC) AS rn
+  FROM sims),
+assigned AS (SELECT doc_id, topic FROM ranked
+             WHERE rn = 1 AND sim >= {OUTLIER_THRESHOLD})
+SELECT doc_id, CAST(topic AS BIGINT) AS topic FROM keepd
+UNION ALL
+SELECT o.doc_id, CAST(coalesce(a.topic, -1) AS BIGINT) AS topic
+FROM od o LEFT JOIN assigned a USING (doc_id)"""
+
+
+def q_hierarchical_topics(spark, sf_dir):
+    """Linkage tree (single linkage over 1−cosine of class c-TF-IDF rows);
+    reference `hierarchical_topics` shape: one row per internal node."""
+    from bertopic_spark.operators.topics import hierarchical_topics
+
+    d = _docs_with_topic(spark, sf_dir)
+    dt = doc_term_counts(d, "text", ["topic", "doc_id"], MODE)
+    x = class_term_counts(dt, ["topic"])
+    return hierarchical_topics(ctfidf(x, ["topic"]), "topic")
+
+
+def _sql_hierarchical(n_leaves: int = N_LANG_TOPICS) -> str:
+    """Unrolled single-linkage agglomeration in DuckDB: n_leaves−1 merge
+    steps, each = argmin pair (ties (d, a, b) asc) + min-rule distance
+    update + membership relabel. Distances round to 6dp before any
+    comparison, mirroring ``class_pair_distances``."""
+    parts = [f"""WITH
+docs2 AS (SELECT doc_id, {_SQL_TOPIC_CASE} AS topic, text FROM documents),
+toks AS (SELECT doc_id, topic, unnest({duckdb_tokens_sql('text', MODE)}) AS term FROM docs2),
+xcls AS (SELECT topic, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY topic, term),
+{_stats_sql('xcls', 'topic', False)},
+scores AS (
+  SELECT x.topic, x.term, (x.tf / clen.class_len) * idf.idf AS score
+  FROM xcls x JOIN clen USING (topic) JOIN idf USING (term)),
+l2 AS (SELECT topic, sqrt(sum(score * score)) AS nrm FROM scores GROUP BY topic),
+nrmd AS (SELECT s.topic, s.term, s.score / l2.nrm AS v
+         FROM scores s JOIN l2 USING (topic)),
+cosr AS (SELECT a.topic AS ta, b.topic AS tb, sum(a.v * b.v) AS cos
+         FROM nrmd a JOIN nrmd b ON a.term = b.term AND a.topic < b.topic
+         GROUP BY a.topic, b.topic),
+tl AS (SELECT DISTINCT topic FROM xcls),
+dist0 AS (
+  SELECT x.topic AS a, y.topic AS b, round(1.0 - coalesce(c.cos, 0.0), 6) AS d
+  FROM tl x JOIN tl y ON x.topic < y.topic
+  LEFT JOIN cosr c ON c.ta = x.topic AND c.tb = y.topic),
+mem0 AS (SELECT topic AS cluster, topic AS leaf FROM tl)"""]
+    for i in range(1, n_leaves):
+        nid = n_leaves + i - 1
+        parts.append(f""",
+m{i} AS (SELECT a, b, d FROM dist{i - 1} ORDER BY d, a, b LIMIT 1),
+dist{i} AS (
+  SELECT p.a, p.b, p.d FROM dist{i - 1} p, m{i}
+  WHERE p.a NOT IN (m{i}.a, m{i}.b) AND p.b NOT IN (m{i}.a, m{i}.b)
+  UNION ALL
+  SELECT q.c AS a, {nid} AS b, min(q.d) AS d FROM (
+    SELECT CASE WHEN p.a IN (m{i}.a, m{i}.b) THEN p.b ELSE p.a END AS c, p.d
+    FROM dist{i - 1} p, m{i}
+    WHERE (p.a IN (m{i}.a, m{i}.b)) <> (p.b IN (m{i}.a, m{i}.b))
+  ) q GROUP BY q.c),
+mem{i} AS (
+  SELECT CASE WHEN m.cluster IN (m{i}.a, m{i}.b) THEN {nid} ELSE m.cluster END AS cluster,
+         m.leaf
+  FROM mem{i - 1} m, m{i})""")
+    outs = []
+    for i in range(1, n_leaves):
+        nid = n_leaves + i - 1
+        outs.append(f"""
+SELECT CAST({nid} AS BIGINT) AS parent_id, CAST(m{i}.a AS BIGINT) AS child_left,
+       CAST(m{i}.b AS BIGINT) AS child_right, m{i}.d AS distance,
+       (SELECT string_agg(CAST(leaf AS VARCHAR), ',' ORDER BY leaf)
+        FROM mem{i} WHERE cluster = {nid}) AS topics
+FROM m{i}""")
+    parts.append(" UNION ALL ".join(outs))
+    return "".join(parts)
+
+
 # ---------------------------------------------------------------------------
 # Distribution / sampling / split / scatter / set ops / seeded idf
 # ---------------------------------------------------------------------------
@@ -1050,6 +1173,8 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "representative_docs": (q_representative_docs, SQL_REPRESENTATIVE_DOCS),
     "evolution_tuned_over_time": (q_evolution_tuned_over_time, SQL_EVOLUTION_TUNED),
     "mmr_topk": (q_mmr_topk, _sql_mmr_topk()),
+    "hierarchical_topics": (q_hierarchical_topics, _sql_hierarchical()),
+    "reduce_outliers_ctfidf": (q_reduce_outliers, SQL_REDUCE_OUTLIERS),
     "tokenize_doc_counts": (q_tokenize_doc_counts, SQL_TOKENIZE),
     "class_postings": (q_class_postings, SQL_CLASS_POSTINGS),
     "term_stats_default": (_q_term_stats(False), _sql_term_stats(False)),

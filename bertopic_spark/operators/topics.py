@@ -243,6 +243,87 @@ def global_tuning(slice_scores: DataFrame, global_scores: DataFrame,
     ).drop("g_score")
 
 
+def class_pair_distances(scores: DataFrame, class_col: str,
+                         round_to: int = 6) -> DataFrame:
+    """(_ca, _cb, dist) with _ca < _cb: 1 − cosine between class c-TF-IDF
+    vectors, via a term join over the inverted index — never a dense
+    class×term matrix. Pairs sharing no term are absent (cos = 0 ⇒ dist 1);
+    callers fill the gap. Distances round to ``round_to`` dp so driver-side
+    comparisons agree with the cross-engine oracle."""
+    l2 = Window.partitionBy(class_col)
+    normed = scores.withColumn(
+        "_v", F.col("score") / F.sqrt(F.sum(F.col("score") * F.col("score")).over(l2)))
+    a = normed.select(F.col(class_col).alias("_ca"), "term", F.col("_v").alias("_va"))
+    b = normed.select(F.col(class_col).alias("_cb"), "term", F.col("_v").alias("_vb"))
+    return (
+        a.join(b, "term")
+        .filter(F.col("_ca") < F.col("_cb"))
+        .groupBy("_ca", "_cb")
+        .agg(F.round(F.lit(1.0) - F.sum(F.col("_va") * F.col("_vb")), round_to).alias("dist"))
+    )
+
+
+def hierarchical_topics(scores: DataFrame, class_col: str,
+                        max_classes: int = 10000,
+                        round_to: int = 6) -> DataFrame:
+    """Linkage tree over class c-TF-IDF vectors — the reference's
+    ``hierarchical_topics`` (`_bertopic.py:1035-1203`; output shape per
+    `tests/test_bertopic.py:89-98`) with ``linkage_function`` = single
+    linkage (a supported scipy option there; ward, the default, needs dense
+    euclidean geometry that the inverted index deliberately avoids).
+
+    Heavy lifting is Spark-side: pair distances (1 − cosine) come from one
+    term join (``class_pair_distances``); only the k(k−1)/2 pair list is
+    collected (k = topic count — small by definition; hard-capped), never
+    the class×term matrix. The merge loop is O(k²) driver Python over that
+    list; single linkage's min-rule needs no vector recomputation.
+
+    Returns one row per internal node, scipy node-numbering convention
+    (leaves 0..k−1 by ascending class value, internal nodes k, k+1, …):
+    (parent_id, child_left, child_right, distance, topics) where ``topics``
+    is the comma-joined sorted leaf ids under the node.
+    """
+    spark = scores.sparkSession
+    schema = ("parent_id long, child_left long, child_right long, "
+              "distance double, topics string")
+    classes = sorted(r[0] for r in scores.select(class_col).distinct().collect())
+    k = len(classes)
+    if k > max_classes:
+        raise ValueError(
+            f"{k} classes exceeds max_classes={max_classes}: the pair list "
+            "no longer fits a driver; partition the corpus (e.g. per lang) "
+            "and build sub-trees instead")
+    if k < 2:
+        return spark.createDataFrame([], schema)
+    leaf = {c: i for i, c in enumerate(classes)}
+    d: dict[tuple[int, int], float] = {}
+    for r in class_pair_distances(scores, class_col, round_to).collect():
+        i, j = leaf[r["_ca"]], leaf[r["_cb"]]
+        d[(min(i, j), max(i, j))] = float(r["dist"])
+    for i in range(k):
+        for j in range(i + 1, k):
+            d.setdefault((i, j), 1.0)
+    active = set(range(k))
+    members = {i: [i] for i in range(k)}
+    nid, rows = k, []
+    while len(active) > 1:
+        act = sorted(active)
+        dist, a, b = min(
+            (d[(act[x], act[y])], act[x], act[y])
+            for x in range(len(act)) for y in range(x + 1, len(act))
+        )
+        mem = sorted(members[a] + members[b])
+        rows.append((nid, a, b, float(dist), ",".join(str(m) for m in mem)))
+        for c in active - {a, b}:
+            d[(min(c, nid), max(c, nid))] = min(
+                d[(min(a, c), max(a, c))], d[(min(b, c), max(b, c))])
+        active -= {a, b}
+        active.add(nid)
+        members[nid] = mem
+        nid += 1
+    return spark.createDataFrame(rows, schema)
+
+
 def reduce_topics_agglomerative(doc_terms: DataFrame, topic_col: str,
                                 nr_topics: int,
                                 bm25_weighting: bool = False) -> tuple[dict, DataFrame]:

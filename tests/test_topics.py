@@ -164,3 +164,106 @@ def test_reduce_topics(doc_terms):
     remaining = {r["topic"] for r in new_scores.select("topic").distinct().collect()}
     assert len(remaining) == 4
     assert all(v in remaining for v in mapping.values())
+
+
+# -- hierarchical_topics (reference _bertopic.py:1035-1203) -------------------
+
+def test_hierarchical_topics_tree_shape(scores):
+    from bertopic_spark.operators.topics import hierarchical_topics
+
+    n_topics = scores.select("topic").distinct().count()
+    tree = hierarchical_topics(scores, "topic").orderBy("parent_id").collect()
+    # scipy linkage shape: exactly n-1 internal nodes, ids k..2k-2
+    assert len(tree) == n_topics - 1
+    assert [r["parent_id"] for r in tree] == list(range(n_topics, 2 * n_topics - 1))
+    # single-linkage distances are monotone non-decreasing
+    dists = [r["distance"] for r in tree]
+    assert dists == sorted(dists)
+    assert all(0.0 <= d <= 1.0 + 1e-9 for d in dists)
+    # every child id is used exactly once; root covers all leaves
+    children = [r["child_left"] for r in tree] + [r["child_right"] for r in tree]
+    assert len(children) == len(set(children))
+    root = tree[-1]
+    assert root["topics"] == ",".join(str(i) for i in range(n_topics))
+    # each node's topics = union of its children's leaf sets
+    members = {i: {i} for i in range(n_topics)}
+    for r in tree:
+        got = set(int(x) for x in r["topics"].split(","))
+        assert got == members[r["child_left"]] | members[r["child_right"]]
+        members[r["parent_id"]] = got
+
+
+def test_hierarchical_topics_degenerate(spark, scores):
+    from bertopic_spark.operators.topics import hierarchical_topics
+
+    one = scores.filter(F.col("topic") == 0)
+    assert hierarchical_topics(one, "topic").count() == 0
+    with pytest.raises(ValueError):
+        hierarchical_topics(scores, "topic", max_classes=2)
+
+
+# -- reduce_outliers (reference _bertopic.py:2380-2540) -----------------------
+
+@pytest.fixture(scope="module")
+def outlier_docs(corpus_df):
+    # deterministic synthetic outliers on top of the repo-derived topic
+    return corpus_df.withColumn(
+        "topic",
+        F.when(F.col("doc_id") % 5 == 0, F.lit(-1))
+        .otherwise((F.xxhash64("repo") % 4 + 4) % 4).cast("long"),
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def outlier_scores(outlier_docs):
+    keep = outlier_docs.filter(F.col("topic") != -1)
+    x = class_term_counts(
+        doc_term_counts(keep, "content", ["topic", "doc_id"], MODE), ["topic"])
+    return ctfidf(x, ["topic"]).cache()
+
+
+@pytest.mark.parametrize("strategy", ["ctfidf", "distributions"])
+def test_reduce_outliers_invariants(outlier_docs, outlier_scores, strategy):
+    from bertopic_spark.operators.outliers import reduce_outliers
+
+    before = {r["doc_id"]: r["topic"] for r in outlier_docs.select("doc_id", "topic").collect()}
+    out = reduce_outliers(outlier_docs, outlier_scores, "content", "doc_id",
+                          "topic", strategy, threshold=0.0, mode=MODE)
+    after = {r["doc_id"]: r["topic"] for r in out.collect()}
+    assert set(after) == set(before)  # every doc present exactly once
+    valid = {r["topic"] for r in outlier_scores.select("topic").distinct().collect()}
+    for did, t in after.items():
+        if before[did] != -1:
+            assert t == before[did]  # non-outliers frozen
+        else:
+            assert t in valid | {-1}
+    n_out_before = sum(1 for t in before.values() if t == -1)
+    n_out_after = sum(1 for t in after.values() if t == -1)
+    assert n_out_after <= n_out_before  # outlier mass never grows
+
+
+def test_reduce_outliers_threshold_keeps_outliers(outlier_docs, outlier_scores):
+    from bertopic_spark.operators.outliers import reduce_outliers
+
+    out = reduce_outliers(outlier_docs, outlier_scores, "content", "doc_id",
+                          "topic", "ctfidf", threshold=1e9, mode=MODE)
+    n = out.filter(F.col("topic") == -1).count()
+    assert n == outlier_docs.filter(F.col("topic") == -1).count()
+
+
+def test_reduce_outliers_embeddings(outlier_docs, outlier_scores):
+    from bertopic_spark.operators.outliers import reduce_outliers
+
+    emb = outlier_docs.select(
+        "doc_id",
+        F.array(
+            ((F.col("doc_id") % 5) + 1).cast("double"),
+            (((F.col("doc_id") * 3) % 7) + 1).cast("double"),
+            F.lit(1.0),
+        ).alias("embedding"),
+    )
+    out = reduce_outliers(outlier_docs, outlier_scores, "content", "doc_id",
+                          "topic", "embeddings", threshold=0.0, mode=MODE,
+                          embeddings=emb)
+    assert out.count() == outlier_docs.count()
+    assert out.filter(F.col("topic") == -1).count() == 0  # cosine ≥ 0 here ⇒ all assigned
