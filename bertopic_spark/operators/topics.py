@@ -326,43 +326,67 @@ def hierarchical_topics(scores: DataFrame, class_col: str,
 
 def reduce_topics_agglomerative(doc_terms: DataFrame, topic_col: str,
                                 nr_topics: int,
-                                bm25_weighting: bool = False) -> tuple[dict, DataFrame]:
+                                bm25_weighting: bool = False,
+                                max_classes: int = 2000) -> tuple[dict, DataFrame]:
     """A9/J8 analog (`_reduce_to_n_topics`, _bertopic.py:4565-4627):
-    iteratively merge the most-similar topic pair (cosine of c-TF-IDF rows)
-    until ``nr_topics`` remain. Topic count is small (reference assumption),
-    so the pair-similarity matrix is collected to the driver per step while
-    all heavy re-aggregation stays in Spark. Returns (mapping, new_scores)."""
+    iteratively merge the most-similar topic pair (cosine of summed
+    c-TF-IDF rows) until ``nr_topics`` remain. Returns (mapping, new_scores).
+
+    Never collects the class×term matrix. Spark computes the k×k Gram
+    matrix D[a,b] = ⟨vec_a, vec_b⟩ once via a term join over the inverted
+    index (one shuffle, vocab-size independent); the driver merge loop then
+    derives every merged-cluster cosine from accumulated dots alone —
+    cos(A∪B, C) uses D-sums, since ⟨Σa, Σb⟩ = ΣΣ⟨a,b⟩. O(k²) driver memory
+    (hard-capped at ``max_classes``), identical output to merging the score
+    vectors themselves.
+    """
     x = class_term_counts(doc_terms, [topic_col])
-    vecs: dict[int, dict[str, float]] = {}
-    for r in ctfidf(x, [topic_col], bm25_weighting).collect():
-        vecs.setdefault(r[topic_col], {})[r["term"]] = r["score"]
+    scores = ctfidf(x, [topic_col], bm25_weighting)
+    a = scores.select(F.col(topic_col).alias("_ca"), "term", F.col("score").alias("_sa"))
+    b = scores.select(F.col(topic_col).alias("_cb"), "term", F.col("score").alias("_sb"))
+    pair_rows = (
+        a.join(b, "term")
+        .filter(F.col("_ca") <= F.col("_cb"))
+        .groupBy("_ca", "_cb")
+        .agg(F.sum(F.col("_sa") * F.col("_sb")).alias("dot"))
+        .collect()
+    )
+    dots: dict[tuple[int, int], float] = {}
+    topics_set = set()
+    for r in pair_rows:
+        ta, tb = r["_ca"], r["_cb"]
+        topics_set.update((ta, tb))
+        dots[(ta, tb)] = float(r["dot"])
+    if len(topics_set) > max_classes:
+        raise ValueError(
+            f"{len(topics_set)} classes exceeds max_classes={max_classes}; "
+            "the k² Gram matrix no longer fits a driver — reduce per "
+            "partition (e.g. within lang) or raise the cap deliberately")
 
-    def cos(a: dict, b: dict) -> float:
-        common = set(a) & set(b)
-        num = sum(a[t] * b[t] for t in sorted(common))
-        na = sum(v * v for v in a.values()) ** 0.5
-        nb = sum(v * v for v in b.values()) ** 0.5
-        return num / (na * nb) if na and nb else 0.0
+    def d(p: int, q: int) -> float:
+        return dots.get((min(p, q), max(p, q)), 0.0)
 
-    mapping = {t: t for t in vecs}
-    live = {t: dict(v) for t, v in vecs.items()}
+    mapping = {t: t for t in topics_set}
+    live = sorted(topics_set)
     while len(live) > nr_topics:
         best = None
-        for a in sorted(live):
-            for b in sorted(live):
-                if a < b:
-                    c = cos(live[a], live[b])
-                    if best is None or c > best[0]:
-                        best = (c, a, b)
-        _, a, b = best
+        for i, p in enumerate(live):
+            for q in live[i + 1:]:
+                np_, nq = d(p, p), d(q, q)
+                c = d(p, q) / (np_ ** 0.5 * nq ** 0.5) if np_ and nq else 0.0
+                if best is None or c > best[0]:
+                    best = (c, p, q)
+        _, p, q = best
         for t, m in mapping.items():
-            if m == b:
-                mapping[t] = a
-        merged = dict(live[a])
-        for t, v in live[b].items():
-            merged[t] = merged.get(t, 0.0) + v
-        live[a] = merged
-        del live[b]
+            if m == q:
+                mapping[t] = p
+        # fold q's dots into p: ⟨p∪q, c⟩ = ⟨p,c⟩+⟨q,c⟩; ‖p∪q‖² = ‖p‖²+‖q‖²+2⟨p,q⟩
+        new_self = d(p, p) + d(q, q) + 2.0 * d(p, q)
+        for c in live:
+            if c not in (p, q):
+                dots[(min(p, c), max(p, c))] = d(p, c) + d(q, c)
+        dots[(p, p)] = new_self
+        live.remove(q)
     final = {t: m for t, m in mapping.items() if t != m}
     new_scores = merge_and_reaggregate(doc_terms, final, topic_col, bm25_weighting)
     return final, new_scores

@@ -267,3 +267,48 @@ def test_reduce_outliers_embeddings(outlier_docs, outlier_scores):
                           embeddings=emb)
     assert out.count() == outlier_docs.count()
     assert out.filter(F.col("topic") == -1).count() == 0  # cosine ≥ 0 here ⇒ all assigned
+
+
+def test_reduce_topics_matches_dense_oracle(doc_terms):
+    """The Gram-matrix merge loop must produce the same mapping as merging
+    the score vectors themselves (the pre-distributed dense formulation)."""
+    doc_terms_r = doc_terms.filter(F.col("topic") >= 0)
+    mapping, _ = reduce_topics_agglomerative(doc_terms_r, "topic", 3)
+
+    x = class_term_counts(doc_terms_r, ["topic"])
+    vecs = {}
+    for r in ctfidf(x, ["topic"]).collect():
+        vecs.setdefault(r["topic"], {})[r["term"]] = r["score"]
+
+    def cos(a, b):
+        num = sum(a[t] * b[t] for t in sorted(set(a) & set(b)))
+        na = sum(v * v for v in a.values()) ** 0.5
+        nb = sum(v * v for v in b.values()) ** 0.5
+        return num / (na * nb) if na and nb else 0.0
+
+    oracle = {t: t for t in vecs}
+    live = {t: dict(v) for t, v in vecs.items()}
+    while len(live) > 3:
+        best = None
+        for a in sorted(live):
+            for b in sorted(live):
+                if a < b:
+                    c = cos(live[a], live[b])
+                    if best is None or c > best[0]:
+                        best = (c, a, b)
+        _, a, b = best
+        for t, m in oracle.items():
+            if m == b:
+                oracle[t] = a
+        merged = dict(live[a])
+        for t, v in live[b].items():
+            merged[t] = merged.get(t, 0.0) + v
+        live[a] = merged
+        del live[b]
+    assert mapping == {t: m for t, m in oracle.items() if t != m}
+
+
+def test_reduce_topics_class_cap(doc_terms):
+    with pytest.raises(ValueError):
+        reduce_topics_agglomerative(doc_terms.filter(F.col("topic") >= 0),
+                                    "topic", 2, max_classes=3)
