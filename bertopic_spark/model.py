@@ -172,7 +172,74 @@ class BERTopicSpark:
         return representative_docs(self.doc_terms_, self.scores_,
                                    self.class_cols, self._id_col, n_docs)
 
+    def get_document_info(self, include_representative: bool = True) -> DataFrame:
+        """Doc-level enrichment join (reference ``get_document_info``,
+        `_bertopic.py:1734-1800`): every doc with its class size, label,
+        top-words string, and representative-document flag. All dimension
+        sides broadcast; the doc table is never shuffled."""
+        self._check_fitted()
+        info = self.get_topic_info()
+        topw = (
+            self.get_topics()
+            .groupBy(*self.class_cols)
+            .agg(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rank", "term"))),
+                    lambda s: s["term"],
+                ), " - ").alias("top_n_words"))
+        )
+        out = (
+            self.doc_table_.select(self._id_col, *self.class_cols)
+            .join(F.broadcast(info), self.class_cols, "left")
+            .join(F.broadcast(topw), self.class_cols, "left")
+        )
+        if include_representative:
+            rep = self.get_representative_docs().select(
+                *self.class_cols, self._id_col, F.lit(True).alias("_rep"))
+            out = (
+                out.join(F.broadcast(rep), [*self.class_cols, self._id_col], "left")
+                .withColumn("representative_document",
+                            F.coalesce("_rep", F.lit(False)))
+                .drop("_rep")
+            )
+        return out
+
+    def hierarchical_topics(self) -> DataFrame:
+        """Linkage tree over the fitted class vectors (reference
+        `_bertopic.py:1035-1203`; single linkage — see operators.topics)."""
+        self._check_fitted()
+        if len(self.class_cols) != 1:
+            raise ValueError("hierarchical_topics needs a single class column")
+        from bertopic_spark.operators.topics import hierarchical_topics
+
+        return hierarchical_topics(self.scores_, self.class_cols[0])
+
     # -- maintenance ---------------------------------------------------------
+
+    def update_topics(self, ngram_range: tuple[int, int] | None = None,
+                      mode: str | None = None,
+                      bm25_weighting: bool | None = None,
+                      reduce_frequent_words: bool | None = None,
+                      top_n_words: int | None = None):
+        """Re-extract topic representations with new tokenizer/weighting
+        params while keeping document↔class assignments frozen (reference
+        ``update_topics``, `_bertopic.py:1488-1733`; test invariant: vocab
+        grows with a larger ngram_range, topics_ preserved)."""
+        self._check_fitted()
+        if ngram_range is not None:
+            self.ngram_range = tuple(ngram_range)
+        if mode is not None:
+            self.mode = mode
+        if bm25_weighting is not None:
+            self.bm25_weighting = bm25_weighting
+        if reduce_frequent_words is not None:
+            self.reduce_frequent_words = reduce_frequent_words
+        if top_n_words is not None:
+            self.top_n_words = top_n_words
+        for df in (self.doc_terms_, self.stats_, self.scores_):
+            if df is not None:
+                df.unpersist()
+        return self.fit(self.doc_table_, self._text_col, self._id_col)
 
     def merge_topics(self, mapping: Mapping[int, int]):
         """J2 + re-agg; only for a single integer class column."""
@@ -232,3 +299,81 @@ class BERTopicSpark:
         m.stats_ = spark.read.parquet(f"{path}/stats")
         m.doc_terms_ = spark.read.parquet(f"{path}/doc_terms")
         return m
+
+    # -- cross-model merge (J8; reference merge_models, _bertopic.py:3590-3729)
+
+    @classmethod
+    def merge_models(cls, models: Sequence["BERTopicSpark"],
+                     min_similarity: float = 0.7) -> "BERTopicSpark":
+        """Align topics across fitted models by c-TF-IDF cosine similarity:
+        each later model's topic maps onto its best base topic when sim ≥
+        ``min_similarity``, else is appended with a fresh id. The first
+        model's representations dominate for matched topics — the reference
+        behaves the same (it keeps the base embeddings/ctfidf rows).
+
+        The per-pair similarity is a term join over the two (small)
+        ``scores_`` relations — never dense; only the k_a×k_b argmax rows
+        are collected. ``stats_`` stays the base model's (the merged model
+        is a stitched representation, not a refit — call ``update_topics``
+        for exact recomputed weights over the union).
+        """
+        if not models:
+            raise ValueError("need at least one model")
+        base, *rest = models
+        base._check_fitted()
+        if len(base.class_cols) != 1:
+            raise ValueError("merge_models needs single-class-column models")
+        tcol = base.class_cols[0]
+        merged = cls(
+            class_cols=base.class_cols, mode=base.mode,
+            ngram_range=base.ngram_range, bm25_weighting=base.bm25_weighting,
+            reduce_frequent_words=base.reduce_frequent_words,
+            top_n_words=base.top_n_words,
+        )
+        merged._id_col, merged._text_col = base._id_col, base._text_col
+        merged.doc_table_ = base.doc_table_
+        merged.doc_terms_ = base.doc_terms_
+        merged.scores_ = base.scores_
+        merged.stats_ = base.stats_
+        from pyspark.sql import Window as W
+
+        for other in rest:
+            other._check_fitted()
+            l2m = W.partitionBy(tcol)
+            mn = merged.scores_.withColumn(
+                "_v", F.col("score") / F.sqrt(F.sum(F.col("score") ** 2).over(l2m)))
+            on = other.scores_.withColumn(
+                "_v", F.col("score") / F.sqrt(F.sum(F.col("score") ** 2).over(l2m)))
+            sims = (
+                on.select(F.col(tcol).alias("_ot"), "term", F.col("_v").alias("_vo"))
+                .join(mn.select(F.col(tcol).alias("_mt"), "term", F.col("_v").alias("_vm")), "term")
+                .groupBy("_ot", "_mt")
+                .agg(F.round(F.sum(F.col("_vo") * F.col("_vm")), 6).alias("sim"))
+            )
+            w = W.partitionBy("_ot").orderBy(F.desc("sim"), F.asc("_mt"))
+            best = {r["_ot"]: (r["_mt"], r["sim"]) for r in
+                    sims.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1).collect()}
+            other_topics = sorted(
+                r[0] for r in other.scores_.select(tcol).distinct().collect())
+            max_id = merged.scores_.agg(F.max(tcol)).collect()[0][0]
+            mapping, appended = {}, []
+            for ot in other_topics:
+                mt = best.get(ot)
+                if mt is not None and mt[1] >= min_similarity:
+                    mapping[ot] = mt[0]
+                else:
+                    max_id += 1
+                    mapping[ot] = max_id
+                    appended.append((ot, max_id))
+            from bertopic_spark.operators.topics import remap_topics
+
+            merged.doc_terms_ = merged.doc_terms_.unionByName(
+                remap_topics(other.doc_terms_, mapping, tcol))
+            if appended:
+                app_map = dict(appended)
+                new_rows = remap_topics(
+                    other.scores_.filter(F.col(tcol).isin(list(app_map))),
+                    app_map, tcol)
+                merged.scores_ = merged.scores_.unionByName(new_rows)
+        return merged

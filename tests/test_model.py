@@ -82,3 +82,63 @@ def test_save_load_roundtrip(model, spark, tmp_path):
     # frozen idf reused by transform after load
     out = loaded.find_topics("table scan").collect()
     assert out
+
+
+def test_get_document_info(model, documents_df):
+    out = model.get_document_info().collect()
+    assert len(out) == documents_df.count()
+    n_rep = sum(1 for r in out if r["representative_document"])
+    assert 0 < n_rep <= 3 * model.get_topic_info().count()
+    assert all(r["top_n_words"] and " - " in r["top_n_words"] for r in out)
+    assert all(r["count"] > 0 and r["label"] for r in out)
+
+
+def test_update_topics_grows_vocab(documents_df):
+    """Reference invariant (test_representations.py:18-37): a larger
+    ngram_range grows the vocabulary; assignments/topic set are frozen."""
+    m = BERTopicSpark(class_cols=["lang"]).fit(documents_df, "text", "doc_id")
+    topics_before = {r["lang"] for r in m.get_topic_info().collect()}
+    counts_before = {(r["lang"], r["count"]) for r in m.get_topic_info().collect()}
+    v1 = m.scores_.select("term").distinct().count()
+    m.update_topics(ngram_range=(1, 2))
+    v2 = m.scores_.select("term").distinct().count()
+    assert v2 > v1
+    assert {r["lang"] for r in m.get_topic_info().collect()} == topics_before
+    assert {(r["lang"], r["count"]) for r in m.get_topic_info().collect()} == counts_before
+
+
+def _int_topic_model(documents_df, text_col="text"):
+    d = documents_df.withColumn("topic", (F.col("doc_id") % 3).cast("long"))
+    if text_col != "text":
+        d = d.withColumn(text_col, F.col(text_col))
+    return BERTopicSpark(class_cols=["topic"]).fit(d, text_col, "doc_id")
+
+
+def test_merge_models_identical_collapses(documents_df):
+    m1 = _int_topic_model(documents_df)
+    m2 = _int_topic_model(documents_df)
+    merged = BERTopicSpark.merge_models([m1, m2], min_similarity=0.9)
+    got = sorted(r[0] for r in merged.scores_.select("topic").distinct().collect())
+    assert got == [0, 1, 2]  # every topic matches itself at sim 1.0
+
+
+def test_merge_models_disjoint_appends(documents_df):
+    m1 = _int_topic_model(documents_df)
+    alien = documents_df.withColumn(
+        "text", F.regexp_replace(F.col("text"), "[a-zA-Z0-9]", "q"))
+    m2 = _int_topic_model(alien)
+    merged = BERTopicSpark.merge_models([m1, m2], min_similarity=0.9)
+    got = sorted(r[0] for r in merged.scores_.select("topic").distinct().collect())
+    assert got == [0, 1, 2, 3, 4, 5]  # no vocab overlap → all appended
+    # base representations dominate: topic 0 rows identical to m1's
+    base0 = {(r["term"], round(r["score"], 9)) for r in
+             m1.scores_.filter(F.col("topic") == 0).collect()}
+    mrg0 = {(r["term"], round(r["score"], 9)) for r in
+            merged.scores_.filter(F.col("topic") == 0).collect()}
+    assert base0 == mrg0
+
+
+def test_hierarchical_topics_facade(documents_df):
+    m = _int_topic_model(documents_df)
+    tree = m.hierarchical_topics().collect()
+    assert len(tree) == 2  # 3 topics -> 2 internal nodes
