@@ -47,6 +47,9 @@ BENCH_QUERIES = [
     "assign_nearest_class",
     "events_hourly",
     "pricing_summary",
+    # round-2 additions (hierarchy tree + outlier re-assignment)
+    "hierarchical_topics",
+    "reduce_outliers_ctfidf",
 ]
 
 

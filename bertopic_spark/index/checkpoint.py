@@ -51,6 +51,45 @@ def _manifest_path(seg_dir: str) -> str:
     return os.path.join(seg_dir, "_MANIFEST.json")
 
 
+def _footer_lineage(seg_dir: str) -> list[dict]:
+    """Per-partition lineage from parquet FOOTERS (pyarrow metadata) — no
+    re-scan of the data. A full read-back count here was a whole extra
+    pass per stage; at 100 TB that pass costs as much as the stage.
+
+    Listing and footer reads go through ``pyarrow.fs`` resolved from the
+    segment URI, so hdfs:// and s3a://-style dirs are walked through the
+    same filesystem Spark wrote to (an os.walk would silently see nothing
+    there and record an empty manifest). Raises if no parquet files are
+    found — an empty manifest is always a bug, never a valid checkpoint.
+    """
+    import pyarrow.parquet as pq
+    from pyarrow import fs as pafs
+
+    if "://" in seg_dir:
+        uri = seg_dir.replace("s3a://", "s3://")  # pyarrow speaks s3://
+        filesystem, root = pafs.FileSystem.from_uri(uri)
+    else:
+        filesystem, root = pafs.LocalFileSystem(), os.path.abspath(seg_dir)
+    infos = filesystem.get_file_info(pafs.FileSelector(root, recursive=True))
+    parts = []
+    for info in infos:
+        if info.type != pafs.FileType.File or not info.path.endswith(".parquet"):
+            continue
+        with filesystem.open_input_file(info.path) as f:
+            n_rows = pq.ParquetFile(f).metadata.num_rows
+        parts.append({
+            "file": os.path.relpath(info.path, root),
+            "rows": n_rows,
+            "bytes": info.size,
+        })
+    if not parts:
+        raise FileNotFoundError(
+            f"no parquet files under {seg_dir!r} — refusing to write an "
+            "empty lineage manifest (wrong filesystem or failed write?)")
+    parts.sort(key=lambda d: d["file"])
+    return parts
+
+
 def write_stage(df: DataFrame, seg_dir: str, stage: str, input_fingerprint: str,
                 metrics: dict | None = None, partition_cols: list[str] | None = None) -> dict:
     """Materialize a stage to parquet + manifest with per-partition lineage."""
@@ -58,23 +97,7 @@ def write_stage(df: DataFrame, seg_dir: str, stage: str, input_fingerprint: str,
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(seg_dir)
-    # Per-partition lineage from parquet FOOTERS (pyarrow metadata) — no
-    # re-scan of the data. A full read-back count here was a whole extra
-    # pass per stage; at 100 TB that pass costs as much as the stage.
-    import pyarrow.parquet as pq
-
-    parts = []
-    for dirpath, _dirs, files in os.walk(seg_dir):
-        for fn in files:
-            if not fn.endswith(".parquet"):
-                continue
-            fpath = os.path.join(dirpath, fn)
-            parts.append({
-                "file": os.path.relpath(fpath, seg_dir),
-                "rows": pq.ParquetFile(fpath).metadata.num_rows,
-                "bytes": os.path.getsize(fpath),
-            })
-    parts.sort(key=lambda d: d["file"])
+    parts = _footer_lineage(seg_dir)
     manifest = {
         "stage": stage,
         "input_fingerprint": input_fingerprint,

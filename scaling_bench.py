@@ -149,11 +149,22 @@ def main() -> None:
     pyzip = make_zip()
     ceiling = raw_cpu_ceiling(LEVELS)
     trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "2"))
+    all_runs: dict[int, list[dict]] = {}
     results = []
     for c in LEVELS:
         runs = [run_level(c, corpus_path, pyzip, warmup_path) for _ in range(trials)]
-        best = max(runs, key=lambda r: r["docs_per_sec"])  # damp neighbor noise
+        all_runs[c] = runs
+        # per-METRIC best-of-trials (damp neighbor noise): the reported
+        # build and query efficiencies each come from their own best
+        # samples — selecting one run by build throughput alone made the
+        # query number an arbitrary sample.
+        best = max(runs, key=lambda r: r["docs_per_sec"])
+        best = dict(best)
         best["trials_docs_per_sec"] = [r["docs_per_sec"] for r in runs]
+        best["trials_queries_per_sec"] = [r.get("queries_per_sec") for r in runs]
+        if any("queries_per_sec" in r for r in runs):
+            best["queries_per_sec"] = max(
+                r["queries_per_sec"] for r in runs if "queries_per_sec" in r)
         results.append(best)
     tp = {r["cpus"]: r["docs_per_sec"] for r in results}
     n, n4 = LEVELS
@@ -172,9 +183,27 @@ def main() -> None:
         qeff = qtp[n4] / ((n4 / n) * qtp[n])
         payload["query_scaling_efficiency"] = round(qeff, 3)
         payload["query_batch"] = results[0].get("query_batch")
+        payload["both_passed"] = bool(eff >= 0.8 and qeff >= 0.8)
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
         json.dump(payload, f, indent=1)
+    # Run history persists ACROSS harness invocations (SCALING.md is
+    # regenerated wholesale, so variance disclosure lives here, appended,
+    # and is rendered into the report from the file — never hand-edited).
+    hist_path = os.path.join(REPO, "BENCH", "scaling_history.jsonl")
+    with open(hist_path, "a") as f:
+        f.write(json.dumps({
+            "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "build_eff": payload["scaling_efficiency"],
+            "query_eff": payload.get("query_scaling_efficiency"),
+            "bandwidth_ceiling": ceiling["bandwidth"]["ceiling_efficiency"],
+            "trials_docs_per_sec": {str(c): [r["docs_per_sec"] for r in rs]
+                                    for c, rs in all_runs.items()},
+            "trials_queries_per_sec": {str(c): [r.get("queries_per_sec") for r in rs]
+                                       for c, rs in all_runs.items()},
+        }) + "\n")
+    with open(hist_path) as f:
+        history = [json.loads(line) for line in f if line.strip()]
     md = [
         "# Scaling efficiency — index build at N vs 4N parallelism",
         "",
@@ -225,10 +254,23 @@ def main() -> None:
         "gets free extra cores for its parquet/shuffle writes; (2) on a real",
         "cluster 4N executors bring 4× memory buses — the resource this VM",
         "shares across all levels — and the build's wide stages (tokenize,",
-        "hash agg, block encode) are exactly the bandwidth-bound ones. The",
-        "query path, which is compute-lean per byte, already scales at",
-        "~0.98 on the same box.",
+        "hash agg, block encode) are exactly the bandwidth-bound ones.",
     ]
+    if "query_scaling_efficiency" in payload:
+        md += [
+            f"This run's query-batch efficiency on the same box: "
+            f"{payload['query_scaling_efficiency']}.",
+        ]
+    md += [
+        "",
+        "## Run-to-run variance (all harness invocations on this box)",
+        "",
+        "| when (UTC) | build eff | query eff | bandwidth ceiling |",
+        "|---|---|---|---|",
+    ]
+    for h in history:
+        md.append(f"| {h['ts']} | {h['build_eff']} | {h.get('query_eff', '—')} "
+                  f"| {h.get('bandwidth_ceiling', '—')} |")
     with open(os.path.join(REPO, "BENCH", "SCALING.md"), "w") as f:
         f.write("\n".join(md) + "\n")
     print(json.dumps(payload))
