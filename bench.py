@@ -121,7 +121,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
-    print(json.dumps({
+    payload = {
         "metric": "bench_suite_total",
         "value": total,
         "unit": "sec",
@@ -130,7 +130,76 @@ def main() -> None:
         "cpus": CPUS,
         "corpus_files": N_FILES,
         **extras,
-    }))
+    }
+    _write_baseline_md(payload)
+    print(json.dumps(payload))
+
+
+def _write_baseline_md(payload: dict) -> None:
+    """BENCH/BASELINE.md — the measured-numbers report the repo-root
+    BASELINE.md points at: absolute throughput/latency plus the two-level
+    scaling evidence (throughput at N and 4N cores + efficiency), pulled
+    from the latest scaling_bench run when present."""
+    repo = os.path.dirname(os.path.abspath(__file__))
+    os.makedirs(os.path.join(repo, "BENCH"), exist_ok=True)
+    md = [
+        "# Measured baseline numbers",
+        "",
+        f"Generated by `bench.py` (sf={payload['sf']}, local[{payload['cpus']}], "
+        f"{payload['corpus_files']}-file code corpus).",
+        "",
+        "## North-rule headline",
+        "",
+        "| metric | value |",
+        "|---|---|",
+        f"| index build throughput | {payload['index_build_docs_per_sec']} docs/sec "
+        f"({payload['index_docs']} docs, {payload['index_postings']} postings) |",
+        f"| BM25 per-query latency p50 / p99 | {payload['bm25_query_p50_sec']} s / "
+        f"{payload['bm25_query_p99_sec']} s (single-query jobs; scheduling-floor bound) |",
+        f"| BM25 batched | {payload['bm25_batch_ms_per_query']} ms/query "
+        f"(40-query batch in one job) |",
+        f"| bench suite total | {payload['value']} s over {len(payload['queries'])} queries |",
+        "",
+        "## Per-query seconds",
+        "",
+        "| query | sec |",
+        "|---|---|",
+    ]
+    for k, v in payload["queries"].items():
+        md.append(f"| {k} | {v} |")
+    scaling_path = os.path.join(repo, "BENCH", "scaling.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            sc = json.load(f)
+        n_lo, n_hi = (lv["cpus"] for lv in sc["levels"])
+        md += [
+            "",
+            "## Scaling (two parallelism levels, same input — N / 4N executor stand-in)",
+            "",
+            "| cores | build docs/sec | query batch q/s |",
+            "|---|---|---|",
+        ]
+        for lv in sc["levels"]:
+            md.append(f"| local[{lv['cpus']}] | {lv['docs_per_sec']} | "
+                      f"{lv.get('queries_per_sec', '—')} |")
+        md += [
+            "",
+            f"- index-build scaling efficiency ({n_lo}→{n_hi} cores): "
+            f"**{sc['scaling_efficiency']}** "
+            f"({'PASS' if sc['passed'] else 'FAIL'} vs ≥ 0.8)",
+        ]
+        if "query_scaling_efficiency" in sc:
+            md.append(
+                f"- query-batch scaling efficiency: **{sc['query_scaling_efficiency']}** "
+                f"({'PASS' if sc['query_scaling_efficiency'] >= 0.8 else 'FAIL'} vs ≥ 0.8)")
+        bw = sc.get("raw_cpu_ceiling", {}).get("bandwidth", {})
+        if bw:
+            md.append(
+                f"- host memory-bandwidth ceiling at the same levels: "
+                f"{bw.get('ceiling_efficiency')} (see BENCH/SCALING.md for "
+                f"methodology, paired trials, and run-to-run variance)")
+    with open(os.path.join(repo, "BENCH", "BASELINE.md"), "w") as f:
+        f.write("\n".join(md) + "\n")
 
 
 if __name__ == "__main__":

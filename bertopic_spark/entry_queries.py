@@ -955,6 +955,75 @@ FROM m{i}""")
     return "".join(parts)
 
 
+KB_DIM = 16
+
+
+def q_keybert_topk(spark, sf_dir):
+    """X6 KeyBERT-inspired re-rank: cosine between deterministic md5 word
+    vectors and the score-weighted topic vector (embedder is the documented
+    hash stand-in; structure = embed → topic vec → cosine re-rank)."""
+    from bertopic_spark.operators.representation import keybert_rerank
+
+    x = _cls_x(spark, sf_dir)
+    topk = top_k_terms(ctfidf(x, ["lang"]), ["lang"], 10).withColumn(
+        "score", _r6(F.col("score")))
+    return keybert_rerank(topk, ["lang"], dim=KB_DIM)
+
+
+SQL_KEYBERT = f"""WITH {_TOKS}, {_XCLS}, {_scores_sql('xcls', 'lang', False, False)},
+cand AS (
+  SELECT lang, term, round(score, 6) AS score FROM (
+    SELECT lang, term, score,
+           row_number() OVER (PARTITION BY lang ORDER BY score DESC, term ASC) AS rn
+    FROM scores) WHERE rn <= 10),
+wv AS (
+  SELECT c.term, d.dim,
+         (CAST(concat('0x', substr(md5(c.term || '_' || CAST(d.dim AS VARCHAR)), 1, 8)) AS BIGINT) % 1000)
+           / CAST(1000.0 AS DOUBLE) - 0.5 AS val
+  FROM (SELECT DISTINCT term FROM cand) c, range(0, {KB_DIM}) d(dim)),
+tv AS (
+  SELECT c.lang, w.dim, sum(c.score * w.val) / sum(c.score) AS tv
+  FROM cand c JOIN wv w USING (term) GROUP BY c.lang, w.dim),
+tn AS (SELECT lang, sqrt(sum(tv * tv)) AS tnorm FROM tv GROUP BY lang),
+pt AS (
+  SELECT c.lang, c.term, sum(w.val * t.tv) AS num, sqrt(sum(w.val * w.val)) AS wnorm
+  FROM cand c JOIN wv w USING (term)
+  JOIN tv t ON t.lang = c.lang AND t.dim = w.dim
+  GROUP BY c.lang, c.term),
+sc AS (SELECT p.lang, p.term, round(p.num / (p.wnorm * tn.tnorm), 6) AS kb_score
+       FROM pt p JOIN tn USING (lang))
+SELECT lang, term, kb_score,
+       CAST(row_number() OVER (PARTITION BY lang ORDER BY kb_score DESC, term ASC) AS BIGINT) AS kb_rank
+FROM sc"""
+
+POS_PATTERN = "^[a-z]{4,}$"
+
+
+def q_pos_filter_topk(spark, sf_dir):
+    """X6 PartOfSpeech analog: regex-pattern filter over candidates, ranks
+    refilled from the surviving (score desc, term asc) order."""
+    from bertopic_spark.operators.representation import pos_pattern_rerank
+
+    x = _cls_x(spark, sf_dir)
+    topk = top_k_terms(ctfidf(x, ["lang"]), ["lang"], 10).withColumn(
+        "score", _r6(F.col("score")))
+    return pos_pattern_rerank(topk, ["lang"], patterns=(POS_PATTERN,), top_n=5)
+
+
+SQL_POS_FILTER = f"""WITH {_TOKS}, {_XCLS}, {_scores_sql('xcls', 'lang', False, False)},
+cand AS (
+  SELECT lang, term, round(score, 6) AS score FROM (
+    SELECT lang, term, score,
+           row_number() OVER (PARTITION BY lang ORDER BY score DESC, term ASC) AS rn
+    FROM scores) WHERE rn <= 10),
+kept AS (SELECT * FROM cand WHERE regexp_matches(term, '{POS_PATTERN}')),
+ranked AS (
+  SELECT lang, term, score,
+         CAST(row_number() OVER (PARTITION BY lang ORDER BY score DESC, term ASC) AS BIGINT) AS pos_rank
+  FROM kept)
+SELECT lang, term, score, pos_rank FROM ranked WHERE pos_rank <= 5"""
+
+
 # ---------------------------------------------------------------------------
 # Distribution / sampling / split / scatter / set ops / seeded idf
 # ---------------------------------------------------------------------------
@@ -984,7 +1053,7 @@ wins AS (
   SELECT doc_id, w,
          unnest(list_slice(ts, w * {DIST_STRIDE} + 1, w * {DIST_STRIDE} + {DIST_WIN})) AS term
   FROM tk, unnest(generate_series(0,
-       greatest(CAST(ceil((len(ts) - {DIST_WIN}) / {DIST_STRIDE}.0) AS BIGINT), 0))) AS g(w)),
+       greatest(CAST(floor((len(ts) - {DIST_WIN}) / {DIST_STRIDE}.0) AS BIGINT), 0))) AS g(w)),
 mass AS (
   SELECT wins.doc_id, s.lang, sum(s.score) AS mass
   FROM wins JOIN scores s USING (term)
@@ -1175,6 +1244,8 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "mmr_topk": (q_mmr_topk, _sql_mmr_topk()),
     "hierarchical_topics": (q_hierarchical_topics, _sql_hierarchical()),
     "reduce_outliers_ctfidf": (q_reduce_outliers, SQL_REDUCE_OUTLIERS),
+    "keybert_topk": (q_keybert_topk, SQL_KEYBERT),
+    "pos_filter_topk": (q_pos_filter_topk, SQL_POS_FILTER),
     "tokenize_doc_counts": (q_tokenize_doc_counts, SQL_TOKENIZE),
     "class_postings": (q_class_postings, SQL_CLASS_POSTINGS),
     "term_stats_default": (_q_term_stats(False), _sql_term_stats(False)),

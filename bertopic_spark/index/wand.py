@@ -79,34 +79,31 @@ def blockmax_topk(
     cand = blocks.join(F.broadcast(qterms), "term").select(
         "query_id", "term", "blk", "max_score", "payload"
     )
+    # cand stays persisted for the returned plan's lifetime (it feeds the
+    # seed pass, the survivor join, and the final decode); callers serving
+    # many batches unpersist via the returned plan's lineage or rebuild.
     cand = cand.persist()
-    try:
-        ub = cand.groupBy("query_id", "blk").agg(F.sum("max_score").alias("ub"))
-        w_ub = Window.partitionBy("query_id").orderBy(F.desc("ub"), F.asc("blk"))
-        seed = ub.withColumn("r", F.row_number().over(w_ub)).filter(F.col("r") <= seed_buckets)
-        seed_scores = _decode_score(
-            cand.join(seed.select("query_id", "blk"), ["query_id", "blk"]), span
-        )
-        w_seed = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-        theta = (
-            seed_scores.withColumn("r", F.row_number().over(w_seed))
-            .filter(F.col("r") == k)
-            .select("query_id", F.col("score").alias("theta"))
-        )
-        survivors = ub.join(theta, "query_id", "left").filter(
-            F.col("theta").isNull() | (F.col("ub") >= F.col("theta"))
-        )
-        final = _decode_score(
-            cand.join(survivors.select("query_id", "blk"), ["query_id", "blk"]), span
-        )
-        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-        return (
-            final.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "doc_id", "score", "rank")
-        )
-    finally:
-        # lazy plans keep the persisted lineage; unpersist after action is
-        # the caller's concern when reusing — here we leave it cached only
-        # within the returned plan's lifetime.
-        pass
+    ub = cand.groupBy("query_id", "blk").agg(F.sum("max_score").alias("ub"))
+    w_ub = Window.partitionBy("query_id").orderBy(F.desc("ub"), F.asc("blk"))
+    seed = ub.withColumn("r", F.row_number().over(w_ub)).filter(F.col("r") <= seed_buckets)
+    seed_scores = _decode_score(
+        cand.join(seed.select("query_id", "blk"), ["query_id", "blk"]), span
+    )
+    w_seed = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    theta = (
+        seed_scores.withColumn("r", F.row_number().over(w_seed))
+        .filter(F.col("r") == k)
+        .select("query_id", F.col("score").alias("theta"))
+    )
+    survivors = ub.join(theta, "query_id", "left").filter(
+        F.col("theta").isNull() | (F.col("ub") >= F.col("theta"))
+    )
+    final = _decode_score(
+        cand.join(survivors.select("query_id", "blk"), ["query_id", "blk"]), span
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        final.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )

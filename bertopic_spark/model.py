@@ -53,6 +53,9 @@ class BERTopicSpark:
         self.scores_: DataFrame | None = None   # c_tf_idf_ analog
         self.stats_: DataFrame | None = None    # idf diag analog
         self.doc_table_: DataFrame | None = None
+        # TopicMapper analog (_bertopic.py:4887-5015): one dict per remap
+        # generation, in application order — per-remap provenance.
+        self.mappings_: list[dict[int, int]] = []
         self._id_col = "doc_id"
         self._text_col = "content"
 
@@ -248,6 +251,7 @@ class BERTopicSpark:
             raise ValueError("merge_topics needs a single class column")
         from bertopic_spark.operators.topics import remap_topics
 
+        self.mappings_.append({int(k): int(v) for k, v in mapping.items()})
         self.doc_terms_ = remap_topics(self.doc_terms_, mapping, self.class_cols[0]).persist()
         x = class_term_counts(self.doc_terms_, self.class_cols)
         self.stats_ = term_stats(x, self.class_cols, self.bm25_weighting).persist()
@@ -265,6 +269,32 @@ class BERTopicSpark:
             self.doc_terms_, self.class_cols[0], nr_topics, self.bm25_weighting)
         return self.merge_topics(mapping)
 
+    # -- remap provenance (TopicMapper analog, _bertopic.py:4887-5015) -------
+
+    def topic_lineage(self) -> DataFrame:
+        """(generation, old_topic, new_topic) — every remap ever applied,
+        in order. Generation 0 is the first merge/reduce."""
+        self._check_fitted()
+        rows = [(g, int(o), int(n))
+                for g, m in enumerate(self.mappings_)
+                for o, n in sorted(m.items())]
+        return self.scores_.sparkSession.createDataFrame(
+            rows, "generation int, old_topic long, new_topic long")
+
+    def get_mappings(self) -> dict[int, int]:
+        """Original topic → current topic, folded across every generation
+        (reference ``TopicMapper.get_mappings``, _bertopic.py:4923)."""
+        origins: set[int] = set()
+        for m in self.mappings_:
+            origins.update(m)
+        out = {}
+        for t in sorted(origins):
+            cur = t
+            for m in self.mappings_:
+                cur = m.get(cur, cur)
+            out[t] = cur
+        return out
+
     # -- persistence (S4/S5: parquet artifacts + json config) ----------------
 
     def save(self, path: str) -> None:
@@ -281,6 +311,8 @@ class BERTopicSpark:
                 "reduce_frequent_words": self.reduce_frequent_words,
                 "top_n_words": self.top_n_words,
                 "id_col": self._id_col, "text_col": self._text_col,
+                "mappings": [{str(k): v for k, v in m.items()}
+                             for m in self.mappings_],
             }, f)
 
     @classmethod
@@ -295,6 +327,8 @@ class BERTopicSpark:
             top_n_words=cfg["top_n_words"],
         )
         m._id_col, m._text_col = cfg["id_col"], cfg["text_col"]
+        m.mappings_ = [{int(k): int(v) for k, v in mm.items()}
+                       for mm in cfg.get("mappings", [])]
         m.scores_ = spark.read.parquet(f"{path}/scores")
         m.stats_ = spark.read.parquet(f"{path}/stats")
         m.doc_terms_ = spark.read.parquet(f"{path}/doc_terms")

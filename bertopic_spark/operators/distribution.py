@@ -20,21 +20,38 @@ from bertopic_spark.tokenizer import with_tokens
 
 def token_windows(df: DataFrame, text_col: str, id_col: str,
                   window: int = 4, stride: int = 1,
-                  mode: str = "ascii_code") -> DataFrame:
+                  mode: str = "ascii_code", padding: bool = False) -> DataFrame:
     """T4: (id, win_id, term) — sliding token windows, JVM expressions only.
 
-    Window w covers tokens [w*stride, w*stride+window). Docs shorter than
-    ``window`` yield one truncated window (reference's padding-free mode).
+    Reference-exact (``_bertopic.py:1318-1351``): window w starts at
+    w·stride; without padding only FULL windows survive (the reference
+    drops partial tails), with ``padding`` every stride start is kept
+    (short tails included) plus the ramp-up prefixes
+    ``tokens[:window−(t−i)·stride]``. Docs shorter than ``window`` always
+    yield one whole-doc window. Empty pad windows are dropped (they join
+    to "" in the reference and contribute no terms either way).
     """
     toks = with_tokens(df.select(id_col, text_col), text_col, mode)
-    n_win = F.greatest(
-        F.ceil((F.size("tokens") - F.lit(window)) / F.lit(stride)) + 1, F.lit(1)
-    ).cast("int")
+    size = F.size("tokens")
+    if padding:
+        n_body = F.when(size < window, F.lit(1)).otherwise(
+            F.ceil(size / F.lit(stride))).cast("int")
+        body = F.transform(F.sequence(F.lit(0), n_body - 1),
+                           lambda w: F.slice("tokens", w * stride + 1, window))
+        t = -(-window // stride) - 1  # ceil(window/stride) - 1
+        pad_lens = [window - (t - i) * stride for i in range(t)]
+        pads = [F.slice("tokens", 1, ln) for ln in pad_lens if ln > 0]
+        wins_expr = body if not pads else F.when(size < window, body).otherwise(
+            F.concat(F.array(*pads), body))
+    else:
+        n_win = F.greatest(
+            (F.floor((size - F.lit(window)) / F.lit(stride)) + 1).cast("int"),
+            F.lit(1))
+        wins_expr = F.transform(F.sequence(F.lit(0), n_win - 1),
+                                lambda w: F.slice("tokens", w * stride + 1, window))
     wins = toks.select(
         F.col(id_col),
-        F.posexplode(F.transform(F.sequence(F.lit(0), n_win - 1),
-                                 lambda w: F.slice("tokens", w * stride + 1, window)))
-        .alias("win_id", "win_tokens"),
+        F.posexplode(wins_expr).alias("win_id", "win_tokens"),
     ).filter(F.size("win_tokens") > 0)
     return wins.select(id_col, "win_id", F.explode("win_tokens").alias("term"))
 
@@ -42,10 +59,11 @@ def token_windows(df: DataFrame, text_col: str, id_col: str,
 def approximate_distribution(df: DataFrame, scores: DataFrame,
                              class_cols: Sequence[str], text_col: str,
                              id_col: str, window: int = 4, stride: int = 1,
-                             mode: str = "ascii_code") -> DataFrame:
+                             mode: str = "ascii_code",
+                             padding: bool = False) -> DataFrame:
     """(id, class..., weight) — per-doc topic distribution, L1-normalized
     (reference sum-normalize at _bertopic.py:1407-1418)."""
-    wt = token_windows(df, text_col, id_col, window, stride, mode)
+    wt = token_windows(df, text_col, id_col, window, stride, mode, padding)
     hit = (
         wt.join(scores.select(*class_cols, "term", "score"), "term")
         .groupBy(id_col, *class_cols)

@@ -142,3 +142,20 @@ def test_hierarchical_topics_facade(documents_df):
     m = _int_topic_model(documents_df)
     tree = m.hierarchical_topics().collect()
     assert len(tree) == 2  # 3 topics -> 2 internal nodes
+
+
+def test_topic_lineage_generations(documents_df, spark, tmp_path):
+    """TopicMapper analog: per-remap provenance folds across generations
+    (reference _bertopic.py:4887-5015) and survives save/load."""
+    m = _int_topic_model(documents_df)
+    m.merge_topics({2: 1})
+    m.merge_topics({1: 0})
+    assert m.get_mappings() == {1: 0, 2: 0}
+    rows = [(r["generation"], r["old_topic"], r["new_topic"])
+            for r in m.topic_lineage().orderBy("generation", "old_topic").collect()]
+    assert rows == [(0, 2, 1), (1, 1, 0)]
+    p = str(tmp_path / "lineage_model")
+    m.save(p)
+    m2 = BERTopicSpark.load(spark, p)
+    assert m2.get_mappings() == {1: 0, 2: 0}
+    assert m2.mappings_ == [{2: 1}, {1: 0}]
