@@ -423,6 +423,44 @@ hx AS (SELECT doc_id, tf, CAST(concat('0x', substr(md5(term), 1, 15)) AS BIGINT)
 SELECT doc_id, CAST({bit_cases} AS BIGINT) AS simhash FROM hx GROUP BY doc_id"""
 
 
+SIMHASH_PAIR_BITS, SIMHASH_PAIR_BANDS, SIMHASH_PAIR_MAXHAM = 48, 4, 3
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """Banded SimHash near-dup pairs — the scale path (candidates share a
+    band; pigeonhole guarantees recall for hamming < bands)."""
+    from bertopic_spark.operators.dedup import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(
+        _docs(spark, sf_dir), "text", "doc_id",
+        SIMHASH_PAIR_BITS, SIMHASH_PAIR_BANDS, SIMHASH_PAIR_MAXHAM, MODE)
+
+
+def _sql_simhash_pairs(bits: int = SIMHASH_PAIR_BITS,
+                       bands: int = SIMHASH_PAIR_BANDS,
+                       max_hamming: int = SIMHASH_PAIR_MAXHAM) -> str:
+    width = bits // bands
+    mask = (1 << width) - 1
+    bit_cases = " + ".join(
+        f"CASE WHEN sum(CASE WHEN (h >> {j}) & 1 = 1 THEN tf ELSE -tf END) > 0 "
+        f"THEN {1 << j} ELSE 0 END"
+        for j in range(bits)
+    )
+    return f"""WITH
+tk AS (SELECT doc_id, unnest({duckdb_tokens_sql('text', MODE)}) AS term FROM documents),
+x AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tk GROUP BY doc_id, term),
+hx AS (SELECT doc_id, tf, CAST(concat('0x', substr(md5(term), 1, 15)) AS BIGINT) AS h FROM x),
+sig AS (SELECT doc_id, CAST({bit_cases} AS BIGINT) AS simhash FROM hx GROUP BY doc_id),
+bnd AS (SELECT doc_id, simhash, b.band, (simhash >> CAST(b.band * {width} AS INT)) & {mask} AS key
+        FROM sig, range(0, {bands}) b(band)),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b,
+                a.simhash AS sa, bb.simhash AS sb
+         FROM bnd a JOIN bnd bb
+           ON a.band = bb.band AND a.key = bb.key AND a.doc_id < bb.doc_id)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}"""
+
+
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 
 
@@ -473,6 +511,52 @@ def q_ann_lsh_topk(spark, sf_dir):
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return lsh_cosine_topk(emb, ANN_QUERY_IDS, k=10, n_bits=8)
+
+
+RPLSH_PLANES, RPLSH_SEED = 8, 42
+
+
+def q_ann_rplsh_topk(spark, sf_dir):
+    """Random-hyperplane sign-LSH cosine top-10: real seeded hyperplanes
+    (md5-derived coefficients, cross-engine) instead of leading-dim signs."""
+    from bertopic_spark.operators.similarity import rplsh_cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return rplsh_cosine_topk(emb, ANN_QUERY_IDS, k=10,
+                             n_planes=RPLSH_PLANES, seed=RPLSH_SEED)
+
+
+def _sql_ann_rplsh(topk: int = 10, n_planes: int = RPLSH_PLANES,
+                   seed: int = RPLSH_SEED) -> str:
+    ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    return f"""WITH {_SQL_COS_CORE},
+coeff AS (
+  SELECT p.plane, d.dim,
+         (CAST(concat('0x', substr(md5(concat('{seed}_', CAST(p.plane AS VARCHAR), '_', CAST(d.dim AS VARCHAR))), 1, 8)) AS BIGINT) % 1000)
+           / CAST(1000.0 AS DOUBLE) - 0.5 AS c
+  FROM range(0, {n_planes}) p(plane), (SELECT DISTINCT dim FROM v) d),
+ps AS (SELECT v.vec_id, c.plane, sum(v.val * c.c) AS s
+       FROM v JOIN coeff c USING (dim) GROUP BY v.vec_id, c.plane),
+rbuckets AS (
+  SELECT vec_id, CAST(sum(CASE WHEN s > 0 THEN 1 << plane ELSE 0 END) AS BIGINT) AS bucket
+  FROM ps GROUP BY vec_id),
+dots AS (
+  SELECT q.vec_id AS query_vec_id, d.vec_id AS vec_id, sum(q.val * d.val) AS dot
+  FROM v q JOIN v d ON q.dim = d.dim
+  JOIN rbuckets ba ON ba.vec_id = d.vec_id
+  JOIN rbuckets bq ON bq.vec_id = q.vec_id AND ba.bucket = bq.bucket
+  WHERE q.vec_id IN ({ids}) AND d.vec_id != q.vec_id
+  GROUP BY q.vec_id, d.vec_id),
+sims AS (
+  SELECT query_vec_id, dots.vec_id AS vec_id, dot / (nq.nrm * nd.nrm) AS cos
+  FROM dots JOIN norms nq ON nq.vec_id = query_vec_id
+            JOIN norms nd ON nd.vec_id = dots.vec_id),
+ranked AS (
+  SELECT query_vec_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_vec_id ORDER BY cos DESC, vec_id ASC) AS rn
+  FROM sims)
+SELECT query_vec_id, vec_id, round(cos, 6) AS cos, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= {topk}"""
 
 
 def q_class_centroids(spark, sf_dir):
@@ -1264,6 +1348,8 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "dedup_simhash": (q_simhash, _sql_simhash(16)),
     "ann_cosine_topk": (q_ann_cosine_topk, _sql_ann(10, False)),
     "ann_lsh_topk": (q_ann_lsh_topk, _sql_ann(10, True)),
+    "ann_rplsh_topk": (q_ann_rplsh_topk, _sql_ann_rplsh()),
+    "dedup_simhash_pairs": (q_simhash_pairs, _sql_simhash_pairs()),
     "class_centroids": (q_class_centroids, SQL_CLASS_CENTROIDS),
     "token_stats": (q_token_stats, _sql_token_stats()),
     "quality_score": (q_quality_score, _sql_quality_score()),

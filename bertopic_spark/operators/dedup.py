@@ -178,6 +178,61 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16,
     return agg.select(F.col(id_col), sig.cast("long").alias("simhash"))
 
 
+def simhash_neardup_pairs(df: DataFrame, text_col: str, id_col: str,
+                          bits: int = 48, bands: int = 4,
+                          max_hamming: int = 3,
+                          mode: str = "ascii_code") -> DataFrame:
+    """(id_a, id_b, hamming) — near-dup pairs by banded SimHash.
+
+    The scale path for simhash dedup: a single B-bit key gives ~N/2^B docs
+    per bucket (huge at 10⁹ docs for small B, zero recall for large B).
+    Banding splits the B-bit signature into ``bands`` tables of B/bands
+    bits; any pair within Hamming distance < bands shares ≥1 band
+    (pigeonhole), so candidate generation is ``bands`` groupBys on short
+    keys and verification XOR+popcounts only bucket-mates. All JVM
+    expressions (shiftright / bitwiseAND / bit_count), no Python.
+    """
+    if bits % bands:
+        raise ValueError("bits must divide evenly into bands")
+    if bits > 63:
+        raise ValueError("bits must fit a signed 64-bit key (≤ 63)")
+    if max_hamming >= bands:
+        raise ValueError(
+            "banded candidates only guarantee recall for hamming < bands; "
+            "raise bands or lower max_hamming")
+    sig = simhash(df, text_col, id_col, bits, mode)
+    width = bits // bands
+    mask = (1 << width) - 1
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask)).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    exploded = sig.select(
+        F.col(id_col), F.col("simhash"),
+        F.explode(F.array(*band_cols)).alias("bk"),
+    ).select(id_col, "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = exploded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"),
+                        "band", "key")
+    b = exploded.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"),
+                        "band", "key")
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def embedding_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
                             vec_col: str = "embedding",
                             threshold: float = 0.95) -> DataFrame:

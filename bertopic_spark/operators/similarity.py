@@ -72,6 +72,80 @@ def sign_bucket_expr(vec: Column, n_bits: int = 8) -> Column:
     return bucket.cast("long")
 
 
+def random_hyperplane_buckets(emb: DataFrame, n_planes: int = 8, seed: int = 42,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding") -> DataFrame:
+    """(id, bucket): real sign-LSH — bucket bit p = sign of ⟨v, h_p⟩ with
+    seeded pseudo-random hyperplanes h_p[d] ∈ [−0.5, 0.5) derived from
+    md5(seed_p_d) (bit-identical in DuckDB, so the bucketed ANN keeps a
+    cross-engine oracle — unlike library RNG hyperplanes).
+
+    Long-form plan: posexplode dims → broadcast-join the (plane, dim)
+    coefficient table (n_planes × dim rows — tiny) → (id, plane) agg →
+    (id) agg. Two narrow-keyed shuffles on id; no UDFs, any vector dim.
+    """
+    ex = emb.select(
+        F.col(id_col),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "val"))
+    spark = emb.sparkSession
+    planes = (
+        ex.select("dim").distinct()
+        .crossJoin(spark.range(n_planes).select(F.col("id").cast("int").alias("plane")))
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("_", F.lit(seed), F.col("plane"), F.col("dim"))), 1, 8),
+        16, 10,
+    ).cast("long")
+    coeff = planes.withColumn("c", (h % 1000) / F.lit(1000.0) - 0.5)
+    plane_scores = (
+        ex.join(F.broadcast(coeff), "dim")
+        .groupBy(id_col, "plane")
+        .agg(F.sum(F.col("val") * F.col("c")).alias("s"))
+    )
+    # pyspark's shiftleft() only takes an int literal for numBits; the SQL
+    # form accepts a column expression
+    bit = F.expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), plane) "
+                 "ELSE CAST(0 AS BIGINT) END")
+    return plane_scores.groupBy(id_col).agg(F.sum(bit).cast("long").alias("bucket"))
+
+
+def rplsh_cosine_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k restricted to the query's random-hyperplane
+    bucket — `lsh_cosine_topk` with real hyperplanes instead of the
+    leading-dims stand-in. Same output shape; bucket is a partition key at
+    scale, so each probe touches one partition."""
+    buckets = random_hyperplane_buckets(emb, n_planes, seed, id_col, vec_col)
+    base = emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    ).join(buckets, id_col)
+    q = base.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_vec_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    pairs = base.join(
+        F.broadcast(q), F.col("bucket") == F.col("qbucket")
+    ).filter(F.col(id_col) != F.col("query_vec_id"))
+    scored = pairs.select(
+        "query_vec_id", id_col, cosine_expr(F.col("qv"), F.col("v")).alias("cos")
+    )
+    w = Window.partitionBy("query_vec_id").orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select("query_vec_id", id_col, F.round("cos", 6).alias("cos"), "rn")
+    )
+
+
 def lsh_cosine_topk(
     emb: DataFrame,
     query_ids: list[int],
