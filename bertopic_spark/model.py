@@ -56,6 +56,8 @@ class BERTopicSpark:
         # TopicMapper analog (_bertopic.py:4887-5015): one dict per remap
         # generation, in application order — per-remap provenance.
         self.mappings_: list[dict[int, int]] = []
+        self.custom_labels_: dict | None = None
+        self._state_x: DataFrame | None = None  # partial_fit decayed counts
         self._id_col = "doc_id"
         self._text_col = "content"
 
@@ -76,6 +78,15 @@ class BERTopicSpark:
             self.reduce_frequent_words, stats=self.stats_,
         ).persist()
         return self
+
+    def fit_transform(self, df: DataFrame, text_col: str = "content",
+                      id_col: str = "doc_id") -> DataFrame:
+        """Reference ``fit_transform`` (`_bertopic.py:395-544`): fit, then
+        return the doc→class assignment relation. With a deterministic
+        grouping key the assignment is a projection of the input — no
+        prediction pass needed (the reference's identity-cluster path)."""
+        self.fit(df, text_col, id_col)
+        return df.select(id_col, *self.class_cols)
 
     def _check_fitted(self):
         if self.scores_ is None:
@@ -101,7 +112,13 @@ class BERTopicSpark:
         sizes = self.doc_terms_.select(*self.class_cols, self._id_col).distinct() \
             .groupBy(*self.class_cols).agg(F.count(F.lit(1)).alias("count"))
         labels = topic_labels(self.get_topics(), self.class_cols)
-        return sizes.join(F.broadcast(labels), self.class_cols, "left")
+        out = sizes.join(F.broadcast(labels), self.class_cols, "left")
+        if self.custom_labels_ and len(self.class_cols) == 1:
+            # reference appends CustomName when set_topic_labels was called
+            m = F.create_map(*[F.lit(x) for kv in self.custom_labels_.items()
+                               for x in kv])
+            out = out.withColumn("custom_label", m[F.col(self.class_cols[0])])
+        return out
 
     def get_topic_freq(self) -> DataFrame:
         self._check_fitted()
@@ -207,6 +224,83 @@ class BERTopicSpark:
             )
         return out
 
+    def approximate_distribution(self, df: DataFrame | None = None,
+                                 window: int = 4, stride: int = 1,
+                                 padding: bool = False) -> DataFrame:
+        """Per-doc topic distribution over sliding token windows scored
+        against the fitted c-TF-IDF (reference ``approximate_distribution``,
+        `_bertopic.py:1204-1429`). ``df`` defaults to the fitted corpus."""
+        self._check_fitted()
+        from bertopic_spark.operators.distribution import approximate_distribution
+
+        return approximate_distribution(
+            df if df is not None else self.doc_table_, self.scores_,
+            self.class_cols, self._text_col, self._id_col,
+            window, stride, self.mode, padding)
+
+    def reduce_outliers(self, strategy: str = "ctfidf",
+                        threshold: float = 0.0, outlier_label: int = -1,
+                        embeddings: DataFrame | None = None,
+                        window: int = 4, stride: int = 1) -> DataFrame:
+        """Re-assign outlier docs to their nearest non-outlier class
+        (reference ``reduce_outliers``, `_bertopic.py:2380-2540`). Returns
+        the full (id, topic) relation; apply it with ``update_topics`` by
+        re-fitting on a corrected doc table if desired."""
+        self._check_fitted()
+        if len(self.class_cols) != 1:
+            raise ValueError("reduce_outliers needs a single class column")
+        from bertopic_spark.operators.outliers import reduce_outliers
+
+        tcol = self.class_cols[0]
+        return reduce_outliers(
+            self.doc_table_.select(self._id_col, tcol, self._text_col),
+            self.scores_.filter(F.col(tcol) != outlier_label),
+            text_col=self._text_col, id_col=self._id_col, topic_col=tcol,
+            strategy=strategy, threshold=threshold, mode=self.mode,
+            outlier_label=outlier_label, window=window, stride=stride,
+            embeddings=embeddings)
+
+    def partial_fit(self, batch: DataFrame, text_col: str | None = None,
+                    id_col: str | None = None, decay: float = 0.0):
+        """Online learning (reference ``partial_fit``, `_bertopic.py:649-795`
+        with OnlineCountVectorizer semantics): merge the batch's class-term
+        counts into the accumulated state (optionally decayed), re-derive
+        stats/scores. First call on an unfitted model behaves like ``fit``.
+
+        State is held as a localCheckpoint-truncated DataFrame so lineage
+        doesn't grow per batch (decay compounds across batches exactly as
+        the reference's OnlineCountVectorizer); on a cluster this is the
+        same shape as a MERGE INTO against a state table (see
+        streaming/incremental.py for the durable variant)."""
+        from bertopic_spark.streaming.incremental import decayed_update
+
+        text_col = text_col or self._text_col
+        id_col = id_col or self._id_col
+        if self.scores_ is None:
+            self.fit(batch, text_col, id_col)
+            self.doc_terms_ = self.doc_terms_.localCheckpoint(eager=True)
+            self._state_x = class_term_counts(self.doc_terms_, self.class_cols) \
+                .withColumn("tf", F.col("tf").cast("double")) \
+                .localCheckpoint(eager=True)
+            return self
+        dt = doc_term_counts(batch, text_col, [*self.class_cols, id_col],
+                             self.mode, self.ngram_range)
+        self.doc_terms_ = self.doc_terms_.unionByName(dt) \
+            .localCheckpoint(eager=True)
+        new = class_term_counts(dt, self.class_cols) \
+            .withColumn("tf", F.col("tf").cast("double"))
+        self._state_x = decayed_update(
+            self._state_x, new, decay, None, self.class_cols,
+        ).localCheckpoint(eager=True)
+        x = self._state_x
+        for d in (self.stats_, self.scores_):
+            if d is not None:
+                d.unpersist()
+        self.stats_ = term_stats(x, self.class_cols, self.bm25_weighting).persist()
+        self.scores_ = ctfidf(x, self.class_cols, self.bm25_weighting,
+                              self.reduce_frequent_words, stats=self.stats_).persist()
+        return self
+
     def hierarchical_topics(self) -> DataFrame:
         """Linkage tree over the fitted class vectors (reference
         `_bertopic.py:1035-1203`; single linkage — see operators.topics)."""
@@ -216,6 +310,118 @@ class BERTopicSpark:
         from bertopic_spark.operators.topics import hierarchical_topics
 
         return hierarchical_topics(self.scores_, self.class_cols[0])
+
+    @staticmethod
+    def get_topic_tree(hier: DataFrame, names: DataFrame | None = None,
+                       tight_layout: bool = False) -> str:
+        """Printable tree from ``hierarchical_topics`` output (reference
+        ``get_topic_tree``, `_bertopic.py:1872-1977`): box-drawing layout,
+        ``■`` marks original leaf topics. ``names`` is an optional tiny
+        (topic, label) relation for leaf names; defaults to the leaf id.
+        The linkage table is k−1 rows by construction — driver-side string
+        building is the right tool."""
+        rows = sorted(hier.collect(), key=lambda r: r["parent_id"])
+        if not rows:
+            return ".\n"
+        label = {}
+        if names is not None:
+            label = {r[0]: str(r[1])[:100] for r in names.collect()}
+        tree = {r["parent_id"]: (r["child_left"], r["child_right"]) for r in rows}
+        n_leaves = min(tree) if tree else 0  # internal ids start at k
+        root = rows[-1]["parent_id"]
+        width = 1 if tight_layout else 4
+        out = [".\n"]
+
+        def walk(node: int, indent: str, is_last: bool, is_root: bool):
+            branch = "" if is_root else ("└─" if is_last else "├─")
+            if node not in tree:  # leaf
+                name = label.get(node, str(node))
+                out.append(f"{indent}{branch}■──{name} ── Topic: {node}\n")
+                return
+            name = label.get(node, str(node))
+            out.append(f"{indent}{branch}{name}\n")
+            left, right = tree[node]
+            ext = "" if is_root else (" " * width if is_last else "│" + " " * (width - 1))
+            walk(left, indent + ext, False, False)
+            walk(right, indent + ext, True, False)
+
+        walk(root, "", True, True)
+        return "".join(out)
+
+    # -- labels (reference topic_labels_/set/generate, _bertopic.py:329,1979,2042)
+
+    def topic_labels_(self) -> dict:
+        """Default labels: '<id>_<w1>_<w2>_<w3>_<w4>' from the top-4 words
+        (reference property at `_bertopic.py:329-348`). Custom labels, when
+        set, win. The labels table is k rows — returned as a dict like the
+        reference."""
+        self._check_fitted()
+        if len(self.class_cols) != 1:
+            raise ValueError("topic_labels_ needs a single class column")
+        from bertopic_spark.operators.topics import topic_labels
+
+        out = {}
+        for r in topic_labels(self.get_topics(), self.class_cols, 4).collect():
+            out[r[0]] = f"{r[0]}_{r[1]}"
+        if self.custom_labels_:
+            out.update(self.custom_labels_)
+        return out
+
+    def set_topic_labels(self, labels: Mapping) -> None:
+        """Reference ``set_topic_labels`` (`_bertopic.py:1979-2040`)."""
+        self._check_fitted()
+        self.custom_labels_ = dict(labels)
+
+    def generate_topic_labels(self, nr_words: int = 3,
+                              topic_prefix: bool = True,
+                              word_length: int | None = None,
+                              separator: str = "_") -> DataFrame:
+        """(class..., label) in a user-defined format (reference
+        ``generate_topic_labels``, `_bertopic.py:2042-2100`): top
+        ``nr_words`` words, each optionally truncated to ``word_length``
+        chars, joined by ``separator`` with an optional topic-id prefix."""
+        self._check_fitted()
+        topk = self.get_topics().filter(F.col("rank") <= nr_words)
+        term = F.col("term")
+        if word_length:
+            term = F.substring(term, 1, word_length)
+        agg = F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rank", term.alias("term")))),
+                lambda s: s["term"],
+            ), separator).alias("label")
+        out = topk.groupBy(*self.class_cols).agg(agg)
+        if topic_prefix:
+            out = out.withColumn(
+                "label",
+                F.concat_ws(separator, *[F.col(c).cast("string")
+                                         for c in self.class_cols], F.col("label")))
+        return out
+
+    def delete_topics(self, topics_to_delete: Sequence[int],
+                      outlier_label: int = -1):
+        """Map deleted topics' docs to the outlier label and drop their
+        representation rows (reference ``delete_topics``,
+        `_bertopic.py:2177-2311`: deleted topics → −1, c-TF-IDF updated).
+        Recorded as a remap generation in ``mappings_``."""
+        self._check_fitted()
+        if len(self.class_cols) != 1:
+            raise ValueError("delete_topics needs a single class column")
+        tcol = self.class_cols[0]
+        self.merge_topics({int(t): outlier_label for t in topics_to_delete})
+        # the outlier class carries no representation (reference zeroes it)
+        self.scores_ = self.scores_.filter(F.col(tcol) != outlier_label).persist()
+        return self
+
+    def get_params(self, deep: bool = False) -> dict:
+        """Reference ``get_params`` (`_bertopic.py:3821`)."""
+        return {
+            "class_cols": list(self.class_cols), "mode": self.mode,
+            "ngram_range": tuple(self.ngram_range),
+            "bm25_weighting": self.bm25_weighting,
+            "reduce_frequent_words": self.reduce_frequent_words,
+            "top_n_words": self.top_n_words,
+        }
 
     # -- maintenance ---------------------------------------------------------
 
@@ -313,6 +519,9 @@ class BERTopicSpark:
                 "id_col": self._id_col, "text_col": self._text_col,
                 "mappings": [{str(k): v for k, v in m.items()}
                              for m in self.mappings_],
+                "custom_labels": (
+                    {str(k): v for k, v in self.custom_labels_.items()}
+                    if self.custom_labels_ else None),
             }, f)
 
     @classmethod
@@ -329,6 +538,14 @@ class BERTopicSpark:
         m._id_col, m._text_col = cfg["id_col"], cfg["text_col"]
         m.mappings_ = [{int(k): int(v) for k, v in mm.items()}
                        for mm in cfg.get("mappings", [])]
+        cl = cfg.get("custom_labels")
+        if cl:
+            def _k(k):
+                try:
+                    return int(k)
+                except ValueError:
+                    return k
+            m.custom_labels_ = {_k(k): v for k, v in cl.items()}
         m.scores_ = spark.read.parquet(f"{path}/scores")
         m.stats_ = spark.read.parquet(f"{path}/stats")
         m.doc_terms_ = spark.read.parquet(f"{path}/doc_terms")

@@ -159,3 +159,113 @@ def test_topic_lineage_generations(documents_df, spark, tmp_path):
     m2 = BERTopicSpark.load(spark, p)
     assert m2.get_mappings() == {1: 0, 2: 0}
     assert m2.mappings_ == [{2: 1}, {1: 0}]
+
+
+def test_fit_transform(documents_df):
+    m = BERTopicSpark(class_cols=["lang"])
+    out = m.fit_transform(documents_df, text_col="text", id_col="doc_id")
+    assert out.count() == documents_df.count()
+    assert set(out.columns) == {"doc_id", "lang"}
+    assert m.scores_ is not None
+
+
+def test_generate_topic_labels_and_topic_labels(model):
+    labs = {r["lang"]: r["label"]
+            for r in model.generate_topic_labels(nr_words=2, separator="-").collect()}
+    for lang, lab in labs.items():
+        assert lab.startswith(f"{lang}-")
+        assert len(lab.split("-")) == 3  # prefix + 2 words
+    short = {r["lang"]: r["label"] for r in model.generate_topic_labels(
+        nr_words=3, topic_prefix=False, word_length=4).collect()}
+    for lab in short.values():
+        assert all(len(w) <= 4 for w in lab.split("_"))
+    d = model.topic_labels_()
+    assert set(d) == set(labs)
+    for lang, lab in d.items():
+        assert lab.startswith(f"{lang}_") and len(lab.split("_")) == 5
+
+
+def test_set_topic_labels_roundtrip(documents_df, spark, tmp_path):
+    m = BERTopicSpark(class_cols=["lang"]).fit(documents_df, "text", "doc_id")
+    m.set_topic_labels({"en": "the english topic"})
+    info = {r["lang"]: r["custom_label"] for r in m.get_topic_info().collect()}
+    assert info["en"] == "the english topic"
+    assert m.topic_labels_()["en"] == "the english topic"
+    p = str(tmp_path / "labelled")
+    m.save(p)
+    loaded = BERTopicSpark.load(spark, p)
+    assert loaded.custom_labels_ == {"en": "the english topic"}
+
+
+def test_delete_topics(documents_df):
+    d = documents_df.withColumn("topic", (F.xxhash64("text") % 4 + 4) % 4)
+    m = BERTopicSpark(class_cols=["topic"]).fit(d, "text", "doc_id")
+    n_docs = d.count()
+    m.delete_topics([2, 3])
+    topics = {r["topic"] for r in m.scores_.select("topic").distinct().collect()}
+    assert topics == {0, 1}
+    # deleted docs live on under the outlier label
+    assigned = m.doc_terms_.select("topic", "doc_id").distinct()
+    assert assigned.count() == n_docs
+    assert {r["topic"] for r in assigned.select("topic").distinct().collect()} == {-1, 0, 1}
+    assert m.mappings_[-1] == {2: -1, 3: -1}
+
+
+def test_approximate_distribution_facade(model):
+    out = model.approximate_distribution(window=3, stride=1).groupBy("doc_id") \
+        .agg(F.round(F.sum("weight"), 6).alias("s")).collect()
+    assert all(abs(r["s"] - 1.0) < 1e-6 for r in out)
+
+
+def test_reduce_outliers_facade(documents_df):
+    d = documents_df.withColumn(
+        "topic", F.when(F.col("doc_id") % 7 == 0, F.lit(-1))
+                  .otherwise((F.xxhash64("text") % 3 + 3) % 3))
+    m = BERTopicSpark(class_cols=["topic"]).fit(d, "text", "doc_id")
+    out = m.reduce_outliers(strategy="ctfidf", threshold=0.0)
+    assert out.count() == d.count()
+    before = d.filter(F.col("topic") == -1).count()
+    after = out.filter(F.col("topic") == -1).count()
+    assert after < before
+
+
+def test_partial_fit_matches_one_shot(documents_df):
+    one = BERTopicSpark(class_cols=["lang"]).fit(documents_df, "text", "doc_id")
+    inc = BERTopicSpark(class_cols=["lang"])
+    for i in range(3):
+        inc.partial_fit(documents_df.filter(F.col("doc_id") % 3 == i),
+                        text_col="text", id_col="doc_id")
+    a = {(r["lang"], r["rank"]): r["term"] for r in one.get_topics().collect()}
+    b = {(r["lang"], r["rank"]): r["term"] for r in inc.get_topics().collect()}
+    assert a == b
+
+
+def test_partial_fit_decay_shrinks_old_mass(documents_df):
+    inc = BERTopicSpark(class_cols=["lang"])
+    inc.partial_fit(documents_df.filter(F.col("doc_id") % 2 == 0),
+                    text_col="text", id_col="doc_id")
+    t0 = inc._state_x.agg(F.sum("tf")).collect()[0][0]
+    inc.partial_fit(documents_df.filter(F.col("doc_id") % 2 == 1),
+                    text_col="text", id_col="doc_id", decay=0.5)
+    t1 = inc._state_x.agg(F.sum("tf")).collect()[0][0]
+    # X <- 0.5*X + X_new exactly: recover new-batch mass and check identity
+    from bertopic_spark.operators.postings import class_term_counts, doc_term_counts
+    new_mass = class_term_counts(
+        doc_term_counts(documents_df.filter(F.col("doc_id") % 2 == 1),
+                        "text", ["lang", "doc_id"], inc.mode), ["lang"]
+    ).agg(F.sum("tf")).collect()[0][0]
+    assert abs(t1 - (0.5 * t0 + new_mass)) < 1e-6 * max(t1, 1.0)
+
+
+def test_get_params(model):
+    p = model.get_params()
+    assert p["class_cols"] == ["lang"] and p["top_n_words"] == 10
+
+
+def test_get_topic_tree(documents_df):
+    m = BERTopicSpark(class_cols=["lang"]).fit(documents_df, "text", "doc_id")
+    hier = m.hierarchical_topics()
+    tree = BERTopicSpark.get_topic_tree(hier)
+    n_leaves = hier.count() + 1
+    assert tree.count("■") == n_leaves
+    assert tree.startswith(".\n")
