@@ -1311,6 +1311,158 @@ sims AS (
 SELECT id_a, id_b, round(cos, 6) AS cos FROM sims WHERE cos >= 0.8"""
 
 
+IVF_NLIST, IVF_NPROBE = 16, 4
+
+
+def q_ivf_ann_topk(spark, sf_dir):
+    """IVF-flat ANN cosine top-10: nlist inverted lists by nearest coarse
+    centroid (deterministic lowest-id seeds), probe the nprobe best lists
+    per query, exact-rerank within them — the third ANN scale path next
+    to the two sign-LSH variants."""
+    from bertopic_spark.operators.similarity import ivf_cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_cosine_topk(emb, ANN_QUERY_IDS, k=10,
+                           nlist=IVF_NLIST, nprobe=IVF_NPROBE, iters=0)
+
+
+def _sql_ivf_ann(topk: int = 10, nlist: int = IVF_NLIST,
+                 nprobe: int = IVF_NPROBE) -> str:
+    ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    return f"""WITH {_SQL_COS_CORE},
+cent AS (SELECT vec_id AS cvid, row_number() OVER (ORDER BY vec_id) AS list_id
+         FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {nlist})),
+cv AS (SELECT c.list_id, v.dim, v.val FROM cent c JOIN v ON v.vec_id = c.cvid),
+cnorm AS (SELECT list_id, sqrt(sum(val * val)) AS nrm FROM cv GROUP BY list_id),
+adots AS (SELECT v.vec_id, cv.list_id, sum(v.val * cv.val) AS dot
+          FROM v JOIN cv ON v.dim = cv.dim GROUP BY v.vec_id, cv.list_id),
+asims AS (SELECT a.vec_id, a.list_id, a.dot / (n.nrm * c.nrm) AS sim
+          FROM adots a JOIN norms n USING (vec_id) JOIN cnorm c USING (list_id)),
+assigned AS (SELECT vec_id, list_id FROM (
+  SELECT vec_id, list_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, list_id ASC) AS rn
+  FROM asims) WHERE rn = 1),
+probes AS (SELECT vec_id AS query_vec_id, list_id FROM (
+  SELECT vec_id, list_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, list_id ASC) AS rn
+  FROM asims WHERE vec_id IN ({ids})) WHERE rn <= {nprobe}),
+dots AS (
+  SELECT q.vec_id AS query_vec_id, d.vec_id AS vec_id, sum(q.val * d.val) AS dot
+  FROM v q JOIN v d ON q.dim = d.dim
+  JOIN assigned ad ON ad.vec_id = d.vec_id
+  JOIN probes p ON p.query_vec_id = q.vec_id AND p.list_id = ad.list_id
+  WHERE q.vec_id IN ({ids}) AND d.vec_id != q.vec_id
+  GROUP BY q.vec_id, d.vec_id),
+sims AS (
+  SELECT query_vec_id, dots.vec_id AS vec_id, dot / (nq.nrm * nd.nrm) AS cos
+  FROM dots JOIN norms nq ON nq.vec_id = query_vec_id
+            JOIN norms nd ON nd.vec_id = dots.vec_id),
+ranked AS (
+  SELECT query_vec_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_vec_id ORDER BY cos DESC, vec_id ASC) AS rn
+  FROM sims)
+SELECT query_vec_id, vec_id, round(cos, 6) AS cos, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= {topk}"""
+
+
+def q_document_info(spark, sf_dir):
+    """Facade get_document_info: doc-level enrichment join — every doc with
+    class size, label, top-words string, representative flag. Runs through
+    BERTopicSpark itself (fit + get_document_info)."""
+    from bertopic_spark.model import BERTopicSpark
+
+    m = BERTopicSpark(class_cols=["lang"]).fit(
+        _docs(spark, sf_dir), text_col="text", id_col="doc_id")
+    out = m.get_document_info(sample_cap=10**9)
+    return out.select("doc_id", "lang", "count", "label", "top_n_words",
+                      "representative_document")
+
+
+SQL_DOCUMENT_INFO = f"""WITH {_TOKS}, {_XCLS},
+{_stats_sql('xcls', 'lang', False)},
+scores AS (
+  SELECT x.lang, x.term, (x.tf / clen.class_len) * idf.idf AS score
+  FROM xcls x JOIN clen USING (lang) JOIN idf USING (term)),
+ranked AS (
+  SELECT lang, term, row_number() OVER (PARTITION BY lang ORDER BY score DESC, term ASC) AS rn
+  FROM scores),
+labels AS (
+  SELECT lang, string_agg(term, '_' ORDER BY rn) AS label
+  FROM ranked WHERE rn <= 4 GROUP BY lang),
+topw AS (
+  SELECT lang, string_agg(term, ' - ' ORDER BY rn) AS top_n_words
+  FROM ranked WHERE rn <= 10 GROUP BY lang),
+sizes AS (SELECT lang, CAST(count(*) AS BIGINT) AS count FROM documents GROUP BY lang),
+xdl AS (SELECT doc_id, lang, term, CAST(count(*) AS BIGINT) AS tf
+        FROM toks GROUP BY doc_id, lang, term),
+dlen AS (SELECT doc_id, lang, CAST(sum(tf) AS BIGINT) AS doc_len
+         FROM xdl GROUP BY doc_id, lang),
+dsims AS (
+  SELECT d.lang, d.doc_id, sum((d.tf / dl.doc_len) * s.score) AS sim
+  FROM xdl d JOIN dlen dl ON dl.doc_id = d.doc_id AND dl.lang = d.lang
+             JOIN scores s ON s.lang = d.lang AND s.term = d.term
+  GROUP BY d.lang, d.doc_id),
+reps AS (SELECT lang, doc_id FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY sim DESC, doc_id ASC) AS rank
+  FROM dsims) WHERE rank <= 3)
+SELECT d.doc_id, d.lang, sizes.count, labels.label, topw.top_n_words,
+       (reps.doc_id IS NOT NULL) AS representative_document
+FROM documents d
+JOIN sizes USING (lang) JOIN labels USING (lang) JOIN topw USING (lang)
+LEFT JOIN reps ON reps.lang = d.lang AND reps.doc_id = d.doc_id"""
+
+
+def q_generated_labels(spark, sf_dir):
+    """Facade generate_topic_labels: top-3 words, 5-char truncation,
+    '_'-separated with class prefix (reference `_bertopic.py:2042-2100`)."""
+    from bertopic_spark.model import BERTopicSpark
+
+    m = BERTopicSpark(class_cols=["lang"]).fit(
+        _docs(spark, sf_dir), text_col="text", id_col="doc_id")
+    return m.generate_topic_labels(nr_words=3, topic_prefix=True,
+                                   word_length=5, separator="_")
+
+
+SQL_GENERATED_LABELS = f"""WITH {_TOKS}, {_XCLS},
+{_stats_sql('xcls', 'lang', False)},
+scores AS (
+  SELECT x.lang, x.term, (x.tf / clen.class_len) * idf.idf AS score
+  FROM xcls x JOIN clen USING (lang) JOIN idf USING (term)),
+ranked AS (
+  SELECT lang, term, row_number() OVER (PARTITION BY lang ORDER BY score DESC, term ASC) AS rn
+  FROM scores)
+SELECT lang, concat(lang, '_', string_agg(substr(term, 1, 5), '_' ORDER BY rn)) AS label
+FROM ranked WHERE rn <= 3 GROUP BY lang"""
+
+
+def q_topic_sim_matrix(spark, sf_dir):
+    """Pairwise class-vector cosine similarity — the data relation behind
+    the reference's ``visualize_heatmap`` (`_bertopic.py:3301-3360`;
+    plotting itself is out of scope, the matrix is the engine's job).
+    Output: (lang_a, lang_b, sim) for lang_a < lang_b."""
+    from bertopic_spark.operators.topics import class_pair_distances
+
+    s = ctfidf(_cls_x(spark, sf_dir), ["lang"])
+    return class_pair_distances(s, "lang").select(
+        F.col("_ca").alias("lang_a"), F.col("_cb").alias("lang_b"),
+        _r6(F.lit(1.0) - F.col("dist")).alias("sim"))
+
+
+SQL_TOPIC_SIM_MATRIX = f"""WITH {_TOKS}, {_XCLS},
+{_stats_sql('xcls', 'lang', False)},
+scores AS (
+  SELECT x.lang, x.term, (x.tf / clen.class_len) * idf.idf AS score
+  FROM xcls x JOIN clen USING (lang) JOIN idf USING (term)),
+l2 AS (SELECT lang, sqrt(sum(score * score)) AS nrm FROM scores GROUP BY lang),
+nrmd AS (SELECT s.lang, s.term, s.score / l2.nrm AS v FROM scores s JOIN l2 USING (lang)),
+pairs AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b, sum(a.v * b.v) AS cos
+  FROM nrmd a JOIN nrmd b ON a.term = b.term AND a.lang < b.lang
+  GROUP BY a.lang, b.lang)
+SELECT lang_a, lang_b, round(1.0 - round(1.0 - cos, 6), 6) AS sim FROM pairs"""
+
+
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "approx_distribution": (q_approx_distribution, SQL_APPROX_DISTRIBUTION),
     "seeded_sample": (q_seeded_sample, SQL_SEEDED_SAMPLE),
@@ -1355,4 +1507,8 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "quality_score": (q_quality_score, _sql_quality_score()),
     "doc_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "assign_nearest_class": (q_assign_nearest_class, SQL_ASSIGN_NEAREST),
+    "ivf_ann_topk": (q_ivf_ann_topk, _sql_ivf_ann()),
+    "document_info": (q_document_info, SQL_DOCUMENT_INFO),
+    "generated_labels": (q_generated_labels, SQL_GENERATED_LABELS),
+    "topic_sim_matrix": (q_topic_sim_matrix, SQL_TOPIC_SIM_MATRIX),
 }

@@ -185,14 +185,17 @@ class BERTopicSpark:
             s = evo(s, ts_col, self.class_cols)
         return top_k_terms(s, [ts_col, *self.class_cols], k or self.top_n_words)
 
-    def get_representative_docs(self, n_docs: int = 3) -> DataFrame:
+    def get_representative_docs(self, n_docs: int = 3,
+                                sample_cap: int = 500) -> DataFrame:
         self._check_fitted()
         from bertopic_spark.operators.topics import representative_docs
 
         return representative_docs(self.doc_terms_, self.scores_,
-                                   self.class_cols, self._id_col, n_docs)
+                                   self.class_cols, self._id_col, n_docs,
+                                   sample_cap=sample_cap)
 
-    def get_document_info(self, include_representative: bool = True) -> DataFrame:
+    def get_document_info(self, include_representative: bool = True,
+                          sample_cap: int = 500) -> DataFrame:
         """Doc-level enrichment join (reference ``get_document_info``,
         `_bertopic.py:1734-1800`): every doc with its class size, label,
         top-words string, and representative-document flag. All dimension
@@ -214,7 +217,7 @@ class BERTopicSpark:
             .join(F.broadcast(topw), self.class_cols, "left")
         )
         if include_representative:
-            rep = self.get_representative_docs().select(
+            rep = self.get_representative_docs(sample_cap=sample_cap).select(
                 *self.class_cols, self._id_col, F.lit(True).alias("_rep"))
             out = (
                 out.join(F.broadcast(rep), [*self.class_cols, self._id_col], "left")

@@ -182,6 +182,101 @@ def lsh_cosine_topk(
     )
 
 
+def ivf_centroids(emb: DataFrame, nlist: int = 16, iters: int = 0,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """IVF coarse quantizer: (list_id, cv). Seeds are the ``nlist``
+    lowest-id vectors (deterministic — production swaps in k-means||
+    init); each Lloyd iteration is one assign + one (list, dim) mean
+    re-agg, i.e. the exact distributed k-means plan. With ``iters=0``
+    the seeds themselves are the centroids, which keeps a cross-engine
+    DuckDB oracle; tests cover ``iters>0`` convergence invariants.
+
+    Centroid table is nlist rows — always broadcast-side."""
+    base = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    # the global window here runs over the nlist-row post-limit relation
+    # (driver-bounded), not the corpus — single-partition by construction
+    cents = (
+        base.orderBy(id_col).limit(nlist)
+        .select(F.row_number().over(Window.orderBy(id_col)).alias("list_id"),
+                F.col("v").alias("cv"))
+    )
+    for _ in range(iters):
+        assigned = ivf_assign(base, cents, id_col)
+        means = (
+            base.join(assigned, id_col)
+            .select("list_id", F.posexplode("v").alias("dim", "val"))
+            .groupBy("list_id", "dim").agg(F.avg("val").alias("m"))
+        )
+        cents = (
+            means.groupBy("list_id")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                lambda s: s["m"]).alias("cv"))
+        )
+    return cents
+
+
+def ivf_assign(base: DataFrame, cents: DataFrame,
+               id_col: str = "vec_id") -> DataFrame:
+    """(id, list_id): nearest centroid by cosine (ties → lowest list_id).
+    base: (id, v). The nlist-row centroid table broadcasts; the corpus
+    streams — one narrow window per vector, no corpus shuffle."""
+    scored = base.crossJoin(F.broadcast(cents)).select(
+        id_col, "list_id", cosine_expr(F.col("v"), F.col("cv")).alias("_sim"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("list_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1).select(id_col, "list_id")
+    )
+
+
+def ivf_cosine_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat ANN: partition the corpus into ``nlist`` inverted lists by
+    nearest coarse centroid, probe the ``nprobe`` lists nearest each query,
+    exact-rerank only those lists. Same output shape as ``cosine_topk``;
+    at scale ``list_id`` is the partition key, so each query touches
+    nprobe/nlist of the corpus instead of all of it (the third scale path
+    next to the two sign-LSH variants — recall degrades gracefully with
+    nprobe, measured in tests)."""
+    base = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    cents = ivf_centroids(emb, nlist, iters, id_col, vec_col)
+    lists = ivf_assign(base, cents, id_col)
+    q = base.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_vec_id"), F.col("v").alias("qv"))
+    # probe lists: nprobe best centroids per query (q × nlist — tiny)
+    wq = Window.partitionBy("query_vec_id").orderBy(
+        F.desc("_sim"), F.asc("list_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select("query_vec_id", "qv", "list_id",
+                cosine_expr(F.col("qv"), F.col("cv")).alias("_sim"))
+        .withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_vec_id", "qv", "list_id")
+    )
+    cand = base.join(lists, id_col).join(
+        F.broadcast(probes), "list_id"
+    ).filter(F.col(id_col) != F.col("query_vec_id"))
+    scored = cand.select(
+        "query_vec_id", id_col, cosine_expr(F.col("qv"), F.col("v")).alias("cos"))
+    w = Window.partitionBy("query_vec_id").orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select("query_vec_id", id_col, F.round("cos", 6).alias("cos"), "rn")
+    )
+
+
 def class_centroids(emb: DataFrame, label_col: str = "label",
                     vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """A7: per-group mean vector (topic embeddings, _bertopic.py:4334-4343).

@@ -68,3 +68,59 @@ def test_rplsh_buckets_and_scores(spark):
             F.round(cosine_expr(F.col("v"), F.col("w")), 6).alias("c")
         ).collect()[0]["c"]
         assert exact == pytest.approx(pair["cos"], abs=1e-6)
+
+
+def test_ivf_topk_invariants(spark):
+    """IVF probes a subset of lists; scores must be true cosines, results
+    must come only from probed lists, and nprobe=nlist must equal exact
+    brute force (probing everything = no approximation)."""
+    from bertopic_spark.operators.similarity import (cosine_topk, ivf_assign,
+                                                     ivf_centroids,
+                                                     ivf_cosine_topk)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = [0, 1, 2, 3, 4]
+    exact = {(r["query_vec_id"], r["rn"]): r["vec_id"]
+             for r in cosine_topk(emb, qids, k=5).collect()}
+    full = {(r["query_vec_id"], r["rn"]): r["vec_id"]
+            for r in ivf_cosine_topk(emb, qids, k=5, nlist=8, nprobe=8).collect()}
+    assert full == exact
+
+    approx = ivf_cosine_topk(emb, qids, k=5, nlist=8, nprobe=2).collect()
+    base = emb.select(F.col("vec_id"),
+                      F.col("embedding").cast("array<double>").alias("v"))
+    lists = {r["vec_id"]: r["list_id"] for r in
+             ivf_assign(base, ivf_centroids(emb, nlist=8)).collect()}
+    n_lists_hit = {}
+    for r in approx:
+        n_lists_hit.setdefault(r["query_vec_id"], set()).add(lists[r["vec_id"]])
+    assert all(len(v) <= 2 for v in n_lists_hit.values())
+    # recall vs exact at same k: not required to be 1, but results are a
+    # subset of the corpus and scores are exact cosines where they overlap
+    ex_scores = {(r["query_vec_id"], r["vec_id"]): r["cos"]
+                 for r in cosine_topk(emb, qids, k=10**6).collect()}
+    for r in approx:
+        assert r["cos"] == pytest.approx(
+            ex_scores[(r["query_vec_id"], r["vec_id"])], abs=1e-6)
+
+
+def test_ivf_lloyd_iteration_converges(spark):
+    """One Lloyd iteration must not increase k-means cost (mean distance
+    to assigned centroid measured by cosine similarity must not drop)."""
+    from bertopic_spark.operators.similarity import (cosine_expr, ivf_assign,
+                                                     ivf_centroids)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.select(F.col("vec_id"),
+                      F.col("embedding").cast("array<double>").alias("v"))
+
+    def mean_sim(cents):
+        a = ivf_assign(base, cents)
+        return (base.join(a, "vec_id")
+                .join(cents, "list_id")
+                .select(cosine_expr(F.col("v"), F.col("cv")).alias("s"))
+                .agg(F.avg("s")).collect()[0][0])
+
+    s0 = mean_sim(ivf_centroids(emb, nlist=8, iters=0))
+    s1 = mean_sim(ivf_centroids(emb, nlist=8, iters=1))
+    assert s1 >= s0 - 1e-9
