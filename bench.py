@@ -58,6 +58,30 @@ def _run(df) -> int:
     return df.write.format("noop").mode("overwrite").save() or 0
 
 
+def _spin(_):
+    x = 0
+    for i in range(20_000_000):
+        x += i * i
+    return x
+
+
+def _host_calibration(cpus: int) -> dict:
+    """Single-core and all-core ALU throughput (tasks/sec) measured right
+    before the suite. The sandbox is a shared VM whose effective speed
+    swings 2-4x run-to-run (observed 24.8s -> 67.6s for the identical
+    cold index build within 15 minutes); absolute numbers across rounds
+    are only comparable after dividing by this calibration."""
+    import multiprocessing as mp
+
+    out = {}
+    for w in (1, cpus):
+        t0 = time.perf_counter()
+        with mp.Pool(w) as pool:
+            pool.map(_spin, range(w))
+        out[f"host_spin_{w}w_tasks_per_sec"] = round(w / (time.perf_counter() - t0), 3)
+    return out
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -66,10 +90,10 @@ def main() -> None:
     from bertopic_spark.operators.bm25 import bm25_topk, doc_scores, queries_df, query_terms
     from bertopic_spark.session import get_spark
 
+    extras: dict[str, object] = dict(_host_calibration(CPUS))
     spark = get_spark("bench", cpus=CPUS, shuffle_partitions=max(CPUS, 32))
     spark.sparkContext.setLogLevel("ERROR")
     timings: dict[str, float] = {}
-    extras: dict[str, object] = {}
 
     qs = entry.queries()
     for name in BENCH_QUERIES:
@@ -159,6 +183,11 @@ def _write_baseline_md(payload: dict) -> None:
         f"| BM25 batched | {payload['bm25_batch_ms_per_query']} ms/query "
         f"(40-query batch in one job) |",
         f"| bench suite total | {payload['value']} s over {len(payload['queries'])} queries |",
+        "| host ALU calibration (1 worker / all workers) | "
+        + f"{payload.get('host_spin_1w_tasks_per_sec', '—')} / "
+        + f"{payload.get('host_spin_%dw_tasks_per_sec' % payload['cpus'], '—')} "
+        + "tasks/sec — shared-VM speed swings 2-4x run-to-run; divide by this "
+        + "before comparing rounds |",
         "",
         "## Per-query seconds",
         "",

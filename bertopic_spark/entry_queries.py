@@ -1463,6 +1463,84 @@ pairs AS (
 SELECT lang_a, lang_b, round(1.0 - round(1.0 - cos, 6), 6) AS sim FROM pairs"""
 
 
+def q_merge_models_sizes(spark, sf_dir):
+    """J8 cross-model merge (reference ``merge_models``,
+    `_bertopic.py:3590-3729`): fit two models on disjoint corpus halves
+    (the second with shifted topic ids), align the second model's topics
+    onto the first by c-TF-IDF cosine (≥ 0.7 → merge, else append with a
+    fresh id), return merged topic sizes."""
+    from bertopic_spark.model import BERTopicSpark
+
+    d = _docs_with_topic(spark, sf_dir)
+    a_docs = d.filter(F.col("doc_id") % 2 == 0)
+    b_docs = d.filter(F.col("doc_id") % 2 == 1) \
+        .withColumn("topic", F.col("topic") + 10)
+    ma = BERTopicSpark(class_cols=["topic"]).fit(a_docs, "text", "doc_id")
+    mb = BERTopicSpark(class_cols=["topic"]).fit(b_docs, "text", "doc_id")
+    merged = BERTopicSpark.merge_models([ma, mb], min_similarity=0.7)
+    return (
+        merged.doc_terms_.select("topic", "doc_id").distinct()
+        .groupBy("topic").agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def _sql_merge_models(min_sim: float = 0.7) -> str:
+    return f"""WITH
+docs2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN ({_SQL_TOPIC_CASE})
+              ELSE ({_SQL_TOPIC_CASE}) + 10 END AS topic,
+         text
+  FROM documents),
+toks AS (SELECT doc_id, topic, unnest({duckdb_tokens_sql('text', MODE)}) AS term FROM docs2),
+xall AS (SELECT topic, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY topic, term),
+xa AS (SELECT * FROM xall WHERE topic < 10),
+xb AS (SELECT * FROM xall WHERE topic >= 10),
+-- model A: stats over A's corpus only (separate fit)
+aclen AS (SELECT topic, CAST(sum(tf) AS BIGINT) AS class_len FROM xa GROUP BY topic),
+aavg AS (SELECT CAST(floor(avg(class_len)) AS BIGINT) AS a FROM aclen),
+adf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS df FROM xa GROUP BY term),
+aidf AS (SELECT term, ln(a / df + 1.0) AS idf FROM adf CROSS JOIN aavg),
+ascores AS (
+  SELECT x.topic, x.term, (x.tf / c.class_len) * i.idf AS score
+  FROM xa x JOIN aclen c USING (topic) JOIN aidf i USING (term)),
+-- model B: its own stats
+bclen AS (SELECT topic, CAST(sum(tf) AS BIGINT) AS class_len FROM xb GROUP BY topic),
+bavg AS (SELECT CAST(floor(avg(class_len)) AS BIGINT) AS a FROM bclen),
+bdf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS df FROM xb GROUP BY term),
+bidf AS (SELECT term, ln(a / df + 1.0) AS idf FROM bdf CROSS JOIN bavg),
+bscores AS (
+  SELECT x.topic, x.term, (x.tf / c.class_len) * i.idf AS score
+  FROM xb x JOIN bclen c USING (topic) JOIN bidf i USING (term)),
+-- L2-normalized cosine alignment, rounded 6dp before thresholding
+al2 AS (SELECT topic, sqrt(sum(score * score)) AS nrm FROM ascores GROUP BY topic),
+bl2 AS (SELECT topic, sqrt(sum(score * score)) AS nrm FROM bscores GROUP BY topic),
+an AS (SELECT s.topic, s.term, s.score / l.nrm AS v FROM ascores s JOIN al2 l USING (topic)),
+bn AS (SELECT s.topic, s.term, s.score / l.nrm AS v FROM bscores s JOIN bl2 l USING (topic)),
+sims AS (
+  SELECT b.topic AS bt, a.topic AS at, round(sum(a.v * b.v), 6) AS sim
+  FROM bn b JOIN an a USING (term) GROUP BY b.topic, a.topic),
+best AS (SELECT bt, at, sim FROM (
+  SELECT bt, at, sim, row_number() OVER (PARTITION BY bt ORDER BY sim DESC, at ASC) AS rn
+  FROM sims) WHERE rn = 1),
+btopics AS (SELECT DISTINCT topic AS bt FROM xb),
+amax AS (SELECT max(topic) AS m FROM xa),
+mapping AS (
+  SELECT t.bt,
+         CASE WHEN b.sim >= {min_sim} THEN b.at
+              ELSE (SELECT m FROM amax)
+                   + row_number() OVER (PARTITION BY (CASE WHEN b.sim >= {min_sim} THEN 0 ELSE 1 END)
+                                        ORDER BY t.bt ASC)
+         END AS new_topic,
+         (b.sim >= {min_sim}) AS matched
+  FROM btopics t LEFT JOIN best b USING (bt)),
+assigned AS (
+  SELECT d.doc_id,
+         CASE WHEN d.topic < 10 THEN d.topic ELSE m.new_topic END AS topic
+  FROM docs2 d LEFT JOIN mapping m ON m.bt = d.topic)
+SELECT topic, CAST(count(*) AS BIGINT) AS count FROM assigned GROUP BY topic"""
+
+
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "approx_distribution": (q_approx_distribution, SQL_APPROX_DISTRIBUTION),
     "seeded_sample": (q_seeded_sample, SQL_SEEDED_SAMPLE),
@@ -1511,4 +1589,5 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "document_info": (q_document_info, SQL_DOCUMENT_INFO),
     "generated_labels": (q_generated_labels, SQL_GENERATED_LABELS),
     "topic_sim_matrix": (q_topic_sim_matrix, SQL_TOPIC_SIM_MATRIX),
+    "merge_models_sizes": (q_merge_models_sizes, _sql_merge_models()),
 }
