@@ -33,6 +33,24 @@ from bertopic_spark.operators.ctfidf import ctfidf, term_stats, top_k_terms
 from bertopic_spark.operators.postings import class_term_counts, doc_term_counts
 
 
+def _bin_timestamps(df: DataFrame, ts_col: str, nr_bins: int) -> DataFrame:
+    """Equal-width right-closed binning labelled by left edge — pd.cut
+    semantics (reference ``topics_over_time`` nr_bins path,
+    `_bertopic.py:878-880`): one 1-row min/max agg + a narrow expression.
+    Adds ``<ts_col>_bin``; numeric/epoch columns only."""
+    mn, mx = df.agg(
+        F.min(F.col(ts_col).cast("double")),
+        F.max(F.col(ts_col).cast("double"))).collect()[0]
+    width = (mx - mn) / nr_bins or 1.0
+    x = F.col(ts_col).cast("double")
+    b = F.least(
+        F.greatest(F.ceil((x - F.lit(mn)) / F.lit(width)) - 1, F.lit(0)),
+        F.lit(nr_bins - 1)).cast("long")
+    left = F.when(b == 0, F.lit(mn - (mx - mn) * 0.001)) \
+        .otherwise(F.lit(mn) + b * F.lit(width))
+    return df.withColumn(f"{ts_col}_bin", F.round(left, 6))
+
+
 class BERTopicSpark:
     def __init__(
         self,
@@ -171,11 +189,22 @@ class BERTopicSpark:
         return top_k_terms(s, [*self.class_cols, slice_col], k or self.top_n_words)
 
     def topics_over_time(self, ts_col: str, k: int | None = None,
-                         evolution_tuning: bool = True) -> DataFrame:
+                         evolution_tuning: bool = True,
+                         nr_bins: int | None = None) -> DataFrame:
+        """Per-time-slice topic representations (reference
+        ``topics_over_time``, `_bertopic.py:797-955`). ``nr_bins`` bins a
+        numeric/epoch timestamp column into equal-width right-closed
+        intervals labelled by their left edge — pd.cut semantics
+        (`_bertopic.py:878-880`) — via one 1-row min/max agg + a narrow
+        expression; no collect of the doc table."""
         self._check_fitted()
         from bertopic_spark.operators.topics import evolution_tuning as evo
 
-        dt = doc_term_counts(self.doc_table_, self._text_col,
+        doc_table = self.doc_table_
+        if nr_bins:
+            doc_table = _bin_timestamps(doc_table, ts_col, nr_bins)
+            ts_col = f"{ts_col}_bin"
+        dt = doc_term_counts(doc_table, self._text_col,
                              [*self.class_cols, ts_col, self._id_col],
                              self.mode, self.ngram_range)
         x = class_term_counts(dt, [ts_col, *self.class_cols])

@@ -269,3 +269,28 @@ def test_get_topic_tree(documents_df):
     n_leaves = hier.count() + 1
     assert tree.count("■") == n_leaves
     assert tree.startswith(".\n")
+
+
+def test_topics_over_time_nr_bins_matches_pd_cut(documents_df):
+    """nr_bins binning must reproduce pandas pd.cut bin assignment
+    (reference _bertopic.py:878-880) on a numeric timestamp column."""
+    import pandas as pd
+
+    d = documents_df.withColumn("ts", (F.col("doc_id") * 37 % 1000).cast("double"))
+    m = BERTopicSpark(class_cols=["lang"]).fit(d, "text", "doc_id")
+    out = m.topics_over_time("ts", k=1, nr_bins=4)
+    got_bins = sorted({r["ts_bin"] for r in out.select("ts_bin").distinct().collect()})
+
+    pdf = d.select("doc_id", "ts").toPandas()
+    pdf["bin"] = pd.cut(pdf["ts"], bins=4)
+    want_bins = sorted({round(iv.left, 6) for iv in pdf["bin"].unique()})
+    assert got_bins == want_bins
+    # and every doc lands in the same bin as pd.cut
+    from bertopic_spark.model import _bin_timestamps
+    spark_assign = {r["doc_id"]: r["ts_bin"] for r in
+                    _bin_timestamps(d, "ts", 4)
+                    .select("doc_id", "ts_bin").collect()}
+    pdf["left"] = pdf["bin"].map(lambda iv: round(iv.left, 6))
+    for _, row in pdf.iterrows():
+        assert spark_assign[row["doc_id"]] == row["left"]
+    assert len(got_bins) == 4
