@@ -60,6 +60,8 @@ class BERTopicSpark:
         bm25_weighting: bool = False,
         reduce_frequent_words: bool = False,
         top_n_words: int = 10,
+        seed_words: Sequence[str] | None = None,
+        seed_multiplier: float = 2.0,
     ):
         self.class_cols = list(class_cols)
         self.mode = mode
@@ -67,6 +69,10 @@ class BERTopicSpark:
         self.bm25_weighting = bm25_weighting
         self.reduce_frequent_words = reduce_frequent_words
         self.top_n_words = top_n_words
+        # guided topics (reference seed_topic_list → per-term idf boost,
+        # _ctfidf.py:84-86 driven from _bertopic.py:4433-4446)
+        self.seed_words = list(seed_words) if seed_words else None
+        self.seed_multiplier = seed_multiplier
         self.doc_terms_: DataFrame | None = None
         self.scores_: DataFrame | None = None   # c_tf_idf_ analog
         self.stats_: DataFrame | None = None    # idf diag analog
@@ -90,7 +96,9 @@ class BERTopicSpark:
                              self.mode, self.ngram_range)
         self.doc_terms_ = dt.persist()
         x = class_term_counts(dt, self.class_cols)
-        self.stats_ = term_stats(x, self.class_cols, self.bm25_weighting).persist()
+        self.stats_ = term_stats(x, self.class_cols, self.bm25_weighting,
+                                 seed_words=self.seed_words,
+                                 seed_multiplier=self.seed_multiplier).persist()
         self.scores_ = ctfidf(
             x, self.class_cols, self.bm25_weighting,
             self.reduce_frequent_words, stats=self.stats_,
@@ -328,7 +336,9 @@ class BERTopicSpark:
         for d in (self.stats_, self.scores_):
             if d is not None:
                 d.unpersist()
-        self.stats_ = term_stats(x, self.class_cols, self.bm25_weighting).persist()
+        self.stats_ = term_stats(x, self.class_cols, self.bm25_weighting,
+                                 seed_words=self.seed_words,
+                                 seed_multiplier=self.seed_multiplier).persist()
         self.scores_ = ctfidf(x, self.class_cols, self.bm25_weighting,
                               self.reduce_frequent_words, stats=self.stats_).persist()
         return self
@@ -430,6 +440,28 @@ class BERTopicSpark:
                                          for c in self.class_cols], F.col("label")))
         return out
 
+    def get_topic_aspects(self, aspect: str = "keybert", **kw) -> DataFrame:
+        """Alternative topic representations (the reference's
+        ``topic_aspects_`` filled by the representation_model dict,
+        `_bertopic.py:424-436,4515-4551`): re-rank the main candidates
+        with the named fine-tuner — 'keybert' (cosine to the topic's mean
+        word vector), 'pos' (pattern filter), 'mmr' (diversity)."""
+        self._check_fitted()
+        topk = self.get_topics()
+        if aspect == "keybert":
+            from bertopic_spark.operators.representation import keybert_rerank
+
+            return keybert_rerank(topk, self.class_cols, **kw)
+        if aspect == "pos":
+            from bertopic_spark.operators.representation import pos_pattern_rerank
+
+            return pos_pattern_rerank(topk, self.class_cols, **kw)
+        if aspect == "mmr":
+            from bertopic_spark.operators.topics import mmr_rerank
+
+            return mmr_rerank(topk, self.class_cols, **kw)
+        raise ValueError(f"unknown aspect {aspect!r}: use keybert|pos|mmr")
+
     def delete_topics(self, topics_to_delete: Sequence[int],
                       outlier_label: int = -1):
         """Map deleted topics' docs to the outlier label and drop their
@@ -492,7 +524,9 @@ class BERTopicSpark:
         self.mappings_.append({int(k): int(v) for k, v in mapping.items()})
         self.doc_terms_ = remap_topics(self.doc_terms_, mapping, self.class_cols[0]).persist()
         x = class_term_counts(self.doc_terms_, self.class_cols)
-        self.stats_ = term_stats(x, self.class_cols, self.bm25_weighting).persist()
+        self.stats_ = term_stats(x, self.class_cols, self.bm25_weighting,
+                                 seed_words=self.seed_words,
+                                 seed_multiplier=self.seed_multiplier).persist()
         self.scores_ = ctfidf(x, self.class_cols, self.bm25_weighting,
                               self.reduce_frequent_words, stats=self.stats_).persist()
         return self
@@ -554,6 +588,8 @@ class BERTopicSpark:
                 "custom_labels": (
                     {str(k): v for k, v in self.custom_labels_.items()}
                     if self.custom_labels_ else None),
+                "seed_words": self.seed_words,
+                "seed_multiplier": self.seed_multiplier,
             }, f)
 
     @classmethod
@@ -566,6 +602,8 @@ class BERTopicSpark:
             bm25_weighting=cfg["bm25_weighting"],
             reduce_frequent_words=cfg["reduce_frequent_words"],
             top_n_words=cfg["top_n_words"],
+            seed_words=cfg.get("seed_words"),
+            seed_multiplier=cfg.get("seed_multiplier", 2.0),
         )
         m._id_col, m._text_col = cfg["id_col"], cfg["text_col"]
         m.mappings_ = [{int(k): int(v) for k, v in mm.items()}

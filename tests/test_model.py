@@ -294,3 +294,34 @@ def test_topics_over_time_nr_bins_matches_pd_cut(documents_df):
     for _, row in pdf.iterrows():
         assert spark_assign[row["doc_id"]] == row["left"]
     assert len(got_bins) == 4
+
+
+def test_seed_words_boost(documents_df):
+    """Guided topics: a seeded term's idf doubles, so its score doubles
+    and its rank can only improve (reference seed_topic_list path)."""
+    base = BERTopicSpark(class_cols=["lang"]).fit(documents_df, "text", "doc_id")
+    t = base.get_topics().filter(F.col("rank") == 5).first()
+    seeded = BERTopicSpark(class_cols=["lang"], seed_words=[t["term"]]).fit(
+        documents_df, "text", "doc_id")
+    s_base = base.scores_.filter(
+        (F.col("lang") == t["lang"]) & (F.col("term") == t["term"])
+    ).first()["score"]
+    s_seed = seeded.scores_.filter(
+        (F.col("lang") == t["lang"]) & (F.col("term") == t["term"])
+    ).first()["score"]
+    assert abs(s_seed - 2.0 * s_base) < 1e-12
+    r_seed = seeded.get_topics().filter(
+        (F.col("lang") == t["lang"]) & (F.col("term") == t["term"])
+    ).first()["rank"]
+    assert r_seed <= 5
+
+
+def test_get_topic_aspects(model):
+    for aspect in ("keybert", "pos", "mmr"):
+        out = model.get_topic_aspects(aspect)
+        rows = out.collect()
+        assert rows, aspect
+        langs = {r["lang"] for r in rows}
+        assert len(langs) == 5, aspect
+    with pytest.raises(ValueError):
+        model.get_topic_aspects("nope")
