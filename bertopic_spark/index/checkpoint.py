@@ -153,6 +153,7 @@ class IndexBuild:
     def __init__(self, spark: SparkSession, root: str, span: int = 4096,
                  mode: str = "ascii_code"):
         self.spark, self.root, self.span, self.mode = spark, root, span, mode
+        self.timings: dict[str, float] = {}
         os.makedirs(root, exist_ok=True)
 
     def _dir(self, stage: str) -> str:
@@ -165,6 +166,8 @@ class IndexBuild:
                                                    verify_content_sha)
         from bertopic_spark.operators.bm25 import doc_scores
 
+        self.timings = {}
+        t0 = time.perf_counter()
         # one pass: corpus fingerprint + the sha256 per-row invariant
         if sha_col and sha_col in corpus.columns:
             cols = corpus.columns
@@ -182,22 +185,46 @@ class IndexBuild:
             fp_corpus = f"n{row['n']}_x{row['x1']}_y{row['x2']}"
         else:
             fp_corpus = df_fingerprint(corpus)
+        self.timings["invariant_fingerprint"] = round(time.perf_counter() - t0, 3)
 
+        # Downstream stage fingerprints are DERIVED, not re-scanned: every
+        # stage is a deterministic function of its input + params, so each
+        # stage is gated on fp(stage) = hash(fp(input), stage, params) —
+        # an input change OR a param change for THIS stage flips its own
+        # gate (and, through the chain, every downstream gate) exactly as
+        # a content re-scan would, without paying a full extra pass per
+        # stage — at 100 TB each of those passes costs as much as the
+        # stage itself. Content integrity is covered separately: the
+        # sha256 per-row invariant at the source, and decode-time
+        # structural checks on the blocks.
+        def derive(parent_fp: str, stage: str, params: str) -> str:
+            import hashlib
+
+            return stage[0] + "_" + hashlib.sha256(
+                f"{parent_fp}|{stage}|{params}".encode()).hexdigest()[:24]
+
+        fp_docids = derive(fp_corpus, "docids", "repo,path,commit")
+        t0 = time.perf_counter()
         docids = run_stage(
-            self.spark, self._dir("docids"), "docids", fp_corpus,
+            self.spark, self._dir("docids"), "docids", fp_docids,
             lambda: assign_doc_ids(corpus, ["repo", "path", "commit"]),
         )
-        fp_docids = df_fingerprint(docids, ["doc_id"])
+        self.timings["stage_docids"] = round(time.perf_counter() - t0, 3)
+        fp_postings = derive(fp_docids, "postings", f"mode={self.mode}")
+        t0 = time.perf_counter()
         postings = run_stage(
-            self.spark, self._dir("postings"), "postings", fp_docids,
+            self.spark, self._dir("postings"), "postings", fp_postings,
             lambda: doc_scores(docids, text_col=content_col, id_col="doc_id",
                                mode=self.mode),
         )
-        fp_postings = df_fingerprint(postings, ["term", "doc_id", "tf"])
+        self.timings["stage_postings"] = round(time.perf_counter() - t0, 3)
+        fp_blocks = derive(fp_postings, "blocks", f"span={self.span}")
+        t0 = time.perf_counter()
         blocks = run_stage(
-            self.spark, self._dir("blocks"), "blocks", fp_postings,
+            self.spark, self._dir("blocks"), "blocks", fp_blocks,
             lambda: build_block_index(postings, self.span),
         )
+        self.timings["stage_blocks"] = round(time.perf_counter() - t0, 3)
         return blocks
 
     def status(self) -> dict:

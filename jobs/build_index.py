@@ -67,6 +67,7 @@ def main(argv: list[str] | None = None) -> int:
     t0 = time.perf_counter()
     build = IndexBuild(spark, args.output, span=args.span, mode=args.mode)
     blocks = build.build(corpus)
+    t_seg = time.perf_counter()
     write_index_segments(blocks, f"{args.output}/segments", args.n_buckets)
     dt = time.perf_counter() - t0
     result = {
@@ -74,6 +75,8 @@ def main(argv: list[str] | None = None) -> int:
         "build_sec": round(dt, 3),
         "docs_per_sec": round(n_docs / dt, 1),
         "stages": build.status(),
+        "stage_timings": {**build.timings,
+                          "segments": round(time.perf_counter() - t_seg, 3)},
         "parallelism": spark.sparkContext.defaultParallelism,
     }
     if args.query_bench:

@@ -92,3 +92,25 @@ def test_assign_doc_ids_deterministic_dense(spark, corpus_df):
     # matches the natural-key sort order
     by_key = sorted(ga)
     assert [ga[k] for k in by_key] == list(range(len(by_key)))
+
+
+def test_param_change_triggers_rebuild(spark, corpus_df, root):
+    """Stage gates are derived fingerprints hash(input_fp, stage, params):
+    a tokenizer-mode change must rebuild postings+blocks, a span change
+    blocks only — without any content re-scan of the stage outputs."""
+    IndexBuild(spark, root, mode="ascii_code").build(corpus_df)
+
+    b2 = IndexBuild(spark, root, mode="code_aware")
+    b2.build(corpus_df)
+    assert b2.timings["stage_docids"] < b2.timings["stage_postings"]
+    m = json.load(open(os.path.join(root, "postings", "_MANIFEST.json")))
+    assert "code_aware" not in m["input_fingerprint"]  # opaque hash, no rescan
+
+    b3 = IndexBuild(spark, root, mode="code_aware", span=1024)
+    blocks = b3.build(corpus_df)
+    # blocks rebuilt at the new span: no block may exceed it
+    from pyspark.sql import functions as F
+    assert blocks.agg(F.max("n_docs")).collect()[0][0] <= 1024
+    # postings untouched on the span-only change
+    m2 = json.load(open(os.path.join(root, "postings", "_MANIFEST.json")))
+    assert m2["input_fingerprint"] == m["input_fingerprint"]
