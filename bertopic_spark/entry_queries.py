@@ -296,6 +296,63 @@ SELECT slice_id, lang, term, round(score, 6) AS score, CAST(rn AS BIGINT) AS rn
 FROM ranked WHERE rn <= 3"""
 
 
+NR_BINS_TOT = 5
+
+
+def q_topics_over_time_binned(spark, sf_dir):
+    """A6 + nr_bins: equal-width right-closed binning of a numeric
+    timestamp column (pd.cut semantics, reference `_bertopic.py:878-880`;
+    doc_id stands in for the epoch column) followed by time-sliced
+    c-TF-IDF — the facade's ``topics_over_time(nr_bins=...)`` path."""
+    from bertopic_spark.model import _bin_timestamps
+
+    docs = _bin_timestamps(_docs(spark, sf_dir), "doc_id", NR_BINS_TOT)
+    dt = doc_term_counts(docs, "text", ["lang", "doc_id_bin", "doc_id"], MODE)
+    x_global = class_term_counts(dt, ["lang"])
+    stats = term_stats(x_global, ["lang"], bm25_weighting=False)
+    x_slice = class_term_counts(dt, ["doc_id_bin", "lang"])
+    s = ctfidf(x_slice, ["doc_id_bin", "lang"], stats=stats)
+    t = top_k_terms(s, ["doc_id_bin", "lang"], 3)
+    return t.select(
+        F.col("doc_id_bin").alias("ts_bin"), "lang", "term",
+        _r6(F.col("score")).alias("score"),
+        F.col("rank").cast("long").alias("rn"))
+
+
+SQL_TOPICS_OVER_TIME_BINNED = f"""WITH
+mm AS (SELECT min(CAST(doc_id AS DOUBLE)) AS mn, max(CAST(doc_id AS DOUBLE)) AS mx,
+              CASE WHEN (max(CAST(doc_id AS DOUBLE)) - min(CAST(doc_id AS DOUBLE))) / {NR_BINS_TOT} = 0
+                   THEN 1.0
+                   ELSE (max(CAST(doc_id AS DOUBLE)) - min(CAST(doc_id AS DOUBLE))) / {NR_BINS_TOT}
+              END AS w
+       FROM documents),
+binned AS (
+  SELECT doc_id, lang, text,
+         round(CASE WHEN b = 0 THEN mn - (mx - mn) * 0.001
+                    ELSE mn + b * w END, 6) AS ts_bin
+  FROM (
+    SELECT d.doc_id, d.lang, d.text, mm.mn, mm.mx, mm.w,
+           least(greatest(CAST(ceil((CAST(d.doc_id AS DOUBLE) - mm.mn) / mm.w) AS BIGINT) - 1, 0),
+                 {NR_BINS_TOT - 1}) AS b
+    FROM documents d CROSS JOIN mm)),
+toks AS (SELECT doc_id, lang, ts_bin, unnest({duckdb_tokens_sql('text', MODE)}) AS term FROM binned),
+xcls AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY lang, term),
+{_stats_sql('xcls', 'lang', False)},
+xslice AS (SELECT ts_bin, lang, term, CAST(count(*) AS BIGINT) AS tf
+           FROM toks GROUP BY ts_bin, lang, term),
+slen AS (SELECT ts_bin, lang, CAST(sum(tf) AS BIGINT) AS class_len
+         FROM xslice GROUP BY ts_bin, lang),
+scores AS (
+  SELECT x.ts_bin, x.lang, x.term, (x.tf / slen.class_len) * idf.idf AS score
+  FROM xslice x JOIN slen USING (ts_bin, lang) JOIN idf USING (term)),
+ranked AS (
+  SELECT ts_bin, lang, term, score,
+         row_number() OVER (PARTITION BY ts_bin, lang ORDER BY score DESC, term ASC) AS rn
+  FROM scores)
+SELECT ts_bin, lang, term, round(score, 6) AS score, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 3"""
+
+
 def q_events_hourly(spark, sf_dir):
     """F3: tumbling time-window aggregation on the events stream table."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -919,6 +976,7 @@ FROM ({final}) s JOIN cand c ON c.lang = s.lang AND c.term = s.term""")
 N_LANG_TOPICS = len(LANG_TOPIC)  # leaves of the hierarchy gate query
 
 OUTLIER_MOD = 7          # doc_id % 7 == 0 → synthetic outlier (-1)
+DIST_WIN, DIST_STRIDE = 4, 2
 OUTLIER_THRESHOLD = 0.001
 
 
@@ -961,6 +1019,63 @@ sims AS (
          round(sum((d.tf * 1.0 / dlen.doc_len) * s.score), 6) AS sim
   FROM xdoc d JOIN dlen USING (doc_id) JOIN scores s USING (term)
   GROUP BY d.doc_id, s.topic),
+ranked AS (
+  SELECT doc_id, topic, sim,
+         row_number() OVER (PARTITION BY doc_id ORDER BY sim DESC, topic ASC) AS rn
+  FROM sims),
+assigned AS (SELECT doc_id, topic FROM ranked
+             WHERE rn = 1 AND sim >= {OUTLIER_THRESHOLD})
+SELECT doc_id, CAST(topic AS BIGINT) AS topic FROM keepd
+UNION ALL
+SELECT o.doc_id, CAST(coalesce(a.topic, -1) AS BIGINT) AS topic
+FROM od o LEFT JOIN assigned a USING (doc_id)"""
+
+
+def q_reduce_outliers_dist(spark, sf_dir):
+    """reduce_outliers 'distributions' strategy (reference
+    `_bertopic.py:2430-2460`): sliding-window topic mass over the outlier
+    slice, per-doc argmax of the L1-normalized distribution."""
+    from bertopic_spark.operators.outliers import reduce_outliers
+
+    d = _docs_with_topic(spark, sf_dir).withColumn(
+        "topic",
+        F.when(F.col("doc_id") % OUTLIER_MOD == 0, F.lit(-1))
+        .otherwise(F.col("topic")).cast("long"))
+    keep = d.filter(F.col("topic") != -1)
+    dt = doc_term_counts(keep, "text", ["topic", "doc_id"], MODE)
+    x = class_term_counts(dt, ["topic"])
+    s = ctfidf(x, ["topic"])
+    return reduce_outliers(d, s, "text", "doc_id", "topic", "distributions",
+                           threshold=OUTLIER_THRESHOLD, mode=MODE,
+                           window=DIST_WIN, stride=DIST_STRIDE)
+
+
+SQL_REDUCE_OUTLIERS_DIST = f"""WITH
+docs2 AS (SELECT doc_id,
+                 CASE WHEN doc_id % {OUTLIER_MOD} = 0 THEN -1
+                      ELSE {_SQL_TOPIC_CASE} END AS topic,
+                 text FROM documents),
+keepd AS (SELECT * FROM docs2 WHERE topic <> -1),
+toks AS (SELECT doc_id, topic, unnest({duckdb_tokens_sql('text', MODE)}) AS term FROM keepd),
+xcls AS (SELECT topic, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY topic, term),
+{_stats_sql('xcls', 'topic', False)},
+scores AS (
+  SELECT x.topic, x.term, (x.tf / clen.class_len) * idf.idf AS score
+  FROM xcls x JOIN clen USING (topic) JOIN idf USING (term)),
+od AS (SELECT doc_id, text FROM docs2 WHERE topic = -1),
+tk AS (SELECT doc_id, {duckdb_tokens_sql('text', MODE)} AS ts FROM od),
+wins AS (
+  SELECT doc_id, w,
+         unnest(list_slice(ts, w * {DIST_STRIDE} + 1, w * {DIST_STRIDE} + {DIST_WIN})) AS term
+  FROM tk, unnest(generate_series(0,
+       greatest(CAST(floor((len(ts) - {DIST_WIN}) / {DIST_STRIDE}.0) AS BIGINT), 0))) AS g(w)),
+mass AS (
+  SELECT wins.doc_id, s.topic, sum(s.score) AS mass
+  FROM wins JOIN scores s USING (term)
+  GROUP BY wins.doc_id, s.topic),
+tot AS (SELECT doc_id, sum(mass) AS total FROM mass GROUP BY doc_id),
+sims AS (SELECT mass.doc_id, topic, round(mass / tot.total, 6) AS sim
+         FROM mass JOIN tot USING (doc_id)),
 ranked AS (
   SELECT doc_id, topic, sim,
          row_number() OVER (PARTITION BY doc_id ORDER BY sim DESC, topic ASC) AS rn
@@ -1111,9 +1226,6 @@ SELECT lang, term, score, pos_rank FROM ranked WHERE pos_rank <= 5"""
 # ---------------------------------------------------------------------------
 # Distribution / sampling / split / scatter / set ops / seeded idf
 # ---------------------------------------------------------------------------
-
-DIST_WIN, DIST_STRIDE = 4, 2
-
 
 def q_approx_distribution(spark, sf_dir):
     """T4: sliding-window topic distribution per doc (approximate_distribution)."""
@@ -1558,6 +1670,7 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "mmr_topk": (q_mmr_topk, _sql_mmr_topk()),
     "hierarchical_topics": (q_hierarchical_topics, _sql_hierarchical()),
     "reduce_outliers_ctfidf": (q_reduce_outliers, SQL_REDUCE_OUTLIERS),
+    "reduce_outliers_distributions": (q_reduce_outliers_dist, SQL_REDUCE_OUTLIERS_DIST),
     "keybert_topk": (q_keybert_topk, SQL_KEYBERT),
     "pos_filter_topk": (q_pos_filter_topk, SQL_POS_FILTER),
     "tokenize_doc_counts": (q_tokenize_doc_counts, SQL_TOKENIZE),
@@ -1570,6 +1683,7 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "topic_sizes": (q_topic_sizes, SQL_TOPIC_SIZES),
     "topics_per_class": (q_topics_per_class, SQL_TOPICS_PER_CLASS),
     "topics_over_time": (q_topics_over_time, SQL_TOPICS_OVER_TIME),
+    "topics_over_time_binned": (q_topics_over_time_binned, SQL_TOPICS_OVER_TIME_BINNED),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
