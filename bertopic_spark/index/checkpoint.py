@@ -203,18 +203,36 @@ class IndexBuild:
             return stage[0] + "_" + hashlib.sha256(
                 f"{parent_fp}|{stage}|{params}".encode()).hexdigest()[:24]
 
-        fp_docids = derive(fp_corpus, "docids", "repo,path,commit")
+        # The docids artifact is the KEY→ID MAP ONLY — (repo, path, commit,
+        # doc_id), ~1-3% of the corpus bytes — never a second copy of the
+        # content. At 100 TB duplicating the corpus into the index root
+        # doubles storage and write IO for zero information; the map join
+        # below reattaches content from the source scan. doc_id is the
+        # global rank over the natural key, so the assignment is identical
+        # for ANY partitioning/cluster size (tested).
+        keys = ["repo", "path", "commit"]
+        fp_docids = derive(fp_corpus, "docids", ",".join(keys))
         t0 = time.perf_counter()
         docids = run_stage(
             self.spark, self._dir("docids"), "docids", fp_docids,
-            lambda: assign_doc_ids(corpus, ["repo", "path", "commit"]),
+            lambda: assign_doc_ids(corpus.select(*keys), keys),
         )
         self.timings["stage_docids"] = round(time.perf_counter() - t0, 3)
+        # Map-side join strategy: broadcast while the map is broadcastable
+        # (≤ ~5M docs ≈ a few hundred MB); beyond that fall back to a
+        # shuffle join — on a cluster that is one co-partitioned SMJ of
+        # map vs corpus, still far cheaper than re-writing the corpus.
+        with open(_manifest_path(self._dir("docids"))) as f:
+            n_map_rows = json.load(f)["rows"]
+        id_map = F.broadcast(docids) if n_map_rows <= 5_000_000 else docids
+        # a caller-supplied doc_id is re-derived from the same key order —
+        # drop it so the map's column is the single source of truth
+        with_ids = corpus.drop("doc_id").join(id_map, keys)
         fp_postings = derive(fp_docids, "postings", f"mode={self.mode}")
         t0 = time.perf_counter()
         postings = run_stage(
             self.spark, self._dir("postings"), "postings", fp_postings,
-            lambda: doc_scores(docids, text_col=content_col, id_col="doc_id",
+            lambda: doc_scores(with_ids, text_col=content_col, id_col="doc_id",
                                mode=self.mode),
         )
         self.timings["stage_postings"] = round(time.perf_counter() - t0, 3)
