@@ -443,7 +443,7 @@ def q_minhash_signatures(spark, sf_dir):
     return minhash_signatures(_docs(spark, sf_dir), "text", "doc_id", num_perm=8)
 
 
-def _sql_minhash(num_perm: int = 8, seed: int = 42) -> str:
+def _sql_minhash(num_perm: int = 8, seed: int = 42, src: str = "documents") -> str:
     from bertopic_spark.operators.dedup import minhash_params
 
     params = minhash_params(num_perm, seed)
@@ -452,7 +452,7 @@ def _sql_minhash(num_perm: int = 8, seed: int = 42) -> str:
         for i, (a, b) in enumerate(params)
     )
     return f"""WITH
-tk AS (SELECT doc_id, {duckdb_tokens_sql('text', MODE)} AS ts FROM documents),
+tk AS (SELECT doc_id, {duckdb_tokens_sql('text', MODE)} AS ts FROM {src}),
 sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] AS shingle
        FROM tk, unnest(generate_series(1, greatest(len(ts)-1, 0))) AS u(i)),
 hs AS (SELECT doc_id,
@@ -1400,6 +1400,52 @@ WHERE a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id"""
 
 
+DUP_CLUSTER_N = 100
+DUP_TEXT = "license boilerplate duplicate cluster fixture text"
+
+
+def q_minhash_lsh_star(spark, sf_dir):
+    """Star-edge LSH candidates over a corpus with a pathological duplicate
+    cluster (docs 0..99 forced identical): per-bucket min-id representative
+    edges keep rows LINEAR in cluster size — all-pairs mode would emit
+    ~100²/2 rows from the one bucket — with identical connected components
+    (operators/dedup.py:_bucket_edges, the 100-TB dup-cluster scale path)."""
+    from bertopic_spark.operators.dedup import minhash_lsh_pairs
+
+    d = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.when(F.col("doc_id") < DUP_CLUSTER_N, F.lit(DUP_TEXT)).otherwise(F.col("text")),
+    )
+    return minhash_lsh_pairs(d, "text", "doc_id", num_perm=8, bands=4,
+                             edge_mode="star")
+
+
+def _sql_minhash_lsh_star() -> str:
+    base = _sql_minhash(8, src="docs_dup")
+    # embed the dup-cluster override ahead of the signature CTEs
+    base = base.replace(
+        "WITH\n",
+        f"""WITH
+docs_dup AS (SELECT doc_id,
+  CASE WHEN doc_id < {DUP_CLUSTER_N} THEN '{DUP_TEXT}' ELSE text END AS text
+  FROM documents),
+""", 1)
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, concat(CAST(sig_{2*b} AS VARCHAR), '_', "
+        f"CAST(sig_{2*b+1} AS VARCHAR)) AS key FROM sigs"
+        for b in range(4)
+    )
+    return f"""WITH sigs AS ({base}),
+bands AS ({bands}),
+reps AS (SELECT band, key, min(doc_id) AS id_a, count(*) AS m
+         FROM bands GROUP BY band, key),
+edges AS (SELECT r.id_a, b.doc_id AS id_b
+          FROM bands b JOIN reps r ON b.band = r.band AND b.key = r.key
+          WHERE r.m >= 2 AND b.doc_id <> r.id_a)
+SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_bands
+FROM edges GROUP BY id_a, id_b"""
+
+
 def q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs (brute force, threshold 0.8)."""
     from bertopic_spark.operators.dedup import embedding_neardup_pairs
@@ -1661,6 +1707,7 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "topic_set_ops": (q_topic_set_ops, SQL_TOPIC_SET_OPS),
     "ctfidf_seeded_topk": (q_ctfidf_seeded_topk, _sql_ctfidf_seeded()),
     "dedup_minhash_lsh_pairs": (q_minhash_lsh_pairs, _sql_minhash_lsh()),
+    "dedup_minhash_lsh_star": (q_minhash_lsh_star, _sql_minhash_lsh_star()),
     "dedup_embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "topic_info": (q_topic_info, SQL_TOPIC_INFO),
     "merged_topics_topk": (q_merged_topics_topk, SQL_MERGED_TOPICS),

