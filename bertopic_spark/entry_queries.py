@@ -1259,6 +1259,48 @@ SELECT mass.doc_id, lang, round(mass / tot.total, 6) AS weight
 FROM mass JOIN tot USING (doc_id)"""
 
 
+def q_approx_distribution_tokens(spark, sf_dir):
+    """T4 token path (calculate_tokens=True, _bertopic.py:1374-1404): each
+    token position accumulates the mass of every window containing it;
+    unnormalized, long-form sparse."""
+    from bertopic_spark.operators.distribution import (
+        approximate_distribution_tokens)
+
+    d = _docs(spark, sf_dir)
+    x = _cls_x(spark, sf_dir)
+    s = ctfidf(x, ["lang"])
+    out = approximate_distribution_tokens(d, s, ["lang"], "text", "doc_id",
+                                          DIST_WIN, DIST_STRIDE)
+    return out.select("doc_id", F.col("token_pos").cast("long").alias("token_pos"),
+                      "term", "lang", _r6(F.col("weight")).alias("weight"))
+
+
+SQL_APPROX_DISTRIBUTION_TOKENS = f"""WITH {_TOKS}, {_XCLS},
+{_stats_sql('xcls', 'lang', False)},
+scores AS (
+  SELECT x.lang, x.term, (x.tf / clen.class_len) * idf.idf AS score
+  FROM xcls x JOIN clen USING (lang) JOIN idf USING (term)),
+tk AS (SELECT doc_id, {duckdb_tokens_sql('text', MODE)} AS ts FROM documents),
+wins AS (
+  SELECT doc_id, w,
+         list_slice(ts, w * {DIST_STRIDE} + 1, w * {DIST_STRIDE} + {DIST_WIN}) AS wt
+  FROM tk, unnest(generate_series(0,
+       greatest(CAST(floor((len(ts) - {DIST_WIN}) / {DIST_STRIDE}.0) AS BIGINT), 0))) AS g(w)
+  WHERE len(list_slice(ts, w * {DIST_STRIDE} + 1, w * {DIST_STRIDE} + {DIST_WIN})) > 0),
+wterm AS (SELECT doc_id, w, unnest(wt) AS term FROM wins),
+wmass AS (
+  SELECT wterm.doc_id, wterm.w, s.lang, sum(s.score) AS mass
+  FROM wterm JOIN scores s USING (term)
+  GROUP BY wterm.doc_id, wterm.w, s.lang),
+pos AS (
+  SELECT doc_id, w, w * {DIST_STRIDE} + i - 1 AS token_pos, wt[i] AS term
+  FROM wins, unnest(generate_series(1, len(wt))) AS g(i))
+SELECT p.doc_id, CAST(p.token_pos AS BIGINT) AS token_pos, p.term, m.lang,
+       round(sum(m.mass), 6) AS weight
+FROM pos p JOIN wmass m ON m.doc_id = p.doc_id AND m.w = p.w
+GROUP BY p.doc_id, p.token_pos, p.term, m.lang"""
+
+
 def q_seeded_sample(spark, sf_dir):
     """W9: deterministic per-class sample cap (seeded, oracle-reproducible)."""
     from bertopic_spark.operators.distribution import seeded_sample_per_class
@@ -1365,6 +1407,42 @@ def _sql_ctfidf_seeded() -> str:
 {_stats_sql('xcls', 'lang', False)},
 idf2 AS (SELECT term, df,
                 idf * CASE WHEN term IN ({seeds}) THEN 2.0 ELSE 1.0 END AS idf
+         FROM idf),
+scores AS (
+  SELECT x.lang, x.term, (x.tf / clen.class_len) * idf2.idf AS score
+  FROM xcls x JOIN clen USING (lang) JOIN idf2 USING (term)),
+ranked AS (
+  SELECT lang, term, score,
+         row_number() OVER (PARTITION BY lang ORDER BY score DESC, term ASC) AS rn
+  FROM scores)
+SELECT lang, term, round(score, 6) AS score, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 5"""
+
+
+SEED_TOPIC_LIST = [["table", "index"], ["query", "filter"]]  # "table" ∈ both
+
+
+def q_ctfidf_guided_topk(spark, sf_dir):
+    """X5 guided branch (seed_topic_list, _bertopic.py:4434-4446): flattened
+    per-topic seed lists get a 1.2 idf multiplier, OVERRIDING the seed_words
+    multiplier for words in both ("table" here: 1.2, not 2.0)."""
+    x = _cls_x(spark, sf_dir)
+    stats = term_stats(x, ["lang"], seed_words=SEED_WORDS, seed_multiplier=2.0,
+                       seed_topic_list=SEED_TOPIC_LIST)
+    t = top_k_terms(ctfidf(x, ["lang"], stats=stats), ["lang"], 5)
+    return t.select("lang", "term", _r6(F.col("score")).alias("score"),
+                    F.col("rank").cast("long").alias("rn"))
+
+
+def _sql_ctfidf_guided() -> str:
+    seeds = ", ".join(f"'{s}'" for s in SEED_WORDS)
+    guided = ", ".join(
+        f"'{s}'" for s in sorted({w for g in SEED_TOPIC_LIST for w in g}))
+    return f"""WITH {_TOKS}, {_XCLS},
+{_stats_sql('xcls', 'lang', False)},
+idf2 AS (SELECT term, df,
+                idf * CASE WHEN term IN ({guided}) THEN 1.2
+                           WHEN term IN ({seeds}) THEN 2.0 ELSE 1.0 END AS idf
          FROM idf),
 scores AS (
   SELECT x.lang, x.term, (x.tf / clen.class_len) * idf2.idf AS score
@@ -1701,11 +1779,14 @@ SELECT topic, CAST(count(*) AS BIGINT) AS count FROM assigned GROUP BY topic"""
 
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "approx_distribution": (q_approx_distribution, SQL_APPROX_DISTRIBUTION),
+    "approx_distribution_tokens": (q_approx_distribution_tokens,
+                                   SQL_APPROX_DISTRIBUTION_TOKENS),
     "seeded_sample": (q_seeded_sample, SQL_SEEDED_SAMPLE),
     "zero_shot_split": (q_zero_shot_split, _sql_zero_shot()),
     "prob_scatter_add": (q_prob_scatter_add, SQL_PROB_SCATTER),
     "topic_set_ops": (q_topic_set_ops, SQL_TOPIC_SET_OPS),
     "ctfidf_seeded_topk": (q_ctfidf_seeded_topk, _sql_ctfidf_seeded()),
+    "ctfidf_guided_topk": (q_ctfidf_guided_topk, _sql_ctfidf_guided()),
     "dedup_minhash_lsh_pairs": (q_minhash_lsh_pairs, _sql_minhash_lsh()),
     "dedup_minhash_lsh_star": (q_minhash_lsh_star, _sql_minhash_lsh_star()),
     "dedup_embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),

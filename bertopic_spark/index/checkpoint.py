@@ -166,25 +166,41 @@ class IndexBuild:
                                                    verify_content_sha)
         from bertopic_spark.operators.bm25 import doc_scores
 
+        keys = ["repo", "path", "commit"]
         self.timings = {}
         t0 = time.perf_counter()
-        # one pass: corpus fingerprint + the sha256 per-row invariant
-        if sha_col and sha_col in corpus.columns:
-            cols = corpus.columns
-            h1 = F.xxhash64(*[F.col(c) for c in cols])
-            h2 = F.xxhash64(F.lit(23), *[F.col(c) for c in cols])
-            bad = F.when(F.sha2(F.col(content_col), 256) != F.col(sha_col), 1).otherwise(0)
-            row = (
-                corpus.select(h1.alias("h1"), h2.alias("h2"), bad.alias("bad"))
-                .agg(F.count(F.lit(1)).alias("n"), F.bit_xor("h1").alias("x1"),
-                     F.bit_xor("h2").alias("x2"), F.sum("bad").alias("bad"))
-                .collect()[0]
-            )
-            if row["bad"]:
-                raise ValueError(f"content sha mismatch on {row['bad']} rows")
-            fp_corpus = f"n{row['n']}_x{row['x1']}_y{row['x2']}"
-        else:
-            fp_corpus = df_fingerprint(corpus)
+        # ONE pass over the corpus: content fingerprint + the sha256 per-row
+        # invariant + a null-natural-key counter. The (repo, path, commit)
+        # natural key is a HARD CONTRACT (unique, non-null): the docids
+        # stage stores only the key→id map and reattaches content by an
+        # inner join, so a NULL key would silently drop the row and a
+        # duplicate key would multiply it into the postings. Nulls are
+        # counted here (free, same agg); duplicates are caught below by
+        # comparing the distinct-key map cardinality to the corpus count.
+        cols = corpus.columns
+        h1 = F.xxhash64(*[F.col(c) for c in cols])
+        h2 = F.xxhash64(F.lit(23), *[F.col(c) for c in cols])
+        nullkey = F.when(
+            sum((F.col(k).isNull().cast("int") for k in keys), F.lit(0)) > 0, 1
+        ).otherwise(0)
+        aggs = [F.count(F.lit(1)).alias("n"), F.bit_xor("h1").alias("x1"),
+                F.bit_xor("h2").alias("x2"), F.sum("nullkey").alias("nullkey")]
+        sel = [h1.alias("h1"), h2.alias("h2"), nullkey.alias("nullkey")]
+        check_sha = bool(sha_col and sha_col in corpus.columns)
+        if check_sha:
+            sel.append(
+                F.when(F.sha2(F.col(content_col), 256) != F.col(sha_col), 1)
+                .otherwise(0).alias("bad"))
+            aggs.append(F.sum("bad").alias("bad"))
+        row = corpus.select(*sel).agg(*aggs).collect()[0]
+        if check_sha and row["bad"]:
+            raise ValueError(f"content sha mismatch on {row['bad']} rows")
+        if row["nullkey"]:
+            raise ValueError(
+                f"NULL natural key ({', '.join(keys)}) on {row['nullkey']} rows — "
+                "the key→id map join would silently drop them")
+        n_corpus = int(row["n"])
+        fp_corpus = f"n{row['n']}_x{row['x1']}_y{row['x2']}"
         self.timings["invariant_fingerprint"] = round(time.perf_counter() - t0, 3)
 
         # Downstream stage fingerprints are DERIVED, not re-scanned: every
@@ -209,13 +225,16 @@ class IndexBuild:
         # doubles storage and write IO for zero information; the map join
         # below reattaches content from the source scan. doc_id is the
         # global rank over the natural key, so the assignment is identical
-        # for ANY partitioning/cluster size (tested).
-        keys = ["repo", "path", "commit"]
-        fp_docids = derive(fp_corpus, "docids", ",".join(keys))
+        # for ANY partitioning/cluster size (tested). The map is built over
+        # DISTINCT keys so its cardinality equals the distinct-key count —
+        # compared against the corpus row count below to enforce the
+        # key-uniqueness contract (a duplicate key would otherwise multiply
+        # corpus rows into the postings via the join).
+        fp_docids = derive(fp_corpus, "docids", ",".join(keys) + ",distinct")
         t0 = time.perf_counter()
         docids = run_stage(
             self.spark, self._dir("docids"), "docids", fp_docids,
-            lambda: assign_doc_ids(corpus.select(*keys), keys),
+            lambda: assign_doc_ids(corpus.select(*keys).distinct(), keys),
         )
         self.timings["stage_docids"] = round(time.perf_counter() - t0, 3)
         # Map-side join strategy: broadcast while the map is broadcastable
@@ -224,6 +243,11 @@ class IndexBuild:
         # map vs corpus, still far cheaper than re-writing the corpus.
         with open(_manifest_path(self._dir("docids"))) as f:
             n_map_rows = json.load(f)["rows"]
+        if n_map_rows != n_corpus:
+            raise ValueError(
+                f"natural key ({', '.join(keys)}) is not unique: "
+                f"{n_corpus} corpus rows but {n_map_rows} distinct keys — "
+                "the key→id map join would multiply duplicate-key rows")
         id_map = F.broadcast(docids) if n_map_rows <= 5_000_000 else docids
         # a caller-supplied doc_id is re-derived from the same key order —
         # drop it so the map's column is the single source of truth

@@ -69,20 +69,29 @@ def blockmax_topk(
     k: int = 10,
     span: int = DEFAULT_SPAN,
     seed_buckets: int = 4,
+    persist_cand: bool = True,
+    _persisted_out: list | None = None,
 ) -> DataFrame:
     """(query_id, doc_id, score, rank) — rank-identical to the exhaustive
     scorer; prunes buckets whose block-max upper bound can't reach top-k.
 
     ``blocks``: build_block_index output (persist it across query batches).
     ``qterms``: (query_id, term) distinct.
+
+    Cache lifetime (same contract as bm25.py): the candidate relation feeds
+    the seed pass, the survivor join, and the final decode, so it is
+    persisted (``persist_cand``). A long-lived serving session must either
+    pass ``persist_cand=False`` or collect the handle via ``_persisted_out``
+    and ``unpersist()`` it after materializing each batch — otherwise every
+    batch pins another cached relation in executor storage.
     """
     cand = blocks.join(F.broadcast(qterms), "term").select(
         "query_id", "term", "blk", "max_score", "payload"
     )
-    # cand stays persisted for the returned plan's lifetime (it feeds the
-    # seed pass, the survivor join, and the final decode); callers serving
-    # many batches unpersist via the returned plan's lineage or rebuild.
-    cand = cand.persist()
+    if persist_cand:
+        cand = cand.persist()
+        if _persisted_out is not None:
+            _persisted_out.append(cand)
     ub = cand.groupBy("query_id", "blk").agg(F.sum("max_score").alias("ub"))
     w_ub = Window.partitionBy("query_id").orderBy(F.desc("ub"), F.asc("blk"))
     seed = ub.withColumn("r", F.row_number().over(w_ub)).filter(F.col("r") <= seed_buckets)

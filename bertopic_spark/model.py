@@ -41,6 +41,8 @@ def _bin_timestamps(df: DataFrame, ts_col: str, nr_bins: int) -> DataFrame:
     mn, mx = df.agg(
         F.min(F.col(ts_col).cast("double")),
         F.max(F.col(ts_col).cast("double"))).collect()[0]
+    if mn is None:
+        raise ValueError(f"no non-null values in {ts_col!r} — cannot bin")
     width = (mx - mn) / nr_bins or 1.0
     x = F.col(ts_col).cast("double")
     b = F.least(
@@ -62,6 +64,7 @@ class BERTopicSpark:
         top_n_words: int = 10,
         seed_words: Sequence[str] | None = None,
         seed_multiplier: float = 2.0,
+        seed_topic_list: Sequence[Sequence[str]] | None = None,
     ):
         self.class_cols = list(class_cols)
         self.mode = mode
@@ -73,6 +76,11 @@ class BERTopicSpark:
         # _ctfidf.py:84-86 driven from _bertopic.py:4433-4446)
         self.seed_words = list(seed_words) if seed_words else None
         self.seed_multiplier = seed_multiplier
+        # guided topics (reference seed_topic_list, _bertopic.py:4434-4446):
+        # flattened per-topic seed lists, fixed 1.2 idf multiplier,
+        # overriding seed_words for words in both
+        self.seed_topic_list = ([list(s) for s in seed_topic_list]
+                                if seed_topic_list else None)
         self.doc_terms_: DataFrame | None = None
         self.scores_: DataFrame | None = None   # c_tf_idf_ analog
         self.stats_: DataFrame | None = None    # idf diag analog
@@ -82,8 +90,31 @@ class BERTopicSpark:
         self.mappings_: list[dict[int, int]] = []
         self.custom_labels_: dict | None = None
         self._state_x: DataFrame | None = None  # partial_fit decayed counts
+        # checkpoint-generation registry: slot name → persistent-RDD ids of
+        # the slot's CURRENT localCheckpoint (see _ckpt_replace)
+        self._ckpt_ids: dict[str, set[int]] = {}
         self._id_col = "doc_id"
         self._text_col = "content"
+
+    def _ckpt_replace(self, slot: str, df: DataFrame) -> DataFrame:
+        """localCheckpoint(eager) ``df`` and release ``slot``'s previous
+        checkpoint blocks. localCheckpoint pins its materialized blocks in
+        executor storage with no public handle to free them — a long
+        incremental session would grow one pinned generation per batch.
+        We diff the persistent-RDD id set around the checkpoint call and
+        unpersist the prior generation only AFTER the new one is eagerly
+        materialized (the new plan may read the old blocks)."""
+        jsc = df.sparkSession.sparkContext._jsc
+        before = {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
+        out = df.localCheckpoint(eager=True)
+        jmap = jsc.getPersistentRDDs()
+        for i in self._ckpt_ids.get(slot, ()):
+            h = jmap.get(i)
+            if h is not None:
+                h.unpersist(False)
+        self._ckpt_ids[slot] = {
+            int(i) for i in jmap.keySet().toArray()} - before
+        return out
 
     # -- fit ---------------------------------------------------------------
 
@@ -98,7 +129,8 @@ class BERTopicSpark:
         x = class_term_counts(dt, self.class_cols)
         self.stats_ = term_stats(x, self.class_cols, self.bm25_weighting,
                                  seed_words=self.seed_words,
-                                 seed_multiplier=self.seed_multiplier).persist()
+                                 seed_multiplier=self.seed_multiplier,
+                                 seed_topic_list=self.seed_topic_list).persist()
         self.scores_ = ctfidf(
             x, self.class_cols, self.bm25_weighting,
             self.reduce_frequent_words, stats=self.stats_,
@@ -266,14 +298,22 @@ class BERTopicSpark:
 
     def approximate_distribution(self, df: DataFrame | None = None,
                                  window: int = 4, stride: int = 1,
-                                 padding: bool = False) -> DataFrame:
+                                 padding: bool = False,
+                                 calculate_tokens: bool = False) -> DataFrame:
         """Per-doc topic distribution over sliding token windows scored
         against the fitted c-TF-IDF (reference ``approximate_distribution``,
-        `_bertopic.py:1204-1429`). ``df`` defaults to the fitted corpus."""
-        self._check_fitted()
-        from bertopic_spark.operators.distribution import approximate_distribution
+        `_bertopic.py:1204-1429`). ``df`` defaults to the fitted corpus.
 
-        return approximate_distribution(
+        ``calculate_tokens=True`` returns the TOKEN-level relation instead
+        (reference `_bertopic.py:1374-1404`): (id, token_pos, term, class...,
+        weight), unnormalized, one row per token×class it scored under."""
+        self._check_fitted()
+        from bertopic_spark.operators.distribution import (
+            approximate_distribution, approximate_distribution_tokens)
+
+        op = (approximate_distribution_tokens if calculate_tokens
+              else approximate_distribution)
+        return op(
             df if df is not None else self.doc_table_, self.scores_,
             self.class_cols, self._text_col, self._id_col,
             window, stride, self.mode, padding)
@@ -318,27 +358,38 @@ class BERTopicSpark:
         id_col = id_col or self._id_col
         if self.scores_ is None:
             self.fit(batch, text_col, id_col)
-            self.doc_terms_ = self.doc_terms_.localCheckpoint(eager=True)
-            self._state_x = class_term_counts(self.doc_terms_, self.class_cols) \
-                .withColumn("tf", F.col("tf").cast("double")) \
-                .localCheckpoint(eager=True)
+            pre = self.doc_terms_
+            self.doc_terms_ = self._ckpt_replace("doc_terms", pre)
+            pre.unpersist()  # the persist() handle fit() created
+            self._state_x = self._ckpt_replace(
+                "state_x",
+                class_term_counts(self.doc_terms_, self.class_cols)
+                .withColumn("tf", F.col("tf").cast("double")))
             return self
         dt = doc_term_counts(batch, text_col, [*self.class_cols, id_col],
                              self.mode, self.ngram_range)
-        self.doc_terms_ = self.doc_terms_.unionByName(dt) \
-            .localCheckpoint(eager=True)
+        self.doc_terms_ = self._ckpt_replace(
+            "doc_terms", self.doc_terms_.unionByName(dt))
+        # doc-table-backed methods (topics_over_time, get_document_info,
+        # approximate_distribution, reduce_outliers) must see every batch,
+        # not just the first (ADVICE r2). Lazy union — the plan grows by one
+        # scan per batch, which is fine for session-scale batch counts; the
+        # heavy per-batch state (doc_terms_/_state_x) is checkpointed above.
+        self.doc_table_ = self.doc_table_.unionByName(
+            batch.select(*self.doc_table_.columns))
         new = class_term_counts(dt, self.class_cols) \
             .withColumn("tf", F.col("tf").cast("double"))
-        self._state_x = decayed_update(
-            self._state_x, new, decay, None, self.class_cols,
-        ).localCheckpoint(eager=True)
+        self._state_x = self._ckpt_replace(
+            "state_x",
+            decayed_update(self._state_x, new, decay, None, self.class_cols))
         x = self._state_x
         for d in (self.stats_, self.scores_):
             if d is not None:
                 d.unpersist()
         self.stats_ = term_stats(x, self.class_cols, self.bm25_weighting,
                                  seed_words=self.seed_words,
-                                 seed_multiplier=self.seed_multiplier).persist()
+                                 seed_multiplier=self.seed_multiplier,
+                                 seed_topic_list=self.seed_topic_list).persist()
         self.scores_ = ctfidf(x, self.class_cols, self.bm25_weighting,
                               self.reduce_frequent_words, stats=self.stats_).persist()
         return self
@@ -526,7 +577,8 @@ class BERTopicSpark:
         x = class_term_counts(self.doc_terms_, self.class_cols)
         self.stats_ = term_stats(x, self.class_cols, self.bm25_weighting,
                                  seed_words=self.seed_words,
-                                 seed_multiplier=self.seed_multiplier).persist()
+                                 seed_multiplier=self.seed_multiplier,
+                                 seed_topic_list=self.seed_topic_list).persist()
         self.scores_ = ctfidf(x, self.class_cols, self.bm25_weighting,
                               self.reduce_frequent_words, stats=self.stats_).persist()
         return self

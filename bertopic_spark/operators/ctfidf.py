@@ -53,12 +53,19 @@ def term_stats(
     clamp: float | None = DEFAULT_CLAMP,
     seed_words: Sequence[str] | None = None,
     seed_multiplier: float = 2.0,
+    seed_topic_list: Sequence[Sequence[str]] | None = None,
 ) -> DataFrame:
     """(term, df, idf) — the global statistics table. Small; broadcast it.
 
     seed_words: per-term idf multiplier for guided topics (reference
     ``_ctfidf.py:84-86`` driven from ``_bertopic.py:4433-4446``; exact
     matches get ``seed_multiplier``, default 2).
+
+    seed_topic_list: the reference's guided-topics branch
+    (``_bertopic.py:4434-4446``) — the per-topic seed lists are FLATTENED
+    and every listed word's multiplier is 1.2. When both are set, a word in
+    seed_topic_list gets 1.2 even if it is also in seed_words (the
+    reference's second assignment overrides).
     """
     df_t = x.groupBy("term").agg(F.sum("tf").alias("df"))
     avg = avg_nr_samples(x, class_cols)
@@ -70,10 +77,17 @@ def term_stats(
         idf = F.log(arg)
     else:
         idf = F.log(F.col("avg_nr_samples") / F.col("df") + 1.0)
+    guided = sorted({w for seeds in (seed_topic_list or []) for w in seeds})
+    mult = None
     if seed_words:
-        idf = idf * F.when(
+        mult = F.when(
             F.col("term").isin(list(seed_words)), F.lit(float(seed_multiplier))
         ).otherwise(F.lit(1.0))
+    if guided:  # overrides seed_words for words in both (reference order)
+        base = mult if mult is not None else F.lit(1.0)
+        mult = F.when(F.col("term").isin(guided), F.lit(1.2)).otherwise(base)
+    if mult is not None:
+        idf = idf * mult
     return joined.select("term", "df", idf.alias("idf"))
 
 

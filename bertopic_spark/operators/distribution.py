@@ -18,6 +18,48 @@ from pyspark.sql import functions as F
 from bertopic_spark.tokenizer import with_tokens
 
 
+def _window_structs(df: DataFrame, text_col: str, id_col: str,
+                    window: int, stride: int,
+                    mode: str, padding: bool) -> DataFrame:
+    """(id, win_id, start, win_tokens) — one row per sliding window, with the
+    0-based token position where the window starts. Shared JVM-only core of
+    ``token_windows`` (term view) and ``approximate_distribution_tokens``
+    (position view); win_id enumeration matches the reference's token-set
+    order (pads first, then body)."""
+    toks = with_tokens(df.select(id_col, text_col), text_col, mode)
+    size = F.size("tokens")
+
+    def win_at(start):  # struct(start, tokens[start : start+window])
+        return F.struct(start.cast("int").alias("start"),
+                        F.slice("tokens", start + 1, window).alias("toks"))
+
+    if padding:
+        n_body = F.when(size < window, F.lit(1)).otherwise(
+            F.ceil(size / F.lit(stride))).cast("int")
+        body = F.transform(F.sequence(F.lit(0), n_body - 1),
+                           lambda w: win_at(w * stride))
+        t = -(-window // stride) - 1  # ceil(window/stride) - 1
+        pad_lens = [window - (t - i) * stride for i in range(t)]
+        # pad windows are PREFIXES tokens[:ln] — they all start at position 0
+        pads = [F.struct(F.lit(0).alias("start"),
+                         F.slice("tokens", 1, ln).alias("toks"))
+                for ln in pad_lens if ln > 0]
+        wins_expr = body if not pads else F.when(size < window, body).otherwise(
+            F.concat(F.array(*pads), body))
+    else:
+        n_win = F.greatest(
+            (F.floor((size - F.lit(window)) / F.lit(stride)) + 1).cast("int"),
+            F.lit(1))
+        wins_expr = F.transform(F.sequence(F.lit(0), n_win - 1),
+                                lambda w: win_at(w * stride))
+    return (
+        toks.select(F.col(id_col), F.posexplode(wins_expr).alias("win_id", "w"))
+        .filter(F.size("w.toks") > 0)
+        .select(id_col, "win_id", F.col("w.start").alias("start"),
+                F.col("w.toks").alias("win_tokens"))
+    )
+
+
 def token_windows(df: DataFrame, text_col: str, id_col: str,
                   window: int = 4, stride: int = 1,
                   mode: str = "ascii_code", padding: bool = False) -> DataFrame:
@@ -31,28 +73,7 @@ def token_windows(df: DataFrame, text_col: str, id_col: str,
     yield one whole-doc window. Empty pad windows are dropped (they join
     to "" in the reference and contribute no terms either way).
     """
-    toks = with_tokens(df.select(id_col, text_col), text_col, mode)
-    size = F.size("tokens")
-    if padding:
-        n_body = F.when(size < window, F.lit(1)).otherwise(
-            F.ceil(size / F.lit(stride))).cast("int")
-        body = F.transform(F.sequence(F.lit(0), n_body - 1),
-                           lambda w: F.slice("tokens", w * stride + 1, window))
-        t = -(-window // stride) - 1  # ceil(window/stride) - 1
-        pad_lens = [window - (t - i) * stride for i in range(t)]
-        pads = [F.slice("tokens", 1, ln) for ln in pad_lens if ln > 0]
-        wins_expr = body if not pads else F.when(size < window, body).otherwise(
-            F.concat(F.array(*pads), body))
-    else:
-        n_win = F.greatest(
-            (F.floor((size - F.lit(window)) / F.lit(stride)) + 1).cast("int"),
-            F.lit(1))
-        wins_expr = F.transform(F.sequence(F.lit(0), n_win - 1),
-                                lambda w: F.slice("tokens", w * stride + 1, window))
-    wins = toks.select(
-        F.col(id_col),
-        F.posexplode(wins_expr).alias("win_id", "win_tokens"),
-    ).filter(F.size("win_tokens") > 0)
+    wins = _window_structs(df, text_col, id_col, window, stride, mode, padding)
     return wins.select(id_col, "win_id", F.explode("win_tokens").alias("term"))
 
 
@@ -73,6 +94,42 @@ def approximate_distribution(df: DataFrame, scores: DataFrame,
     return hit.withColumn(
         "weight", F.col("mass") / F.sum("mass").over(total)
     ).select(id_col, *class_cols, "weight")
+
+
+def approximate_distribution_tokens(
+        df: DataFrame, scores: DataFrame, class_cols: Sequence[str],
+        text_col: str, id_col: str, window: int = 4, stride: int = 1,
+        mode: str = "ascii_code", padding: bool = False) -> DataFrame:
+    """(id, token_pos, term, class..., weight) — TOKEN-level topic
+    distribution (reference ``calculate_tokens=True``,
+    ``_bertopic.py:1374-1404``): each token position accumulates the mass of
+    every window that contains it; the token matrix stays UNNORMALIZED
+    (the reference L1-normalizes only the doc-level rollup).
+
+    Plan: window mass is computed once per (doc, win, class) from the term
+    view, then fanned out to positions by a (doc, win) equi-join against the
+    position view — both sides come from the same ``_window_structs`` scan,
+    and the join key includes the doc id, so at 10^12 docs this shuffles
+    window-count rows, never a cross product. A (doc,pos) appearing in no
+    scoring window yields no row (sparse long-form semantics).
+    """
+    wins = _window_structs(df, text_col, id_col, window, stride, mode, padding)
+    wmass = (
+        wins.select(id_col, "win_id", F.explode("win_tokens").alias("term"))
+        .join(scores.select(*class_cols, "term", "score"), "term")
+        .groupBy(id_col, "win_id", *class_cols)
+        .agg(F.sum("score").alias("mass"))
+    )
+    pos = wins.select(
+        id_col, "win_id", "start",
+        F.posexplode("win_tokens").alias("off", "term"),
+    ).select(id_col, "win_id", (F.col("start") + F.col("off")).alias("token_pos"),
+             "term")
+    return (
+        pos.join(wmass, [id_col, "win_id"])
+        .groupBy(id_col, "token_pos", "term", *class_cols)
+        .agg(F.sum("mass").alias("weight"))
+    )
 
 
 def seeded_sample_per_class(df: DataFrame, class_cols: Sequence[str],

@@ -26,6 +26,49 @@ from pyspark.sql import functions as F
 from bertopic_spark.tokenizer import with_tokens
 
 
+def runlength_pairs(tokens_col) -> F.Column:
+    """array<struct<term,tf>> term frequencies of a token-array column, pure
+    JVM — sort_array + run-length over run ends, O(n log n) per document, no
+    shuffle, no Python.
+
+    The sorted array ``s`` and the run-end positions ``e`` (0-based indices
+    where a run of equal tokens ends; tf of run k = e[k] − e[k−1], −1
+    sentinel before the first run) are bound as HIGHER-ORDER-FUNCTION lambda
+    variables — each is evaluated ONCE per row. Binding them as withColumn
+    intermediates instead is a trap: Catalyst's CollapseProject inlines the
+    expression into every ``F.get`` probe, re-running the sort per probe
+    (O(n²·log n) per doc — measured 100× slower). ``F.get`` (0-based, null
+    out-of-bounds) keeps probes safe under ANSI mode.
+    """
+
+    def with_ends(s):
+        n = F.size(s)
+        # sequence(0, -1) DESCENDS — guard the empty-document case explicitly
+        ends = F.when(n == 0, F.array().cast("array<int>")).otherwise(
+            F.filter(
+                F.sequence(F.lit(0), n - 1),
+                lambda i: (i == n - 1) | ~(F.get(s, i) == F.get(s, i + 1)),
+            )
+        )
+        return F.get(
+            F.transform(
+                F.array(ends),
+                lambda e: F.transform(
+                    e,
+                    lambda pos, k: F.struct(
+                        F.get(s, pos).alias("term"),
+                        (pos - F.coalesce(F.get(e, k - 1), F.lit(-1)))
+                        .cast("long")
+                        .alias("tf"),
+                    ),
+                ),
+            ),
+            0,
+        )
+
+    return F.get(F.transform(F.array(F.sort_array(tokens_col)), with_ends), 0)
+
+
 def doc_term_counts(
     df: DataFrame,
     text_col: str,
@@ -34,6 +77,7 @@ def doc_term_counts(
     ngram_range: tuple[int, int] = (1, 1),
     use_udf: bool | None = None,
     with_len: bool = False,
+    combine: str = "local",
 ) -> DataFrame:
     """Per-document term frequencies: (key_cols..., term, tf:long).
 
@@ -44,8 +88,29 @@ def doc_term_counts(
     document) computed narrowly from the token array — this is what lets
     doc-level BM25 L1-normalize without a second shuffle/join against a
     per-doc length table (unbroadcastable at 10^12 docs).
+
+    combine="local" (default) computes each document's (term, tf) pairs
+    INSIDE its own row (sorted-array run-length, ``runlength_pairs``) and
+    explodes the result — zero shuffle: a document's tokens already live in
+    one row, so hashing |total tokens| exploded rows through an exchange
+    (combine="shuffle", the classic groupBy plan) moves data the plan never
+    needed to move. At 10^12 docs the eliminated exchange is the largest
+    shuffle of the whole index build. Both paths are result-identical
+    (tested); "shuffle" is kept for plan comparison.
+
+    NOTE: "local" requires key_cols to be row-unique (e.g. include doc_id).
+    Grouping keys coarser than a row (class-level counts) must either use
+    combine="shuffle" or fold with ``class_term_counts`` afterwards.
     """
     toks = with_tokens(df.select(*key_cols, text_col), text_col, mode, ngram_range, use_udf)
+    if combine == "local":
+        out = toks.withColumn("pairs", runlength_pairs(F.col("tokens"))).select(
+            *key_cols,
+            F.size("tokens").cast("long").alias("doc_len"),
+            F.explode("pairs").alias("p"),
+        ).select(*key_cols, F.col("p.term").alias("term"), F.col("p.tf").alias("tf"),
+                 "doc_len")
+        return out if with_len else out.drop("doc_len")
     if not with_len:
         return (
             toks.select(*key_cols, F.explode("tokens").alias("term"))

@@ -35,6 +35,70 @@ DOCS = [
 ]
 
 
+def _ref_token_sets(tokens, window, stride, padding):
+    """Reference tokenset loop WITH token-position ids
+    (`_bertopic.py:1316-1351`: token_sets + token_sets_ids)."""
+    if len(tokens) < window:
+        out = [(list(tokens), list(range(len(tokens))))]
+    else:
+        out = []
+        for si in range(0, len(tokens), stride):
+            sel = tokens[si:si + window]
+            if padding or len(sel) == window:
+                out.append((sel, list(range(si, si + len(sel)))))
+        if padding:
+            t = math.ceil(window / stride) - 1
+            padded = [(tokens[:window - (t - i) * stride],
+                       list(range(0, window - (t - i) * stride)))
+                      for i in range(t)]
+            out = padded + out
+    return [(w, ids) for w, ids in out if w]
+
+
+SCORES = {  # (class, term) -> score; ee..ii deliberately unscored (sparse)
+    ("c1", "aa"): 1.0, ("c1", "bb"): 0.5, ("c1", "cc"): 0.25,
+    ("c1", "dd"): 2.0,
+    ("c2", "aa"): 0.75, ("c2", "dd"): 1.5,
+}
+
+
+@pytest.mark.parametrize("window,stride,padding", [
+    (4, 2, False), (4, 1, True), (4, 2, True), (5, 2, True),
+])
+def test_token_distribution_matches_reference(spark, window, stride, padding):
+    """approximate_distribution_tokens parity with the reference token
+    accumulation (`_bertopic.py:1374-1404`): each token position sums the
+    mass of every window containing it, per class, unnormalized."""
+    from bertopic_spark.operators.distribution import (
+        approximate_distribution_tokens)
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    sdf = spark.createDataFrame(
+        [(c, t, s) for (c, t), s in SCORES.items()],
+        "lang string, term string, score double")
+    got = approximate_distribution_tokens(
+        df, sdf, ["lang"], "text", "doc_id", window, stride,
+        "ascii_code", padding).collect()
+    have = {(r["doc_id"], r["token_pos"], r["lang"]):
+            (r["term"], round(r["weight"], 9)) for r in got}
+    want = {}
+    for doc_id, text in DOCS:
+        toks = text.split()
+        for win, ids in _ref_token_sets(toks, window, stride, padding):
+            mass = {}
+            for cls in ("c1", "c2"):
+                m = sum(SCORES.get((cls, t), 0.0) for t in win)
+                if any((cls, t) in SCORES for t in win):
+                    mass[cls] = m
+            for pos in ids:
+                for cls, m in mass.items():
+                    k = (doc_id, pos, cls)
+                    term, acc = want.get(k, (toks[pos], 0.0))
+                    want[k] = (term, acc + m)
+    want = {k: (t, round(v, 9)) for k, (t, v) in want.items()}
+    assert have == want
+
+
 @pytest.mark.parametrize("window,stride,padding", [
     (4, 1, False), (4, 2, False), (4, 3, False), (5, 2, False),
     (4, 1, True), (4, 2, True), (4, 3, True), (5, 2, True), (6, 4, True),

@@ -316,6 +316,37 @@ def test_seed_words_boost(documents_df):
     assert r_seed <= 5
 
 
+def test_seed_topic_list_boost(documents_df):
+    """Guided topics via seed_topic_list (_bertopic.py:4434-4446): listed
+    words get EXACTLY 1.2× idf, and a word in BOTH seed_words and the
+    flattened seed_topic_list gets 1.2 (the guided branch overrides)."""
+    base = BERTopicSpark(class_cols=["lang"]).fit(documents_df, "text", "doc_id")
+    lang0 = base.get_topics().select("lang").orderBy("lang").first()["lang"]
+    rows = base.get_topics().filter(
+        (F.col("lang") == lang0) & F.col("rank").isin(4, 5)
+    ).orderBy("rank").collect()
+    w_both, w_guided = rows[0]["term"], rows[1]["term"]
+
+    def score_of(m, lang, term):
+        return m.scores_.filter(
+            (F.col("lang") == lang) & (F.col("term") == term)).first()["score"]
+
+    guided = BERTopicSpark(
+        class_cols=["lang"], seed_words=[w_both], seed_multiplier=2.0,
+        seed_topic_list=[[w_both], [w_guided]],
+    ).fit(documents_df, "text", "doc_id")
+    for r in rows:
+        s0 = score_of(base, r["lang"], r["term"])
+        s1 = score_of(guided, r["lang"], r["term"])
+        assert abs(s1 - 1.2 * s0) < 1e-12, r["term"]  # 1.2 even when in both
+
+    only_list = BERTopicSpark(
+        class_cols=["lang"], seed_topic_list=[[w_guided]],
+    ).fit(documents_df, "text", "doc_id")
+    s0 = score_of(base, rows[1]["lang"], w_guided)
+    assert abs(score_of(only_list, rows[1]["lang"], w_guided) - 1.2 * s0) < 1e-12
+
+
 def test_get_topic_aspects(model):
     for aspect in ("keybert", "pos", "mmr"):
         out = model.get_topic_aspects(aspect)
