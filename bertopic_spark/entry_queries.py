@@ -717,6 +717,35 @@ ranked AS (
 SELECT doc_id, lang AS pred_class, round(sim, 6) AS score FROM ranked WHERE rn = 1"""
 
 
+def q_transform_distribution(spark, sf_dir):
+    """Soft assignment (calculate_probabilities=True, _bertopic.py:545-647):
+    the full pre-argmax similarity distribution, L1-normalized per doc —
+    gated through the facade so the public method is what's checked."""
+    from bertopic_spark.model import BERTopicSpark
+
+    d = _docs(spark, sf_dir)
+    m = BERTopicSpark(class_cols=["lang"], mode=MODE).fit(d, "text", "doc_id")
+    out = m.transform_distribution(d)
+    return out.select("doc_id", "lang", _r6(F.col("prob")).alias("prob"))
+
+
+SQL_TRANSFORM_DISTRIBUTION = f"""WITH {_TOKS}, {_XCLS},
+{_stats_sql('xcls', 'lang', False)},
+scores AS (
+  SELECT x.lang, x.term, (x.tf / clen.class_len) * idf.idf AS cls_score
+  FROM xcls x JOIN clen USING (lang) JOIN idf USING (term)),
+xdoc AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, term),
+dlen AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len FROM xdoc GROUP BY doc_id),
+sims AS (
+  SELECT d.doc_id, s.lang, sum((d.tf * 1.0 / dlen.doc_len) * s.cls_score) AS sim
+  FROM xdoc d JOIN dlen USING (doc_id) JOIN scores s USING (term)
+  GROUP BY d.doc_id, s.lang),
+tot AS (SELECT doc_id, sum(sim) AS total FROM sims GROUP BY doc_id)
+SELECT s.doc_id, s.lang, round(s.sim / t.total, 6) AS prob
+FROM sims s JOIN tot t USING (doc_id)"""
+
+
 # ---------------------------------------------------------------------------
 # Topic-surface operators (merge/info/search/representatives/tuning)
 # ---------------------------------------------------------------------------
@@ -1699,6 +1728,41 @@ pairs AS (
 SELECT lang_a, lang_b, round(1.0 - round(1.0 - cos, 6), 6) AS sim FROM pairs"""
 
 
+def q_term_rank_curve(spark, sf_dir):
+    """visualize_term_rank data (plotting/_term_rank.py:70-95): score by
+    rank per topic, log10 with non-positive scores floored to the global
+    min positive score."""
+    from bertopic_spark.operators.viz import term_rank_curve
+
+    s = ctfidf(_cls_x(spark, sf_dir), ["lang"])
+    out = term_rank_curve(s, ["lang"], k=10, log_scale=True)
+    return out.select("lang", F.col("rank").cast("long").alias("rank"),
+                      "term", _r6(F.col("score")).alias("score"))
+
+
+SQL_TERM_RANK_CURVE = f"""WITH {_TOKS}, {_XCLS},
+{_scores_sql('xcls', 'lang', False, False)},
+topk AS (
+  SELECT lang, term, score,
+         row_number() OVER (PARTITION BY lang ORDER BY score DESC, term ASC) AS rank
+  FROM scores QUALIFY rank <= 10),
+flr AS (SELECT min(score) AS f FROM topk WHERE score > 0)
+SELECT lang, CAST(rank AS BIGINT) AS rank, term,
+       round(log10(CASE WHEN score > 0 THEN score ELSE flr.f END), 6) AS score
+FROM topk, flr"""
+
+
+def q_topic_map_2d(spark, sf_dir):
+    """visualize_topics data (_bertopic.py:2541-2594): deterministic 2-D
+    classical-MDS coordinates from the topic cosine-distance relation.
+    Iterative eigendecomposition — not SQL-expressible, rows-only gate;
+    geometry is pytest-verified (distance recovery + determinism)."""
+    from bertopic_spark.operators.viz import topic_map_2d
+
+    s = ctfidf(_cls_x(spark, sf_dir), ["lang"])
+    return topic_map_2d(s, "lang")
+
+
 def q_merge_models_sizes(spark, sf_dir):
     """J8 cross-model merge (reference ``merge_models``,
     `_bertopic.py:3590-3729`): fit two models on disjoint corpus halves
@@ -1827,9 +1891,12 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "quality_score": (q_quality_score, _sql_quality_score()),
     "doc_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "assign_nearest_class": (q_assign_nearest_class, SQL_ASSIGN_NEAREST),
+    "transform_distribution": (q_transform_distribution, SQL_TRANSFORM_DISTRIBUTION),
     "ivf_ann_topk": (q_ivf_ann_topk, _sql_ivf_ann()),
     "document_info": (q_document_info, SQL_DOCUMENT_INFO),
     "generated_labels": (q_generated_labels, SQL_GENERATED_LABELS),
     "topic_sim_matrix": (q_topic_sim_matrix, SQL_TOPIC_SIM_MATRIX),
+    "term_rank_curve": (q_term_rank_curve, SQL_TERM_RANK_CURVE),
+    "topic_map_2d": (q_topic_map_2d, None),  # iterative MDS — rows-only gate
     "merge_models_sizes": (q_merge_models_sizes, _sql_merge_models()),
 }

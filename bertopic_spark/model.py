@@ -182,6 +182,29 @@ class BERTopicSpark:
         self._check_fitted()
         return self.get_topic_info().select(*self.class_cols, "count")
 
+    # -- visualization data relations (plotting layer is out of scope) ------
+
+    def term_rank_data(self, k: int | None = None,
+                       log_scale: bool = False) -> DataFrame:
+        """Score-by-rank decline per topic — the data behind the
+        reference's ``visualize_term_rank`` (`_bertopic.py:2925-2986`)."""
+        self._check_fitted()
+        from bertopic_spark.operators.viz import term_rank_curve
+
+        return term_rank_curve(self.scores_, self.class_cols,
+                               k or self.top_n_words, log_scale)
+
+    def topic_map_data(self) -> DataFrame:
+        """(class, x, y) deterministic 2-D intertopic map — the data behind
+        the reference's ``visualize_topics`` (`_bertopic.py:2541-2594`),
+        classical MDS over the topic-similarity relation instead of UMAP."""
+        self._check_fitted()
+        if len(self.class_cols) != 1:
+            raise ValueError("topic_map_data needs a single class column")
+        from bertopic_spark.operators.viz import topic_map_2d
+
+        return topic_map_2d(self.scores_, self.class_cols[0])
+
     # -- query surface -------------------------------------------------------
 
     def transform(self, df: DataFrame, text_col: str | None = None,
@@ -192,16 +215,8 @@ class BERTopicSpark:
         self._check_fitted()
         from pyspark.sql import Window
 
-        text_col = text_col or self._text_col
         id_col = id_col or self._id_col
-        dt = doc_term_counts(df, text_col, [id_col], self.mode,
-                             self.ngram_range, with_len=True)
-        doc_w = dt.select(id_col, "term", (F.col("tf") / F.col("doc_len")).alias("w"))
-        sims = (
-            doc_w.join(self.scores_.select(*self.class_cols, "term", "score"), "term")
-            .groupBy(id_col, *self.class_cols)
-            .agg(F.sum(F.col("w") * F.col("score")).alias("sim"))
-        )
+        sims = self._transform_sims(df, text_col, id_col)
         w = Window.partitionBy(id_col).orderBy(
             F.desc("sim"), *[F.asc(c) for c in self.class_cols])
         return (
@@ -209,6 +224,38 @@ class BERTopicSpark:
             .filter(F.col("rn") == 1)
             .select(id_col, *self.class_cols, "sim")
         )
+
+    def _transform_sims(self, df: DataFrame, text_col: str | None,
+                        id_col: str) -> DataFrame:
+        """(id, class..., sim) — the pre-argmax similarity relation shared
+        by ``transform`` (argmax) and ``transform_distribution`` (soft)."""
+        text_col = text_col or self._text_col
+        dt = doc_term_counts(df, text_col, [id_col], self.mode,
+                             self.ngram_range, with_len=True)
+        doc_w = dt.select(id_col, "term", (F.col("tf") / F.col("doc_len")).alias("w"))
+        return (
+            doc_w.join(self.scores_.select(*self.class_cols, "term", "score"), "term")
+            .groupBy(id_col, *self.class_cols)
+            .agg(F.sum(F.col("w") * F.col("score")).alias("sim"))
+        )
+
+    def transform_distribution(self, df: DataFrame, text_col: str | None = None,
+                               id_col: str | None = None) -> DataFrame:
+        """(id, class..., prob) — SOFT assignment: the full pre-argmax
+        similarity distribution L1-normalized per doc (the reference's
+        ``calculate_probabilities=True`` probabilities return,
+        `_bertopic.py:545-647`). Feed the result to
+        ``scatter_add_probabilities`` after merges (A10). Sparse long form:
+        a (doc, class) with no shared scored term yields no row."""
+        self._check_fitted()
+        from pyspark.sql import Window
+
+        id_col = id_col or self._id_col
+        sims = self._transform_sims(df, text_col, id_col)
+        tot = Window.partitionBy(id_col)
+        return sims.withColumn(
+            "prob", F.col("sim") / F.sum("sim").over(tot)
+        ).select(id_col, *self.class_cols, "prob")
 
     def find_topics(self, query: str, top_n: int = 5) -> DataFrame:
         self._check_fitted()

@@ -34,8 +34,13 @@ def doc_scores(
     reduce_frequent_words: bool = False,
     persist_counts: bool = True,
     _persisted_out: list | None = None,
+    combine: str = "shuffle",
 ) -> DataFrame:
     """The scored doc-level index: (doc_id, term, tf, score).
+
+    ``combine`` is passed through to ``doc_term_counts``: "shuffle"
+    (default, fastest single-box) vs "local" (zero-shuffle counting for
+    network-bound clusters — see postings.doc_term_counts).
 
     The count relation feeds three consumers (idf stats, avg length, the
     scored join); their column pruning differs, so Catalyst's ReuseExchange
@@ -46,7 +51,8 @@ def doc_scores(
     builds in one session can collect the persisted handle via
     ``_persisted_out`` and unpersist after materializing.
     """
-    x = doc_term_counts(corpus, text_col, [id_col], mode, with_len=True)
+    x = doc_term_counts(corpus, text_col, [id_col], mode, with_len=True,
+                        combine=combine)
     x = x.withColumnRenamed("doc_len", "class_len")
     if persist_counts:
         x = x.persist()

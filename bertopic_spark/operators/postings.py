@@ -77,7 +77,7 @@ def doc_term_counts(
     ngram_range: tuple[int, int] = (1, 1),
     use_udf: bool | None = None,
     with_len: bool = False,
-    combine: str = "local",
+    combine: str = "shuffle",
 ) -> DataFrame:
     """Per-document term frequencies: (key_cols..., term, tf:long).
 
@@ -89,18 +89,23 @@ def doc_term_counts(
     doc-level BM25 L1-normalize without a second shuffle/join against a
     per-doc length table (unbroadcastable at 10^12 docs).
 
-    combine="local" (default) computes each document's (term, tf) pairs
-    INSIDE its own row (sorted-array run-length, ``runlength_pairs``) and
-    explodes the result — zero shuffle: a document's tokens already live in
-    one row, so hashing |total tokens| exploded rows through an exchange
-    (combine="shuffle", the classic groupBy plan) moves data the plan never
-    needed to move. At 10^12 docs the eliminated exchange is the largest
-    shuffle of the whole index build. Both paths are result-identical
-    (tested); "shuffle" is kept for plan comparison.
+    combine picks the physical strategy; both are result-identical (tested).
 
-    NOTE: "local" requires key_cols to be row-unique (e.g. include doc_id).
-    Grouping keys coarser than a row (class-level counts) must either use
-    combine="shuffle" or fold with ``class_term_counts`` afterwards.
+    * "shuffle" (default): explode + groupBy. The map-side partial hash agg
+      collapses each doc's tokens to final counts BEFORE the exchange (a
+      doc lives in one row → one partition), so the shuffle moves exactly
+      |postings| rows, not |tokens|. Fastest measured on a single box
+      (in-memory exchange; 3,100 vs 2,750 docs/sec at local[32], 20k-file
+      code corpus) — the default because single-JVM CPU is the binding
+      resource there.
+    * "local": compute each document's (term, tf) pairs INSIDE its own row
+      (sorted-array run-length, ``runlength_pairs``) and explode — ZERO
+      shuffle, ~12% more CPU. On a multi-executor cluster the eliminated
+      exchange is the index build's largest (|postings| rows over the
+      network + shuffle disk); choose this when the cluster is
+      network/disk-bound, i.e. at the 10^12-doc target. Requires key_cols
+      to be row-unique (e.g. include doc_id); class-level keys must use
+      "shuffle" or fold with ``class_term_counts`` afterwards.
     """
     toks = with_tokens(df.select(*key_cols, text_col), text_col, mode, ngram_range, use_udf)
     if combine == "local":

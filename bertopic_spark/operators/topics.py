@@ -263,8 +263,77 @@ def class_pair_distances(scores: DataFrame, class_col: str,
     )
 
 
+def single_linkage_merge(pairs: dict[tuple[int, int], float],
+                         k: int) -> list[tuple[int, int, int, float, str]]:
+    """Single-linkage agglomeration over a k-leaf pair-distance dict
+    ((i, j) i<j → dist; missing pairs = 1.0). Returns scipy-convention
+    rows (parent_id, child_left, child_right, distance, member_csv), merge
+    pair chosen by lexicographic (distance, id_a, id_b) — identical output
+    to the naive rescan-all-pairs loop (tested), but O(k²) typical:
+
+    * the k×(2k−1) upper-triangle lives in one numpy matrix (new clusters
+      append as columns, so row-major argmin = (dist, a, b) tie order);
+    * per-row (min, argmin) caches make the global pick O(k) per merge;
+    * a row rescans (C-speed np.argmin) only when its cached argmin was one
+      of the two merged clusters — single linkage's min-rule means the new
+      cluster can only repoint rows, never worsen them.
+    """
+    import numpy as np
+
+    m = 2 * k - 1
+    inf = np.inf
+    dm = np.full((m, m), inf)
+    iu = np.triu_indices(k, 1)
+    dm[iu] = 1.0
+    for (i, j), v in pairs.items():
+        dm[i, j] = v
+    rowmin = np.full(m, inf)
+    rowarg = np.full(m, -1, dtype=np.int64)
+    for i in range(k - 1):
+        j = int(np.argmin(dm[i, :k]))
+        rowmin[i], rowarg[i] = dm[i, j], j
+    active = np.zeros(m, dtype=bool)
+    active[:k] = True
+    members = {i: [i] for i in range(k)}
+    rows: list[tuple[int, int, int, float, str]] = []
+    for nid in range(k, m):
+        a = int(np.argmin(rowmin[:nid]))          # ties → smallest a
+        b = int(rowarg[a])                        # ties → smallest b
+        dist = float(rowmin[a])
+        mem = sorted(members[a] + members[b])
+        rows.append((nid, a, b, dist, ",".join(str(x) for x in mem)))
+        members[nid] = mem
+        # new column nid: d(nid, c) = min(d(a,c), d(b,c)) — read BOTH
+        # triangles before wiping a and b
+        newcol = np.minimum(
+            np.minimum(dm[a, :nid], dm[:nid, a]),
+            np.minimum(dm[b, :nid], dm[:nid, b]))
+        newcol[a] = newcol[b] = inf
+        active[a] = active[b] = False
+        rowmin[a] = rowmin[b] = inf
+        dm[a, :] = inf
+        dm[:, a] = inf
+        dm[b, :] = inf
+        dm[:, b] = inf
+        dm[:nid, nid] = newcol
+        active[nid] = True
+        # fold the new column into row caches: strict < repoints (a tie
+        # keeps the OLD smaller id — nid is larger than every live id)
+        upd = newcol < rowmin[:nid]
+        rowarg[:nid][upd] = nid
+        rowmin[:nid][upd] = newcol[upd]
+        # rows whose cached argmin was a or b rescan (their distance to
+        # the merged pair is preserved at column nid, but a smaller tied
+        # column may now be the lexicographic argmin)
+        stale = np.where(active[:nid] & np.isin(rowarg[:nid], (a, b)))[0]
+        for c in stale:
+            j = int(np.argmin(dm[c, :nid + 1]))
+            rowmin[c], rowarg[c] = dm[c, j], j
+    return rows
+
+
 def hierarchical_topics(scores: DataFrame, class_col: str,
-                        max_classes: int = 10000,
+                        max_classes: int = 2000,
                         round_to: int = 6) -> DataFrame:
     """Linkage tree over class c-TF-IDF vectors — the reference's
     ``hierarchical_topics`` (`_bertopic.py:1035-1203`; output shape per
@@ -274,9 +343,12 @@ def hierarchical_topics(scores: DataFrame, class_col: str,
 
     Heavy lifting is Spark-side: pair distances (1 − cosine) come from one
     term join (``class_pair_distances``); only the k(k−1)/2 pair list is
-    collected (k = topic count — small by definition; hard-capped), never
-    the class×term matrix. The merge loop is O(k²) driver Python over that
-    list; single linkage's min-rule needs no vector recomputation.
+    collected (k = topic count — small by definition), never the
+    class×term matrix. The driver merge is ``single_linkage_merge`` — O(k²)
+    typical with numpy row-min caches; ``max_classes`` (2,000, matching
+    ``reduce_topics_agglomerative``) caps the (2k−1)² driver matrix at
+    ~128 MB and a few seconds of merge time. Beyond it, partition the
+    corpus (e.g. per lang) and build sub-trees.
 
     Returns one row per internal node, scipy node-numbering convention
     (leaves 0..k−1 by ascending class value, internal nodes k, k+1, …):
@@ -290,9 +362,9 @@ def hierarchical_topics(scores: DataFrame, class_col: str,
     k = len(classes)
     if k > max_classes:
         raise ValueError(
-            f"{k} classes exceeds max_classes={max_classes}: the pair list "
-            "no longer fits a driver; partition the corpus (e.g. per lang) "
-            "and build sub-trees instead")
+            f"{k} classes exceeds max_classes={max_classes}: the (2k-1)^2 "
+            "merge matrix no longer fits a driver; partition the corpus "
+            "(e.g. per lang) and build sub-trees instead")
     if k < 2:
         return spark.createDataFrame([], schema)
     leaf = {c: i for i, c in enumerate(classes)}
@@ -300,28 +372,7 @@ def hierarchical_topics(scores: DataFrame, class_col: str,
     for r in class_pair_distances(scores, class_col, round_to).collect():
         i, j = leaf[r["_ca"]], leaf[r["_cb"]]
         d[(min(i, j), max(i, j))] = float(r["dist"])
-    for i in range(k):
-        for j in range(i + 1, k):
-            d.setdefault((i, j), 1.0)
-    active = set(range(k))
-    members = {i: [i] for i in range(k)}
-    nid, rows = k, []
-    while len(active) > 1:
-        act = sorted(active)
-        dist, a, b = min(
-            (d[(act[x], act[y])], act[x], act[y])
-            for x in range(len(act)) for y in range(x + 1, len(act))
-        )
-        mem = sorted(members[a] + members[b])
-        rows.append((nid, a, b, float(dist), ",".join(str(m) for m in mem)))
-        for c in active - {a, b}:
-            d[(min(c, nid), max(c, nid))] = min(
-                d[(min(a, c), max(a, c))], d[(min(b, c), max(b, c))])
-        active -= {a, b}
-        active.add(nid)
-        members[nid] = mem
-        nid += 1
-    return spark.createDataFrame(rows, schema)
+    return spark.createDataFrame(single_linkage_merge(d, k), schema)
 
 
 def reduce_topics_agglomerative(doc_terms: DataFrame, topic_col: str,

@@ -316,6 +316,32 @@ def test_seed_words_boost(documents_df):
     assert r_seed <= 5
 
 
+def test_transform_distribution_soft_assignment(documents_df):
+    """Soft assignment (reference calculate_probabilities=True): per-doc
+    L1-normalized, argmax-consistent with transform(), and consumable by
+    scatter_add_probabilities after a merge (A10 chain)."""
+    from bertopic_spark.operators.distribution import scatter_add_probabilities
+
+    d = documents_df.withColumn("topic", (F.col("doc_id") % 3).cast("long"))
+    m = BERTopicSpark(class_cols=["topic"]).fit(d, "text", "doc_id")
+    probs = m.transform_distribution(d)
+    sums = probs.groupBy("doc_id").agg(F.sum("prob").alias("s")).collect()
+    assert sums and all(abs(r["s"] - 1.0) < 1e-9 for r in sums)
+    # argmax of the distribution == hard transform()
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc_id").orderBy(F.desc("prob"), F.asc("topic"))
+    soft_top = {r["doc_id"]: r["topic"] for r in
+                probs.withColumn("rn", F.row_number().over(w))
+                .filter("rn = 1").collect()}
+    hard = {r["doc_id"]: r["topic"] for r in m.transform(d).collect()}
+    assert soft_top == hard
+    # merge 2 → 1: mass folds, still a distribution, topic 2 gone
+    merged = scatter_add_probabilities(probs, {2: 1}, "topic", "doc_id")
+    assert merged.filter("topic = 2").count() == 0
+    msums = merged.groupBy("doc_id").agg(F.sum("prob").alias("s")).collect()
+    assert all(abs(r["s"] - 1.0) < 1e-9 for r in msums)
+
+
 def test_seed_topic_list_boost(documents_df):
     """Guided topics via seed_topic_list (_bertopic.py:4434-4446): listed
     words get EXACTLY 1.2× idf, and a word in BOTH seed_words and the

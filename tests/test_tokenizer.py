@@ -85,3 +85,19 @@ def test_duckdb_oracle_matches_python_kernel(mode):
     sql = f"select i, {duckdb_tokens_sql('txt', mode)} as toks from t order by i"
     for i, toks in con.sql(sql).fetchall():
         assert list(toks) == tokenize_one(CASES[i], mode), (mode, CASES[i])
+
+
+def test_doc_term_counts_combine_modes_identical(spark):
+    """combine="local" (in-row run-length, zero shuffle) must be
+    result-identical to combine="shuffle" (explode+groupBy), including
+    doc_len, across empty docs / repeated terms / unicode."""
+    from bertopic_spark.operators.postings import doc_term_counts
+
+    rows = [(0, "aa bb aa cc aa bb"), (1, ""), (2, "zz"),
+            (3, "x " * 50 + "y"), (4, "naïve café naïve")]
+    df = spark.createDataFrame(rows, "doc_id long, t string")
+    a = doc_term_counts(df, "t", ["doc_id"], with_len=True, combine="local")
+    b = doc_term_counts(df, "t", ["doc_id"], with_len=True, combine="shuffle")
+    assert a.columns == b.columns
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert a.count() == b.count() > 0
