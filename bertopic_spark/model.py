@@ -90,6 +90,12 @@ class BERTopicSpark:
         self.mappings_: list[dict[int, int]] = []
         self.custom_labels_: dict | None = None
         self._state_x: DataFrame | None = None  # partial_fit decayed counts
+        # embedding-backend seam (X1): (id, vector) relation from fit()
+        self.embeddings_: DataFrame | None = None
+        self._vec_col = "embedding"
+        # (class, count) sizes carried by an imported reference model
+        # (no doc_terms_ exist there — see import_reference_model)
+        self._imported_sizes: DataFrame | None = None
         # checkpoint-generation registry: slot name → persistent-RDD ids of
         # the slot's CURRENT localCheckpoint (see _ckpt_replace)
         self._ckpt_ids: dict[str, set[int]] = {}
@@ -118,11 +124,26 @@ class BERTopicSpark:
 
     # -- fit ---------------------------------------------------------------
 
-    def fit(self, df: DataFrame, text_col: str = "content", id_col: str = "doc_id"):
+    def fit(self, df: DataFrame, text_col: str = "content", id_col: str = "doc_id",
+            embeddings: DataFrame | None = None, vec_col: str = "embedding"):
         """Stages 4-9 of the reference lifecycle (SURVEY §3.1) — tokenize,
-        class-aggregate, weight, keep artifacts for every query method."""
+        class-aggregate, weight, keep artifacts for every query method.
+
+        ``embeddings``: optional (id_col, vec_col) relation — the
+        embedding-backend seam (reference threads ``backend/_base.py:5``
+        through fit; this engine takes PRE-COMPUTED vectors, e.g.
+        ``sources.multimodal.extract_features`` output or a real encoder
+        run upstream). Stored for ``topic_embeddings()``, the
+        ``reduce_outliers(strategy="embeddings")`` default, and the
+        vector path of ``find_topics``."""
         self._text_col, self._id_col = text_col, id_col
         self.doc_table_ = df
+        if embeddings is not None:
+            # (id, vector) relation; if id_col is absent the FIRST column
+            # is taken as the id (extract_features emits asset_id)
+            eid = id_col if id_col in embeddings.columns else embeddings.columns[0]
+            self.embeddings_ = embeddings.select(
+                F.col(eid).alias(id_col), F.col(vec_col).alias(self._vec_col))
         dt = doc_term_counts(df, text_col, [*self.class_cols, id_col],
                              self.mode, self.ngram_range)
         self.doc_terms_ = dt.persist()
@@ -167,8 +188,14 @@ class BERTopicSpark:
         self._check_fitted()
         from bertopic_spark.operators.topics import topic_labels
 
-        sizes = self.doc_terms_.select(*self.class_cols, self._id_col).distinct() \
-            .groupBy(*self.class_cols).agg(F.count(F.lit(1)).alias("count"))
+        if self.doc_terms_ is not None:
+            sizes = self.doc_terms_.select(*self.class_cols, self._id_col) \
+                .distinct() \
+                .groupBy(*self.class_cols).agg(F.count(F.lit(1)).alias("count"))
+        elif self._imported_sizes is not None:
+            sizes = self._imported_sizes  # reference-imported model
+        else:
+            raise RuntimeError("no doc_terms_ and no imported sizes")
         labels = topic_labels(self.get_topics(), self.class_cols)
         out = sizes.join(F.broadcast(labels), self.class_cols, "left")
         if self.custom_labels_ and len(self.class_cols) == 1:
@@ -257,8 +284,52 @@ class BERTopicSpark:
             "prob", F.col("sim") / F.sum("sim").over(tot)
         ).select(id_col, *self.class_cols, "prob")
 
-    def find_topics(self, query: str, top_n: int = 5) -> DataFrame:
+    def topic_embeddings(self) -> DataFrame:
+        """(class, dim, mean_val, n) — long-form topic centroids over the
+        embedding seam (reference ``topic_embeddings_``,
+        `_bertopic.py:4334-4343`): per-class mean of the fitted (id, vector)
+        relation. Long form shuffles (class, dim) pairs, never vectors."""
         self._check_fitted()
+        if self.embeddings_ is None:
+            raise ValueError("fit(..., embeddings=...) was not provided")
+        if len(self.class_cols) != 1:
+            raise ValueError("topic_embeddings needs a single class column")
+        from bertopic_spark.operators.similarity import class_centroids
+
+        tcol = self.class_cols[0]
+        lab = self.doc_table_.select(self._id_col, tcol)
+        emb = self.embeddings_.join(lab, self._id_col)
+        return class_centroids(emb, label_col=tcol, vec_col=self._vec_col,
+                               id_col=self._id_col)
+
+    def find_topics(self, query: str | None = None, top_n: int = 5,
+                    query_vec: Sequence[float] | None = None) -> DataFrame:
+        """Term path (default): inverted-index cosine of the tokenized
+        ``query`` against class c-TF-IDF vectors. Vector path
+        (``query_vec``): cosine against the embedding-seam topic centroids
+        (the reference embeds the query with its backend and cosines
+        topic_embeddings_, `_bertopic.py:960-994`)."""
+        self._check_fitted()
+        if query_vec is not None:
+            from pyspark.sql import Window
+
+            cents = self.topic_embeddings()  # (class, dim, mean_val, n)
+            tcol = self.class_cols[0]
+            spark = cents.sparkSession
+            q = spark.createDataFrame(
+                [(i, float(v)) for i, v in enumerate(query_vec)],
+                "dim int, qv double")
+            qn = sum(float(v) ** 2 for v in query_vec) ** 0.5 or 1.0
+            sims = (
+                cents.join(F.broadcast(q), "dim")
+                .groupBy(tcol)
+                .agg((F.sum(F.col("mean_val") * F.col("qv"))
+                      / (F.sqrt(F.sum(F.col("mean_val") ** 2)) * F.lit(qn))
+                      ).alias("sim"))
+            )
+            w = Window.partitionBy().orderBy(F.desc("sim"), F.asc(tcol))
+            return (sims.withColumn("rank", F.row_number().over(w))
+                    .filter(F.col("rank") <= top_n))
         from bertopic_spark.operators.topics import find_topics
 
         return find_topics(self.scores_, query, self.class_cols, top_n, self.mode)
@@ -372,12 +443,17 @@ class BERTopicSpark:
         """Re-assign outlier docs to their nearest non-outlier class
         (reference ``reduce_outliers``, `_bertopic.py:2380-2540`). Returns
         the full (id, topic) relation; apply it with ``update_topics`` by
-        re-fitting on a corrected doc table if desired."""
+        re-fitting on a corrected doc table if desired.
+
+        strategy="embeddings" defaults to the seam vectors stored by
+        ``fit(..., embeddings=...)`` — no manual join needed."""
         self._check_fitted()
         if len(self.class_cols) != 1:
             raise ValueError("reduce_outliers needs a single class column")
         from bertopic_spark.operators.outliers import reduce_outliers
 
+        if embeddings is None and strategy == "embeddings":
+            embeddings = self.embeddings_
         tcol = self.class_cols[0]
         return reduce_outliers(
             self.doc_table_.select(self._id_col, tcol, self._text_col),
@@ -385,7 +461,7 @@ class BERTopicSpark:
             text_col=self._text_col, id_col=self._id_col, topic_col=tcol,
             strategy=strategy, threshold=threshold, mode=self.mode,
             outlier_label=outlier_label, window=window, stride=stride,
-            embeddings=embeddings)
+            embeddings=embeddings, vec_col=self._vec_col)
 
     def partial_fit(self, batch: DataFrame, text_col: str | None = None,
                     id_col: str | None = None, decay: float = 0.0):
@@ -689,7 +765,23 @@ class BERTopicSpark:
                     if self.custom_labels_ else None),
                 "seed_words": self.seed_words,
                 "seed_multiplier": self.seed_multiplier,
+                "seed_topic_list": self.seed_topic_list,
             }, f)
+
+    @classmethod
+    def import_reference_model(cls, spark: SparkSession, path: str,
+                               topic_col: str = "topic") -> "BERTopicSpark":
+        """One-way migration: load a reference-saved model directory
+        (safetensors serialization — topics.json + ctfidf_config.json +
+        ctfidf.safetensors CSR triplets + idf diag,
+        `_bertopic.py:5097-5117`) into long-form state. Score-driven
+        methods (get_topics / get_topic_info / find_topics / transform /
+        hierarchy / merge) answer from the imported state; tf/df counts
+        aren't stored by that format and import as NULL, so
+        count-reaggregation paths need a refit."""
+        from bertopic_spark.sources.reference_model import load_reference_dir
+
+        return load_reference_dir(spark, path, topic_col)
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "BERTopicSpark":
@@ -703,6 +795,7 @@ class BERTopicSpark:
             top_n_words=cfg["top_n_words"],
             seed_words=cfg.get("seed_words"),
             seed_multiplier=cfg.get("seed_multiplier", 2.0),
+            seed_topic_list=cfg.get("seed_topic_list"),
         )
         m._id_col, m._text_col = cfg["id_col"], cfg["text_col"]
         m.mappings_ = [{int(k): int(v) for k, v in mm.items()}

@@ -63,3 +63,38 @@ def test_sample_frames_explodes_videos(assets):
         nos = sorted(r["frame_no"] for r in rs)
         assert nos == list(range(len(nos)))
         assert all(r["ts_ms"] == r["frame_no"] * 500 for r in rs)
+
+
+def test_embedding_seam_fit_to_reduce_outliers(spark, assets):
+    """VERDICT r2 #9: extract_features output flows through
+    fit(embeddings=...) → reduce_outliers(strategy="embeddings") and
+    find_topics(query_vec=...) with NO manual joins."""
+    from pyspark.sql import functions as F
+
+    from bertopic_spark.model import BERTopicSpark
+
+    feats = extract_features(assets)  # (asset_id, feature)
+    docs = assets.select(
+        F.col("asset_id").alias("doc_id"),
+        F.concat_ws(" ", F.lit("asset kind"), F.col("kind")).alias("text"),
+        F.when(F.col("asset_id") % 5 == 0, F.lit(-1))
+        .otherwise(F.col("asset_id") % 3).cast("long").alias("topic"))
+    m = BERTopicSpark(class_cols=["topic"]).fit(
+        docs, "text", "doc_id", embeddings=feats, vec_col="feature")
+    out = m.reduce_outliers(strategy="embeddings", outlier_label=-1)
+    assert out.count() == docs.count()
+    # every former outlier got a non-outlier label (threshold 0 default
+    # keeps any with negative best cosine at -1; allow that, but the
+    # relation must cover all docs and keep non-outliers frozen)
+    frozen = docs.filter("topic != -1").select("doc_id", "topic")
+    assert out.join(frozen.withColumnRenamed("topic", "t0"), "doc_id") \
+        .filter("topic != t0").count() == 0
+
+    # vector-path find_topics: centroid cosine over all labels INCLUDING
+    # the outlier class (reference find_topics cosines topic_embeddings_
+    # with -1 present, _bertopic.py:960-994)
+    cents = m.topic_embeddings()
+    assert cents.select("topic").distinct().count() == 4
+    qv = [0.1] * FEATURE_DIM
+    top = m.find_topics(query_vec=qv, top_n=2).collect()
+    assert len(top) == 2 and top[0]["rank"] == 1
