@@ -50,6 +50,11 @@ BENCH_QUERIES = [
     # round-2 additions (hierarchy tree + outlier re-assignment)
     "hierarchical_topics",
     "reduce_outliers_ctfidf",
+    # round-3 additions (token-level distribution, soft assignment,
+    # term-rank viz data)
+    "approx_distribution_tokens",
+    "transform_distribution",
+    "term_rank_curve",
 ]
 
 

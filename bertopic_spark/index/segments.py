@@ -179,14 +179,62 @@ def serve_topk(spark, path: str, query_terms: dict[int, list[str]], k: int = 10,
     the latency floor. Ordering key struct(-score, doc_id) ascending ≡
     (score desc, doc_id asc), the engine-wide deterministic tie-break.
     """
+    all_terms = sorted({t for ts in query_terms.values() for t in ts})
+    scan = pruned_block_scan(spark, path, all_terms, n_buckets)
+    return _topk_over_scan(scan, query_terms, k, span)
+
+
+class IndexServer:
+    """Warm serving session: pins the segment relation in executor storage
+    ONCE and answers every subsequent query from the cache — the cold path
+    (``serve_topk``) pays parquet footer reads + file-scan setup per job.
+
+    The cached relation keeps the (bucket, term) sort order from
+    ``write_index_segments``, so InMemoryTableScan's per-batch min/max
+    stats prune non-matching batches — the in-memory analog of the on-disk
+    partition/row-group pruning. At 100 TB this is the serving-tier shape:
+    hot segments pinned in executor memory (MEMORY_AND_DISK spills cold
+    buckets), queries as sub-second jobs against the cache.
+
+    Use as a context manager or call ``close()`` — the cache is explicitly
+    released (same lifetime contract as bm25.py / wand.py).
+    """
+
+    def __init__(self, spark, path: str, span: int = DEFAULT_SPAN,
+                 n_buckets: int = N_TERM_BUCKETS, eager: bool = True):
+        self.span = span
+        self.n_buckets = n_buckets
+        self.blocks = spark.read.parquet(path).persist()
+        if eager:
+            self.blocks.count()
+
+    def topk(self, query_terms: dict[int, list[str]], k: int = 10) -> DataFrame:
+        all_terms = sorted({t for ts in query_terms.values() for t in ts})
+        buckets = sorted({term_bucket(t, self.n_buckets) for t in all_terms})
+        scan = self.blocks.filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(all_terms))
+        return _topk_over_scan(scan, query_terms, k, self.span)
+
+    def close(self) -> None:
+        self.blocks.unpersist()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def _topk_over_scan(scan: DataFrame, query_terms: dict[int, list[str]],
+                    k: int, span: int) -> DataFrame:
+    """Shared decode → score → per-query top-k tail of the serving paths."""
     from bertopic_spark.index.wand import _decode_score
 
-    all_terms = sorted({t for ts in query_terms.values() for t in ts})
+    spark = scan.sparkSession
     qt = spark.createDataFrame(
         [(qid, t) for qid, ts in sorted(query_terms.items()) for t in set(ts)],
         "query_id long, term string",
     )
-    scan = pruned_block_scan(spark, path, all_terms, n_buckets)
     cand = scan.join(F.broadcast(qt), "term").select("query_id", "blk", "payload")
     scored = _decode_score(cand, span)
     top = F.slice(

@@ -75,12 +75,21 @@ def _classical_mds(dist: np.ndarray, n_components: int = 2) -> np.ndarray:
 
 
 def topic_map_2d(scores: DataFrame, class_col: str,
-                 round_to: int = 6) -> DataFrame:
+                 round_to: int = 6, max_classes: int = 2000) -> DataFrame:
     """(class, x, y) — deterministic 2-D intertopic map from the c-TF-IDF
     cosine-distance relation. Pairs sharing no term get distance 1 (cos 0),
-    the diagonal 0. Coordinates round to ``round_to`` dp."""
+    the diagonal 0. Coordinates round to ``round_to`` dp.
+
+    ``max_classes`` caps the k×k driver matrix (same 2,000 bound as
+    ``hierarchical_topics`` / ``reduce_topics_agglomerative``)."""
     from bertopic_spark.operators.topics import class_pair_distances
 
+    n_classes = scores.select(class_col).distinct().count()
+    if n_classes > max_classes:
+        raise ValueError(
+            f"{n_classes} classes exceeds max_classes={max_classes}: the "
+            "k×k distance matrix no longer fits a driver; reduce topics "
+            "first or map per partition")
     pairs = class_pair_distances(scores, class_col, round_to=12).collect()
     classes = sorted({r["_ca"] for r in pairs} | {r["_cb"] for r in pairs}
                      | {r[0] for r in

@@ -67,3 +67,31 @@ def test_serve_topk_rank_identical(spark, corpus_df, seg_path):
         assert [(r, d) for r, d, _ in gw] == [(r, d) for r, d, _ in ww], q
         for (_, _, gs), (_, _, ws) in zip(gw, ww):
             assert gs == pytest.approx(ws, abs=1e-12)
+
+
+def test_index_server_matches_cold_path_and_releases_cache(spark, seg_path):
+    """Warm serving session (IndexServer): identical results to the cold
+    serve_topk path, and the pinned relation is released on close()."""
+    from bertopic_spark.index.segments import IndexServer
+
+    path, _ = seg_path
+    fq = fixture_queries(10)
+    qts = {qid: sorted(set(tokenize_one(fq[qid], "ascii_code")))
+           for qid in sorted(fq)}
+
+    def rel(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], []).append(
+                (r["rank"], r["doc_id"], round(r["score"], 9)))
+        return {q: sorted(v) for q, v in out.items()}
+
+    cold = rel(serve_topk(spark, path, qts, k=10, span=SPAN, n_buckets=16))
+    n0 = spark.sparkContext._jsc.getPersistentRDDs().size()
+    with IndexServer(spark, path, span=SPAN, n_buckets=16) as srv:
+        warm = rel(srv.topk(qts, k=10))
+        # single-query serve against the cache too
+        one = rel(srv.topk({0: qts[0]}, k=10))
+    assert warm == cold
+    assert one[0] == cold[0]
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == n0
