@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "approx_distribution_tokens",
     "transform_distribution",
     "term_rank_curve",
+    "document_map_2d",
 ]
 
 
@@ -146,6 +147,26 @@ def main() -> None:
     timings["bm25_query_batch40_onejob"] = round(batch_sec, 3)
     extras["bm25_batch_ms_per_query"] = round(1000 * batch_sec / len(qts), 1)
     extras["bm25_batch_rows"] = n_res
+
+    # --- warm serving session: segments pinned in executor storage, the
+    # cold path's parquet-footer + scan-setup cost paid once (IndexServer).
+    # p50 here is the serving-tier latency story; the cold p50 above is the
+    # cold-start floor.
+    from bertopic_spark.index.segments import IndexServer
+
+    with IndexServer(spark, seg_dir) as srv:
+        wlat = []
+        for qid in sorted(fq)[:N_LAT_Q]:
+            t0 = time.perf_counter()
+            srv.topk({qid: qts[qid]}, k=10).collect()
+            wlat.append(time.perf_counter() - t0)
+        wlat.sort()
+        t0 = time.perf_counter()
+        srv.topk(qts, k=10).count()
+        wbatch_sec = time.perf_counter() - t0
+    extras["bm25_warm_p50_sec"] = round(statistics.median(wlat), 4)
+    extras["bm25_warm_batch_ms_per_query"] = round(1000 * wbatch_sec / len(qts), 1)
+    timings["bm25_serve_warm_batch40"] = round(wbatch_sec, 3)
     shutil.rmtree(seg_dir, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
@@ -187,6 +208,10 @@ def _write_baseline_md(payload: dict) -> None:
         f"{payload['bm25_query_p99_sec']} s (single-query jobs; scheduling-floor bound) |",
         f"| BM25 batched | {payload['bm25_batch_ms_per_query']} ms/query "
         f"(40-query batch in one job) |",
+        f"| BM25 warm serving (IndexServer) | p50 "
+        f"{payload.get('bm25_warm_p50_sec', '—')} s single-query, "
+        f"{payload.get('bm25_warm_batch_ms_per_query', '—')} ms/query batched "
+        f"(segments pinned in executor storage) |",
         f"| bench suite total | {payload['value']} s over {len(payload['queries'])} queries |",
         "| host ALU calibration (1 worker / all workers) | "
         + f"{payload.get('host_spin_1w_tasks_per_sec', '—')} / "

@@ -1763,6 +1763,35 @@ def q_topic_map_2d(spark, sf_dir):
     return topic_map_2d(s, "lang")
 
 
+def q_document_map_2d(spark, sf_dir):
+    """visualize_documents data (_bertopic.py:2596-2745): deterministic
+    seeded random projection of every document embedding to 2-D — the
+    scale path for the reference's per-document UMAP scatter (linear, one
+    shuffle on the doc id, md5-seeded coefficients shared with the DuckDB
+    oracle)."""
+    from bertopic_spark.operators.viz import document_map_2d
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return document_map_2d(emb).select(
+        F.col("vec_id").cast("long").alias("vec_id"), "x", "y")
+
+
+SQL_DOCUMENT_MAP_2D = """WITH v AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+         unnest(embedding) AS val
+  FROM embeddings),
+coeff AS (
+  SELECT a.axis, d.dim,
+         (CAST(concat('0x', substr(md5(concat('2026_', CAST(a.axis AS VARCHAR), '_', CAST(d.dim AS VARCHAR))), 1, 8)) AS BIGINT) % 1000)
+           / CAST(1000.0 AS DOUBLE) - 0.5 AS c
+  FROM range(0, 2) a(axis), (SELECT DISTINCT dim FROM v) d)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       round(sum(CASE WHEN axis = 0 THEN val * c END), 6) AS x,
+       round(sum(CASE WHEN axis = 1 THEN val * c END), 6) AS y
+FROM v JOIN coeff USING (dim)
+GROUP BY vec_id"""
+
+
 def q_merge_models_sizes(spark, sf_dir):
     """J8 cross-model merge (reference ``merge_models``,
     `_bertopic.py:3590-3729`): fit two models on disjoint corpus halves
@@ -1898,5 +1927,6 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "topic_sim_matrix": (q_topic_sim_matrix, SQL_TOPIC_SIM_MATRIX),
     "term_rank_curve": (q_term_rank_curve, SQL_TERM_RANK_CURVE),
     "topic_map_2d": (q_topic_map_2d, None),  # iterative MDS — rows-only gate
+    "document_map_2d": (q_document_map_2d, SQL_DOCUMENT_MAP_2D),
     "merge_models_sizes": (q_merge_models_sizes, _sql_merge_models()),
 }

@@ -107,6 +107,9 @@ def write_stage(df: DataFrame, seg_dir: str, stage: str, input_fingerprint: str,
         "n_partitions": len(parts),
         "partitions": parts,
         "metrics": metrics or {},
+        # stage schema, so resume reads never depend on file-level schema
+        # inference (all-empty buckets / zero-file dirs can't infer)
+        "schema": df.schema.jsonValue(),
     }
     with open(_manifest_path(seg_dir), "w") as f:
         json.dump(manifest, f, indent=1)
@@ -138,7 +141,14 @@ def run_stage(
     from parquet either way, so downstream lineage is cut at the segment)."""
     if not stage_is_complete(seg_dir, input_fingerprint):
         write_stage(compute(), seg_dir, stage, input_fingerprint, metrics, partition_cols)
-    return spark.read.parquet(seg_dir)
+    with open(_manifest_path(seg_dir)) as f:
+        schema = json.load(f).get("schema")
+    reader = spark.read
+    if schema is not None:
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(StructType.fromJson(schema))
+    return reader.parquet(seg_dir)
 
 
 class IndexBuild:

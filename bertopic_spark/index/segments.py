@@ -147,6 +147,20 @@ def write_index_segments(blocks: DataFrame, path: str,
     )
 
 
+# On-disk segment schema (what write_index_segments produces). Reads pass it
+# explicitly so an EMPTY index — zero input docs, or a bucket dir with no
+# files — is servable (schema inference over zero files throws); at 100 TB
+# an empty shard/bucket is routine, not an error.
+BLOCK_SCHEMA = (
+    "term string, blk long, n_docs long, doc_min long, doc_max long, "
+    "max_score double, sum_tf long, payload binary, bucket int"
+)
+
+
+def read_index_segments(spark, path: str) -> DataFrame:
+    return spark.read.schema(BLOCK_SCHEMA).parquet(path)
+
+
 def term_bucket(term: str, n_buckets: int = N_TERM_BUCKETS) -> int:
     """Driver-side bucket id — bit-identical to the writer's
     pmod(xxhash64(term), n) (verified pure-Python XXH64, no Spark job)."""
@@ -160,7 +174,7 @@ def pruned_block_scan(spark, path: str, terms: list[str],
     """Read only the buckets/terms a query needs. ``.explain`` shows
     PartitionFilters on bucket and PushedFilters on term."""
     buckets = sorted({term_bucket(t, n_buckets) for t in terms})
-    df = spark.read.parquet(path)
+    df = read_index_segments(spark, path)
     return df.filter(F.col("bucket").isin(buckets) & F.col("term").isin(list(terms)))
 
 
@@ -204,7 +218,7 @@ class IndexServer:
                  n_buckets: int = N_TERM_BUCKETS, eager: bool = True):
         self.span = span
         self.n_buckets = n_buckets
-        self.blocks = spark.read.parquet(path).persist()
+        self.blocks = read_index_segments(spark, path).persist()
         if eager:
             self.blocks.count()
 

@@ -232,6 +232,18 @@ class BERTopicSpark:
 
         return topic_map_2d(self.scores_, self.class_cols[0])
 
+    def document_map_data(self, embeddings: DataFrame,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          seed: int = 2026) -> DataFrame:
+        """(id, x, y) deterministic 2-D document map — the data behind the
+        reference's ``visualize_documents`` (`_bertopic.py:2596-2745`),
+        a seeded random projection instead of per-doc UMAP (linear, one
+        shuffle; see operators.viz.document_map_2d)."""
+        from bertopic_spark.operators.viz import document_map_2d
+
+        return document_map_2d(embeddings, id_col, vec_col, seed)
+
     # -- query surface -------------------------------------------------------
 
     def transform(self, df: DataFrame, text_col: str | None = None,

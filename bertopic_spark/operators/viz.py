@@ -113,3 +113,45 @@ def topic_map_2d(scores: DataFrame, class_col: str,
                          StructField("x", DoubleType(), False),
                          StructField("y", DoubleType(), False)])
     return spark.createDataFrame(rows, schema)
+
+
+def document_map_2d(emb: DataFrame, id_col: str = "vec_id",
+                    vec_col: str = "embedding", seed: int = 2026,
+                    round_to: int = 6) -> DataFrame:
+    """(id, x, y) — deterministic 2-D DOCUMENT map: seeded random
+    projection (Johnson–Lindenstrauss) of the embedding column onto two
+    md5-derived axes.
+
+    The reference's ``visualize_documents`` (`_bertopic.py:2596-2745`)
+    UMAPs every document embedding — non-deterministic, native-lib,
+    single-node. At 100 TB the scale-correct analog is a linear projection:
+    one narrow shuffle on the doc id, coefficients derived from
+    ``md5(seed_axis_dim)`` exactly like ``random_hyperplane_buckets``
+    (similarity.py), so a SQL engine reproduces the coordinates
+    bit-for-bit — this relation is oracle-gated, unlike the MDS topic map
+    (eigendecomposition is not SQL-expressible).
+
+    Pair it with ``topic_map_2d`` for the intertopic view; per-doc hover
+    metadata joins on ``id_col`` downstream.
+    """
+    ex = emb.select(
+        F.col(id_col),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "val"))
+    spark = emb.sparkSession
+    axes = (
+        ex.select("dim").distinct()
+        .crossJoin(spark.range(2).select(F.col("id").cast("int").alias("axis")))
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("_", F.lit(seed), F.col("axis"), F.col("dim"))), 1, 8),
+        16, 10,
+    ).cast("long")
+    coeff = axes.withColumn("c", (h % 1000) / F.lit(1000.0) - 0.5)
+    proj = ex.join(F.broadcast(coeff), "dim")
+    return proj.groupBy(id_col).agg(
+        F.round(F.sum(F.when(F.col("axis") == 0, F.col("val") * F.col("c"))),
+                round_to).alias("x"),
+        F.round(F.sum(F.when(F.col("axis") == 1, F.col("val") * F.col("c"))),
+                round_to).alias("y"),
+    )

@@ -1,0 +1,95 @@
+"""Degenerate-input probes for the serving and build paths: empty query,
+OOV-only query, NULL content, empty corpus, single-class corpus.
+
+These document the engine's contract at the edges a 100-TB crawl WILL hit
+(nulls and empties are routine at scale); each probe asserts either a sane
+empty result or a clear error — never a silent wrong answer.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bertopic_spark.index.segments import (
+    IndexServer,
+    build_block_index,
+    serve_topk,
+    write_index_segments,
+)
+from bertopic_spark.operators.bm25 import doc_scores
+from bertopic_spark.operators.ctfidf import ctfidf
+from bertopic_spark.operators.postings import class_term_counts, doc_term_counts
+
+SPAN = 64
+
+CORPUS_SCHEMA = (
+    "repo string, path string, commit string, content string, doc_id long"
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_seg(spark, tmp_path_factory):
+    rows = [
+        ("r", f"f{i}.py", "c0", f"def handler_{i}(): return widget_{i % 3}", i)
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, CORPUS_SCHEMA)
+    scores = doc_scores(df, mode="ascii_code")
+    path = str(tmp_path_factory.mktemp("edge") / "seg")
+    write_index_segments(build_block_index(scores, SPAN), path, n_buckets=4)
+    return path
+
+
+def test_empty_query_batch(spark, tiny_seg):
+    """Empty batch → empty result with the serving schema, not a crash."""
+    out = serve_topk(spark, tiny_seg, {}, k=5, span=SPAN, n_buckets=4)
+    assert out.count() == 0
+    assert set(out.columns) == {"query_id", "doc_id", "score", "rank"}
+    with IndexServer(spark, tiny_seg, span=SPAN, n_buckets=4) as srv:
+        assert srv.topk({}, k=5).count() == 0
+
+
+def test_oov_only_query_and_mixed_batch(spark, tiny_seg):
+    """A query of only out-of-vocabulary terms returns no rows for that
+    query while the rest of the batch is unaffected."""
+    oov = {7: ["zzzqx", "notaterm99"]}
+    assert serve_topk(spark, tiny_seg, oov, k=5, span=SPAN, n_buckets=4).count() == 0
+    mixed = {1: ["handler_1"], 7: ["zzzqx"]}
+    got = serve_topk(spark, tiny_seg, mixed, k=5, span=SPAN, n_buckets=4).collect()
+    assert {r["query_id"] for r in got} == {1}
+
+
+def test_null_content_rows_drop_from_postings(spark):
+    """NULL content tokenizes to a NULL array; explode drops the row — the
+    doc is absent from the index (documented), everything else intact."""
+    rows = [("r", "a.py", "c", "alpha beta", 0),
+            ("r", "b.py", "c", None, 1),
+            ("r", "c.py", "c", "alpha gamma", 2)]
+    df = spark.createDataFrame(rows, CORPUS_SCHEMA)
+    scores = doc_scores(df, mode="ascii_code", persist_counts=False)
+    ids = {r["doc_id"] for r in scores.select("doc_id").distinct().collect()}
+    assert ids == {0, 2}
+
+
+def test_empty_corpus_builds_empty_index(spark, tmp_path):
+    """Zero input rows → zero postings, a servable (empty) index, and no
+    divide-by-zero from the avgdl aggregate."""
+    df = spark.createDataFrame([], CORPUS_SCHEMA)
+    scores = doc_scores(df, mode="ascii_code", persist_counts=False)
+    assert scores.count() == 0
+    path = str(tmp_path / "seg")
+    write_index_segments(build_block_index(scores, SPAN), path, n_buckets=4)
+    out = serve_topk(spark, path, {0: ["alpha"]}, k=5, span=SPAN, n_buckets=4)
+    assert out.count() == 0
+
+
+def test_single_class_corpus_finite_scores(spark):
+    """One class: idf and the avg-length normalizer degenerate but must
+    stay finite (reference `_ctfidf.py` computes log(1 + A/tf) with A =
+    avg class length — fine at k=1; nothing divides by (k-1))."""
+    rows = [("r", f"f{i}.py", "c", "common shared tokens here", i)
+            for i in range(5)]
+    df = spark.createDataFrame(rows, CORPUS_SCHEMA).withColumn("cls", F.lit(0))
+    dt = doc_term_counts(df, "content", ["cls"], "ascii_code")
+    sc = ctfidf(class_term_counts(dt, ["cls"]), ["cls"])
+    vals = [r["score"] for r in sc.collect()]
+    assert vals and all(v is not None and abs(v) < float("inf") for v in vals)

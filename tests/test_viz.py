@@ -78,3 +78,34 @@ def test_topic_map_2d_geometry_and_determinism(spark):
     assert abs(dist("en", "fr") - 0.2) < 0.05
     assert abs(dist("en", "de") - 1.0) < 0.1
     assert abs(dist("fr", "de") - 1.0) < 0.1
+
+
+def test_document_map_2d_linear_and_deterministic(spark):
+    """Seeded random projection: coordinates equal the local dot product
+    of the embedding with the md5-derived axis coefficients, identical
+    across partitionings, and linear (map(a+b) = map(a)+map(b))."""
+    import hashlib
+
+    from bertopic_spark.operators.viz import document_map_2d
+
+    def coeff(seed, axis, dim):
+        h = int(hashlib.md5(f"{seed}_{axis}_{dim}".encode()).hexdigest()[:8], 16)
+        return (h % 1000) / 1000.0 - 0.5
+
+    vecs = {0: [1.0, 0.0, 2.0, -1.0], 1: [0.5, 0.5, 0.5, 0.5],
+            2: [0.0, 0.0, 0.0, 0.0], 3: [1.5, 0.5, 2.5, -0.5]}
+    df = spark.createDataFrame([(i, v) for i, v in vecs.items()],
+                               "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: (r["x"], r["y"])
+           for r in document_map_2d(df).collect()}
+    for i, v in vecs.items():
+        for axis, got in enumerate(out[i]):
+            want = sum(val * coeff(2026, axis, d) for d, val in enumerate(v))
+            assert got == pytest.approx(want, abs=1e-6), (i, axis)
+    # zero vector lands at the origin; linearity: vec3 = vec0 + vec1
+    assert out[2] == (0.0, 0.0)
+    assert out[3][0] == pytest.approx(out[0][0] + out[1][0], abs=2e-6)
+    assert out[3][1] == pytest.approx(out[0][1] + out[1][1], abs=2e-6)
+    out2 = {r["vec_id"]: (r["x"], r["y"])
+            for r in document_map_2d(df.repartition(7)).collect()}
+    assert out == out2
