@@ -642,6 +642,46 @@ def q_token_stats(spark, sf_dir):
     return token_stats(_docs(spark, sf_dir), "text", "doc_id")
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher repetition filters (Rae et al. 2021 A1.1): duplicate-line
+    fraction, duplicate-line char fraction, top-bigram char fraction."""
+    from bertopic_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir), "text", "doc_id")
+
+
+def _sql_repetition_stats() -> str:
+    return f"""WITH lines AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents),
+lg AS (SELECT doc_id, line, count(*) AS cnt FROM lines GROUP BY doc_id, line),
+ls AS (SELECT doc_id, sum(cnt) AS n_lines, count(*) AS n_distinct,
+              sum((cnt - 1) * length(line)) AS dup_chars,
+              sum(cnt * length(line)) AS tot_chars
+       FROM lg GROUP BY doc_id),
+tk AS (SELECT doc_id, {duckdb_tokens_sql('text', MODE)} AS ts FROM documents),
+bgl AS (SELECT doc_id, unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1])) AS bg
+        FROM tk),
+bgc AS (SELECT doc_id, bg, count(*) AS cnt FROM bgl GROUP BY doc_id, bg),
+top AS (SELECT doc_id, bg AS top_bigram, cnt AS top_cnt
+        FROM bgc
+        QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, bg ASC) = 1)
+SELECT d.doc_id,
+  CAST(coalesce(ls.n_lines, 0) AS BIGINT) AS n_lines,
+  round(CASE WHEN ls.n_lines > 0
+        THEN (ls.n_lines - ls.n_distinct) / CAST(ls.n_lines AS DOUBLE)
+        ELSE 0 END, 6) AS dup_line_frac,
+  round(CASE WHEN ls.tot_chars > 0
+        THEN ls.dup_chars / CAST(ls.tot_chars AS DOUBLE)
+        ELSE 0 END, 6) AS dup_line_char_frac,
+  coalesce(top.top_bigram, '') AS top_bigram,
+  round(CASE WHEN length(d.text) > 0 AND top.top_cnt IS NOT NULL
+        THEN top.top_cnt * length(top.top_bigram) / CAST(length(d.text) AS DOUBLE)
+        ELSE 0 END, 6) AS top_bigram_char_frac
+FROM documents d
+LEFT JOIN ls USING (doc_id)
+LEFT JOIN top USING (doc_id)"""
+
+
 def _sql_token_stats() -> str:
     from bertopic_spark.operators.textstats import STOPWORDS
 
@@ -1917,6 +1957,7 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "dedup_simhash_pairs": (q_simhash_pairs, _sql_simhash_pairs()),
     "class_centroids": (q_class_centroids, SQL_CLASS_CENTROIDS),
     "token_stats": (q_token_stats, _sql_token_stats()),
+    "repetition_stats": (q_repetition_stats, _sql_repetition_stats()),
     "quality_score": (q_quality_score, _sql_quality_score()),
     "doc_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "assign_nearest_class": (q_assign_nearest_class, SQL_ASSIGN_NEAREST),

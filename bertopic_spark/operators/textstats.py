@@ -132,3 +132,73 @@ def assign_nearest_class(
         .select(F.col(id_col), F.col(class_col).alias("pred_class"),
                 F.round("sim", 6).alias("score"))
     )
+
+
+def repetition_stats(df: DataFrame, text_col: str, id_col: str,
+                     mode: str = "ascii_code") -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, appendix A1.1 —
+    the standard repetition filters of a training-data pipeline):
+
+    (id, n_lines, dup_line_frac, dup_line_char_frac, top_bigram,
+    top_bigram_char_frac)
+
+    - dup_line_frac: (n_lines − n_distinct_lines) / n_lines
+    - dup_line_char_frac: chars in repeat occurrences of a line (count−1
+      per distinct line) / total line chars
+    - top_bigram_char_frac: occurrences of the most frequent token bigram
+      × its string length / total doc chars (tie-break: bigram asc)
+
+    Physical shape: lines explode → two-phase (id, line) agg → per-id agg;
+    bigrams explode → (id, bigram) agg → per-id window top-1. Every shuffle
+    is keyed by (or prefixed with) the doc id, so no key is wider than a
+    document — skew-free at any corpus size. Rows with NULL text keep all
+    metrics at 0 (left joins back onto the input ids).
+    """
+    from pyspark.sql import Window
+
+    base = df.select(id_col, text_col)
+    lines = base.select(
+        id_col, F.explode(F.split(F.col(text_col), "\n")).alias("line"))
+    lg = lines.groupBy(id_col, "line").agg(F.count(F.lit(1)).alias("cnt"))
+    line_stats = lg.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_lines"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum((F.col("cnt") - 1) * F.length("line")).alias("dup_chars"),
+        F.sum(F.col("cnt") * F.length("line")).alias("tot_chars"),
+    )
+    toks = with_tokens(base, text_col, mode)
+    bigrams = toks.select(
+        id_col,
+        F.explode(F.expr(
+            "transform(slice(tokens, 1, greatest(size(tokens)-1, 0)), "
+            "(t, i) -> concat(t, ' ', tokens[i+1]))")).alias("bg"),
+    )
+    bgc = bigrams.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("cnt"), F.asc("bg"))
+    top = (
+        bgc.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+        .select(id_col, F.col("bg").alias("top_bigram"),
+                F.col("cnt").alias("top_cnt"))
+    )
+    out = (
+        base.select(id_col, F.length(text_col).alias("doc_chars"))
+        .join(line_stats, id_col, "left")
+        .join(top, id_col, "left")
+    )
+    z = F.lit(0.0)
+    return out.select(
+        F.col(id_col),
+        F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
+        F.round(F.when(F.col("n_lines") > 0,
+                       (F.col("n_lines") - F.col("n_distinct"))
+                       / F.col("n_lines").cast("double")).otherwise(z),
+                6).alias("dup_line_frac"),
+        F.round(F.when(F.col("tot_chars") > 0,
+                       F.col("dup_chars") / F.col("tot_chars").cast("double"))
+                .otherwise(z), 6).alias("dup_line_char_frac"),
+        F.coalesce("top_bigram", F.lit("")).alias("top_bigram"),
+        F.round(F.when((F.col("doc_chars") > 0) & F.col("top_cnt").isNotNull(),
+                       F.col("top_cnt") * F.length("top_bigram")
+                       / F.col("doc_chars").cast("double")).otherwise(z),
+                6).alias("top_bigram_char_frac"),
+    )

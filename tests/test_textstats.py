@@ -1,0 +1,53 @@
+"""repetition_stats (Gopher A1.1 analogs): hand-computed values, NULL and
+degenerate docs, and the documented tie-break."""
+
+import pytest
+
+from bertopic_spark.operators.textstats import repetition_stats
+
+
+def _collect(df):
+    return {r["doc_id"]: r.asDict() for r in df.collect()}
+
+
+def test_repetition_stats_hand_computed(spark):
+    rows = [
+        (0, "aa bb\naa bb\ncc"),   # one duplicated line, top bigram 'aa bb' ×2
+        (1, None),                  # NULL text → all zeros
+        (2, "xyz"),                 # one token → no bigram
+        (3, "qq ww\nee rr"),        # all lines/bigrams unique
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = _collect(repetition_stats(df, "text", "doc_id"))
+    assert set(out) == {0, 1, 2, 3}
+
+    d0 = out[0]
+    assert d0["n_lines"] == 3
+    assert d0["dup_line_frac"] == pytest.approx(1 / 3, abs=1e-6)
+    # dup chars = (2-1)*len('aa bb') = 5; total = 2*5 + len('cc') = 12
+    assert d0["dup_line_char_frac"] == pytest.approx(5 / 12, abs=1e-6)
+    assert d0["top_bigram"] == "aa bb"
+    # 2 occurrences × len('aa bb')=5 over len(text)=14
+    assert d0["top_bigram_char_frac"] == pytest.approx(10 / 14, abs=1e-6)
+
+    assert out[1] == {"doc_id": 1, "n_lines": 0, "dup_line_frac": 0.0,
+                      "dup_line_char_frac": 0.0, "top_bigram": "",
+                      "top_bigram_char_frac": 0.0}
+
+    d2 = out[2]
+    assert (d2["n_lines"], d2["top_bigram"], d2["top_bigram_char_frac"]) == (1, "", 0.0)
+
+    d3 = out[3]
+    assert d3["dup_line_frac"] == 0.0
+    assert d3["dup_line_char_frac"] == 0.0
+    # ties on count=1 break to the lexicographically first bigram
+    # (bigrams span line breaks: 'qq ww', 'ww ee', 'ee rr' → asc first)
+    assert d3["top_bigram"] == "ee rr"
+
+
+def test_repetition_stats_partition_invariant(spark):
+    rows = [(i, ("dup line\n" * (i % 4)) + f"tail {i} tail {i}") for i in range(24)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = _collect(repetition_stats(df, "text", "doc_id"))
+    b = _collect(repetition_stats(df.repartition(13), "text", "doc_id"))
+    assert a == b
