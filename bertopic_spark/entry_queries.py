@@ -1593,6 +1593,38 @@ SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_bands
 FROM edges GROUP BY id_a, id_b"""
 
 
+def q_dedup_components(spark, sf_dir):
+    """Duplicate clusters from LSH star edges: distributed connected
+    components (min-label propagation + pointer jumping,
+    operators/dedup.py:dedup_components) over the same pathological
+    dup-cluster corpus as dedup_minhash_lsh_star — (doc_id, component)
+    with component = min reachable doc id, so keep-one-per-cluster is a
+    filter. The canonical final step of a near-dup dedup pipeline."""
+    from bertopic_spark.operators.dedup import dedup_components, minhash_lsh_pairs
+
+    d = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.when(F.col("doc_id") < DUP_CLUSTER_N, F.lit(DUP_TEXT)).otherwise(F.col("text")),
+    )
+    edges = minhash_lsh_pairs(d, "text", "doc_id", num_perm=8, bands=4,
+                              edge_mode="star")
+    return dedup_components(edges)
+
+
+def _sql_dedup_components() -> str:
+    # min id reachable per node: recursive CTE over the symmetric closure
+    # of the star-edge relation (the star gate's SQL verbatim as a subquery)
+    return f"""WITH RECURSIVE
+pairs AS ({_sql_minhash_lsh_star()}),
+sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+reach(node, lab) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT s.src, r.lab FROM sym s JOIN reach r ON s.dst = r.node)
+SELECT node AS doc_id, min(lab) AS component FROM reach GROUP BY node"""
+
+
 def q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs (brute force, threshold 0.8)."""
     from bertopic_spark.operators.dedup import embedding_neardup_pairs
@@ -1922,6 +1954,7 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "ctfidf_guided_topk": (q_ctfidf_guided_topk, _sql_ctfidf_guided()),
     "dedup_minhash_lsh_pairs": (q_minhash_lsh_pairs, _sql_minhash_lsh()),
     "dedup_minhash_lsh_star": (q_minhash_lsh_star, _sql_minhash_lsh_star()),
+    "dedup_components": (q_dedup_components, _sql_dedup_components()),
     "dedup_embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "topic_info": (q_topic_info, SQL_TOPIC_INFO),
     "merged_topics_topk": (q_merged_topics_topk, SQL_MERGED_TOPICS),

@@ -324,3 +324,53 @@ def embedding_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )
+
+
+def dedup_components(edges: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                     max_iter: int = 25) -> DataFrame:
+    """Connected components over candidate-pair edges — the final step of
+    near-dup dedup (pairs from ``minhash_lsh_pairs`` / ``simhash_neardup_
+    pairs`` / ``jaccard``): (doc_id, component) with component = min doc id
+    reachable, so "keep one doc per component" is a trivial filter.
+
+    Distributed min-label propagation with pointer jumping: each round every
+    node takes the min label over {self} ∪ neighbors, then compresses by one
+    label-of-label jump, halving the effective diameter — O(log d) rounds.
+    Star-mode edges (``_bucket_edges``) bound intra-bucket diameter at 2, so
+    real dup clusters converge in 2-3 rounds. Each round is two shuffles
+    keyed by node / label; no component is ever materialized inside a
+    single task, so 10⁷-doc boilerplate clusters are fine at 100 TB.
+    Lineage is truncated per round with an eager localCheckpoint (on a
+    cluster: checkpoint to the shuffle-tracking store) and the previous
+    generation's blocks are released.
+    """
+    sym = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).unionAll(
+        edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    lab = (sym.select(F.col("src").alias("node")).distinct()
+           .select("node", F.col("node").alias("label")))
+    prev_ckpt = None
+    for _ in range(max_iter):
+        nbr = (sym.join(lab.withColumnRenamed("node", "dst"), "dst")
+               .groupBy("src").agg(F.min("label").alias("nbr_label"))
+               .withColumnRenamed("src", "node"))
+        stepped = (lab.join(nbr, "node", "left")
+                   .select("node",
+                           F.least("label", F.coalesce("nbr_label", "label"))
+                           .alias("label")))
+        jumped = (stepped.join(
+            stepped.select(F.col("node").alias("label"),
+                           F.col("label").alias("label2")),
+            "label", "left")
+            .select("node",
+                    F.least("label", F.coalesce("label2", "label"))
+                    .alias("label")))
+        new = jumped.localCheckpoint(eager=True)
+        changed = (new.join(lab.withColumnRenamed("label", "old"), "node")
+                   .filter(F.col("label") != F.col("old")).count())
+        if prev_ckpt is not None:
+            prev_ckpt.unpersist()
+        prev_ckpt, lab = new, new
+        if changed == 0:
+            break
+    return lab.select(F.col("node").alias("doc_id"),
+                      F.col("label").alias("component"))

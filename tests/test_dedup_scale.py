@@ -203,3 +203,67 @@ def test_ivf_lloyd_iteration_converges(spark):
     s0 = mean_sim(ivf_centroids(emb, nlist=8, iters=0))
     s1 = mean_sim(ivf_centroids(emb, nlist=8, iters=1))
     assert s1 >= s0 - 1e-9
+
+
+def test_dedup_components_chain_and_islands(spark):
+    from bertopic_spark.operators.dedup import dedup_components
+
+    # a 10-node path (worst-case diameter for its size), a triangle, and a
+    # 2-node island; singletons (no edges) are by contract absent
+    edges = ([(i, i + 1) for i in range(9)] +
+             [(100, 101), (101, 102), (100, 102), (200, 201)])
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = {r["doc_id"]: r["component"]
+           for r in dedup_components(df).collect()}
+    assert {out[i] for i in range(10)} == {0}
+    assert {out[i] for i in (100, 101, 102)} == {100}
+    assert (out[200], out[201]) == (200, 200)
+    assert len(out) == 15
+
+
+def test_dedup_components_matches_networkless_union_find(spark):
+    import random
+
+    from bertopic_spark.operators.dedup import dedup_components
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["doc_id"]: r["component"] for r in dedup_components(df).collect()}
+
+    # plain union-find oracle
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for n in parent:
+        comp = find(n)
+        want[n] = min(want.get(n, comp), comp)
+    # union-find root is not necessarily the min id; normalize per component
+    comp_min = {}
+    for n in parent:
+        comp_min.setdefault(find(n), []).append(n)
+    want = {n: min(members) for root, members in comp_min.items() for n in members}
+    assert got == want
+
+
+def test_dedup_components_storage_does_not_grow(spark):
+    from bertopic_spark.operators.dedup import dedup_components
+
+    edges = [(i, i + 1) for i in range(30)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    dedup_components(df).collect()
+    # a path graph needs several rounds, each localCheckpoints once; all but
+    # the final generation must have been released
+    assert jsc.getPersistentRDDs().size() <= before + 1
