@@ -326,6 +326,23 @@ def embedding_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
     )
 
 
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Eagerly free a ``localCheckpoint`` generation's storage blocks.
+
+    ``DataFrame.unpersist`` goes through the CacheManager and does NOT
+    release checkpoint RDDs (those are persisted directly on the RDD), so an
+    iterative loop would otherwise hold every generation until the async
+    ContextCleaner notices the dropped reference. Reaching the underlying
+    ``LogicalRDD`` keeps storage bounded at one generation deterministically;
+    safe because callers only release a generation after the NEXT one is
+    eagerly materialized (nothing recomputes the truncated lineage).
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        df.unpersist()  # best effort; ContextCleaner will finish the job
+
+
 def dedup_components(edges: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
                      max_iter: int = 25) -> DataFrame:
     """Connected components over candidate-pair edges — the final step of
@@ -368,7 +385,7 @@ def dedup_components(edges: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         changed = (new.join(lab.withColumnRenamed("label", "old"), "node")
                    .filter(F.col("label") != F.col("old")).count())
         if prev_ckpt is not None:
-            prev_ckpt.unpersist()
+            _release_local_checkpoint(prev_ckpt)
         prev_ckpt, lab = new, new
         if changed == 0:
             break

@@ -261,9 +261,15 @@ def test_dedup_components_storage_does_not_grow(spark):
 
     edges = [(i, i + 1) for i in range(30)]
     df = spark.createDataFrame(edges, "id_a long, id_b long")
-    jsc = spark.sparkContext._jsc.sc()
-    before = jsc.getPersistentRDDs().size()
+    def rdd_ids():
+        jmap = spark.sparkContext._jsc.sc().getPersistentRDDs()
+        it, ids = jmap.keysIterator(), set()
+        while it.hasNext():
+            ids.add(it.next())
+        return ids
+
+    before = rdd_ids()
     dedup_components(df).collect()
     # a path graph needs several rounds, each localCheckpoints once; all but
-    # the final generation must have been released
-    assert jsc.getPersistentRDDs().size() <= before + 1
+    # the final generation must have been released (unpersist is blocking)
+    assert len(rdd_ids() - before) <= 1
