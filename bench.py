@@ -56,6 +56,11 @@ BENCH_QUERIES = [
     "transform_distribution",
     "term_rank_curve",
     "document_map_2d",
+    # round-3 fulltext + pipeline additions
+    "phrase_match",
+    "boolean_match",
+    "frequent_lines_removed",
+    "decontaminate_bench",
 ]
 
 

@@ -1942,6 +1942,138 @@ assigned AS (
 SELECT topic, CAST(count(*) AS BIGINT) AS count FROM assigned GROUP BY topic"""
 
 
+# ---------------------------------------------------------------------------
+# Fulltext query surface: phrase + boolean (operators/fulltext.py)
+# ---------------------------------------------------------------------------
+
+PHRASE = ("part", "filter")
+BOOL_MUST, BOOL_SHOULD, BOOL_NOT = ["part"], ["filter", "window"], ["spark"]
+
+
+def q_phrase_match(spark, sf_dir):
+    """Positional phrase query via the indexed path: positional postings
+    (id, term, pos) pruned to the phrase's terms, per-doc position-list
+    intersection with offsets. Overlapping occurrences count. The scan
+    path (one HOF pass, no shuffle) is pytest-asserted equal."""
+    from bertopic_spark.operators.fulltext import (doc_term_positions,
+                                                   phrase_match_postings)
+
+    pos = doc_term_positions(_docs(spark, sf_dir), "text", "doc_id", MODE)
+    return phrase_match_postings(pos, list(PHRASE))
+
+
+def _sql_phrase_match() -> str:
+    # exact positional adjacency self-join — overlap-aware like the engine
+    joins, conds = [], [f"p0.term = '{PHRASE[0]}'"]
+    for j in range(1, len(PHRASE)):
+        joins.append(f"JOIN p p{j} ON p{j}.doc_id = p0.doc_id "
+                     f"AND p{j}.pos = p0.pos + {j}")
+        conds.append(f"p{j}.term = '{PHRASE[j]}'")
+    return f"""WITH
+tk AS (SELECT doc_id, {duckdb_tokens_sql('text', MODE)} AS ts FROM documents),
+p AS (SELECT doc_id, unnest(ts) AS term, unnest(range(len(ts))) AS pos FROM tk)
+SELECT p0.doc_id, CAST(count(*) AS BIGINT) AS n_matches
+FROM p p0 {' '.join(joins)}
+WHERE {' AND '.join(conds)}
+GROUP BY p0.doc_id"""
+
+
+def q_boolean_match(spark, sf_dir):
+    """Boolean term query (must AND / should OR≥1 / must_not NOT) via the
+    single-scan path: token-set predicates in one JVM pass, no shuffle.
+    The postings-path variant is pytest-asserted equal."""
+    from bertopic_spark.operators.fulltext import boolean_match
+
+    return boolean_match(_docs(spark, sf_dir), must=BOOL_MUST,
+                         should=BOOL_SHOULD, must_not=BOOL_NOT,
+                         min_should=1, text_col="text", id_col="doc_id",
+                         mode=MODE)
+
+
+def _sql_boolean_match() -> str:
+    pos_terms = ", ".join(f"'{t}'" for t in (*BOOL_MUST, *BOOL_SHOULD))
+    should = ", ".join(f"'{t}'" for t in BOOL_SHOULD)
+    musts = " AND ".join(f"list_contains(ts, '{t}')" for t in BOOL_MUST)
+    nots = " AND ".join(f"NOT list_contains(ts, '{t}')" for t in BOOL_NOT)
+    return f"""WITH
+tk AS (SELECT doc_id, {duckdb_tokens_sql('text', MODE)} AS ts FROM documents)
+SELECT doc_id,
+       CAST(len(list_intersect(list_distinct(ts), [{pos_terms}])) AS BIGINT)
+         AS n_matched
+FROM tk
+WHERE {musts} AND len(list_intersect(list_distinct(ts), [{should}])) >= 1
+  AND {nots}"""
+
+
+# ---------------------------------------------------------------------------
+# C4-style frequent-line removal + benchmark decontamination (dedup.py)
+# ---------------------------------------------------------------------------
+
+LINE_MIN_COUNT = 3
+BENCH_MOD, BENCH_REM = 53, 7  # benchmark = docs with doc_id % 53 == 7
+
+
+def q_frequent_lines_removed(spark, sf_dir):
+    """C4-style corpus-wide duplicate-line removal. The documents table is
+    one-line prose, so the query first groups tokens into 5-word lines
+    (deterministic regexp, same in both engines), then drops every line
+    occurring ≥ 3 times across the corpus and reassembles survivors in
+    order: (doc_id, text_clean, n_lines_kept, n_lines_removed), all docs."""
+    from bertopic_spark.operators.dedup import frequent_line_removal
+
+    lined = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_replace("text", r"((?:\S+ ){4}\S+) ", "$1\n").alias("text"))
+    return frequent_line_removal(lined, "text", "doc_id", sep="\n",
+                                 min_count=LINE_MIN_COUNT)
+
+
+SQL_FREQUENT_LINES = rf"""WITH
+d AS (SELECT doc_id,
+             regexp_replace(text, '((?:\S+ ){{4}}\S+) ', '\1' || chr(10), 'g')
+               AS t FROM documents),
+l AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS line,
+             unnest(range(len(string_split(t, chr(10))))) AS pos FROM d),
+freq AS (SELECT line FROM l GROUP BY line
+         HAVING count(*) >= {LINE_MIN_COUNT}),
+kept AS (SELECT l.* FROM l ANTI JOIN freq USING (line)),
+reb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS tc,
+               CAST(count(*) AS BIGINT) AS nk FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id,
+               CAST(len(string_split(t, chr(10))) AS BIGINT) AS nl FROM d)
+SELECT tot.doc_id, coalesce(reb.tc, '') AS text_clean,
+       CAST(coalesce(reb.nk, 0) AS BIGINT) AS n_lines_kept,
+       CAST(tot.nl - coalesce(reb.nk, 0) AS BIGINT) AS n_lines_removed
+FROM tot LEFT JOIN reb USING (doc_id)"""
+
+
+def q_decontaminate_bench(spark, sf_dir):
+    """Benchmark decontamination: flag training docs sharing any token
+    4-gram with the held-out benchmark slice (doc_id % 53 == 7) — the
+    standard pre-training hygiene step. Benchmark shingles broadcast;
+    the corpus streams through one join."""
+    from bertopic_spark.operators.dedup import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter((F.col("doc_id") % BENCH_MOD) == BENCH_REM)
+    train = docs.filter((F.col("doc_id") % BENCH_MOD) != BENCH_REM)
+    return decontaminate(train, bench, n=4)
+
+
+SQL_DECONTAMINATE = f"""WITH
+tk AS (SELECT doc_id, {duckdb_tokens_sql('text', MODE)} AS ts FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]
+                AS shingle
+       FROM tk, unnest(generate_series(1, greatest(len(ts) - 3, 0))) AS u(i)),
+b AS (SELECT DISTINCT shingle FROM sh
+      WHERE doc_id % {BENCH_MOD} = {BENCH_REM})
+SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM sh s JOIN b USING (shingle)
+WHERE s.doc_id % {BENCH_MOD} <> {BENCH_REM}
+GROUP BY s.doc_id"""
+
+
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "approx_distribution": (q_approx_distribution, SQL_APPROX_DISTRIBUTION),
     "approx_distribution_tokens": (q_approx_distribution_tokens,
@@ -1955,6 +2087,10 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "dedup_minhash_lsh_pairs": (q_minhash_lsh_pairs, _sql_minhash_lsh()),
     "dedup_minhash_lsh_star": (q_minhash_lsh_star, _sql_minhash_lsh_star()),
     "dedup_components": (q_dedup_components, _sql_dedup_components()),
+    "phrase_match": (q_phrase_match, _sql_phrase_match()),
+    "boolean_match": (q_boolean_match, _sql_boolean_match()),
+    "frequent_lines_removed": (q_frequent_lines_removed, SQL_FREQUENT_LINES),
+    "decontaminate_bench": (q_decontaminate_bench, SQL_DECONTAMINATE),
     "dedup_embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "topic_info": (q_topic_info, SQL_TOPIC_INFO),
     "merged_topics_topk": (q_merged_topics_topk, SQL_MERGED_TOPICS),

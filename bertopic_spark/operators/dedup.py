@@ -391,3 +391,72 @@ def dedup_components(edges: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
             break
     return lab.select(F.col("node").alias("doc_id"),
                       F.col("label").alias("component"))
+
+
+def frequent_line_removal(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", sep: str = "\n",
+                          min_count: int = 3) -> DataFrame:
+    """C4-style corpus-wide duplicate-line removal: drop every line that
+    occurs at least ``min_count`` times ACROSS the corpus (boilerplate,
+    license headers, navigation chrome), reassemble the survivors in
+    original order. Returns every input doc:
+    (id, text_clean, n_lines_kept, n_lines_removed).
+
+    One explode + one count keyed by the line string (map-side partial agg
+    collapses heavy lines like '' to one row per partition before the
+    shuffle, so boilerplate skew never concentrates), an anti-join of lines
+    against the frequent set, and one per-doc reassembly agg. A doc's lines
+    must fit in one task — true by the same bound that lets the doc be a
+    table row at all. ``sep`` is a literal string (regex-quoted for split,
+    used verbatim for the rejoin).
+    """
+    import re as _re
+
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep), -1))
+        .alias("ln_pos", "line"))
+    freq = (lines.groupBy("line").agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= min_count))
+    kept = lines.join(freq.select("line"), "line", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("ln_pos", "line"))),
+                        lambda s: s["line"]), sep).alias("text_clean"),
+        F.count(F.lit(1)).alias("n_lines_kept"))
+    totals = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), _re.escape(sep), -1)).cast("long")
+        .alias("n_lines"))
+    return (totals.join(rebuilt, id_col, "left")
+            .select(id_col,
+                    F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+                    F.coalesce("n_lines_kept", F.lit(0)).cast("long")
+                    .alias("n_lines_kept"),
+                    (F.col("n_lines") - F.coalesce("n_lines_kept", F.lit(0)))
+                    .cast("long").alias("n_lines_removed")))
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 5,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  bench_text_col: str | None = None,
+                  mode: str = "ascii_code",
+                  broadcast_bench: bool = True) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any token
+    n-gram with a held-out benchmark table (the standard pre-training
+    hygiene step). Returns (id, n_shared) — distinct shared shingles —
+    for contaminated docs only.
+
+    The benchmark shingle set is tiny relative to the corpus (benchmarks
+    are thousands of docs), so it broadcasts and the corpus streams through
+    one semi-shaped join; set ``broadcast_bench=False`` for an oversized
+    benchmark and let AQE pick the strategy.
+    """
+    d = shingles(docs, text_col, id_col, n, mode)
+    b = (shingles(benchmark, bench_text_col or text_col, id_col, n, mode)
+         .select("shingle").distinct())
+    if broadcast_bench:
+        b = F.broadcast(b)
+    return (d.join(b, "shingle")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_shared")))
