@@ -174,6 +174,33 @@ def main() -> None:
     timings["bm25_serve_warm_batch40"] = round(wbatch_sec, 3)
     shutil.rmtree(seg_dir, ignore_errors=True)
 
+    # --- incremental maintenance: delta append + tombstone delete + query
+    # over the merged generations (index/incremental.py). The story at
+    # 100 TB: a nightly 5% delta costs O(delta), never a rebuild.
+    from bertopic_spark.index.incremental import IncrementalIndex
+
+    inc_root = tempfile.mkdtemp(prefix="bench_incidx_")
+    try:
+        idx = IncrementalIndex.create(spark, inc_root, mode="ascii_code")
+        base = corpus.filter(F.col("doc_id") % 20 != 0)
+        delta = corpus.filter(F.col("doc_id") % 20 == 0)
+        idx.append(base, text_col="content", id_col="doc_id")  # setup
+        n_delta = delta.count()
+        t0 = time.perf_counter()
+        idx.append(delta, text_col="content", id_col="doc_id")
+        t_append = time.perf_counter() - t0
+        timings["index_append_delta"] = round(t_append, 3)
+        extras["append_delta_docs_per_sec"] = round(n_delta / t_append, 1)
+        t0 = time.perf_counter()
+        idx.delete(corpus.filter(F.col("doc_id") % 40 == 1),
+                   text_col="content", id_col="doc_id")
+        timings["index_delete_tombstone"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        idx.topk(qts, k=10).count()
+        timings["bm25_query_incremental40"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(inc_root, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     payload = {

@@ -205,6 +205,63 @@ SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, round(score, 6) AS score,
 FROM ranked WHERE rn <= 10"""
 
 
+def q_incremental_bm25_topk(spark, sf_dir):
+    """Incremental index maintenance (index/incremental.py): append the
+    even-id half, append the odd-id half, tombstone-delete every 17th doc,
+    then query — rank- AND score-identical to BM25 over a full rebuild of
+    the survivors (the oracle computes exactly that), because generations
+    store idf-free postings and the merged idf is applied at query time.
+    """
+    import shutil
+    import tempfile
+
+    from bertopic_spark.index.incremental import IncrementalIndex
+
+    docs = _docs(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="bsp_incidx_")
+    try:
+        idx = IncrementalIndex.create(spark, root, mode=MODE)
+        idx.append(docs.filter(F.col("doc_id") % 2 == 0),
+                   text_col="text", id_col="doc_id")
+        idx.append(docs.filter(F.col("doc_id") % 2 == 1),
+                   text_col="text", id_col="doc_id")
+        idx.delete(docs.filter(F.col("doc_id") % 17 == 0),
+                   text_col="text", id_col="doc_id")
+        qt_map = {qid: sorted(set(tokenize_one(t, MODE)))
+                  for qid, t in DRIVER_QUERIES.items()}
+        rows = (idx.topk(qt_map, k=10)
+                .select("query_id", "doc_id",
+                        _r6(F.col("score")).alias("score"),
+                        F.col("rank").cast("long").alias("rn"))
+                .collect())
+        # Materialize before removing the index files (the driver collects
+        # the returned DataFrame after this function exits).
+        return spark.createDataFrame(
+            rows, "query_id long, doc_id long, score double, rn long")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_INCREMENTAL_BM25 = f"""WITH
+toks AS (
+  SELECT doc_id, unnest({duckdb_tokens_sql('text', MODE)}) AS term
+  FROM documents WHERE doc_id % 17 <> 0
+),
+{_XDOC},
+{_scores_sql('xdoc', 'doc_id', True, False)},
+q(query_id, term) AS (VALUES {_query_term_values()}),
+hits AS (
+  SELECT q.query_id, s.doc_id, sum(s.score) AS score
+  FROM q JOIN scores s USING (term) GROUP BY q.query_id, s.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
+  FROM hits)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, round(score, 6) AS score,
+       CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 10"""
+
+
 def q_topic_sizes(spark, sf_dir):
     """A5: group sizes (reference Counter(topics), _bertopic.py:4461)."""
     return (
@@ -2110,6 +2167,7 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "ctfidf_topk_default": (_q_ctfidf_topk(False, False), _sql_ctfidf_topk(False, False)),
     "ctfidf_topk_bm25_sqrt": (_q_ctfidf_topk(True, True), _sql_ctfidf_topk(True, True)),
     "bm25_doc_topk": (q_bm25_doc_topk, SQL_BM25_DOC_TOPK),
+    "incremental_bm25_topk": (q_incremental_bm25_topk, SQL_INCREMENTAL_BM25),
     "topic_sizes": (q_topic_sizes, SQL_TOPIC_SIZES),
     "topics_per_class": (q_topics_per_class, SQL_TOPICS_PER_CLASS),
     "topics_over_time": (q_topics_over_time, SQL_TOPICS_OVER_TIME),

@@ -1,0 +1,137 @@
+"""Incremental index maintenance (index/incremental.py): append / delete /
+compact must be rank- AND score-identical to a full rebuild over the
+surviving documents — the property that makes the generational design safe
+at 100 TB (the reference rebuilds from scratch instead,
+``_bertopic.py:703-760``)."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from bertopic_spark.index.incremental import IncrementalIndex
+from bertopic_spark.operators.bm25 import (bm25_topk_adhoc, queries_df,
+                                           query_terms)
+from bertopic_spark.tokenizer import tokenize_one
+
+QUERIES = {0: "table scan", 1: "hash join order", 2: "the slow query",
+           3: "customer batch value"}
+MODE = "ascii_code"
+
+
+def _qt_map():
+    return {q: sorted(set(tokenize_one(t, MODE))) for q, t in QUERIES.items()}
+
+
+def _rebuild_topk(spark, docs, k=10):
+    qt = query_terms(queries_df(spark, QUERIES), MODE)
+    t = bm25_topk_adhoc(docs, qt, k=k, text_col="text", mode=MODE)
+    return [(r.query_id, r.doc_id, r.score, r["rank"])
+            for r in t.orderBy("query_id", "rank").collect()]
+
+
+def _inc_topk(idx, k=10, exact=True):
+    t = idx.topk(_qt_map(), k=k, exact=exact)
+    return [(r.query_id, r.doc_id, r.score, r["rank"])
+            for r in t.orderBy("query_id", "rank").collect()]
+
+
+@pytest.fixture(scope="module")
+def built(spark, documents_df, tmp_path_factory):
+    """Two appends + one delete over the sf0.001 documents table."""
+    root = str(tmp_path_factory.mktemp("incidx"))
+    shutil.rmtree(root)
+    idx = IncrementalIndex.create(spark, root, mode=MODE)
+    idx.append(documents_df.filter(F.col("doc_id") % 2 == 0),
+               text_col="text", id_col="doc_id")
+    idx.append(documents_df.filter(F.col("doc_id") % 2 == 1),
+               text_col="text", id_col="doc_id")
+    idx.delete(documents_df.filter(F.col("doc_id") % 17 == 0),
+               text_col="text", id_col="doc_id")
+    return idx
+
+
+def test_append_delete_matches_rebuild(spark, documents_df, built):
+    surv = documents_df.filter(F.col("doc_id") % 17 != 0)
+    ref = _rebuild_topk(spark, surv)
+    inc = _inc_topk(built)
+    assert [(q, d, r) for q, d, _, r in inc] == [
+        (q, d, r) for q, d, _, r in ref]
+    assert max(abs(a[2] - b[2]) for a, b in zip(inc, ref)) < 1e-9
+
+
+def test_fast_path_rank_identical(built):
+    exact = _inc_topk(built, exact=True)
+    fast = _inc_topk(built, exact=False)
+    assert [(q, d, r) for q, d, _, r in fast] == [
+        (q, d, r) for q, d, _, r in exact]
+
+
+def test_open_resumes_from_manifest(spark, built):
+    reopened = IncrementalIndex.open(spark, built.root)
+    assert reopened.status() == built.status()
+    assert _inc_topk(reopened) == _inc_topk(built)
+
+
+def test_double_delete_raises(documents_df, built):
+    with pytest.raises(ValueError, match="tombstoned"):
+        built.delete(documents_df.filter(F.col("doc_id") == 17),
+                     text_col="text", id_col="doc_id")
+
+
+def test_id_collision_raises(documents_df, built):
+    with pytest.raises(ValueError, match="already exist"):
+        built.append(documents_df.limit(5), text_col="text", id_col="doc_id")
+
+
+def test_compact_preserves_results(spark, documents_df, built):
+    before = _inc_topk(built)
+    st_before = built.status()
+    entry = built.compact()
+    assert entry["kind"] == "add"
+    assert built.status()["generations"] == 1
+    assert built.status()["n_classes"] == st_before["n_classes"]
+    assert built.status()["sum_len"] == st_before["sum_len"]
+    after = _inc_topk(built)
+    assert [(q, d, r) for q, d, _, r in after] == [
+        (q, d, r) for q, d, _, r in before]
+    assert max(abs(a[2] - b[2]) for a, b in zip(after, before)) < 1e-12
+    # still matches a rebuild of the survivors
+    surv = documents_df.filter(F.col("doc_id") % 17 != 0)
+    ref = _rebuild_topk(spark, surv)
+    assert [(q, d, r) for q, d, _, r in after] == [
+        (q, d, r) for q, d, _, r in ref]
+
+
+def test_empty_index_and_oov_terms(spark, tmp_path):
+    root = str(tmp_path / "empty")
+    idx = IncrementalIndex.create(spark, root, mode=MODE)
+    assert idx.topk(_qt_map()).count() == 0
+    assert idx.topk({}).count() == 0
+    assert idx.status()["live_docs"] == 0
+
+
+def test_auto_id_assignment_disjoint(spark, corpus_df, tmp_path):
+    root = str(tmp_path / "auto")
+    idx = IncrementalIndex.create(spark, root, mode=MODE)
+    half = corpus_df.limit(40)
+    e1 = idx.append(half, text_col="content",
+                    order_cols=["repo", "path", "commit"])
+    e2 = idx.append(corpus_df.limit(80).subtract(half), text_col="content",
+                    order_cols=["repo", "path", "commit"])
+    assert e1["id_min"] == 0 and e1["id_max"] == e1["n_rows"] - 1
+    assert e2["id_min"] == e1["id_max"] + 1
+    assert idx.status()["live_docs"] == e1["n_rows"] + e2["n_rows"]
+
+
+def test_sha_invariant_checked_on_append(spark, corpus_df, tmp_path):
+    root = str(tmp_path / "sha")
+    idx = IncrementalIndex.create(spark, root, mode=MODE)
+    idx.append(corpus_df.limit(20), text_col="content", id_col="doc_id",
+               sha_col="content_sha")
+    corrupted = corpus_df.limit(20).withColumn(
+        "content", F.concat(F.col("content"), F.lit("x")))
+    with pytest.raises(ValueError, match="sha mismatch"):
+        IncrementalIndex.create(spark, str(tmp_path / "sha2"), mode=MODE) \
+            .append(corrupted, text_col="content", id_col="doc_id",
+                    sha_col="content_sha")
