@@ -2063,6 +2063,146 @@ WHERE {musts} AND len(list_intersect(list_distinct(ts), [{should}])) >= 1
 
 
 # ---------------------------------------------------------------------------
+# Fulltext query surface: prefix / wildcard / fuzzy via dictionary
+# expansion, snippets, facets (operators/fulltext.py)
+# ---------------------------------------------------------------------------
+
+PREFIX_Q = "s"
+WILDCARD_Q = "s?a*"          # -> scan, small, spark on the driver vocabulary
+FUZZY_Q, FUZZY_DIST = "querry", 1
+SNIPPET_TERMS, SNIPPET_WINDOW, SNIPPET_K = ("customer", "order"), 8, 50
+FACET_MUST, FACET_COLS = ["customer"], ("lang", "source")
+
+
+def q_prefix_match(spark, sf_dir):
+    """Prefix query, Lucene-shaped: expand the prefix against the term
+    dictionary (one distinct-agg — at scale, the index's existing per-term
+    stats relation), then one scan pass counting occurrences of the
+    expanded disjunction. (doc_id, n_matches, n_terms)."""
+    from bertopic_spark.operators.fulltext import (prefix_terms,
+                                                   term_dictionary,
+                                                   term_set_match)
+
+    docs = _docs(spark, sf_dir)
+    terms = prefix_terms(term_dictionary(docs, "text", "doc_id", MODE),
+                         PREFIX_Q)
+    return term_set_match(docs, terms, "text", "doc_id", MODE)
+
+
+def _sql_term_set_match(term_pred: str) -> str:
+    return f"""WITH
+tk AS (SELECT doc_id, {duckdb_tokens_sql('text', MODE)} AS ts FROM documents),
+hit AS (SELECT doc_id, unnest(ts) AS term FROM tk)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+       CAST(count(DISTINCT term) AS BIGINT) AS n_terms
+FROM hit WHERE {term_pred} GROUP BY doc_id"""
+
+
+def q_wildcard_match(spark, sf_dir):
+    """Wildcard query (*/?) via dictionary expansion, evaluated on the
+    POSTINGS path: the expanded term set prunes a (id, term, pos) relation
+    before one partial-agg groupBy — the filter is pushed to the scan when
+    the postings are a materialized index."""
+    from bertopic_spark.operators.fulltext import (doc_term_positions,
+                                                   term_dictionary,
+                                                   term_set_match_postings,
+                                                   wildcard_terms)
+
+    docs = _docs(spark, sf_dir)
+    terms = wildcard_terms(term_dictionary(docs, "text", "doc_id", MODE),
+                           WILDCARD_Q)
+    pos = doc_term_positions(docs, "text", "doc_id", MODE, terms=terms)
+    return term_set_match_postings(pos, terms)
+
+
+def q_fuzzy_match(spark, sf_dir):
+    """Fuzzy term query: Levenshtein-expand against the dictionary (length
+    band prunes before the O(n·m) distance), then the scan-path disjunction
+    count. (doc_id, n_matches, n_terms)."""
+    from bertopic_spark.operators.fulltext import (fuzzy_terms,
+                                                   term_dictionary,
+                                                   term_set_match)
+
+    docs = _docs(spark, sf_dir)
+    terms = fuzzy_terms(term_dictionary(docs, "text", "doc_id", MODE),
+                        FUZZY_Q, FUZZY_DIST)
+    return term_set_match(docs, terms, "text", "doc_id", MODE)
+
+
+def q_snippet_topk(spark, sf_dir):
+    """Best highlight window per matching doc (most query-term hits in a
+    fixed token window, earliest-start tie-break), globally ranked. All
+    per-row JVM HOF algebra — one corpus pass, no UDF; the only shuffle is
+    the final top-k sort."""
+    from bertopic_spark.operators.fulltext import best_snippet
+
+    w = Window.orderBy(F.desc("n_hits"), F.asc("doc_id"))
+    return (best_snippet(_docs(spark, sf_dir), list(SNIPPET_TERMS),
+                         SNIPPET_WINDOW, "text", "doc_id", MODE)
+            .select("doc_id", F.col("start").alias("start_pos"), "n_hits",
+                    "snippet")
+            .withColumn("rn", F.row_number().over(w).cast("long"))
+            .filter(F.col("rn") <= SNIPPET_K))
+
+
+def _sql_snippet_topk() -> str:
+    qt = ", ".join(f"'{t}'" for t in SNIPPET_TERMS)
+    w = SNIPPET_WINDOW
+    return f"""WITH
+tk AS (SELECT doc_id, {duckdb_tokens_sql('text', MODE)} AS ts FROM documents),
+hit AS (
+  SELECT doc_id, ts,
+         list_filter(range(0, len(ts)),
+                     i -> list_contains([{qt}], ts[i + 1])) AS pos
+  FROM tk),
+scored AS (
+  SELECT doc_id, ts, pos,
+         list_transform(pos, p -> len(list_filter(
+             pos, q -> q >= p AND q < p + {w}))) AS cnts
+  FROM hit WHERE len(pos) > 0),
+pick AS (
+  SELECT doc_id,
+         pos[list_position(cnts, list_max(cnts))] AS start_pos,
+         list_max(cnts) AS n_hits,
+         array_to_string(
+             ts[pos[list_position(cnts, list_max(cnts))] + 1 :
+                pos[list_position(cnts, list_max(cnts))] + {w}],
+             ' ') AS snippet
+  FROM scored),
+ranked AS (
+  SELECT doc_id, start_pos, n_hits, snippet,
+         row_number() OVER (ORDER BY n_hits DESC, doc_id ASC) AS rn
+  FROM pick)
+SELECT doc_id, CAST(start_pos AS BIGINT) AS start_pos,
+       CAST(n_hits AS BIGINT) AS n_hits, snippet, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= {SNIPPET_K}"""
+
+
+def q_facet_counts(spark, sf_dir):
+    """Facet histograms over a match set: semi-join prune to the hits, one
+    stack-explode of the facet columns, one shuffle for ALL histograms."""
+    from bertopic_spark.operators.fulltext import boolean_match, facet_counts
+
+    docs = _docs(spark, sf_dir)
+    hits = boolean_match(docs, must=FACET_MUST, text_col="text",
+                         id_col="doc_id", mode=MODE)
+    return facet_counts(hits, docs, list(FACET_COLS))
+
+
+def _sql_facet_counts() -> str:
+    musts = " AND ".join(f"list_contains(ts, '{t}')" for t in FACET_MUST)
+    legs = " UNION ALL ".join(
+        f"""SELECT '{c}' AS facet, coalesce(CAST({c} AS VARCHAR), 'null')
+              AS value, CAST(count(*) AS BIGINT) AS n_docs
+            FROM hits GROUP BY 1, 2""" for c in FACET_COLS)
+    return f"""WITH
+tk AS (SELECT doc_id, lang, source, {duckdb_tokens_sql('text', MODE)} AS ts
+       FROM documents),
+hits AS (SELECT * FROM tk WHERE {musts})
+{legs}"""
+
+
+# ---------------------------------------------------------------------------
 # C4-style frequent-line removal + benchmark decontamination (dedup.py)
 # ---------------------------------------------------------------------------
 
@@ -2146,6 +2286,14 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "dedup_components": (q_dedup_components, _sql_dedup_components()),
     "phrase_match": (q_phrase_match, _sql_phrase_match()),
     "boolean_match": (q_boolean_match, _sql_boolean_match()),
+    "prefix_match": (q_prefix_match,
+                     _sql_term_set_match(f"term LIKE '{PREFIX_Q}%'")),
+    "wildcard_match": (q_wildcard_match, _sql_term_set_match(
+        "regexp_matches(term, '^s.a.*$')")),
+    "fuzzy_match": (q_fuzzy_match, _sql_term_set_match(
+        f"levenshtein(term, '{FUZZY_Q}') <= {FUZZY_DIST}")),
+    "snippet_topk": (q_snippet_topk, _sql_snippet_topk()),
+    "facet_counts": (q_facet_counts, _sql_facet_counts()),
     "frequent_lines_removed": (q_frequent_lines_removed, SQL_FREQUENT_LINES),
     "decontaminate_bench": (q_decontaminate_bench, SQL_DECONTAMINATE),
     "dedup_embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),

@@ -27,10 +27,11 @@ slowdowns elsewhere in this engine; see operators/postings.py).
 
 from __future__ import annotations
 
+import re
 from functools import reduce
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from bertopic_spark.tokenizer import tokenize_one, with_tokens
@@ -197,3 +198,201 @@ def boolean_match_postings(postings: DataFrame, must: Sequence[str] = (),
             .select(id_col,
                     F.size(F.array_intersect("ts", pos_terms))
                     .cast("long").alias("n_matched")))
+
+
+# ---------------------------------------------------------------------------
+# Term-dictionary expansion: prefix / wildcard / fuzzy queries.
+#
+# Lucene evaluates these as an automaton intersected with the term dictionary
+# (a tiny relation next to the postings), then runs the expanded term set as
+# a disjunction. Same architecture here: the dictionary is one distinct-agg
+# over terms (at 100 TB it already exists — the segment layer's per-term
+# stats relation, index/segments.py), the expansion is a filter over that
+# small relation, and the expanded set (bounded by ``max_expand``) is taken
+# to the driver and broadcast into the match as array literals. The corpus /
+# postings are touched exactly once, by the final match pass.
+# ---------------------------------------------------------------------------
+
+
+def term_dictionary(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    mode: str = "ascii_code") -> DataFrame:
+    """Distinct terms with document frequency: (term, df).
+
+    One tokenize pass + one two-phase agg; partial aggregation collapses
+    each partition to its local vocabulary before the shuffle, so the
+    shuffle volume is O(|vocab| × partitions), not O(postings).
+    """
+    toks = with_tokens(df.select(id_col, text_col), text_col, mode)
+    return (toks.select(F.col(id_col),
+                        F.explode(F.array_distinct("tokens")).alias("term"))
+            .groupBy("term").agg(F.count("*").cast("long").alias("df")))
+
+
+def expand_terms(dictionary: DataFrame, predicate: Column,
+                 max_expand: int = 1000) -> list[str]:
+    """Terms of the dictionary matching ``predicate``, sorted, bounded.
+
+    Raises if the expansion exceeds ``max_expand`` — an unbounded expansion
+    (e.g. prefix ``a*`` on a web corpus) must fail loudly, not broadcast a
+    million-literal filter.
+    """
+    rows = (dictionary.filter(predicate).select("term")
+            .limit(max_expand + 1).collect())
+    if len(rows) > max_expand:
+        raise ValueError(
+            f"expansion exceeds max_expand={max_expand}; "
+            "narrow the pattern or raise the cap")
+    return sorted(r["term"] for r in rows)
+
+
+def prefix_terms(dictionary: DataFrame, prefix: str,
+                 max_expand: int = 1000) -> list[str]:
+    """Dictionary terms starting with ``prefix``.
+
+    The ``startswith`` predicate compiles to ``StartsWith``, which parquet
+    sources push down when the dictionary is materialized sorted by term.
+    """
+    if not prefix:
+        raise ValueError("empty prefix")
+    return expand_terms(dictionary, F.col("term").startswith(prefix),
+                        max_expand)
+
+
+def wildcard_regex(pattern: str) -> str:
+    """Translate a ``*``/``?`` wildcard pattern to an anchored regex."""
+    out = []
+    for ch in pattern:
+        out.append(".*" if ch == "*" else "." if ch == "?" else re.escape(ch))
+    return "^" + "".join(out) + "$"
+
+
+def wildcard_terms(dictionary: DataFrame, pattern: str,
+                   max_expand: int = 1000) -> list[str]:
+    """Dictionary terms matching a ``*``/``?`` wildcard pattern."""
+    if not pattern.strip("*?"):
+        raise ValueError(f"pattern {pattern!r} matches everything")
+    return expand_terms(
+        dictionary, F.col("term").rlike(wildcard_regex(pattern)), max_expand)
+
+
+def fuzzy_terms(dictionary: DataFrame, term: str, max_dist: int = 1,
+                max_expand: int = 1000) -> list[str]:
+    """Dictionary terms within ``max_dist`` Levenshtein edits of ``term``.
+
+    The length band ``| |t| - |term| | <= max_dist`` prunes the dictionary
+    with one cheap comparison before the O(n·m) edit distance runs; Spark's
+    three-arg ``levenshtein`` also early-exits above the threshold.
+    """
+    if max_dist < 0:
+        raise ValueError("max_dist must be >= 0")
+    band = F.abs(F.length("term") - F.lit(len(term))) <= max_dist
+    close = F.levenshtein(F.col("term"), F.lit(term), max_dist) >= 0
+    return expand_terms(dictionary, band & close, max_expand)
+
+
+def term_set_match(df: DataFrame, terms: Sequence[str],
+                   text_col: str = "text", id_col: str = "doc_id",
+                   mode: str = "ascii_code") -> DataFrame:
+    """Docs containing ANY of ``terms``: (id, n_matches, n_terms).
+
+    ``n_matches`` counts occurrences, ``n_terms`` distinct matched terms.
+    Scan path: one corpus pass, the (expanded) term set as an array literal
+    evaluated per row in WholeStageCodegen — the disjunction leg of a
+    prefix/wildcard/fuzzy query after dictionary expansion.
+    """
+    ts = sorted(set(str(t) for t in terms))
+    if not ts:
+        raise ValueError("empty term set")
+    lit = F.array(*[F.lit(t) for t in ts])
+
+    def verdict(tk):
+        hits = F.filter(tk, lambda t: F.array_contains(lit, t))
+        return F.struct(
+            F.size(hits).cast("long").alias("n_matches"),
+            F.size(F.array_distinct(hits)).cast("long").alias("n_terms"))
+
+    out = with_tokens(df.select(id_col, text_col), text_col, mode)
+    v = out.select(F.col(id_col), _bound(F.col("tokens"), verdict).alias("v"))
+    return (v.filter(F.col("v.n_matches") > 0)
+            .select(id_col, F.col("v.n_matches").alias("n_matches"),
+                    F.col("v.n_terms").alias("n_terms")))
+
+
+def term_set_match_postings(postings: DataFrame, terms: Sequence[str],
+                            id_col: str = "doc_id") -> DataFrame:
+    """``term_set_match`` over a (id, term[, pos]) relation.
+
+    The ``isin`` prune is pushed to the scan of a materialized index, so
+    only the expanded terms' postings are read — the plan Lucene executes
+    for a wildcard query, expressed as a filter + one partial-agg groupBy.
+    """
+    ts = sorted(set(str(t) for t in terms))
+    if not ts:
+        raise ValueError("empty term set")
+    return (postings.filter(F.col("term").isin(ts))
+            .groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("n_matches"),
+                 F.count_distinct("term").cast("long").alias("n_terms")))
+
+
+# ---------------------------------------------------------------------------
+# Snippets and facets.
+# ---------------------------------------------------------------------------
+
+
+def best_snippet(df: DataFrame, query_terms: Sequence[str], window: int = 8,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 mode: str = "ascii_code") -> DataFrame:
+    """Best highlight window per matching doc: (id, start, n_hits, snippet).
+
+    The best window is the ``window``-token span holding the most query-term
+    occurrences, anchored at a hit; ties break to the earliest start, so the
+    result is deterministic. Everything is per-row JVM HOF algebra over the
+    hit-position list (O(h²) per doc in the number of hits, h being small
+    for real queries) — no shuffle, no UDF; the corpus streams through once.
+    """
+    ts = sorted(set(str(t) for t in query_terms))
+    if not ts or window < 1:
+        raise ValueError("need query terms and window >= 1")
+    lit = F.array(*[F.lit(t) for t in ts])
+
+    def pick(tk):
+        pos = F.filter(F.sequence(F.lit(0), F.size(tk) - 1),
+                       lambda i: F.array_contains(lit, F.get(tk, i)))
+        counts = F.transform(pos, lambda p: F.size(
+            F.filter(pos, lambda q: (q >= p) & (q < p + window))))
+        best = F.array_max(counts)
+        start = F.get(pos, F.array_position(counts, best) - 1)
+        return F.when(F.size(pos) > 0, F.struct(
+            start.cast("long").alias("start"),
+            best.cast("long").alias("n_hits"),
+            F.array_join(F.slice(tk, start + 1, window), " ").alias("snippet")))
+
+    out = with_tokens(df.select(id_col, text_col), text_col, mode)
+    v = out.select(F.col(id_col), _bound(F.col("tokens"), pick).alias("v"))
+    return (v.filter(F.col("v").isNotNull())
+            .select(id_col, "v.start", "v.n_hits", "v.snippet"))
+
+
+def facet_counts(matches: DataFrame, docs: DataFrame,
+                 facets: Sequence[str], id_col: str = "doc_id") -> DataFrame:
+    """Facet histograms over a match relation: (facet, value, n_docs).
+
+    ``matches`` is any (id, ...) relation (boolean_match, term_set_match,
+    bm25 top-k); ``docs`` carries the facet columns. One broadcast-free
+    semi-join prunes docs to the hits, then a single ``stack`` explodes the
+    facet columns so ALL histograms come out of one shuffle instead of one
+    per facet. Facet values are cast to string (a histogram axis, not a
+    typed value); NULLs count under the literal 'null' bucket.
+    """
+    fs = list(facets)
+    if not fs:
+        raise ValueError("need at least one facet column")
+    hit = docs.join(matches.select(id_col), id_col, "left_semi")
+    stack = F.expr("stack({}, {})".format(
+        len(fs), ", ".join(
+            f"'{c}', coalesce(cast(`{c}` as string), 'null')" for c in fs)))
+    return (hit.select(stack.alias("facet", "value"))
+            .groupBy("facet", "value")
+            .agg(F.count("*").cast("long").alias("n_docs")))

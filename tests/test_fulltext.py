@@ -135,3 +135,126 @@ def test_doc_term_positions_prune(spark, docs):
              .groupBy("doc_id").agg(F.min("pos").alias("m"))
              .agg(F.min("m"), F.max("m")).collect()[0])
     assert first[0] == 0 == first[1]
+
+
+# ---------------------------------------------------------------------------
+# Dictionary expansion (prefix / wildcard / fuzzy), snippets, facets.
+# ---------------------------------------------------------------------------
+
+import random
+import re as _re
+
+from bertopic_spark.operators.fulltext import (
+    best_snippet,
+    expand_terms,
+    facet_counts,
+    fuzzy_terms,
+    prefix_terms,
+    term_dictionary,
+    term_set_match,
+    term_set_match_postings,
+    wildcard_regex,
+    wildcard_terms,
+)
+
+
+def _lev(a, b):
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_dictionary_and_expansions_brute(spark, docs):
+    vocab = {}
+    for r in docs.select("doc_id", "text").collect():
+        for t in set(tokenize_one(r.text or "", "ascii_code")):
+            vocab[t] = vocab.get(t, 0) + 1
+    d = term_dictionary(docs, "text", "doc_id")
+    assert {(r.term, r.df) for r in d.collect()} == set(vocab.items())
+    assert prefix_terms(d, "s") == sorted(
+        t for t in vocab if t.startswith("s"))
+    rx = _re.compile(wildcard_regex("s?a*"))
+    assert wildcard_terms(d, "s?a*") == sorted(
+        t for t in vocab if rx.match(t))
+    assert fuzzy_terms(d, "querry", 1) == sorted(
+        t for t in vocab if _lev(t, "querry") <= 1)
+    assert fuzzy_terms(d, "query", 0) == (["query"] if "query" in vocab
+                                          else [])
+
+
+def test_expansion_guardrails(spark, docs):
+    d = term_dictionary(docs, "text", "doc_id")
+    with pytest.raises(ValueError):
+        prefix_terms(d, "")
+    with pytest.raises(ValueError):
+        wildcard_terms(d, "*?*")  # matches everything
+    with pytest.raises(ValueError):
+        fuzzy_terms(d, "query", -1)
+    with pytest.raises(ValueError):  # bounded expansion must fail loudly
+        expand_terms(d, F.lit(True), max_expand=3)
+
+
+def test_wildcard_regex_escapes_metachars():
+    rx = _re.compile(wildcard_regex("a.b*c?"))
+    assert rx.match("a.bxxcy") and not rx.match("axbxxcy")
+
+
+def test_term_set_match_scan_equals_postings(spark, docs):
+    terms = ["query", "customer", "scan"]
+    scan = term_set_match(docs, terms, "text", "doc_id")
+    idx = term_set_match_postings(
+        doc_term_positions(docs, "text", "doc_id", terms=terms), terms)
+    assert _pairs(scan) == _pairs(idx)
+    assert scan.count() > 0
+    with pytest.raises(ValueError):
+        term_set_match(docs, [])
+
+
+def _best_window_py(tokens, qset, w):
+    pos = [i for i, t in enumerate(tokens) if t in qset]
+    if not pos:
+        return None
+    cnts = [sum(1 for q in pos if p <= q < p + w) for p in pos]
+    best = max(cnts)
+    start = pos[cnts.index(best)]
+    return (start, best, " ".join(tokens[start:start + w]))
+
+
+def test_best_snippet_brute(spark):
+    rng = random.Random(11)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    rows = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randrange(0, 30))))
+            for i in range(60)] + [(60, None), (61, "")]
+    t = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.start, r.n_hits, r.snippet)
+           for r in best_snippet(t, ["aa", "dd"], window=5).collect()}
+    want = {}
+    for i, txt in rows:
+        exp = _best_window_py(tokenize_one(txt or "", "ascii_code"),
+                              {"aa", "dd"}, 5)
+        if exp:
+            want[i] = exp
+    assert got == want
+    with pytest.raises(ValueError):
+        best_snippet(t, [], window=5)
+    with pytest.raises(ValueError):
+        best_snippet(t, ["aa"], window=0)
+
+
+def test_facet_counts_null_bucket_and_semantics(spark):
+    d = spark.createDataFrame(
+        [(1, "aa", "py", "web"), (2, "aa bb", None, "web"),
+         (3, "bb", "py", "book"), (4, "aa", "go", None)],
+        "doc_id long, text string, lang string, source string")
+    hits = term_set_match(d, ["aa"], "text", "doc_id")
+    got = _pairs(facet_counts(hits, d, ["lang", "source"]))
+    assert got == {("lang", "py", 1), ("lang", "null", 1), ("lang", "go", 1),
+                   ("source", "web", 2), ("source", "null", 1)}
+    with pytest.raises(ValueError):
+        facet_counts(hits, d, [])
