@@ -2178,6 +2178,92 @@ SELECT doc_id, CAST(start_pos AS BIGINT) AS start_pos,
 FROM ranked WHERE rn <= {SNIPPET_K}"""
 
 
+def q_redact_pii(spark, sf_dir):
+    """PII/secret scrub (operators/textstats.py `redact_pii`): per-rule
+    audit counts on the original text + the redacted text (sha-compared).
+    PII is synthesized deterministically from doc_id on BOTH sides (the
+    corpus itself is clean), so the gate verifies the redaction, not the
+    data. Map-only pass: regexp_count/replace inside WholeStageCodegen."""
+    from bertopic_spark.operators.textstats import redact_pii
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            " ", "text",
+            F.concat(F.lit("user"), F.col("doc_id").cast("string"),
+                     F.lit("@example.com")),
+            F.concat(F.lit("10.0."), (F.col("doc_id") % 256).cast("string"),
+                     F.lit(".1")),
+            F.concat(F.lit("555-"),
+                     F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                     F.lit("-1234")),
+            F.md5(F.col("doc_id").cast("string"))).alias("text"))
+    out = redact_pii(d, "text", "doc_id")
+    return out.select("doc_id", "n_email", "n_ipv4", "n_phone", "n_hexkey",
+                      F.sha2(F.col("clean"), 256).alias("clean_sha"))
+
+
+def _sql_redact_pii() -> str:
+    from bertopic_spark.operators.textstats import PII_RULES
+
+    pats = {name: pat for name, pat, _ in PII_RULES}
+    clean = "t"
+    for name, pat, repl in PII_RULES:
+        clean = f"regexp_replace({clean}, '{pat}', '{repl}', 'g')"
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(t, '{pats[n]}')) AS BIGINT) AS n_{n}"
+        for n in ("email", "ipv4", "phone", "hexkey"))
+    return f"""WITH aug AS (
+  SELECT doc_id, concat_ws(' ', text,
+      'user' || CAST(doc_id AS VARCHAR) || '@example.com',
+      '10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1',
+      '555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-1234',
+      md5(CAST(doc_id AS VARCHAR))) AS t
+  FROM documents)
+SELECT doc_id, {counts}, sha256({clean}) AS clean_sha FROM aug"""
+
+
+MLT_SEEDS, MLT_TERMS, MLT_K = (0, 7, 42), 5, 10
+
+
+def q_more_like_this(spark, sf_dir):
+    """More-like-this (Lucene MLT shape): each seed doc's top-n terms by
+    its own BM25 score become the query; retrieval is the inverted-index
+    probe with the self-hit excluded. One persisted counts pass feeds
+    stats, seed-term extraction, and the probe."""
+    from bertopic_spark.operators.bm25 import more_like_this
+
+    out = more_like_this(_docs(spark, sf_dir), list(MLT_SEEDS),
+                         n_terms=MLT_TERMS, k=MLT_K, text_col="text",
+                         id_col="doc_id", mode=MODE)
+    return out.select("query_id", "doc_id", _r6(F.col("score")).alias("score"),
+                      F.col("rank").cast("long").alias("rn"))
+
+
+SQL_MORE_LIKE_THIS = f"""WITH {_TOKS}, {_XDOC},
+{_scores_sql('xdoc', 'doc_id', True, False)},
+seedq AS (
+  SELECT doc_id AS query_id, term FROM (
+    SELECT doc_id, term,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, term ASC) AS tr
+    FROM scores WHERE doc_id IN {MLT_SEEDS})
+  WHERE tr <= {MLT_TERMS}),
+hits AS (
+  SELECT q.query_id, s.doc_id, sum(s.score) AS score
+  FROM seedq q JOIN scores s USING (term)
+  WHERE s.doc_id <> q.query_id
+  GROUP BY q.query_id, s.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rn
+  FROM hits)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+       round(score, 6) AS score, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= {MLT_K}"""
+
+
 def q_facet_counts(spark, sf_dir):
     """Facet histograms over a match set: semi-join prune to the hits, one
     stack-explode of the facet columns, one shuffle for ALL histograms."""
@@ -2294,6 +2380,8 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
         f"levenshtein(term, '{FUZZY_Q}') <= {FUZZY_DIST}")),
     "snippet_topk": (q_snippet_topk, _sql_snippet_topk()),
     "facet_counts": (q_facet_counts, _sql_facet_counts()),
+    "more_like_this": (q_more_like_this, SQL_MORE_LIKE_THIS),
+    "redact_pii": (q_redact_pii, _sql_redact_pii()),
     "frequent_lines_removed": (q_frequent_lines_removed, SQL_FREQUENT_LINES),
     "decontaminate_bench": (q_decontaminate_bench, SQL_DECONTAMINATE),
     "dedup_embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),

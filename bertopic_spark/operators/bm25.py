@@ -149,3 +149,66 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "score", "rank")
     )
+
+
+def more_like_this(
+    corpus: DataFrame,
+    seed_ids,
+    n_terms: int = 5,
+    k: int = 10,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    mode: str = "ascii_code",
+    bm25_weighting: bool = True,
+    reduce_frequent_words: bool = False,
+    persist_counts: bool = True,
+    _persisted_out: list | None = None,
+) -> DataFrame:
+    """More-like-this: (query_id = seed doc, doc_id, score, rank).
+
+    Lucene MoreLikeThis shape: each seed document's top ``n_terms`` terms by
+    its own per-doc score become its query; retrieval is then the standard
+    inverted-index probe with the self-hit excluded. One counts pass feeds
+    the corpus statistics, the seed-term extraction, AND the probe (hence
+    ``persist_counts``); the seed slice is an ``isin`` filter (partition-
+    prunable on a materialized index) and its top-n window runs over
+    |seeds| × |seed vocab| rows, never the corpus. Ties in term selection
+    break on term asc, in ranking on doc_id asc — rank-deterministic across
+    partitionings and engines.
+    """
+    seeds = sorted(set(seed_ids))
+    if not seeds:
+        raise ValueError("need at least one seed doc id")
+    if n_terms < 1 or k < 1:
+        raise ValueError("n_terms and k must be >= 1")
+    x = doc_term_counts(corpus, text_col, [id_col], mode, with_len=True)
+    x = x.withColumnRenamed("doc_len", "class_len")
+    if persist_counts:
+        x = x.persist()
+        if _persisted_out is not None:
+            _persisted_out.append(x)
+    stats = term_stats(x, [id_col], bm25_weighting=bm25_weighting)
+
+    seed_scores = ctfidf(
+        x.filter(F.col(id_col).isin(seeds)), [id_col],
+        bm25_weighting=bm25_weighting,
+        reduce_frequent_words=reduce_frequent_words, stats=stats)
+    wq = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    qterms = (seed_scores.withColumn("tr", F.row_number().over(wq))
+              .filter(F.col("tr") <= n_terms)
+              .select(F.col(id_col).alias("query_id"), "term"))
+
+    terms_only = qterms.select("term").distinct()
+    xq = x.join(F.broadcast(terms_only), "term")
+    scores = ctfidf(
+        xq, [id_col], bm25_weighting=bm25_weighting,
+        reduce_frequent_words=reduce_frequent_words,
+        stats=stats.join(F.broadcast(terms_only), "term"))
+    hits = (scores.join(F.broadcast(qterms), "term")
+            .filter(F.col("query_id") != F.col(id_col))
+            .groupBy("query_id", id_col)
+            .agg(F.sum("score").alias("score")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (hits.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", id_col, "score", "rank"))

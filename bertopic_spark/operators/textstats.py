@@ -202,3 +202,38 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str,
                        / F.col("doc_chars").cast("double")).otherwise(z),
                 6).alias("top_bigram_char_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII / secret redaction — training-data pipeline scrub pass.
+# ---------------------------------------------------------------------------
+
+# (name, pattern, replacement). Patterns restricted to the syntax subset
+# where Java regex (Spark) and RE2 (DuckDB oracle) agree exactly.
+PII_RULES = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("hexkey", r"\b[0-9a-f]{32,}\b", "<KEY>"),
+)
+
+
+def redact_pii(df, text_col: str = "text", id_col: str = "doc_id",
+               rules=PII_RULES):
+    """Scrub PII/secrets: (id, n_<rule>..., clean).
+
+    Counts are measured on the ORIGINAL text (the audit number a pipeline
+    reports); replacements apply in rule order. Pure JVM ``regexp_count`` /
+    ``regexp_replace`` — one narrow projection inside WholeStageCodegen,
+    no shuffle, no UDF; at 100 TB this is a map-only pass whose cost is the
+    scan itself.
+    """
+    if not rules:
+        raise ValueError("need at least one redaction rule")
+    clean = F.col(text_col)
+    cols = [F.col(id_col)]
+    for name, pat, repl in rules:
+        cols.append(F.regexp_count(F.col(text_col), F.lit(pat))
+                    .cast("long").alias(f"n_{name}"))
+        clean = F.regexp_replace(clean, pat, repl)
+    return df.select(*cols, clean.alias("clean"))

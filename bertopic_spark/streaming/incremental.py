@@ -143,3 +143,39 @@ def stream_ingest(spark: SparkSession, input_dir: str, idx: IncrementalIndex,
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_append_index(spark: SparkSession, input_dir: str, idx,
+                        text_col: str, id_col: str, schema: str,
+                        checkpoint_dir: str, trigger_once: bool = True):
+    """Structured Streaming → segment-index append: file-source stream →
+    foreachBatch → ``index.incremental.IncrementalIndex.append`` (one
+    generation per micro-batch, O(batch) work each).
+
+    Replay safety: foreachBatch re-runs a batch after a failure, but a
+    generation is only visible once its manifest swap commits — so the
+    handler drops a ``stream_batch_<id>.done`` marker AFTER the commit and
+    skips marked batches on replay. A crash between commit and marker makes
+    the replay raise on the id-range collision (append validates caller
+    ids against every existing generation) instead of silently
+    double-counting — loud, never wrong.
+    """
+    import os as _os
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        marker = _os.path.join(idx.root, f"stream_batch_{batch_id}.done")
+        if _os.path.exists(marker) or batch_df.isEmpty():
+            return
+        idx.append(batch_df, text_col=text_col, id_col=id_col)
+        with open(marker, "w") as f:
+            f.write("done")
+
+    writer = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

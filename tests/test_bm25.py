@@ -78,3 +78,34 @@ def test_adhoc_path_rank_identical(spark, corpus_df, queries, spark_topk):
         out.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
     got = {q: [(d, s) for _, d, s in sorted(v)] for q, v in out.items()}
     assert got == spark_topk
+
+
+def test_more_like_this_invariants(spark, documents_df):
+    from bertopic_spark.operators.bm25 import more_like_this
+
+    seeds = [0, 7, 42]
+    held = []
+    out = more_like_this(documents_df, seeds, n_terms=5, k=10,
+                         text_col="text", id_col="doc_id",
+                         _persisted_out=held)
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append((r["rank"], r.doc_id, r.score))
+    assert set(by_q) == set(seeds)
+    for q, rs in by_q.items():
+        rs.sort()
+        assert [x[0] for x in rs] == list(range(1, len(rs) + 1))
+        assert all(x[1] != q for x in rs)            # self-hit excluded
+        scores = [x[2] for x in rs]
+        assert scores == sorted(scores, reverse=True)
+    # deterministic under a different partitioning
+    out2 = more_like_this(documents_df.repartition(13), seeds, n_terms=5,
+                          k=10, text_col="text", id_col="doc_id",
+                          persist_counts=False)
+    assert {(r.query_id, r.doc_id, r["rank"]) for r in out2.collect()} == \
+           {(r.query_id, r.doc_id, r["rank"]) for r in rows}
+    for df in held:
+        df.unpersist()
+    with pytest.raises(ValueError):
+        more_like_this(documents_df, [], text_col="text", id_col="doc_id")

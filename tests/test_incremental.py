@@ -135,3 +135,38 @@ def test_sha_invariant_checked_on_append(spark, corpus_df, tmp_path):
         IncrementalIndex.create(spark, str(tmp_path / "sha2"), mode=MODE) \
             .append(corrupted, text_col="content", id_col="doc_id",
                     sha_col="content_sha")
+
+
+def test_stream_append_matches_batch(spark, documents_df, tmp_path):
+    """Structured Streaming ingest (foreachBatch → append) must produce the
+    same ranking as batch appends of the same documents, and a re-run of
+    the same stream must be a no-op (checkpoint + marker idempotency)."""
+    import os
+
+    from bertopic_spark.streaming.incremental import stream_append_index
+
+    inp = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    root = str(tmp_path / "idx")
+    schema = "doc_id long, text string"
+    half = documents_df.select("doc_id", "text")
+    half.filter(F.col("doc_id") % 2 == 0).write.mode("append").parquet(inp)
+
+    idx = IncrementalIndex.create(spark, root, mode=MODE)
+    q = stream_append_index(spark, inp, idx, "text", "doc_id", schema, ckpt)
+    q.awaitTermination(120)
+    half.filter(F.col("doc_id") % 2 == 1).write.mode("append").parquet(inp)
+    q = stream_append_index(spark, inp, idx, "text", "doc_id", schema, ckpt)
+    q.awaitTermination(120)
+
+    idx = IncrementalIndex.open(spark, root)  # manifest round-trip
+    assert len(idx.manifest["gens"]) >= 2
+    assert _inc_topk(idx) == _rebuild_topk(spark, documents_df)
+    markers = [f for f in os.listdir(root) if f.startswith("stream_batch_")]
+    assert markers  # replay guards written after each committed generation
+
+    # re-running the finished stream appends nothing
+    n_gens = len(idx.manifest["gens"])
+    q = stream_append_index(spark, inp, idx, "text", "doc_id", schema, ckpt)
+    q.awaitTermination(120)
+    assert len(IncrementalIndex.open(spark, root).manifest["gens"]) == n_gens

@@ -51,3 +51,31 @@ def test_repetition_stats_partition_invariant(spark):
     a = _collect(repetition_stats(df, "text", "doc_id"))
     b = _collect(repetition_stats(df.repartition(13), "text", "doc_id"))
     assert a == b
+
+
+def test_redact_pii_rules_and_edges(spark):
+    from bertopic_spark.operators.textstats import redact_pii
+
+    rows = [
+        (1, "mail a@b.co and c.d+x@e-f.org end"),
+        (2, "ip 10.0.0.1 and 255.255.255.255, phone 555-123-4567"),
+        (3, "key 0123456789abcdef0123456789abcdef trailing"),
+        (4, "clean text with no pii at all"),
+        (5, None),
+        (6, ""),
+        (7, "a@b.co a@b.co"),  # counts are per occurrence
+    ]
+    t = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.asDict() for r in redact_pii(t).collect()}
+    assert got[1]["n_email"] == 2 and "<EMAIL>" in got[1]["clean"]
+    assert "@" not in got[1]["clean"]
+    assert got[2]["n_ipv4"] == 2 and got[2]["n_phone"] == 1
+    assert "10.0.0.1" not in got[2]["clean"]
+    assert got[3]["n_hexkey"] == 1 and "<KEY> trailing" in got[3]["clean"]
+    assert got[4] == {"doc_id": 4, "n_email": 0, "n_ipv4": 0, "n_phone": 0,
+                      "n_hexkey": 0, "clean": rows[3][1]}
+    assert got[5]["clean"] is None and got[5]["n_email"] is None
+    assert got[6]["clean"] == "" and got[6]["n_email"] == 0
+    assert got[7]["n_email"] == 2
+    with pytest.raises(ValueError):
+        redact_pii(t, rules=())
