@@ -2178,6 +2178,95 @@ SELECT doc_id, CAST(start_pos AS BIGINT) AS start_pos,
 FROM ranked WHERE rn <= {SNIPPET_K}"""
 
 
+DYM_TERMS = ("custmer", "joinn", "querry", "tabel", "windoww")
+DYM_DIST, DYM_N = 2, 3
+
+
+def q_did_you_mean(spark, sf_dir):
+    """Spell suggestion (Lucene DirectSpellChecker ordering): top-n
+    dictionary terms per misspelled input by (edit distance, df desc,
+    term). Only the tiny term dictionary is touched — never the corpus."""
+    from bertopic_spark.operators.fulltext import suggest_terms, term_dictionary
+
+    d = term_dictionary(_docs(spark, sf_dir), "text", "doc_id", MODE)
+    return suggest_terms(d, list(DYM_TERMS), DYM_DIST, DYM_N)
+
+
+def _sql_did_you_mean() -> str:
+    vals = ", ".join(f"('{t}')" for t in DYM_TERMS)
+    return f"""WITH
+tk AS (SELECT doc_id, {duckdb_tokens_sql('text', MODE)} AS ts FROM documents),
+hit AS (SELECT doc_id, unnest(list_distinct(ts)) AS term FROM tk),
+dict AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM hit GROUP BY term),
+qs(q_term) AS (VALUES {vals}),
+cand AS (
+  SELECT q_term, term AS suggestion, levenshtein(term, q_term) AS dist, df
+  FROM qs CROSS JOIN dict
+  WHERE abs(length(term) - length(q_term)) <= {DYM_DIST}
+    AND levenshtein(term, q_term) <= {DYM_DIST}),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_term
+      ORDER BY dist ASC, df DESC, suggestion ASC) AS rank
+  FROM cand)
+SELECT q_term, suggestion, CAST(dist AS BIGINT) AS dist, df,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {DYM_N}"""
+
+
+def q_search_snippets(spark, sf_dir):
+    """Search-result assembly: BM25 top-k, then highlights computed ONLY on
+    the k hits per query (broadcast-sized), with the per-query term set
+    bound into one struct HOF — the corpus is scanned once by retrieval,
+    never again for snippets."""
+    from bertopic_spark.operators.fulltext import search_with_snippets
+
+    out = search_with_snippets(_docs(spark, sf_dir), DRIVER_QUERIES, k=10,
+                               window=SNIPPET_WINDOW, text_col="text",
+                               id_col="doc_id", mode=MODE)
+    return out.select("query_id", "doc_id",
+                      _r6(F.col("score")).alias("score"),
+                      F.col("rank").cast("long").alias("rn"),
+                      F.col("start").alias("start_pos"), "n_hits", "snippet")
+
+
+SQL_SEARCH_SNIPPETS = f"""WITH {_TOKS}, {_XDOC},
+{_scores_sql('xdoc', 'doc_id', True, False)},
+qv(query_id, term) AS (VALUES {_query_term_values()}),
+hits AS (
+  SELECT qv.query_id, s.doc_id, sum(s.score) AS score
+  FROM qv JOIN scores s USING (term) GROUP BY qv.query_id, s.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rn
+  FROM hits),
+topk AS (SELECT * FROM ranked WHERE rn <= 10),
+qlist AS (SELECT query_id, list_sort(list(DISTINCT term)) AS qts
+          FROM qv GROUP BY query_id),
+tkd AS (SELECT doc_id, {duckdb_tokens_sql('text', MODE)} AS ts
+        FROM documents),
+joined AS (
+  SELECT t.query_id, t.doc_id, t.score, t.rn, ql.qts, tkd.ts
+  FROM topk t JOIN qlist ql USING (query_id) JOIN tkd USING (doc_id)),
+hp AS (
+  SELECT *, list_filter(range(0, len(ts)),
+                        i -> list_contains(qts, ts[i + 1])) AS ps
+  FROM joined),
+scored2 AS (
+  SELECT *, list_transform(ps, p -> len(list_filter(
+      ps, z -> z >= p AND z < p + {SNIPPET_WINDOW}))) AS cnts
+  FROM hp WHERE len(ps) > 0)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+       round(score, 6) AS score, CAST(rn AS BIGINT) AS rn,
+       CAST(ps[list_position(cnts, list_max(cnts))] AS BIGINT) AS start_pos,
+       CAST(list_max(cnts) AS BIGINT) AS n_hits,
+       array_to_string(
+           ts[ps[list_position(cnts, list_max(cnts))] + 1 :
+              ps[list_position(cnts, list_max(cnts))] + {SNIPPET_WINDOW}],
+           ' ') AS snippet
+FROM scored2"""
+
+
 def q_redact_pii(spark, sf_dir):
     """PII/secret scrub (operators/textstats.py `redact_pii`): per-rule
     audit counts on the original text + the redacted text (sha-compared).
@@ -2382,6 +2471,8 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "facet_counts": (q_facet_counts, _sql_facet_counts()),
     "more_like_this": (q_more_like_this, SQL_MORE_LIKE_THIS),
     "redact_pii": (q_redact_pii, _sql_redact_pii()),
+    "did_you_mean": (q_did_you_mean, _sql_did_you_mean()),
+    "search_snippets": (q_search_snippets, SQL_SEARCH_SNIPPETS),
     "frequent_lines_removed": (q_frequent_lines_removed, SQL_FREQUENT_LINES),
     "decontaminate_bench": (q_decontaminate_bench, SQL_DECONTAMINATE),
     "dedup_embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),

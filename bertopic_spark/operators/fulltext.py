@@ -31,7 +31,7 @@ import re
 from functools import reduce
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from bertopic_spark.tokenizer import tokenize_one, with_tokens
@@ -396,3 +396,81 @@ def facet_counts(matches: DataFrame, docs: DataFrame,
     return (hit.select(stack.alias("facet", "value"))
             .groupBy("facet", "value")
             .agg(F.count("*").cast("long").alias("n_docs")))
+
+
+def suggest_terms(dictionary: DataFrame, queries: Sequence[str],
+                  max_dist: int = 2, n: int = 3) -> DataFrame:
+    """Did-you-mean: (q_term, suggestion, dist, df, rank).
+
+    Top-n dictionary terms per misspelled input, ranked by edit distance,
+    then document frequency (desc), then term — Lucene's DirectSpellChecker
+    ordering. The query list explodes as literals against the dictionary
+    (the SMALL relation; the corpus is never touched), length-banded before
+    the O(n·m) distance. Exact matches (dist 0) rank first naturally.
+    """
+    qs = sorted(set(str(q) for q in queries))
+    if not qs:
+        raise ValueError("need at least one query term")
+    if max_dist < 0 or n < 1:
+        raise ValueError("max_dist must be >= 0 and n >= 1")
+    q = F.explode(F.array(*[F.lit(t) for t in qs])).alias("q_term")
+    cand = (dictionary.select(q, "term", "df")
+            .filter(F.abs(F.length("term") - F.length("q_term")) <= max_dist)
+            .withColumn("dist", F.levenshtein(F.col("term"), F.col("q_term")))
+            .filter(F.col("dist") <= max_dist))
+    w = Window.partitionBy("q_term").orderBy(
+        F.asc("dist"), F.desc("df"), F.asc("term"))
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= n)
+            .select("q_term", F.col("term").alias("suggestion"),
+                    F.col("dist").cast("long").alias("dist"), "df",
+                    F.col("rank").cast("long").alias("rank")))
+
+
+def search_with_snippets(corpus: DataFrame, queries, k: int = 10,
+                         window: int = 8, text_col: str = "text",
+                         id_col: str = "doc_id", mode: str = "ascii_code",
+                         bm25_weighting: bool = True,
+                         _persisted_out: list | None = None) -> DataFrame:
+    """Search-result assembly: BM25 top-k + highlight per hit.
+
+    (query_id, doc_id, score, rank, start, n_hits, snippet). The snippet
+    HOF runs ONLY on the k hits per query (a broadcast-sized relation after
+    retrieval), never the corpus — the term set varies per row, so tokens
+    and query terms are bound together in one struct lambda var. Hits whose
+    text no longer contains a query token (possible when retrieval ran on
+    a stale index) keep NULL highlight columns rather than being dropped.
+    """
+    from bertopic_spark.operators.bm25 import (bm25_topk_adhoc, queries_df,
+                                               query_terms)
+
+    qdf = queries_df(corpus.sparkSession, dict(queries))
+    qt = query_terms(qdf, mode)
+    top = bm25_topk_adhoc(corpus, qt, k=k, text_col=text_col, id_col=id_col,
+                          mode=mode, bm25_weighting=bm25_weighting,
+                          _persisted_out=_persisted_out)
+    qlists = qt.groupBy("query_id").agg(
+        F.array_sort(F.collect_set("term")).alias("qts"))
+    hits = (top.join(F.broadcast(qlists), "query_id")
+            .join(corpus.select(id_col, text_col), id_col))
+    hits = with_tokens(hits, text_col, mode)
+
+    def pick(s):
+        tk, qts = s["tokens"], s["qts"]
+        pos = F.filter(F.sequence(F.lit(0), F.size(tk) - 1),
+                       lambda i: F.array_contains(qts, F.get(tk, i)))
+        counts = F.transform(pos, lambda p: F.size(
+            F.filter(pos, lambda q: (q >= p) & (q < p + window))))
+        best = F.array_max(counts)
+        start = F.get(pos, F.array_position(counts, best) - 1)
+        return F.when(F.size(pos) > 0, F.struct(
+            start.cast("long").alias("start"),
+            best.cast("long").alias("n_hits"),
+            F.array_join(F.slice(tk, start + 1, window), " ").alias("snippet")))
+
+    v = hits.select(
+        "query_id", id_col, "score", "rank",
+        _bound(F.struct(F.col("tokens").alias("tokens"),
+                        F.col("qts").alias("qts")), pick).alias("v"))
+    return v.select("query_id", id_col, "score", "rank",
+                    "v.start", "v.n_hits", "v.snippet")

@@ -258,3 +258,58 @@ def test_facet_counts_null_bucket_and_semantics(spark):
                    ("source", "web", 2), ("source", "null", 1)}
     with pytest.raises(ValueError):
         facet_counts(hits, d, [])
+
+
+from bertopic_spark.operators.fulltext import search_with_snippets, suggest_terms
+
+
+def test_suggest_terms_brute(spark, docs):
+    d = term_dictionary(docs, "text", "doc_id")
+    vocab = {(r.term, r.df) for r in d.collect()}
+    got = [(r.q_term, r.suggestion, r.dist, r.df, r["rank"])
+           for r in suggest_terms(d, ["querry", "scan", "zzz"], 2, 3)
+           .orderBy("q_term", "rank").collect()]
+    want = []
+    for q in ["querry", "scan", "zzz"]:
+        cand = sorted(((_lev(t, q), -df, t) for t, df in vocab
+                       if _lev(t, q) <= 2))[:3]
+        want += [(q, t, dist, -ndf, i + 1)
+                 for i, (dist, ndf, t) in enumerate(cand)]
+    assert got == sorted(want)
+    # exact match ranks first with dist 0
+    exact = {r.q_term: (r.suggestion, r.dist)
+             for r in suggest_terms(d, ["scan"], 2, 1).collect()}
+    assert exact == {"scan": ("scan", 0)}
+    with pytest.raises(ValueError):
+        suggest_terms(d, [])
+    with pytest.raises(ValueError):
+        suggest_terms(d, ["x"], -1)
+
+
+def test_search_with_snippets_matches_composition(spark, docs):
+    from bertopic_spark.operators.bm25 import (bm25_topk_adhoc, queries_df,
+                                               query_terms)
+    from bertopic_spark.tokenizer import tokenize_one as tok
+
+    queries = {0: "customer order", 1: "spark window filter"}
+    held = []
+    out = search_with_snippets(docs, queries, k=5, window=6, text_col="text",
+                               id_col="doc_id", _persisted_out=held)
+    rows = out.collect()
+    # retrieval leg identical to bm25_topk_adhoc
+    qt = query_terms(queries_df(spark, queries), "ascii_code")
+    top = {(r.query_id, r.doc_id, r["rank"]) for r in
+           bm25_topk_adhoc(docs, qt, k=5, text_col="text").collect()}
+    assert {(r.query_id, r.doc_id, r["rank"]) for r in rows} == top
+    # snippet leg identical to best_snippet restricted to each query's hits
+    for qid, qtext in queries.items():
+        ts = sorted(set(tok(qtext, "ascii_code")))
+        hit_ids = [r.doc_id for r in rows if r.query_id == qid]
+        exp = {r.doc_id: (r.start, r.n_hits, r.snippet) for r in
+               best_snippet(docs.filter(F.col("doc_id").isin(hit_ids)),
+                            ts, window=6, text_col="text").collect()}
+        got = {r.doc_id: (r.start, r.n_hits, r.snippet)
+               for r in rows if r.query_id == qid}
+        assert got == exp
+    for df in held:
+        df.unpersist()
