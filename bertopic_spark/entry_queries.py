@@ -2178,6 +2178,137 @@ SELECT doc_id, CAST(start_pos AS BIGINT) AS start_pos,
 FROM ranked WHERE rn <= {SNIPPET_K}"""
 
 
+PQ_M, PQ_KSUB, PQ_DSUB = 8, 16, 8
+
+
+def q_pq_adc_topk(spark, sf_dir):
+    """Product-quantization ADC top-10 (operators/similarity.py): codes are
+    m bytes per vector (32× compression — the embedding-index scale path),
+    scoring is a map-only LUT-lookup HOF over the codes. iters=0 seeds the
+    codebooks with the ksub lowest-id vectors (cross-engine oracle, same
+    strategy as ivf_ann_topk); Lloyd training + exact re-rank are
+    pytest-covered."""
+    from bertopic_spark.operators.similarity import pq_topk_adc
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pq_topk_adc(emb, ANN_QUERY_IDS, k=10, m=PQ_M, ksub=PQ_KSUB,
+                       iters=0)
+
+
+def _sql_pq_adc() -> str:
+    ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    return f"""WITH {_SQL_COS_CORE.lstrip()},
+sv AS (SELECT vec_id, dim // {PQ_DSUB} AS sub, dim % {PQ_DSUB} AS sd, val
+       FROM v),
+seeds AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS code
+  FROM (SELECT DISTINCT vec_id FROM v ORDER BY vec_id LIMIT {PQ_KSUB})),
+cb AS (SELECT s.code, x.sub, x.sd, x.val AS cval
+       FROM seeds s JOIN sv x ON x.vec_id = s.vec_id),
+dist AS (
+  SELECT x.vec_id, x.sub, cb.code,
+         sum((x.val - cb.cval) * (x.val - cb.cval)) AS d2
+  FROM sv x JOIN cb ON cb.sub = x.sub AND cb.sd = x.sd
+  GROUP BY x.vec_id, x.sub, cb.code),
+codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                 ORDER BY d2 ASC, code ASC) AS rnk
+    FROM dist) WHERE rnk = 1),
+lut AS (
+  SELECT q.vec_id AS query_vec_id, cb.sub, cb.code,
+         sum(q.val * cb.cval) AS ip
+  FROM sv q JOIN cb ON cb.sub = q.sub AND cb.sd = q.sd
+  WHERE q.vec_id IN ({ids})
+  GROUP BY q.vec_id, cb.sub, cb.code),
+adc AS (
+  SELECT l.query_vec_id, c.vec_id, sum(l.ip) AS score
+  FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+  WHERE c.vec_id != l.query_vec_id
+  GROUP BY l.query_vec_id, c.vec_id),
+ranked AS (
+  SELECT query_vec_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_vec_id
+                            ORDER BY score DESC, vec_id ASC) AS rn
+  FROM adc)
+SELECT query_vec_id, vec_id, round(score, 6) AS score, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 10"""
+
+
+HYBRID_QIDS, HYBRID_K0, HYBRID_K = (0, 1, 2, 3, 4), 60, 10
+
+
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid lexical+dense retrieval: BM25 top-k and brute cosine top-k
+    fused by reciprocal-rank fusion (rank-only, no score calibration).
+    The dense leg keys on embeddings.vec_id sharing the doc_id domain."""
+    from bertopic_spark.operators.bm25 import (bm25_topk_adhoc, queries_df,
+                                               query_terms, rrf_fuse)
+    from bertopic_spark.operators.similarity import cosine_topk
+
+    qs = {q: DRIVER_QUERIES[q] for q in HYBRID_QIDS}
+    qt = query_terms(queries_df(spark, qs), MODE)
+    leg_text = (bm25_topk_adhoc(_docs(spark, sf_dir), qt, k=HYBRID_K,
+                                text_col="text", id_col="doc_id", mode=MODE)
+                .select("query_id", "doc_id", "rank"))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    leg_dense = (cosine_topk(emb, list(HYBRID_QIDS), k=HYBRID_K)
+                 .select(F.col("query_vec_id").alias("query_id"),
+                         F.col("vec_id").alias("doc_id"),
+                         F.col("rn").alias("rank")))
+    out = rrf_fuse([leg_text, leg_dense], k0=HYBRID_K0, k=HYBRID_K)
+    return out.select("query_id", "doc_id",
+                      _r6(F.col("score")).alias("score"),
+                      F.col("rank").cast("long").alias("rn"))
+
+
+def _sql_hybrid_rrf() -> str:
+    ids = ", ".join(str(i) for i in HYBRID_QIDS)
+    return f"""WITH {_TOKS}, {_XDOC},
+{_scores_sql('xdoc', 'doc_id', True, False)},
+qv(query_id, term) AS (VALUES {_query_term_values()}),
+bhits AS (
+  SELECT qv.query_id, s.doc_id, sum(s.score) AS score
+  FROM qv JOIN scores s USING (term)
+  WHERE qv.query_id IN ({ids})
+  GROUP BY qv.query_id, s.doc_id),
+branked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rn
+  FROM bhits),
+{_SQL_COS_CORE.lstrip()},
+dots AS (
+  SELECT q.vec_id AS query_id, d.vec_id AS doc_id, sum(q.val * d.val) AS dot
+  FROM v q JOIN v d ON q.dim = d.dim
+  WHERE q.vec_id IN ({ids}) AND d.vec_id != q.vec_id
+  GROUP BY q.vec_id, d.vec_id),
+sims AS (
+  SELECT query_id, dots.doc_id, dot / (nq.nrm * nd.nrm) AS cos
+  FROM dots JOIN norms nq ON nq.vec_id = query_id
+            JOIN norms nd ON nd.vec_id = dots.doc_id),
+cranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, doc_id ASC) AS rn
+  FROM sims),
+leg AS (
+  SELECT query_id, doc_id, rn FROM branked WHERE rn <= {HYBRID_K}
+  UNION ALL
+  SELECT query_id, doc_id, rn FROM cranked WHERE rn <= {HYBRID_K}),
+fused AS (
+  SELECT query_id, doc_id, sum(1.0 / ({HYBRID_K0} + rn)) AS score
+  FROM leg GROUP BY query_id, doc_id),
+franked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rn
+  FROM fused)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+       round(score, 6) AS score, CAST(rn AS BIGINT) AS rn
+FROM franked WHERE rn <= {HYBRID_K}"""
+
+
 DYM_TERMS = ("custmer", "joinn", "querry", "tabel", "windoww")
 DYM_DIST, DYM_N = 2, 3
 
@@ -2472,6 +2603,8 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "more_like_this": (q_more_like_this, SQL_MORE_LIKE_THIS),
     "redact_pii": (q_redact_pii, _sql_redact_pii()),
     "did_you_mean": (q_did_you_mean, _sql_did_you_mean()),
+    "hybrid_rrf": (q_hybrid_rrf, _sql_hybrid_rrf()),
+    "pq_adc_topk": (q_pq_adc_topk, _sql_pq_adc()),
     "search_snippets": (q_search_snippets, SQL_SEARCH_SNIPPETS),
     "frequent_lines_removed": (q_frequent_lines_removed, SQL_FREQUENT_LINES),
     "decontaminate_bench": (q_decontaminate_bench, SQL_DECONTAMINATE),

@@ -212,3 +212,33 @@ def more_like_this(
     return (hits.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", id_col, "score", "rank"))
+
+
+def rrf_fuse(rankings, k0: int = 60, k: int = 10,
+             id_col: str = "doc_id") -> DataFrame:
+    """Reciprocal-rank fusion across retrieval legs:
+    (query_id, id, score, rank), score = Σ_legs 1 / (k0 + rank_leg).
+
+    Hybrid lexical+dense retrieval without score calibration — RRF uses
+    only ranks (Cormack et al., SIGIR 2009), so a BM25 leg and a cosine
+    leg fuse directly. Each leg needs (query_id, id, rank) with rank 1-
+    based. Physical shape: the legs are already top-k relations, so the
+    union + groupBy shuffles |legs|·k rows per query — negligible next to
+    retrieval itself.
+    """
+    from functools import reduce as _reduce
+
+    legs = list(rankings)
+    if not legs:
+        raise ValueError("need at least one ranking leg")
+    if k0 < 0 or k < 1:
+        raise ValueError("k0 must be >= 0 and k >= 1")
+    norm = [r.select("query_id", F.col(id_col),
+                     (F.lit(1.0) / (F.lit(k0) + F.col("rank"))).alias("c"))
+            for r in legs]
+    hits = (_reduce(DataFrame.unionByName, norm)
+            .groupBy("query_id", id_col).agg(F.sum("c").alias("score")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (hits.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", id_col, "score", "rank"))

@@ -109,3 +109,25 @@ def test_more_like_this_invariants(spark, documents_df):
         df.unpersist()
     with pytest.raises(ValueError):
         more_like_this(documents_df, [], text_col="text", id_col="doc_id")
+
+
+def test_rrf_fuse_hand_computed(spark):
+    from bertopic_spark.operators.bm25 import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)],
+        "query_id long, doc_id long, rank long")
+    b = spark.createDataFrame(
+        [(0, 11, 1), (0, 13, 2)],
+        "query_id long, doc_id long, rank long")
+    got = {(r.query_id, r.doc_id): (round(r.score, 9), r["rank"])
+           for r in rrf_fuse([a, b], k0=60, k=10).collect()}
+    # 11: 1/62 + 1/61 ranks first; 10: 1/61; 13: 1/62; 12: 1/63
+    assert got[(0, 11)] == (round(1 / 62 + 1 / 61, 9), 1)
+    assert got[(0, 10)] == (round(1 / 61, 9), 2)
+    assert got[(0, 13)] == (round(1 / 62, 9), 3)
+    assert got[(0, 12)] == (round(1 / 63, 9), 4)
+    with pytest.raises(ValueError):
+        rrf_fuse([])
+    with pytest.raises(ValueError):
+        rrf_fuse([a], k=0)
