@@ -61,6 +61,14 @@ BENCH_QUERIES = [
     "boolean_match",
     "frequent_lines_removed",
     "decontaminate_bench",
+    # round-3 retrieval-surface additions (expansion queries, MLT,
+    # result assembly, hybrid fusion, compressed-embedding ANN, scrub)
+    "fuzzy_match",
+    "more_like_this",
+    "search_snippets",
+    "hybrid_rrf",
+    "pq_adc_topk",
+    "redact_pii",
 ]
 
 

@@ -2178,6 +2178,46 @@ SELECT doc_id, CAST(start_pos AS BIGINT) AS start_pos,
 FROM ranked WHERE rn <= {SNIPPET_K}"""
 
 
+ASSOC_TARGETS, ASSOC_MIN_DF, ASSOC_N = ("customer", "spark"), 5, 10
+
+
+def q_term_associations(spark, sf_dir):
+    """Related terms by document-level PMI: the target side is an isin-
+    pruned slice of the distinct doc-term relation, so the co-count join
+    shuffles |target postings| ⋈ |postings| — never vocabulary all-pairs."""
+    from bertopic_spark.operators.fulltext import term_associations
+
+    out = term_associations(_docs(spark, sf_dir), list(ASSOC_TARGETS),
+                            ASSOC_MIN_DF, ASSOC_N, "text", "doc_id", MODE)
+    return out.select("target", "term", "co_df",
+                      _r6(F.col("pmi")).alias("pmi"), "rank")
+
+
+def _sql_term_associations() -> str:
+    ts = ", ".join(f"'{t}'" for t in ASSOC_TARGETS)
+    return f"""WITH
+tk AS (SELECT doc_id, {duckdb_tokens_sql('text', MODE)} AS ts FROM documents),
+dt AS (SELECT doc_id, unnest(list_distinct(ts)) AS term FROM tk),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY term),
+tgt AS (SELECT doc_id, term AS target FROM dt WHERE term IN ({ts})),
+co AS (
+  SELECT t.target, d.term, CAST(count(*) AS BIGINT) AS co_df
+  FROM tgt t JOIN dt d USING (doc_id)
+  WHERE d.term != t.target GROUP BY t.target, d.term),
+scored AS (
+  SELECT co.target, co.term, co.co_df,
+         ln(nd.n * co.co_df / (tdf.df * udf.df)) AS pmi
+  FROM co JOIN dfs udf ON udf.term = co.term AND udf.df >= {ASSOC_MIN_DF}
+       JOIN dfs tdf ON tdf.term = co.target CROSS JOIN nd),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY target
+                               ORDER BY pmi DESC, term ASC) AS rank
+  FROM scored)
+SELECT target, term, co_df, round(pmi, 6) AS pmi, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {ASSOC_N}"""
+
+
 PQ_M, PQ_KSUB, PQ_DSUB = 8, 16, 8
 
 
@@ -2605,6 +2645,7 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "did_you_mean": (q_did_you_mean, _sql_did_you_mean()),
     "hybrid_rrf": (q_hybrid_rrf, _sql_hybrid_rrf()),
     "pq_adc_topk": (q_pq_adc_topk, _sql_pq_adc()),
+    "term_associations": (q_term_associations, _sql_term_associations()),
     "search_snippets": (q_search_snippets, SQL_SEARCH_SNIPPETS),
     "frequent_lines_removed": (q_frequent_lines_removed, SQL_FREQUENT_LINES),
     "decontaminate_bench": (q_decontaminate_bench, SQL_DECONTAMINATE),

@@ -474,3 +474,48 @@ def search_with_snippets(corpus: DataFrame, queries, k: int = 10,
                         F.col("qts").alias("qts")), pick).alias("v"))
     return v.select("query_id", id_col, "score", "rank",
                     "v.start", "v.n_hits", "v.snippet")
+
+
+def term_associations(df: DataFrame, targets: Sequence[str],
+                      min_df: int = 5, n: int = 10,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      mode: str = "ascii_code") -> DataFrame:
+    """Related terms by PMI: (target, term, co_df, pmi, rank).
+
+    pmi = ln(N · df(t,u) / (df(t) · df(u))) over document co-occurrence,
+    top-n per target (pmi desc, term asc), candidates pruned to
+    df(u) ≥ min_df. Physical shape: the distinct doc-term relation is
+    computed once; the target side is an ``isin``-pruned slice of it
+    (pushed to the scan on a materialized index), so the co-count join
+    shuffles |target postings| ⋈ |postings| on doc id — never all-pairs
+    over the vocabulary. df totals ride the same relation; N is one
+    scalar agg.
+    """
+    ts = sorted(set(str(t) for t in targets))
+    if not ts:
+        raise ValueError("need at least one target term")
+    if min_df < 1 or n < 1:
+        raise ValueError("min_df and n must be >= 1")
+    toks = with_tokens(df.select(id_col, text_col), text_col, mode)
+    dt = toks.select(F.col(id_col),
+                     F.explode(F.array_distinct("tokens")).alias("term"))
+    n_docs = df.select(id_col).distinct().count()
+    dfs = dt.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    tgt = dt.filter(F.col("term").isin(ts)).select(
+        F.col(id_col), F.col("term").alias("target"))
+    co = (tgt.join(dt, id_col)
+          .filter(F.col("term") != F.col("target"))
+          .groupBy("target", "term")
+          .agg(F.count("*").cast("long").alias("co_df")))
+    scored = (co.join(F.broadcast(dfs), "term")
+              .filter(F.col("df") >= min_df)
+              .join(F.broadcast(
+                  dfs.select(F.col("term").alias("target"),
+                             F.col("df").alias("tdf"))), "target")
+              .select("target", "term", "co_df",
+                      F.log(F.lit(float(n_docs)) * F.col("co_df") /
+                            (F.col("tdf") * F.col("df"))).alias("pmi")))
+    w = Window.partitionBy("target").orderBy(F.desc("pmi"), F.asc("term"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= n)
+            .select("target", "term", "co_df", "pmi", "rank"))

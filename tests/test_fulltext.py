@@ -313,3 +313,36 @@ def test_search_with_snippets_matches_composition(spark, docs):
         assert got == exp
     for df in held:
         df.unpersist()
+
+
+from bertopic_spark.operators.fulltext import term_associations
+
+
+def test_term_associations_brute(spark, docs):
+    import math
+
+    rows = [(r.doc_id, set(tokenize_one(r.text or "", "ascii_code")))
+            for r in docs.select("doc_id", "text").collect()]
+    n = len(rows)
+    dfs = {}
+    for _, ts in rows:
+        for t in ts:
+            dfs[t] = dfs.get(t, 0) + 1
+    got = [(r.target, r.term, r.co_df, round(r.pmi, 9), r["rank"])
+           for r in term_associations(docs, ["customer"], min_df=5, n=5)
+           .orderBy("rank").collect()]
+    co = {}
+    for _, ts in rows:
+        if "customer" in ts:
+            for t in ts - {"customer"}:
+                co[t] = co.get(t, 0) + 1
+    cand = sorted(
+        ((-math.log(n * c / (dfs["customer"] * dfs[t])), t, c)
+         for t, c in co.items() if dfs[t] >= 5))[:5]
+    want = [("customer", t, c, round(-p, 9), i + 1)
+            for i, (p, t, c) in enumerate(cand)]
+    assert got == want
+    with pytest.raises(ValueError):
+        term_associations(docs, [])
+    with pytest.raises(ValueError):
+        term_associations(docs, ["x"], min_df=0)
