@@ -2617,6 +2617,174 @@ WHERE s.doc_id % {BENCH_MOD} <> {BENCH_REM}
 GROUP BY s.doc_id"""
 
 
+PROX_TERMS, PROX_WINDOW = ("customer", "order"), 12
+
+
+def q_proximity_match(spark, sf_dir):
+    """Unordered proximity (slop) query via the indexed path: postings
+    pruned to the query's terms, one linear plane sweep per doc (never the
+    per-term position-list cross product). The scan path is
+    pytest-asserted equal, and both against a brute-force sweep."""
+    from bertopic_spark.operators.fulltext import (doc_term_positions,
+                                                   proximity_match_postings)
+
+    pos = doc_term_positions(_docs(spark, sf_dir), "text", "doc_id", MODE)
+    return proximity_match_postings(pos, list(PROX_TERMS), PROX_WINDOW)
+
+
+def _sql_proximity_match() -> str:
+    a, b = PROX_TERMS
+    return f"""WITH
+tk AS (SELECT doc_id, {duckdb_tokens_sql('text', MODE)} AS ts FROM documents),
+p AS (SELECT doc_id, unnest(ts) AS term, unnest(range(len(ts))) AS pos FROM tk),
+pa AS (SELECT doc_id, pos FROM p WHERE term = '{a}'),
+pb AS (SELECT doc_id, pos FROM p WHERE term = '{b}'),
+sp AS (SELECT pa.doc_id, min(abs(pa.pos - pb.pos) + 1) AS min_span
+       FROM pa JOIN pb USING (doc_id) GROUP BY pa.doc_id)
+SELECT doc_id, CAST(min_span AS BIGINT) AS min_span
+FROM sp WHERE min_span <= {PROX_WINDOW}"""
+
+
+COLLAPSE_PER_KEY, COLLAPSE_K = 2, 5
+
+
+def q_collapse_topk(spark, sf_dir):
+    """Field-collapsed search results (Lucene/ES collapse): at most
+    ``per_key`` hits per (query, lang), global top-k after collapsing.
+    Two windows over one exchange; hits already pruned to query terms."""
+    from bertopic_spark.operators.bm25 import bm25_topk_adhoc, collapse_topk
+
+    docs = _docs(spark, sf_dir)
+    qt = query_terms(queries_df(spark, DRIVER_QUERIES), MODE)
+    hits = bm25_topk_adhoc(docs, qt, k=1 << 30, text_col="text",
+                           mode=MODE).drop("rank")
+    out = collapse_topk(hits, docs.select("doc_id", "lang"), "lang",
+                        per_key=COLLAPSE_PER_KEY, k=COLLAPSE_K)
+    return out.select("query_id", "doc_id", "lang",
+                      _r6(F.col("score")).alias("score"),
+                      F.col("rank").cast("long").alias("rank"))
+
+
+SQL_COLLAPSE_TOPK = f"""WITH {_TOKS}, {_XDOC}, {_scores_sql('xdoc', 'doc_id', True, False)},
+q(query_id, term) AS (VALUES {_query_term_values()}),
+hits AS (
+  SELECT q.query_id, s.doc_id, sum(s.score) AS score
+  FROM q JOIN scores s USING (term) GROUP BY q.query_id, s.doc_id),
+j AS (SELECT h.query_id, h.doc_id, h.score, d.lang
+      FROM hits h JOIN documents d USING (doc_id)),
+keyed AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id, lang
+                               ORDER BY score DESC, doc_id ASC) AS kr
+  FROM j),
+ranked AS (
+  SELECT query_id, doc_id, lang, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM keyed WHERE kr <= {COLLAPSE_PER_KEY})
+SELECT query_id, doc_id, lang, round(score, 6) AS score,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {COLLAPSE_K}"""
+
+
+BM25F_W_TEXT, BM25F_W_SRC, BM25F_K1, BM25F_B = 1.0, 3.0, 1.2, 0.75
+
+
+def q_bm25f_topk(spark, sf_dir):
+    """BM25F multi-field retrieval: field-weight-blended tf and doc length
+    (text ×1, source ×3), Robertson idf, saturated scoring, top-10."""
+    from bertopic_spark.operators.bm25 import bm25f_topk
+
+    qt = query_terms(queries_df(spark, DRIVER_QUERIES), MODE)
+    out = bm25f_topk(_docs(spark, sf_dir), qt,
+                     {"text": BM25F_W_TEXT, "source": BM25F_W_SRC},
+                     k=10, k1=BM25F_K1, b=BM25F_B, mode=MODE)
+    return out.select("query_id", "doc_id",
+                      _r6(F.col("score")).alias("score"),
+                      F.col("rank").cast("long").alias("rn"))
+
+
+def _sql_bm25f() -> str:
+    wt, ws, k1, b = BM25F_W_TEXT, BM25F_W_SRC, BM25F_K1, BM25F_B
+    return f"""WITH
+tka AS (SELECT doc_id, {duckdb_tokens_sql('text', MODE)} AS ta,
+               {duckdb_tokens_sql('source', MODE)} AS tb FROM documents),
+ex AS (SELECT doc_id, unnest(ta) AS term, {wt} AS w FROM tka
+       UNION ALL SELECT doc_id, unnest(tb) AS term, {ws} AS w FROM tka),
+wtf AS (SELECT doc_id, term, sum(w) AS wtf FROM ex GROUP BY doc_id, term),
+wdl AS (SELECT doc_id, {wt}*len(ta) + {ws}*len(tb) AS wdl FROM tka),
+st AS (SELECT avg(wdl) AS avgwdl, count(*) AS n FROM wdl),
+dft AS (SELECT term, count(*) AS df FROM wtf GROUP BY term),
+idf AS (SELECT term, ln(1.0 + (st.n - df + 0.5) / (df + 0.5)) AS idf
+        FROM dft CROSS JOIN st),
+q(query_id, term) AS (VALUES {_query_term_values()}),
+hits AS (
+  SELECT q.query_id, w.doc_id,
+         sum(idf.idf * w.wtf * {k1 + 1.0}
+             / (w.wtf + {k1} * ({1.0 - b} + {b} * d.wdl / s.avgwdl))) AS score
+  FROM q JOIN wtf w USING (term) JOIN idf USING (term)
+       JOIN wdl d ON d.doc_id = w.doc_id CROSS JOIN st s
+  GROUP BY q.query_id, w.doc_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, doc_id ASC) AS rn
+  FROM hits)
+SELECT query_id, doc_id, round(score, 6) AS score, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 10"""
+
+
+PRF_R, PRF_M, PRF_ALPHA, PRF_BETA = 3, 3, 1.0, 0.5
+
+
+def q_prf_expand_topk(spark, sf_dir):
+    """Rocchio pseudo-relevance feedback: BM25 top-r feedback docs, top-m
+    expansion terms by summed per-doc score, α/β-weighted rescore, top-10.
+    One persisted scored index feeds both rounds."""
+    from bertopic_spark.operators.bm25 import prf_expand_topk
+
+    out = prf_expand_topk(_docs(spark, sf_dir),
+                          queries_df(spark, DRIVER_QUERIES),
+                          r=PRF_R, m=PRF_M, alpha=PRF_ALPHA, beta=PRF_BETA,
+                          k=10, text_col="text", mode=MODE)
+    return out.select("query_id", "doc_id",
+                      _r6(F.col("score")).alias("score"),
+                      F.col("rank").cast("long").alias("rn"))
+
+
+def _sql_prf() -> str:
+    return f"""WITH {_TOKS}, {_XDOC}, {_scores_sql('xdoc', 'doc_id', True, False)},
+q(query_id, term) AS (VALUES {_query_term_values()}),
+hits1 AS (
+  SELECT q.query_id, s.doc_id, sum(s.score) AS score
+  FROM q JOIN scores s USING (term) GROUP BY q.query_id, s.doc_id),
+base AS (
+  SELECT query_id, doc_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc_id ASC) AS rn
+    FROM hits1) WHERE rn <= {PRF_R}),
+fb AS (
+  SELECT b.query_id, s.term, sum(s.score) AS wgt
+  FROM base b JOIN scores s USING (doc_id)
+  LEFT JOIN q ON q.query_id = b.query_id AND q.term = s.term
+  WHERE q.term IS NULL
+  GROUP BY b.query_id, s.term),
+expn AS (
+  SELECT query_id, term, {PRF_BETA} AS qw FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY wgt DESC, term ASC) AS er
+    FROM fb) WHERE er <= {PRF_M}),
+wq AS (SELECT query_id, term, {PRF_ALPHA} AS qw FROM q
+       UNION ALL SELECT query_id, term, qw FROM expn),
+hits2 AS (
+  SELECT wq.query_id, s.doc_id, sum(wq.qw * s.score) AS score
+  FROM wq JOIN scores s USING (term) GROUP BY wq.query_id, s.doc_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, doc_id ASC) AS rn
+  FROM hits2)
+SELECT query_id, doc_id, round(score, 6) AS score, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 10"""
+
+
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "approx_distribution": (q_approx_distribution, SQL_APPROX_DISTRIBUTION),
     "approx_distribution_tokens": (q_approx_distribution_tokens,
@@ -2646,6 +2814,10 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "hybrid_rrf": (q_hybrid_rrf, _sql_hybrid_rrf()),
     "pq_adc_topk": (q_pq_adc_topk, _sql_pq_adc()),
     "term_associations": (q_term_associations, _sql_term_associations()),
+    "proximity_match": (q_proximity_match, _sql_proximity_match()),
+    "collapse_topk": (q_collapse_topk, SQL_COLLAPSE_TOPK),
+    "bm25f_topk": (q_bm25f_topk, _sql_bm25f()),
+    "prf_expand_topk": (q_prf_expand_topk, _sql_prf()),
     "search_snippets": (q_search_snippets, SQL_SEARCH_SNIPPETS),
     "frequent_lines_removed": (q_frequent_lines_removed, SQL_FREQUENT_LINES),
     "decontaminate_bench": (q_decontaminate_bench, SQL_DECONTAMINATE),

@@ -242,3 +242,170 @@ def rrf_fuse(rankings, k0: int = 60, k: int = 10,
     return (hits.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", id_col, "score", "rank"))
+
+
+def collapse_topk(hits: DataFrame, meta: DataFrame, collapse_col: str,
+                  per_key: int = 1, k: int = 10,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Field-collapsed top-k (Lucene/ES ``collapse``): at most ``per_key``
+    results per (query, ``collapse_col``) group, then the global top ``k``
+    per query — (query_id, id, collapse value, score, rank).
+
+    ``hits`` is any scored relation (query_id, id, score); ``meta`` maps id
+    to the collapse field. Physical shape: hits are already pruned to the
+    query's matching docs, so the meta join shuffles |hits| rows, then two
+    window passes over the SAME (query_id,…) partitioning — one exchange,
+    both windows run in a single stage. Ties break (score desc, id asc),
+    rank-deterministic across engines.
+    """
+    if per_key < 1 or k < 1:
+        raise ValueError("per_key and k must be >= 1")
+    j = hits.join(meta.select(id_col, collapse_col), id_col)
+    wk = Window.partitionBy("query_id", collapse_col).orderBy(
+        F.desc("score"), F.asc(id_col))
+    wq = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (j.withColumn("kr", F.row_number().over(wk))
+            .filter(F.col("kr") <= per_key)
+            .withColumn("rank", F.row_number().over(wq))
+            .filter(F.col("rank") <= k)
+            .select("query_id", id_col, collapse_col, "score", "rank"))
+
+
+def bm25f_topk(corpus: DataFrame, qterms: DataFrame,
+               fields: Mapping[str, float], k: int = 10,
+               k1: float = 1.2, b: float = 0.75,
+               id_col: str = "doc_id", mode: str = "ascii_code",
+               persist_counts: bool = True,
+               _persisted_out: list | None = None) -> DataFrame:
+    """BM25F multi-field retrieval (Robertson & Zaragoza 2009, simple
+    weighted-field variant): (query_id, id, score, rank).
+
+    Per doc and term, tf is the field-weight-blended count
+    wtf = Σ_f w_f·tf_f; doc length is the blended wdl = Σ_f w_f·len_f;
+    score(q,d) = Σ_{t∈q} idf(t) · wtf·(k1+1) / (wtf + k1·(1−b+b·wdl/avgwdl))
+    with idf = ln(1 + (N−df+0.5)/(df+0.5)), df = docs containing t in ANY
+    field. Physical shape: each field tokenizes once into a union of
+    (id, term, w) branches (one corpus scan per field — unavoidable: the
+    fields are distinct columns); blended doc lengths come from ONE extra
+    scan of token-array sizes (no shuffle); postings are semi-joined to the
+    query's terms BEFORE the idf/length joins, exactly like
+    ``bm25_topk_adhoc``. df/avg statistics see every posting (irreducible).
+    """
+    from functools import reduce as _reduce
+
+    from bertopic_spark.tokenizer import with_tokens
+
+    flds = sorted((str(c), float(w)) for c, w in fields.items())
+    if not flds:
+        raise ValueError("need at least one field")
+    if k < 1 or k1 < 0 or not (0.0 <= b <= 1.0):
+        raise ValueError("bad k/k1/b")
+
+    branches = [
+        with_tokens(corpus.select(id_col, c), c, mode)
+        .select(F.col(id_col), F.explode("tokens").alias("term"),
+                F.lit(w).alias("w"))
+        for c, w in flds]
+    wtf = (_reduce(DataFrame.unionByName, branches)
+           .groupBy(id_col, "term").agg(F.sum("w").alias("wtf")))
+    if persist_counts:
+        wtf = wtf.persist()
+        if _persisted_out is not None:
+            _persisted_out.append(wtf)
+
+    lens = corpus.select(id_col, *[c for c, _ in flds])
+    for c, _ in flds:
+        lens = with_tokens(lens, c, mode, out_col=f"_tk_{c}")
+    wdl = lens.select(
+        F.col(id_col),
+        sum((F.lit(w) * F.size(F.coalesce(F.col(f"_tk_{c}"),
+                                          F.array().cast("array<string>")))
+             for c, w in flds), start=F.lit(0.0)).alias("wdl"))
+
+    n_docs = corpus.count()
+    stats = wdl.agg(F.avg("wdl").alias("avgwdl"))
+    dft = wtf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = dft.select(
+        "term",
+        F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+              / (F.col("df") + F.lit(0.5))).alias("idf"))
+
+    terms_only = qterms.select("term").distinct()
+    xq = wtf.join(F.broadcast(terms_only), "term")
+    scored = (xq.join(F.broadcast(idf.join(F.broadcast(terms_only), "term")),
+                      "term")
+              .join(wdl, id_col)
+              .crossJoin(F.broadcast(stats))
+              .select("term", id_col,
+                      (F.col("idf") * F.col("wtf") * F.lit(k1 + 1.0)
+                       / (F.col("wtf") + F.lit(k1)
+                          * (F.lit(1.0 - b)
+                             + F.lit(b) * F.col("wdl") / F.col("avgwdl")))
+                       ).alias("score")))
+    return bm25_topk(scored, qterms, k, id_col)
+
+
+def prf_expand_topk(corpus: DataFrame, qdf: DataFrame,
+                    r: int = 3, m: int = 3,
+                    alpha: float = 1.0, beta: float = 0.5, k: int = 10,
+                    text_col: str = "content", id_col: str = "doc_id",
+                    mode: str = "ascii_code", bm25_weighting: bool = True,
+                    persist_counts: bool = True,
+                    _persisted_out: list | None = None) -> DataFrame:
+    """Rocchio pseudo-relevance feedback: (query_id, id, score, rank).
+
+    Round 1 retrieves the top ``r`` docs per query with plain BM25; the top
+    ``m`` expansion terms per query are those with the largest summed
+    per-doc score across the feedback docs (original query terms excluded,
+    ties on term asc). Round 2 rescores with term weights — α on original
+    terms, β on expansions — score(q,d) = Σ_t w_t·score(d,t), top-k by
+    (score desc, id asc).
+
+    Physical shape: ONE scored index feeds both rounds (persisted); the
+    feedback join touches |r·queries| docs' postings via a broadcast of the
+    round-1 ids; expansion selection windows over |queries|·|feedback
+    vocab| rows, never the corpus. Both probe joins broadcast the (tiny)
+    weighted query relation — no cross join anywhere.
+    """
+    if r < 1 or m < 1 or k < 1:
+        raise ValueError("r, m and k must be >= 1")
+    held: list = []
+    scores = doc_scores(corpus, text_col, id_col, mode,
+                        bm25_weighting=bm25_weighting,
+                        persist_counts=persist_counts, _persisted_out=held)
+    scores = scores.persist()
+    held.append(scores)
+    if _persisted_out is not None:
+        _persisted_out.extend(held)
+
+    qterms = query_terms(qdf, mode)
+    base = bm25_topk(scores, qterms, k=r, id_col=id_col)
+
+    fb = (scores.join(F.broadcast(base.select("query_id", id_col)), id_col)
+          .join(qterms.withColumn("orig", F.lit(1)),
+                ["query_id", "term"], "left")
+          .filter(F.col("orig").isNull())
+          .groupBy("query_id", "term")
+          .agg(F.sum("score").alias("wgt")))
+    we = Window.partitionBy("query_id").orderBy(F.desc("wgt"), F.asc("term"))
+    expansion = (fb.withColumn("er", F.row_number().over(we))
+                 .filter(F.col("er") <= m)
+                 .select("query_id", "term", F.lit(float(beta)).alias("qw")))
+    weighted = qterms.select(
+        "query_id", "term", F.lit(float(alpha)).alias("qw")
+    ).unionByName(expansion)
+
+    hits = (scores.join(F.broadcast(weighted), "term")
+            .groupBy("query_id", id_col)
+            .agg(F.sum(F.col("qw") * F.col("score")).alias("score")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    out = (hits.withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= k)
+           .select("query_id", id_col, "score", "rank"))
+    if _persisted_out is None and persist_counts:
+        # round-1 top-r must materialize before scores can be released;
+        # callers needing lazy output pass _persisted_out and manage it.
+        out = out.localCheckpoint(eager=True)
+        for d in held:
+            d.unpersist()
+    return out

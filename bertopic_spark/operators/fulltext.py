@@ -519,3 +519,104 @@ def term_associations(df: DataFrame, targets: Sequence[str],
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= n)
             .select("target", "term", "co_df", "pmi", "rank"))
+
+
+_SPAN_INF = 1 << 30
+
+
+def _tid_expr(term: Column, distinct: Sequence[str]) -> Column:
+    """Map a term to its 0-based index in ``distinct`` (-1 if absent)."""
+    out = F.lit(-1)
+    for j in range(len(distinct) - 1, -1, -1):
+        out = F.when(term == F.lit(distinct[j]), F.lit(j)).otherwise(out)
+    return out
+
+
+def _min_span(events: Column, n: int) -> Column:
+    """Minimal token span covering one occurrence of each of ``n`` term ids.
+
+    ``events`` is an array<struct<pos:int,tid:int>> sorted by pos. One
+    plane sweep with ``F.aggregate``: the accumulator carries the last
+    position seen per term id; whenever every id has been seen, the span
+    ending at the current event is (pos − min(lasts) + 1) and the minimum
+    over all such windows is exact (Lucene's sloppy-phrase sweep, shuffled
+    into a pure-JVM higher-order function — linear in the number of
+    events, never the cross product of the per-term position lists).
+    """
+    init = F.struct(
+        F.array_repeat(F.lit(-1), n).alias("lasts"),
+        F.lit(_SPAN_INF).alias("best"))
+
+    def step(acc, ev):
+        lasts = F.transform(
+            acc["lasts"],
+            lambda v, j: F.when(j == ev["tid"], ev["pos"]).otherwise(v))
+        mn = F.array_min(lasts)
+        best = F.when(mn >= 0,
+                      F.least(acc["best"], ev["pos"] - mn + F.lit(1))
+                      ).otherwise(acc["best"])
+        return F.struct(lasts.alias("lasts"), best.alias("best"))
+
+    return F.aggregate(events, init, step)["best"]
+
+
+def proximity_match(df: DataFrame, terms: Sequence[str], window: int,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    mode: str = "ascii_code") -> DataFrame:
+    """Unordered proximity query: docs where all ``terms`` co-occur within
+    a window of ``window`` tokens — (id, min_span), min_span = smallest
+    token span containing every term at least once.
+
+    Scan path: one corpus pass, the per-row sweep runs inside
+    WholeStageCodegen over the token array — no shuffle, no UDF. The
+    postings variant is ``proximity_match_postings``.
+    """
+    distinct = sorted(set(str(t) for t in terms))
+    n = len(distinct)
+    if n < 2:
+        raise ValueError("proximity needs >= 2 distinct terms")
+    if window < n:
+        raise ValueError(f"window {window} can never fit {n} distinct terms")
+
+    def span(tk):
+        idx = F.when(F.size(tk) > 0, F.sequence(F.lit(0), F.size(tk) - 1)
+                     ).otherwise(F.array().cast("array<int>"))
+        evs = F.filter(
+            F.transform(idx, lambda i: F.struct(
+                i.alias("pos"), _tid_expr(F.get(tk, i), distinct).alias("tid"))),
+            lambda e: e["tid"] >= 0)
+        return _min_span(evs, n)
+
+    out = with_tokens(df.select(id_col, text_col), text_col, mode)
+    return (out.select(F.col(id_col),
+                       _bound(F.col("tokens"), span)
+                       .cast("long").alias("min_span"))
+            .filter(F.col("min_span") <= window))
+
+
+def proximity_match_postings(positions: DataFrame, terms: Sequence[str],
+                             window: int, id_col: str = "doc_id") -> DataFrame:
+    """Indexed proximity over a (id, term, pos) relation: (id, min_span).
+
+    Plan: prune the postings to the query's terms (pushed to the scan on a
+    materialized source), one groupBy(id) collecting the surviving events,
+    sort once per doc, then the same linear sweep as the scan path. Docs
+    missing any term never produce a finite span and are filtered without
+    a separate existence join.
+    """
+    distinct = sorted(set(str(t) for t in terms))
+    n = len(distinct)
+    if n < 2:
+        raise ValueError("proximity needs >= 2 distinct terms")
+    if window < n:
+        raise ValueError(f"window {window} can never fit {n} distinct terms")
+    pruned = positions.filter(F.col("term").isin(distinct))
+    per_doc = pruned.groupBy(id_col).agg(
+        F.sort_array(F.collect_list(F.struct(
+            F.col("pos").cast("int").alias("pos"),
+            _tid_expr(F.col("term"), distinct).cast("int").alias("tid")
+        ))).alias("evs"))
+    return (per_doc.select(F.col(id_col),
+                           _bound(F.col("evs"), lambda e: _min_span(e, n))
+                           .cast("long").alias("min_span"))
+            .filter(F.col("min_span") <= window))

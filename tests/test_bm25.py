@@ -131,3 +131,139 @@ def test_rrf_fuse_hand_computed(spark):
         rrf_fuse([])
     with pytest.raises(ValueError):
         rrf_fuse([a], k=0)
+
+
+@pytest.fixture(scope="module")
+def qterms_small(spark):
+    return query_terms(queries_df(spark, {0: "hash join", 1: "sort key"}), MODE)
+
+
+def test_collapse_topk_brute(spark, corpus_df, qterms_small):
+    qterms = qterms_small
+    corpus = corpus_df
+    import collections
+
+    from bertopic_spark.operators.bm25 import bm25_topk_adhoc, collapse_topk
+
+    held = []
+    hits = bm25_topk_adhoc(corpus, qterms, k=10**6, text_col="content",
+                           _persisted_out=held).drop("rank")
+    got = [(r.query_id, r.doc_id, r.lang, round(r.score, 9), r["rank"])
+           for r in collapse_topk(hits, corpus.select("doc_id", "lang"),
+                                  "lang", per_key=2, k=5)
+           .orderBy("query_id", "rank").collect()]
+    lang = {r.doc_id: r.lang for r in corpus.select("doc_id", "lang").collect()}
+    ranked = collections.defaultdict(list)
+    for r in hits.collect():
+        ranked[r.query_id].append((-r.score, r.doc_id))
+    want = []
+    for qid in sorted(ranked):
+        seen, out = collections.Counter(), []
+        for negs, did in sorted(ranked[qid]):
+            if seen[lang[did]] < 2:
+                seen[lang[did]] += 1
+                out.append((qid, did, lang[did], round(-negs, 9),
+                            len(out) + 1))
+            if len(out) == 5:
+                break
+        want.extend(out)
+    assert got == want
+    for d in held:
+        d.unpersist()
+
+
+def test_bm25f_single_field_and_boost(spark, corpus_df, qterms_small):
+    qterms = qterms_small
+    corpus = corpus_df
+    """With one field, BM25F is classic Robertson BM25; a second field with
+    weight 0 must not change anything; boosting a field reorders."""
+    import math
+
+    from bertopic_spark.operators.bm25 import bm25f_topk
+
+    held1, held2 = [], []
+    one = bm25f_topk(corpus, qterms, {"content": 1.0}, k=5,
+                     _persisted_out=held1)
+    # brute-force Robertson BM25 on the collected corpus
+    rows = [(r.doc_id, r.content or "") for r in corpus.collect()]
+    from bertopic_spark.tokenizer import tokenize_one
+    toks = {d: tokenize_one(t, "ascii_code") for d, t in rows}
+    n = len(rows)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    dfs = {}
+    for v in toks.values():
+        for t in set(v):
+            dfs[t] = dfs.get(t, 0) + 1
+    qts = {}
+    for r in qterms.collect():
+        qts.setdefault(r.query_id, set()).add(r.term)
+    got = {(r.query_id, r["rank"]): (r.doc_id, round(r.score, 9))
+           for r in one.collect()}
+    for qid, ts in qts.items():
+        scored = []
+        for d, v in toks.items():
+            s = 0.0
+            for t in ts & set(v):
+                tf = v.count(t)
+                idf = math.log(1 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
+                s += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(v) / avgdl))
+            if s > 0:
+                scored.append((-s, d))
+        for i, (negs, d) in enumerate(sorted(scored)[:5]):
+            assert got[(qid, i + 1)] == (d, round(-negs, 9))
+    zero = bm25f_topk(corpus, qterms, {"content": 1.0, "path": 0.0}, k=5,
+                      _persisted_out=held2)
+    a = [(r.query_id, r.doc_id, round(r.score, 9), r["rank"])
+         for r in one.orderBy("query_id", "rank").collect()]
+    bz = [(r.query_id, r.doc_id, round(r.score, 9), r["rank"])
+          for r in zero.orderBy("query_id", "rank").collect()]
+    assert a == bz
+    for d in held1 + held2:
+        d.unpersist()
+
+
+def test_prf_expand_matches_manual_composition(spark, corpus_df):
+    corpus = corpus_df
+    from bertopic_spark.operators.bm25 import (bm25_topk, doc_scores,
+                                               prf_expand_topk, queries_df,
+                                               query_terms)
+
+    qdf = queries_df(spark, {0: "hash join", 1: "sort key"})
+    held = []
+    got = [(r.query_id, r.doc_id, round(r.score, 9), r["rank"])
+           for r in prf_expand_topk(corpus, qdf, r=3, m=2, k=5,
+                                    _persisted_out=held)
+           .orderBy("query_id", "rank").collect()]
+    # manual two-round composition with driver-side expansion selection
+    scores = doc_scores(corpus, persist_counts=False)
+    qt = query_terms(qdf)
+    base = {(r.query_id, r.doc_id) for r in bm25_topk(scores, qt, k=3).collect()}
+    qsets = {}
+    for r in qt.collect():
+        qsets.setdefault(r.query_id, set()).add(r.term)
+    fb = {}
+    for r in scores.collect():
+        for qid in qsets:
+            if (qid, r.doc_id) in base and r.term not in qsets[qid]:
+                fb[(qid, r.term)] = fb.get((qid, r.term), 0.0) + r.score
+    weights = {}
+    for qid, ts in qsets.items():
+        for t in ts:
+            weights[(qid, t)] = 1.0
+        cand = sorted(((-w, t) for (q, t), w in fb.items() if q == qid))[:2]
+        for _, t in cand:
+            weights[(qid, t)] = 0.5
+    hits = {}
+    for r in scores.collect():
+        for qid in qsets:
+            w = weights.get((qid, r.term))
+            if w:
+                hits[(qid, r.doc_id)] = hits.get((qid, r.doc_id), 0.0) + w * r.score
+    want = []
+    for qid in sorted(qsets):
+        top = sorted(((-s, d) for (q, d), s in hits.items() if q == qid))[:5]
+        want.extend((qid, d, round(-negs, 9), i + 1)
+                    for i, (negs, d) in enumerate(top))
+    assert got == want
+    for d in held:
+        d.unpersist()

@@ -346,3 +346,47 @@ def test_term_associations_brute(spark, docs):
         term_associations(docs, [])
     with pytest.raises(ValueError):
         term_associations(docs, ["x"], min_df=0)
+
+
+from bertopic_spark.operators.fulltext import (proximity_match,
+                                               proximity_match_postings)
+
+
+def _brute_min_span(tokens, terms):
+    """O(len·n) reference sweep, independent of the Spark HOF code."""
+    lasts, best = {t: -1 for t in terms}, None
+    for i, tok in enumerate(tokens):
+        if tok in lasts:
+            lasts[tok] = i
+            lo = min(lasts.values())
+            if lo >= 0:
+                span = i - lo + 1
+                best = span if best is None else min(best, span)
+    return best
+
+
+@pytest.mark.parametrize("terms,window", [
+    (["customer", "order"], 12),
+    (["table", "scan", "row"], 25),
+])
+def test_proximity_scan_postings_brute(spark, docs, terms, window):
+    scan = proximity_match(docs, terms, window, "text", "doc_id")
+    pos = doc_term_positions(docs, "text", "doc_id")
+    idx = proximity_match_postings(pos, terms, window)
+    got = _pairs(scan)
+    assert got == _pairs(idx)
+    want = set()
+    for r in docs.select("doc_id", "text").collect():
+        s = _brute_min_span(tokenize_one(r.text or "", "ascii_code"),
+                            set(terms))
+        if s is not None and s <= window:
+            want.add((r.doc_id, s))
+    assert got == want
+    assert got  # fixture corpus must actually hit
+
+
+def test_proximity_validation(spark, docs):
+    with pytest.raises(ValueError):
+        proximity_match(docs, ["only"], 5)
+    with pytest.raises(ValueError):
+        proximity_match(docs, ["a1", "b1", "c1"], 2)  # window < n terms
