@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "hybrid_rrf",
     "pq_adc_topk",
     "redact_pii",
+    "passage_topk",
 ]
 
 

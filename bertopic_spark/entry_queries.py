@@ -2785,6 +2785,64 @@ SELECT query_id, doc_id, round(score, 6) AS score, CAST(rn AS BIGINT) AS rn
 FROM ranked WHERE rn <= 10"""
 
 
+PSG_W, PSG_S = 32, 16
+
+
+def q_passage_topk(spark, sf_dir):
+    """MaxP passage retrieval: docs split into 32-token windows every 16,
+    best passage represents the doc, top-10 per query. Postings pruned to
+    query terms BEFORE window expansion — passages never materialize."""
+    from bertopic_spark.operators.bm25 import passage_topk
+
+    qt = query_terms(queries_df(spark, DRIVER_QUERIES), MODE)
+    out = passage_topk(_docs(spark, sf_dir), qt, window=PSG_W, stride=PSG_S,
+                       k=10, text_col="text", mode=MODE)
+    return out.select("query_id", "doc_id", "start_pos", "plen",
+                      _r6(F.col("score")).alias("score"),
+                      F.col("rank").cast("long").alias("rn"))
+
+
+def _sql_passage_topk() -> str:
+    w, s = PSG_W, PSG_S
+    return f"""WITH
+tk AS (SELECT doc_id, {duckdb_tokens_sql('text', MODE)} AS ts FROM documents),
+nd AS (SELECT count(*) AS n FROM documents),
+ws AS (SELECT doc_id, CAST(u.s AS INT) AS start_pos,
+              least({w}, len(ts) - u.s) AS plen,
+              ts[u.s + 1 : u.s + {w}] AS win
+       FROM tk, unnest(range(0, len(ts), {s})) AS u(s)),
+st AS (SELECT avg(plen) AS avgpl FROM ws),
+dft AS (SELECT term, count(*) AS df FROM
+          (SELECT doc_id, unnest(list_distinct(ts)) AS term FROM tk)
+        GROUP BY term),
+idf AS (SELECT term, ln(1.0 + (nd.n - df + 0.5) / (df + 0.5)) AS idf
+        FROM dft CROSS JOIN nd),
+ptf AS (SELECT doc_id, start_pos, plen, term, count(*) AS tf
+        FROM (SELECT doc_id, start_pos, plen, unnest(win) AS term FROM ws)
+        GROUP BY doc_id, start_pos, plen, term),
+q(query_id, term) AS (VALUES {_query_term_values()}),
+hits AS (
+  SELECT q.query_id, p.doc_id, p.start_pos, p.plen,
+         sum(idf.idf * p.tf * 2.2
+             / (p.tf + 1.2 * (0.25 + 0.75 * p.plen / st.avgpl))) AS score
+  FROM q JOIN ptf p USING (term) JOIN idf USING (term) CROSS JOIN st
+  GROUP BY q.query_id, p.doc_id, p.start_pos, p.plen),
+maxp AS (SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id, doc_id
+                                 ORDER BY score DESC, start_pos ASC) AS pr
+    FROM hits) WHERE pr = 1),
+ranked AS (
+  SELECT query_id, doc_id, start_pos, plen, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC,
+                                     start_pos ASC) AS rn
+  FROM maxp)
+SELECT query_id, doc_id, CAST(start_pos AS BIGINT) AS start_pos,
+       CAST(plen AS BIGINT) AS plen, round(score, 6) AS score,
+       CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 10"""
+
+
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "approx_distribution": (q_approx_distribution, SQL_APPROX_DISTRIBUTION),
     "approx_distribution_tokens": (q_approx_distribution_tokens,
@@ -2818,6 +2876,7 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "collapse_topk": (q_collapse_topk, SQL_COLLAPSE_TOPK),
     "bm25f_topk": (q_bm25f_topk, _sql_bm25f()),
     "prf_expand_topk": (q_prf_expand_topk, _sql_prf()),
+    "passage_topk": (q_passage_topk, _sql_passage_topk()),
     "search_snippets": (q_search_snippets, SQL_SEARCH_SNIPPETS),
     "frequent_lines_removed": (q_frequent_lines_removed, SQL_FREQUENT_LINES),
     "decontaminate_bench": (q_decontaminate_bench, SQL_DECONTAMINATE),

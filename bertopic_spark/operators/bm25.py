@@ -409,3 +409,103 @@ def prf_expand_topk(corpus: DataFrame, qdf: DataFrame,
         for d in held:
             d.unpersist()
     return out
+
+
+def passage_topk(corpus: DataFrame, qterms: DataFrame,
+                 window: int = 64, stride: int = 32, k: int = 10,
+                 k1: float = 1.2, b: float = 0.75, per_doc: bool = True,
+                 text_col: str = "content", id_col: str = "doc_id",
+                 mode: str = "ascii_code") -> DataFrame:
+    """Passage retrieval with MaxP doc ranking (Dai & Callan 2019 shape):
+    (query_id, id, start_pos, plen, score, rank).
+
+    Docs split into windows of ``window`` tokens every ``stride`` (trailing
+    windows shorter, plen = min(window, len−start)); each window is scored
+    with BM25 against the query (doc-level Robertson idf, passage-length
+    normalization against the corpus-wide average passage length); with
+    ``per_doc`` each doc is represented by its best passage (MaxP) before
+    the per-query top-k, else passages rank directly.
+
+    Physical shape — passages are NEVER materialized: postings are pruned
+    to the query's terms first, then each surviving posting expands into
+    its ≤ window/stride covering window starts (one ``F.sequence``
+    explode); tf aggregates per (id, start, term). Doc lengths, window
+    counts, and the passage-length average all come from ONE scan of
+    token-array sizes (a per-row HOF fold, no shuffle). At 100 TB the
+    expansion factor applies only to |postings of query terms|, not the
+    corpus.
+    """
+    from bertopic_spark.tokenizer import with_tokens
+
+    if window < 1 or stride < 1 or stride > window:
+        raise ValueError("need 1 <= stride <= window")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w, s = int(window), int(stride)
+
+    toks = with_tokens(corpus.select(id_col, text_col), text_col, mode)
+    n_docs = corpus.count()
+
+    # one sizes scan: doc len, window count, summed passage length
+    ln = F.size(F.coalesce(F.col("tokens"), F.array().cast("array<string>")))
+    nw = F.when(ln > 0, F.floor((ln - 1) / s) + 1).otherwise(F.lit(0))
+    splen = F.when(ln > 0, F.aggregate(
+        F.sequence(F.lit(0), (nw.cast("int") - 1) * s, F.lit(s)),
+        F.lit(0).cast("long"),
+        lambda acc, st: acc + F.least(F.lit(w), ln - st))).otherwise(F.lit(0))
+    lens = toks.select(F.col(id_col), ln.alias("dl"), nw.alias("nw"),
+                       splen.alias("splen"))
+    stats = lens.agg(
+        (F.sum("splen") / F.sum("nw")).alias("avgpl"))
+
+    # postings pruned to query terms, then expanded to covering windows
+    terms_only = qterms.select("term").distinct()
+    post = (toks.select(F.col(id_col),
+                        F.posexplode("tokens").alias("pos", "term"))
+            .join(F.broadcast(terms_only), "term"))
+    smin = F.greatest(F.lit(0), F.floor((F.col("pos") - w + s) / s) * s)
+    smax = F.floor(F.col("pos") / s) * s
+    ptf = (post.select(id_col, "term",
+                       F.explode(F.sequence(smin.cast("int"),
+                                            smax.cast("int"),
+                                            F.lit(s))).alias("start_pos"))
+           .groupBy(id_col, "start_pos", "term")
+           .agg(F.count("*").cast("double").alias("tf")))
+
+    # doc-level df over the full vocabulary → Robertson idf (query terms only)
+    dft = (toks.select(F.col(id_col),
+                       F.explode(F.array_distinct("tokens")).alias("term"))
+           .groupBy("term").agg(F.count("*").alias("df")))
+    idf = (dft.join(F.broadcast(terms_only), "term")
+           .select("term",
+                   F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df")
+                                       + F.lit(0.5))
+                         / (F.col("df") + F.lit(0.5))).alias("idf")))
+
+    scored = (ptf.join(F.broadcast(idf), "term")
+              .join(lens.select(id_col, "dl"), id_col)
+              .crossJoin(F.broadcast(stats))
+              .withColumn("plen", F.least(F.lit(w),
+                                          F.col("dl") - F.col("start_pos")))
+              .select("term", id_col, "start_pos", "plen",
+                      (F.col("idf") * F.col("tf") * F.lit(k1 + 1.0)
+                       / (F.col("tf") + F.lit(k1)
+                          * (F.lit(1.0 - b)
+                             + F.lit(b) * F.col("plen") / F.col("avgpl")))
+                       ).alias("sc")))
+    hits = (scored.join(F.broadcast(qterms), "term")
+            .groupBy("query_id", id_col, "start_pos", "plen")
+            .agg(F.sum("sc").alias("score")))
+    if per_doc:
+        wd = Window.partitionBy("query_id", id_col).orderBy(
+            F.desc("score"), F.asc("start_pos"))
+        hits = (hits.withColumn("pr", F.row_number().over(wd))
+                .filter(F.col("pr") == 1).drop("pr"))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc(id_col), F.asc("start_pos"))
+    return (hits.withColumn("rank", F.row_number().over(wq))
+            .filter(F.col("rank") <= k)
+            .select("query_id", id_col,
+                    F.col("start_pos").cast("long").alias("start_pos"),
+                    F.col("plen").cast("long").alias("plen"),
+                    "score", "rank"))

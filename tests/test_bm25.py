@@ -267,3 +267,52 @@ def test_prf_expand_matches_manual_composition(spark, corpus_df):
     assert got == want
     for d in held:
         d.unpersist()
+
+
+def test_passage_topk_brute(spark, corpus_df, qterms_small):
+    import math
+
+    from bertopic_spark.operators.bm25 import passage_topk
+    from bertopic_spark.tokenizer import tokenize_one
+
+    W, S, K1, B = 16, 8, 1.2, 0.75
+    got = [(r.query_id, r.doc_id, r.start_pos, r.plen,
+            round(r.score, 9), r["rank"])
+           for r in passage_topk(corpus_df, qterms_small, window=W, stride=S,
+                                 k=5).orderBy("query_id", "rank").collect()]
+    rows = [(r.doc_id, tokenize_one(r.content or "", "ascii_code"))
+            for r in corpus_df.select("doc_id", "content").collect()]
+    n = len(rows)
+    dfs = {}
+    for _, ts in rows:
+        for t in set(ts):
+            dfs[t] = dfs.get(t, 0) + 1
+    tot_pl = tot_nw = 0
+    for _, ts in rows:
+        for s in range(0, len(ts), S):
+            tot_pl += min(W, len(ts) - s)
+            tot_nw += 1
+    avgpl = tot_pl / tot_nw
+    qsets = {}
+    for r in qterms_small.collect():
+        qsets.setdefault(r.query_id, set()).add(r.term)
+    want = []
+    for qid in sorted(qsets):
+        best = {}
+        for d, ts in rows:
+            for s in range(0, len(ts), S):
+                win = ts[s:s + W]
+                sc = 0.0
+                for t in qsets[qid] & set(win):
+                    tf = win.count(t)
+                    idf = math.log(1 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
+                    sc += idf * tf * (K1 + 1) / (
+                        tf + K1 * (1 - B + B * len(win) / avgpl))
+                if sc > 0 and (d not in best or (-sc, s) < best[d][:2]):
+                    best[d] = (-sc, s, len(win))
+        top = sorted((negs, d, s, pl) for d, (negs, s, pl) in best.items())[:5]
+        want.extend((qid, d, s, pl, round(-negs, 9), i + 1)
+                    for i, (negs, d, s, pl) in enumerate(top))
+    assert got == want
+    with pytest.raises(ValueError):
+        passage_topk(corpus_df, qterms_small, window=8, stride=9)
