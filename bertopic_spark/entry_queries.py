@@ -2843,6 +2843,76 @@ SELECT query_id, doc_id, CAST(start_pos AS BIGINT) AS start_pos,
 FROM ranked WHERE rn <= 10"""
 
 
+def q_bm25_stratified(spark, sf_dir):
+    """Per-language BM25: N/df/avgdl all partition-local to the lang
+    stratum (one keyed pass, no per-lang loop), top-5 within each."""
+    from bertopic_spark.operators.bm25 import bm25_topk_stratified
+
+    qt = query_terms(queries_df(spark, DRIVER_QUERIES), MODE)
+    out = bm25_topk_stratified(_docs(spark, sf_dir), qt, "lang", k=5,
+                               text_col="text", mode=MODE)
+    return out.select("query_id", "lang", "doc_id",
+                      _r6(F.col("score")).alias("score"),
+                      F.col("rank").cast("long").alias("rn"))
+
+
+def _sql_bm25_stratified() -> str:
+    return f"""WITH
+tk AS (SELECT doc_id, lang, {duckdb_tokens_sql('text', MODE)} AS ts
+       FROM documents),
+ss AS (SELECT lang, count(*) AS n, avg(len(ts)) AS avgdl FROM tk GROUP BY lang),
+x AS (SELECT lang, doc_id, term, count(*) AS tf
+      FROM (SELECT lang, doc_id, unnest(ts) AS term FROM tk)
+      GROUP BY lang, doc_id, term),
+dft AS (SELECT lang, term, count(*) AS df FROM x GROUP BY lang, term),
+idf AS (SELECT lang, term,
+               ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5)) AS idf
+        FROM dft JOIN ss USING (lang)),
+dl AS (SELECT doc_id, len(ts) AS dl FROM tk),
+q(query_id, term) AS (VALUES {_query_term_values()}),
+hits AS (
+  SELECT q.query_id, x.lang, x.doc_id,
+         sum(idf.idf * x.tf * 2.2
+             / (x.tf + 1.2 * (0.25 + 0.75 * dl.dl / ss.avgdl))) AS score
+  FROM q JOIN x USING (term)
+       JOIN idf ON idf.lang = x.lang AND idf.term = x.term
+       JOIN dl ON dl.doc_id = x.doc_id
+       JOIN ss ON ss.lang = x.lang
+  GROUP BY q.query_id, x.lang, x.doc_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id, lang
+                               ORDER BY score DESC, doc_id ASC) AS rn
+  FROM hits)
+SELECT query_id, lang, doc_id, round(score, 6) AS score,
+       CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 5"""
+
+
+SHARD_BUDGET = 5000
+
+
+def q_pack_shards(spark, sf_dir):
+    """Token-budget shard packing via distributed prefix sum (the
+    assign_doc_ids pattern — no single-partition window at any size)."""
+    from bertopic_spark.operators.textstats import pack_shards
+
+    return pack_shards(_docs(spark, sf_dir), SHARD_BUDGET,
+                       order_cols=["doc_id"], text_col="text", mode=MODE)
+
+
+def _sql_pack_shards() -> str:
+    return f"""WITH
+tk AS (SELECT doc_id, CAST(len({duckdb_tokens_sql('text', MODE)}) AS BIGINT)
+                AS n_tokens FROM documents),
+c AS (SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM tk)
+SELECT doc_id, n_tokens,
+       CAST(floor((cum - n_tokens) / {SHARD_BUDGET}) AS BIGINT) AS shard_id
+FROM c"""
+
+
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "approx_distribution": (q_approx_distribution, SQL_APPROX_DISTRIBUTION),
     "approx_distribution_tokens": (q_approx_distribution_tokens,
@@ -2877,6 +2947,8 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "bm25f_topk": (q_bm25f_topk, _sql_bm25f()),
     "prf_expand_topk": (q_prf_expand_topk, _sql_prf()),
     "passage_topk": (q_passage_topk, _sql_passage_topk()),
+    "bm25_stratified_topk": (q_bm25_stratified, _sql_bm25_stratified()),
+    "pack_shards": (q_pack_shards, _sql_pack_shards()),
     "search_snippets": (q_search_snippets, SQL_SEARCH_SNIPPETS),
     "frequent_lines_removed": (q_frequent_lines_removed, SQL_FREQUENT_LINES),
     "decontaminate_bench": (q_decontaminate_bench, SQL_DECONTAMINATE),

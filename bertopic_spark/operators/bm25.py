@@ -509,3 +509,64 @@ def passage_topk(corpus: DataFrame, qterms: DataFrame,
                     F.col("start_pos").cast("long").alias("start_pos"),
                     F.col("plen").cast("long").alias("plen"),
                     "score", "rank"))
+
+
+def bm25_topk_stratified(corpus: DataFrame, qterms: DataFrame,
+                         strat_col: str, k: int = 10,
+                         k1: float = 1.2, b: float = 0.75,
+                         text_col: str = "content", id_col: str = "doc_id",
+                         mode: str = "ascii_code") -> DataFrame:
+    """Per-stratum BM25 (e.g. one ranking per language):
+    (query_id, stratum, id, score, rank), top-k within each stratum.
+
+    All corpus statistics are PARTITION-LOCAL to the stratum: N, df and
+    avgdl are computed per ``strat_col`` value, so rankings are invariant
+    to what other strata contain — the semantics of running one index per
+    language without running one job per language. Physical shape: every
+    aggregation is keyed by (stratum, …) — one pass, no per-stratum loop,
+    no cross-stratum shuffle coupling; per-stratum stats for the query's
+    terms broadcast onto the pruned postings. Robertson idf/saturation as
+    in ``bm25f_topk``.
+    """
+    from bertopic_spark.tokenizer import with_tokens
+
+    if k < 1 or k1 < 0 or not (0.0 <= b <= 1.0):
+        raise ValueError("bad k/k1/b")
+    toks = with_tokens(corpus.select(id_col, strat_col, text_col),
+                       text_col, mode)
+    dl = toks.select(
+        F.col(id_col), F.col(strat_col),
+        F.size(F.coalesce(F.col("tokens"),
+                          F.array().cast("array<string>"))).alias("dl"))
+    sstats = dl.groupBy(strat_col).agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
+    x = (toks.select(F.col(id_col), F.col(strat_col),
+                     F.explode("tokens").alias("term"))
+         .groupBy(strat_col, id_col, "term")
+         .agg(F.count("*").cast("double").alias("tf")))
+    dft = (x.groupBy(strat_col, "term").agg(F.count("*").alias("df")))
+    terms_only = qterms.select("term").distinct()
+    idf = (dft.join(F.broadcast(terms_only), "term")
+           .join(sstats.select(strat_col, "n"), strat_col)
+           .select(strat_col, "term",
+                   F.log(F.lit(1.0) + (F.col("n").cast("double")
+                                       - F.col("df") + F.lit(0.5))
+                         / (F.col("df") + F.lit(0.5))).alias("idf")))
+    xq = x.join(F.broadcast(terms_only), "term")
+    scored = (xq.join(F.broadcast(idf), [strat_col, "term"])
+              .join(dl.select(id_col, "dl"), id_col)
+              .join(F.broadcast(sstats.select(strat_col, "avgdl")), strat_col)
+              .select("term", strat_col, id_col,
+                      (F.col("idf") * F.col("tf") * F.lit(k1 + 1.0)
+                       / (F.col("tf") + F.lit(k1)
+                          * (F.lit(1.0 - b)
+                             + F.lit(b) * F.col("dl") / F.col("avgdl")))
+                       ).alias("sc")))
+    hits = (scored.join(F.broadcast(qterms), "term")
+            .groupBy("query_id", strat_col, id_col)
+            .agg(F.sum("sc").alias("score")))
+    w = Window.partitionBy("query_id", strat_col).orderBy(
+        F.desc("score"), F.asc(id_col))
+    return (hits.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", strat_col, id_col, "score", "rank"))

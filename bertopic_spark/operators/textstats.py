@@ -237,3 +237,57 @@ def redact_pii(df, text_col: str = "text", id_col: str = "doc_id",
                     .cast("long").alias(f"n_{name}"))
         clean = F.regexp_replace(clean, pat, repl)
     return df.select(*cols, clean.alias("clean"))
+
+
+def pack_shards(df, budget: int, order_cols=("doc_id",),
+                text_col: str = "text", id_col: str = "doc_id",
+                mode: str = "ascii_code", num_partitions: int | None = None):
+    """Assign docs to training shards by cumulative token budget:
+    (id, n_tokens, shard_id), shard_id = floor(tokens-before-this-doc /
+    budget) in deterministic ``order_cols`` order.
+
+    The cumulative-quotient rule (a doc may straddle a boundary) is the
+    parallelizable semantics: strict greedy fill (reset at each boundary)
+    depends on the entire prefix sequentially and cannot be expressed as a
+    distributed prefix sum. Physical shape: the ``assign_doc_ids`` pattern
+    — range-partition by order_cols, per-partition token totals (tiny
+    collect), broadcast offsets, within-partition cumulative window. No
+    single-partition window at any size.
+    """
+    from pyspark.sql import Window
+
+    from bertopic_spark.tokenizer import with_tokens
+
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    order_cols = list(order_cols)
+    toks = with_tokens(df.select(id_col, *[c for c in order_cols
+                                           if c != id_col], text_col),
+                       text_col, mode)
+    nt = toks.select(*dict.fromkeys([id_col, *order_cols]),
+                     F.size(F.coalesce(F.col("tokens"),
+                                       F.array().cast("array<string>")))
+                     .cast("long").alias("n_tokens"))
+    n_part = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parted = (nt.repartitionByRange(n_part, *order_cols)
+              .sortWithinPartitions(*order_cols)
+              .withColumn("_pid", F.spark_partition_id())
+              .persist())
+    sums = {r["_pid"]: r["s"] for r in
+            parted.groupBy("_pid").agg(F.sum("n_tokens").alias("s")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid]
+    off = F.broadcast(df.sparkSession.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()],
+        "_pid int, _offset long"))
+    w = (Window.partitionBy("_pid").orderBy(*order_cols)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    out = (parted.join(off, "_pid")
+           .withColumn("_cum", F.sum("n_tokens").over(w) + F.col("_offset"))
+           .withColumn("shard_id",
+                       F.floor((F.col("_cum") - F.col("n_tokens"))
+                               / F.lit(int(budget))).cast("long"))
+           .drop("_pid", "_offset", "_cum"))
+    return out.select(id_col, "n_tokens", "shard_id")

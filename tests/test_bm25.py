@@ -134,8 +134,18 @@ def test_rrf_fuse_hand_computed(spark):
 
 
 @pytest.fixture(scope="module")
-def qterms_small(spark):
-    return query_terms(queries_df(spark, {0: "hash join", 1: "sort key"}), MODE)
+def queries_small():
+    # real corpus-vocabulary queries (qids 10,11 of the seeded fixture set);
+    # plain English words never match the snake_case code tokens
+    full = fixture_queries(12)
+    return {0: full[10], 1: full[11]}
+
+
+@pytest.fixture(scope="module")
+def qterms_small(spark, queries_small):
+    qt = query_terms(queries_df(spark, queries_small), MODE)
+    assert qt.count() >= 2
+    return qt
 
 
 def test_collapse_topk_brute(spark, corpus_df, qterms_small):
@@ -168,6 +178,7 @@ def test_collapse_topk_brute(spark, corpus_df, qterms_small):
                 break
         want.extend(out)
     assert got == want
+    assert got  # corpus-vocab queries must actually hit
     for d in held:
         d.unpersist()
 
@@ -199,6 +210,7 @@ def test_bm25f_single_field_and_boost(spark, corpus_df, qterms_small):
         qts.setdefault(r.query_id, set()).add(r.term)
     got = {(r.query_id, r["rank"]): (r.doc_id, round(r.score, 9))
            for r in one.collect()}
+    assert got  # corpus-vocab queries must actually hit
     for qid, ts in qts.items():
         scored = []
         for d, v in toks.items():
@@ -228,7 +240,8 @@ def test_prf_expand_matches_manual_composition(spark, corpus_df):
                                                prf_expand_topk, queries_df,
                                                query_terms)
 
-    qdf = queries_df(spark, {0: "hash join", 1: "sort key"})
+    qdf = queries_df(spark, {0: fixture_queries(12)[10],
+                             1: fixture_queries(12)[11]})
     held = []
     got = [(r.query_id, r.doc_id, round(r.score, 9), r["rank"])
            for r in prf_expand_topk(corpus, qdf, r=3, m=2, k=5,
@@ -316,3 +329,24 @@ def test_passage_topk_brute(spark, corpus_df, qterms_small):
     assert got == want
     with pytest.raises(ValueError):
         passage_topk(corpus_df, qterms_small, window=8, stride=9)
+
+
+def test_stratified_independent_of_other_strata(spark, corpus_df, qterms_small):
+    """Adding a foreign stratum must not move any existing ranking — the
+    statistics are partition-local by construction."""
+    from pyspark.sql import functions as F
+
+    from bertopic_spark.operators.bm25 import bm25_topk_stratified
+
+    base = bm25_topk_stratified(corpus_df, qterms_small, "lang", k=5)
+    rows = [(r.query_id, r.lang, r.doc_id, round(r.score, 9), r["rank"])
+            for r in base.collect()]
+    alien = (corpus_df
+             .withColumn("lang", F.lit("zz_alien"))
+             .withColumn("doc_id", F.col("doc_id") + 10**9))
+    both = bm25_topk_stratified(corpus_df.unionByName(alien), qterms_small,
+                                "lang", k=5)
+    kept = [(r.query_id, r.lang, r.doc_id, round(r.score, 9), r["rank"])
+            for r in both.filter(F.col("lang") != "zz_alien").collect()]
+    assert sorted(rows) == sorted(kept)
+    assert both.filter(F.col("lang") == "zz_alien").count() > 0

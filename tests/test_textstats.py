@@ -79,3 +79,27 @@ def test_redact_pii_rules_and_edges(spark):
     assert got[7]["n_email"] == 2
     with pytest.raises(ValueError):
         redact_pii(t, rules=())
+
+
+def test_pack_shards_prefix_sum(spark):
+    from bertopic_spark.operators.textstats import pack_shards
+    from bertopic_spark.tokenizer import tokenize_one
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").repartition(7)
+    got = sorted((r.doc_id, r.n_tokens, r.shard_id)
+                 for r in pack_shards(docs, budget=1500,
+                                      text_col="text").collect())
+    rows = sorted((r.doc_id, len(tokenize_one(r.text or "", "ascii_code")))
+                  for r in docs.select("doc_id", "text").collect())
+    cum, want = 0, []
+    for d, n in rows:
+        want.append((d, n, cum // 1500))
+        cum += n
+    assert got == sorted(want)
+    # shard ids are dense from 0 and sizes hover around the budget
+    sids = [s for _, _, s in got]
+    assert min(sids) == 0 and set(sids) == set(range(max(sids) + 1))
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        pack_shards(docs, budget=0)
