@@ -2913,6 +2913,36 @@ SELECT doc_id, n_tokens,
 FROM c"""
 
 
+def q_gopher_filter(spark, sf_dir):
+    """Gopher-style quality verdict (Rae et al. 2021 A1.1): keep/drop plus
+    the rule-ordered violated-band list, composed from the token and
+    repetition stats relations in one doc-id join."""
+    from bertopic_spark.operators.textstats import gopher_filter
+
+    return gopher_filter(_docs(spark, sf_dir))
+
+
+def _sql_gopher_filter() -> str:
+    return f"""WITH
+ts AS ({_sql_token_stats()}),
+rs AS ({_sql_repetition_stats()}),
+j AS (SELECT ts.doc_id, ts.n_tokens, ts.avg_token_len, ts.stopword_ratio,
+             rs.dup_line_frac, rs.top_bigram_char_frac
+      FROM ts JOIN rs USING (doc_id)),
+f AS (SELECT doc_id, list_filter([
+        CASE WHEN n_tokens < 50 THEN 'too_few_tokens' END,
+        CASE WHEN n_tokens > 100000 THEN 'too_many_tokens' END,
+        CASE WHEN avg_token_len < 3.0 THEN 'avg_token_len_low' END,
+        CASE WHEN avg_token_len > 10.0 THEN 'avg_token_len_high' END,
+        CASE WHEN stopword_ratio < 0.06 THEN 'low_stopword_ratio' END,
+        CASE WHEN dup_line_frac > 0.30 THEN 'dup_lines' END,
+        CASE WHEN top_bigram_char_frac > 0.18 THEN 'dup_top_bigram' END
+      ], x -> x IS NOT NULL) AS rl FROM j)
+SELECT doc_id, coalesce(array_to_string(rl, ','), '') = '' AS keep,
+       coalesce(array_to_string(rl, ','), '') AS reasons
+FROM f"""
+
+
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "approx_distribution": (q_approx_distribution, SQL_APPROX_DISTRIBUTION),
     "approx_distribution_tokens": (q_approx_distribution_tokens,
@@ -2949,6 +2979,7 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "passage_topk": (q_passage_topk, _sql_passage_topk()),
     "bm25_stratified_topk": (q_bm25_stratified, _sql_bm25_stratified()),
     "pack_shards": (q_pack_shards, _sql_pack_shards()),
+    "gopher_filter": (q_gopher_filter, _sql_gopher_filter()),
     "search_snippets": (q_search_snippets, SQL_SEARCH_SNIPPETS),
     "frequent_lines_removed": (q_frequent_lines_removed, SQL_FREQUENT_LINES),
     "decontaminate_bench": (q_decontaminate_bench, SQL_DECONTAMINATE),

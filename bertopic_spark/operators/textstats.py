@@ -291,3 +291,51 @@ def pack_shards(df, budget: int, order_cols=("doc_id",),
                                / F.lit(int(budget))).cast("long"))
            .drop("_pid", "_offset", "_cum"))
     return out.select(id_col, "n_tokens", "shard_id")
+
+
+GOPHER_RULES = (
+    # (reason, column, op, default threshold) — Rae et al. 2021 A1.1 bands,
+    # evaluated on the 6dp-rounded exported stats in BOTH engines so
+    # borderline docs can never flip across float formatting.
+    ("too_few_tokens", "n_tokens", "lt", 50),
+    ("too_many_tokens", "n_tokens", "gt", 100000),
+    ("avg_token_len_low", "avg_token_len", "lt", 3.0),
+    ("avg_token_len_high", "avg_token_len", "gt", 10.0),
+    ("low_stopword_ratio", "stopword_ratio", "lt", 0.06),
+    ("dup_lines", "dup_line_frac", "gt", 0.30),
+    ("dup_top_bigram", "top_bigram_char_frac", "gt", 0.18),
+)
+
+
+def gopher_filter(df, text_col: str = "text", id_col: str = "doc_id",
+                  mode: str = "ascii_code",
+                  thresholds: dict | None = None):
+    """Gopher-style quality verdict: (id, keep, reasons) — reasons is the
+    comma-joined, rule-ordered list of violated bands (empty when kept).
+
+    The standard pre-training filter pass (Rae et al. 2021, appendix
+    A1.1): length band, mean token length band, stop-word floor, duplicate
+    -line and repeated-bigram ceilings. Composes the existing
+    ``token_stats`` and ``repetition_stats`` relations — one join on the
+    doc id, every threshold a JVM comparison; ``thresholds`` overrides any
+    default by reason name.
+    """
+    th = {r: t for r, _, _, t in GOPHER_RULES}
+    if thresholds:
+        unknown = set(thresholds) - set(th)
+        if unknown:
+            raise ValueError(f"unknown rules: {sorted(unknown)}")
+        th.update(thresholds)
+    ts = token_stats(df, text_col, id_col, mode)
+    rs = repetition_stats(df, text_col, id_col, mode)
+    j = ts.join(rs, id_col)
+    flags = [
+        F.when(F.col(col) < F.lit(th[r]) if op == "lt"
+               else F.col(col) > F.lit(th[r]), F.lit(r))
+        for r, col, op, _ in GOPHER_RULES]
+    reasons = F.array_join(
+        F.filter(F.array(*flags), lambda x: x.isNotNull()), ",")
+    return j.select(
+        F.col(id_col),
+        (reasons == "").alias("keep"),
+        reasons.alias("reasons"))

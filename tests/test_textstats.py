@@ -103,3 +103,46 @@ def test_pack_shards_prefix_sum(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         pack_shards(docs, budget=0)
+
+
+def test_gopher_filter_composes_stats(spark):
+    from pyspark.sql import functions as F
+
+    from bertopic_spark.operators.textstats import (gopher_filter,
+                                                    repetition_stats,
+                                                    token_stats)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {r.doc_id: (r.keep, r.reasons)
+           for r in gopher_filter(docs).collect()}
+    ts = {r.doc_id: r for r in token_stats(docs, "text", "doc_id").collect()}
+    rs = {r.doc_id: r
+          for r in repetition_stats(docs, "text", "doc_id").collect()}
+    assert set(got) == set(ts)
+    n_drop = 0
+    for d in ts:
+        want = []
+        if ts[d].n_tokens < 50:
+            want.append("too_few_tokens")
+        if ts[d].n_tokens > 100000:
+            want.append("too_many_tokens")
+        if ts[d].avg_token_len < 3.0:
+            want.append("avg_token_len_low")
+        if ts[d].avg_token_len > 10.0:
+            want.append("avg_token_len_high")
+        if ts[d].stopword_ratio < 0.06:
+            want.append("low_stopword_ratio")
+        if rs[d].dup_line_frac > 0.30:
+            want.append("dup_lines")
+        if rs[d].top_bigram_char_frac > 0.18:
+            want.append("dup_top_bigram")
+        assert got[d] == (not want, ",".join(want)), d
+        n_drop += bool(want)
+    assert 0 < n_drop < len(ts)  # fixture must exercise both verdicts
+    # threshold override flips the stop-word floor off
+    relaxed = gopher_filter(docs, thresholds={"low_stopword_ratio": -1.0})
+    assert relaxed.filter(
+        F.col("reasons").contains("low_stopword_ratio")).count() == 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        gopher_filter(docs, thresholds={"nope": 1})
