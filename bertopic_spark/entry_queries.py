@@ -2943,6 +2943,34 @@ SELECT doc_id, coalesce(array_to_string(rl, ','), '') = '' AS keep,
 FROM f"""
 
 
+def q_training_shards(spark, sf_dir):
+    """End-to-end training-data prep: Gopher keep → exact dedup (min-id
+    representative) → token-budget shard packing, one declarative plan."""
+    from bertopic_spark.operators.pipeline import training_shards
+
+    return training_shards(_docs(spark, sf_dir), SHARD_BUDGET,
+                           text_col="text", mode=MODE)
+
+
+def _sql_training_shards() -> str:
+    return f"""WITH
+g AS ({_sql_gopher_filter()}),
+kept AS (SELECT d.doc_id, d.text FROM documents d
+         JOIN g ON g.doc_id = d.doc_id AND g.keep),
+reps AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+surv AS (SELECT kept.doc_id, kept.text FROM kept JOIN reps USING (doc_id)),
+tk AS (SELECT doc_id,
+              CAST(len({duckdb_tokens_sql('text', MODE)}) AS BIGINT)
+                AS n_tokens FROM surv),
+c AS (SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM tk)
+SELECT doc_id, n_tokens,
+       CAST(floor((cum - n_tokens) / {SHARD_BUDGET}) AS BIGINT) AS shard_id
+FROM c"""
+
+
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "approx_distribution": (q_approx_distribution, SQL_APPROX_DISTRIBUTION),
     "approx_distribution_tokens": (q_approx_distribution_tokens,
@@ -2980,6 +3008,7 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "bm25_stratified_topk": (q_bm25_stratified, _sql_bm25_stratified()),
     "pack_shards": (q_pack_shards, _sql_pack_shards()),
     "gopher_filter": (q_gopher_filter, _sql_gopher_filter()),
+    "training_shards": (q_training_shards, _sql_training_shards()),
     "search_snippets": (q_search_snippets, SQL_SEARCH_SNIPPETS),
     "frequent_lines_removed": (q_frequent_lines_removed, SQL_FREQUENT_LINES),
     "decontaminate_bench": (q_decontaminate_bench, SQL_DECONTAMINATE),

@@ -146,3 +146,33 @@ def test_gopher_filter_composes_stats(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         gopher_filter(docs, thresholds={"nope": 1})
+
+
+def test_training_shards_composition(spark):
+    from pyspark.sql import functions as F
+
+    from bertopic_spark.operators.dedup import exact_dedup
+    from bertopic_spark.operators.pipeline import training_shards
+    from bertopic_spark.operators.textstats import gopher_filter, pack_shards
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # duplicate a kept doc under a higher id: the copy must be dropped
+    kept_ids = [r.doc_id for r in
+                gopher_filter(docs).filter("keep").limit(1).collect()]
+    assert kept_ids
+    dup = (docs.filter(F.col("doc_id") == kept_ids[0])
+           .withColumn("doc_id", F.lit(10**9).cast("long")))
+    corpus = docs.unionByName(dup)
+    got = sorted((r.doc_id, r.n_tokens, r.shard_id)
+                 for r in training_shards(corpus, 1000,
+                                          text_col="text").collect())
+    assert all(d != 10**9 for d, _, _ in got)  # dup dropped
+    # equals the manual three-stage composition
+    keep = gopher_filter(corpus).filter("keep").select("doc_id")
+    kc = corpus.join(keep, "doc_id").select("doc_id", "text")
+    reps = exact_dedup(kc, "text", "doc_id").select(
+        F.col("keep_id").alias("doc_id"))
+    want = sorted((r.doc_id, r.n_tokens, r.shard_id)
+                  for r in pack_shards(kc.join(reps, "doc_id"), 1000,
+                                       text_col="text").collect())
+    assert got == want and got
