@@ -2971,6 +2971,50 @@ SELECT doc_id, n_tokens,
 FROM c"""
 
 
+QL_QUERY = '+customer -spark "scan customer" ord* valu~ lang:en'
+
+
+def q_search_query(spark, sf_dir):
+    """Lucene-style query string compiled onto the engine: must/not gates,
+    positional phrase, bounded wildcard+fuzzy expansion, field equality,
+    BM25 over the positive-term union, distributed TakeOrdered top-k."""
+    from bertopic_spark.operators.querylang import search_query
+
+    out = search_query(_docs(spark, sf_dir), QL_QUERY, k=10,
+                       text_col="text", mode=MODE)
+    return out.select("doc_id", _r6(F.col("score")).alias("score"),
+                      F.col("rank").cast("long").alias("rn"))
+
+
+def _sql_search_query() -> str:
+    return f"""WITH
+tkq AS (SELECT doc_id, lang, {duckdb_tokens_sql('text', MODE)} AS ts
+        FROM documents),
+t2 AS (SELECT doc_id, unnest(ts) AS term FROM tkq),
+xdoc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         FROM t2 GROUP BY doc_id, term),
+{_scores_sql('xdoc', 'doc_id', True, False).lstrip(',').strip()},
+dict AS (SELECT DISTINCT term FROM t2),
+pos AS (SELECT 'customer' AS term UNION SELECT 'scan'
+        UNION SELECT term FROM dict WHERE term LIKE 'ord%'
+        UNION SELECT term FROM dict WHERE levenshtein(term, 'valu') <= 1),
+p AS (SELECT doc_id, unnest(ts) AS term, unnest(range(len(ts))) AS pos
+      FROM tkq),
+ph AS (SELECT DISTINCT p0.doc_id FROM p p0
+       JOIN p p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+       WHERE p0.term = 'scan' AND p1.term = 'customer'),
+cand AS (SELECT t.doc_id FROM tkq t JOIN ph USING (doc_id)
+         WHERE t.lang = 'en' AND list_contains(ts, 'customer')
+           AND NOT list_contains(ts, 'spark')),
+hits AS (SELECT s.doc_id, sum(s.score) AS score
+         FROM scores s JOIN pos USING (term) JOIN cand USING (doc_id)
+         GROUP BY s.doc_id),
+ranked AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                      AS rn FROM hits)
+SELECT doc_id, round(score, 6) AS score, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 10"""
+
+
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "approx_distribution": (q_approx_distribution, SQL_APPROX_DISTRIBUTION),
     "approx_distribution_tokens": (q_approx_distribution_tokens,
@@ -3009,6 +3053,7 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "pack_shards": (q_pack_shards, _sql_pack_shards()),
     "gopher_filter": (q_gopher_filter, _sql_gopher_filter()),
     "training_shards": (q_training_shards, _sql_training_shards()),
+    "search_query_lang": (q_search_query, _sql_search_query()),
     "search_snippets": (q_search_snippets, SQL_SEARCH_SNIPPETS),
     "frequent_lines_removed": (q_frequent_lines_removed, SQL_FREQUENT_LINES),
     "decontaminate_bench": (q_decontaminate_bench, SQL_DECONTAMINATE),

@@ -1,0 +1,154 @@
+"""Lucene-style query strings compiled onto the engine's operators.
+
+Grammar (whitespace-separated clauses):
+
+- ``term``            optional (should) — scores, does not gate
+- ``+term``           required in every result
+- ``-term``           excluded
+- ``"a b c"``         positional phrase, required (``-"a b c"`` excludes)
+- ``pre*`` / ``w?ld`` wildcard, dictionary-expanded (bounded) disjunction
+- ``term~`` ``term~2`` fuzzy (Levenshtein ≤ 1 / ≤ n) disjunction
+- ``field:value``     metadata equality on a non-text column
+
+Execution = parse → bounded dictionary expansion (``expand_terms`` raises
+past ``max_expand`` instead of broadcasting a huge literal) → ONE corpus
+scan evaluates every gating clause over the token array (must / must_not /
+phrases in WholeStageCodegen; field equalities pushed to the parquet
+scan) → BM25 ranking of the gated docs over the union of positive terms
+with corpus-wide statistics. A doc must match ≥1 positive term to be
+scored (Lucene's boolean-coord shape); a query with no positive terms is
+rejected rather than answered wrongly.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import reduce
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from bertopic_spark.operators.ctfidf import ctfidf, term_stats
+from bertopic_spark.operators.fulltext import (_bound, fuzzy_terms,
+                                               prefix_terms, term_dictionary,
+                                               wildcard_terms)
+from bertopic_spark.operators.postings import doc_term_counts
+from bertopic_spark.tokenizer import tokenize_one
+
+_CLAUSE = re.compile(r'([+-]?)(?:"([^"]*)"|(\S+))')
+_FUZZY = re.compile(r"^(.+?)~(\d?)$")
+
+
+def parse_query(q: str, mode: str = "ascii_code") -> dict:
+    """Parse a query string into clause lists (terms already tokenized)."""
+    spec = {"must": [], "must_not": [], "should": [], "phrases": [],
+            "not_phrases": [], "wildcards": [], "fuzzies": [], "fields": []}
+    for sign, phrase, word in _CLAUSE.findall(q or ""):
+        if phrase is not None and phrase != "" or (phrase == "" and word == ""):
+            toks = tokenize_one(phrase, mode)
+            if not toks:
+                continue
+            spec["not_phrases" if sign == "-" else "phrases"].append(toks)
+            continue
+        if ":" in word:
+            col, _, val = word.partition(":")
+            if sign:
+                raise ValueError(f"field clause {word!r} cannot take +/-")
+            if not col or not val:
+                raise ValueError(f"bad field clause {word!r}")
+            spec["fields"].append((col, val))
+            continue
+        m = _FUZZY.match(word)
+        if m and "*" not in word and "?" not in word:
+            if sign:
+                raise ValueError(f"fuzzy clause {word!r} cannot take +/-")
+            toks = tokenize_one(m.group(1), mode)
+            if len(toks) != 1:
+                raise ValueError(f"fuzzy clause {word!r} must be one term")
+            spec["fuzzies"].append((toks[0], int(m.group(2) or 1)))
+            continue
+        if "*" in word or "?" in word:
+            if sign:
+                raise ValueError(f"wildcard clause {word!r} cannot take +/-")
+            spec["wildcards"].append(word.lower())
+            continue
+        toks = tokenize_one(word, mode)
+        key = {"+": "must", "-": "must_not"}.get(sign, "should")
+        spec[key].extend(toks)
+    return spec
+
+
+def _phrase_starts(tk: Column, toks: Sequence[str]) -> Column:
+    n = len(toks)
+    seq = F.when(F.size(tk) >= n, F.sequence(F.lit(0), F.size(tk) - n)
+                 ).otherwise(F.array().cast("array<int>"))
+    return F.filter(seq, lambda i: reduce(
+        lambda acc, j: acc & (F.get(tk, i + j) == F.lit(toks[j])),
+        range(1, n), F.get(tk, i) == F.lit(toks[0])))
+
+
+def search_query(corpus: DataFrame, q: str, k: int = 10,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 mode: str = "ascii_code", max_expand: int = 1000,
+                 dictionary: DataFrame | None = None) -> DataFrame:
+    """Execute a query string: (id, score, rank), BM25 over positive terms.
+
+    ``dictionary`` (a (term, df) relation, e.g. a materialized
+    ``term_dictionary``) is only consulted when the query has wildcard or
+    fuzzy clauses; pass a precomputed one to amortize it across queries.
+    """
+    spec = parse_query(q, mode)
+    expansions: list[str] = []
+    if spec["wildcards"] or spec["fuzzies"]:
+        d = dictionary if dictionary is not None else term_dictionary(
+            corpus, text_col, id_col, mode)
+        for pat in spec["wildcards"]:
+            expansions += (prefix_terms(d, pat[:-1], max_expand)
+                           if re.match(r"^[^*?]+\*$", pat)
+                           else wildcard_terms(d, pat, max_expand))
+        for t, dist in spec["fuzzies"]:
+            expansions += fuzzy_terms(d, t, dist, max_expand)
+    positive = sorted({*spec["must"], *spec["should"], *expansions,
+                       *(t for p in spec["phrases"] for t in p)})
+    if not positive:
+        raise ValueError("query has no positive terms to rank")
+
+    def gate(tk):
+        cond = F.lit(True)
+        for t in spec["must"]:
+            cond = cond & F.array_contains(tk, t)
+        for t in spec["must_not"]:
+            cond = cond & ~F.array_contains(tk, t)
+        for p in spec["phrases"]:
+            cond = cond & (F.size(_phrase_starts(tk, p)) > 0)
+        for p in spec["not_phrases"]:
+            cond = cond & (F.size(_phrase_starts(tk, p)) == 0)
+        return cond
+
+    from bertopic_spark.tokenizer import with_tokens
+
+    cand = with_tokens(corpus, text_col, mode)
+    for col, val in spec["fields"]:
+        cand = cand.filter(F.col(col) == val)  # pushed to the parquet scan
+    cand = (cand.filter(_bound(F.col("tokens"), gate))
+            .select(id_col))
+
+    x = doc_term_counts(corpus, text_col, [id_col], mode, with_len=True)
+    x = x.withColumnRenamed("doc_len", "class_len").persist()
+    stats = term_stats(x, [id_col], bm25_weighting=True)
+    xq = x.filter(F.col("term").isin(positive))
+    scores = ctfidf(xq, [id_col], bm25_weighting=True,
+                    stats=stats.filter(F.col("term").isin(positive)))
+    hits = (scores.join(cand, id_col, "leftsemi")
+            .groupBy(id_col).agg(F.sum("score").alias("score")))
+    # global top-k via TakeOrderedAndProject (distributed partial limits),
+    # then rank over the surviving ≤ k rows — never a partition-less window
+    # on the full hit set
+    top = hits.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+    w = Window.partitionBy().orderBy(F.desc("score"), F.asc(id_col))
+    out = (top.withColumn("rank", F.row_number().over(w))
+           .select(id_col, "score", "rank")
+           .localCheckpoint(eager=True))
+    x.unpersist()
+    return out

@@ -93,3 +93,68 @@ def test_single_class_corpus_finite_scores(spark):
     sc = ctfidf(class_term_counts(dt, ["cls"]), ["cls"])
     vals = [r["score"] for r in sc.collect()]
     assert vals and all(v is not None and abs(v) < float("inf") for v in vals)
+
+
+# ---------------------------------------------------------------------------
+# Round-3 retrieval/pipeline operators at the edges
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def edge_docs(spark):
+    rows = [
+        (0, "the customer placed an order for the table", "en", "s1"),
+        (1, None, "en", "s1"),                       # NULL text
+        (2, "", "de", "s2"),                         # empty text
+        (3, "order order order order order", "de", None),  # NULL field 2
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+
+
+def test_new_ops_null_and_empty_text(spark, edge_docs):
+    from bertopic_spark.operators.bm25 import (bm25_topk_stratified,
+                                               bm25f_topk, passage_topk,
+                                               queries_df, query_terms)
+    from bertopic_spark.operators.fulltext import proximity_match
+    from bertopic_spark.operators.pipeline import training_shards
+    from bertopic_spark.operators.textstats import gopher_filter, pack_shards
+
+    qt = query_terms(queries_df(spark, {0: "customer order"}), "ascii_code")
+    # NULL/empty docs simply never match; no crash, no NULL rows
+    assert proximity_match(edge_docs, ["customer", "order"], 10,
+                           "text").count() == 1
+    p = passage_topk(edge_docs, qt, window=4, stride=2, k=10,
+                     text_col="text")
+    assert {r.doc_id for r in p.collect()} == {0, 3}
+    f = bm25f_topk(edge_docs, qt, {"text": 1.0, "source": 2.0}, k=10)
+    assert {r.doc_id for r in f.collect()} == {0, 3}
+    s = bm25_topk_stratified(edge_docs, qt, "lang", k=10, text_col="text")
+    assert {(r.lang, r.doc_id) for r in s.collect()} == {("en", 0), ("de", 3)}
+    # NULL/empty text packs as 0 tokens but keeps its row
+    ps = {r.doc_id: (r.n_tokens, r.shard_id)
+          for r in pack_shards(edge_docs, 6, text_col="text").collect()}
+    assert ps[1] == (0, 1) and ps[2] == (0, 1)
+    assert ps[0][0] == 8 and ps[0][1] == 0
+    # gopher drops all four (too short), so the pipeline yields no shards
+    assert gopher_filter(edge_docs).filter("keep").count() == 0
+    assert training_shards(edge_docs, 100, text_col="text").count() == 0
+
+
+def test_new_ops_empty_corpus(spark, edge_docs):
+    from bertopic_spark.operators.bm25 import (bm25f_topk, passage_topk,
+                                               prf_expand_topk, queries_df,
+                                               query_terms)
+    from bertopic_spark.operators.fulltext import (proximity_match,
+                                                   term_associations)
+    from bertopic_spark.operators.textstats import pack_shards
+
+    empty = edge_docs.limit(0)
+    qdf = queries_df(spark, {0: "customer order"})
+    qt = query_terms(qdf, "ascii_code")
+    assert proximity_match(empty, ["a1", "b2"], 5, "text").count() == 0
+    assert passage_topk(empty, qt, 4, 2, text_col="text").count() == 0
+    assert bm25f_topk(empty, qt, {"text": 1.0}).count() == 0
+    assert prf_expand_topk(empty, qdf, text_col="text").count() == 0
+    assert pack_shards(empty, 10, text_col="text").count() == 0
+    assert term_associations(empty, ["customer"]).count() == 0

@@ -1,0 +1,90 @@
+"""Query-string language: parser unit checks + end-to-end brute-force
+equality on the fixture corpus."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from bertopic_spark.operators.querylang import parse_query, search_query
+from bertopic_spark.tokenizer import tokenize_one
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+def test_parse_query_clauses():
+    s = parse_query('+customer -spark "table scan" -"bad phrase" ord* '
+                    'w?ld valu~ deep~2 lang:en plain CamelCase')
+    assert s["must"] == ["customer"]
+    assert s["must_not"] == ["spark"]
+    assert s["phrases"] == [["table", "scan"]]
+    assert s["not_phrases"] == [["bad", "phrase"]]
+    assert s["wildcards"] == ["ord*", "w?ld"]
+    assert s["fuzzies"] == [("valu", 1), ("deep", 2)]
+    assert s["fields"] == [("lang", "en")]
+    assert s["should"] == ["plain", "camelcase"]
+    assert parse_query("") == parse_query('""')
+    for bad in ["+ord*", "-valu~", "+lang:en", "lang:", ":en"]:
+        with pytest.raises(ValueError):
+            parse_query(bad)
+
+
+def _lev(a, b):
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        nd = [i]
+        for j, cb in enumerate(b, 1):
+            nd.append(min(dp[j] + 1, nd[-1] + 1, dp[j - 1] + (ca != cb)))
+        dp = nd
+    return dp[-1]
+
+
+def test_search_query_brute(spark, docs):
+    from bertopic_spark.operators.bm25 import doc_scores
+
+    q = '+customer -spark "customer stream" ord* valu~ lang:en'
+    got = [(r.doc_id, round(r.score, 9), r["rank"])
+           for r in search_query(docs, q, k=5, text_col="text").collect()]
+    rows = [(r.doc_id, r.lang, tokenize_one(r.text or "", "ascii_code"))
+            for r in docs.select("doc_id", "lang", "text").collect()]
+    vocab = {t for _, _, ts in rows for t in ts}
+    positive = sorted({"customer", "stream"}
+                      | {t for t in vocab if t.startswith("ord")}
+                      | {t for t in vocab if _lev(t, "valu") <= 1})
+    sc = {(r.doc_id, r.term): r.score
+          for r in doc_scores(docs, "text", "doc_id")
+          .filter(F.col("term").isin(positive)).collect()}
+    cands = []
+    for d, lg, ts in rows:
+        s = set(ts)
+        if lg != "en" or "customer" not in s or "spark" in s:
+            continue
+        if not any(ts[i:i + 2] == ["customer", "stream"]
+                   for i in range(len(ts) - 1)):
+            continue
+        cands.append((-sum(sc.get((d, t), 0.0) for t in positive if t in s), d))
+    want = [(d, round(-negs, 9), i + 1)
+            for i, (negs, d) in enumerate(sorted(cands)[:5])]
+    assert got == want
+    assert got  # the fixture query must actually hit
+
+
+def test_search_query_guards(spark, docs):
+    with pytest.raises(ValueError):
+        search_query(docs, "-onlynegative", text_col="text")
+    with pytest.raises(ValueError):  # unbounded expansion fails loudly
+        search_query(docs, "customer a*", text_col="text", max_expand=0)
+    # cache hygiene: repeated queries do not grow executor storage
+    jsc = spark.sparkContext._jsc
+    before = len(jsc.getPersistentRDDs())
+    for _ in range(3):
+        search_query(docs, "+customer stream", k=3, text_col="text")
+    # each call localCheckpoints its ≤k-row result; the big counts
+    # relation must be released (checkpoints are k-row, tolerated)
+    after = len(jsc.getPersistentRDDs())
+    assert after - before <= 3
