@@ -3015,6 +3015,29 @@ SELECT doc_id, round(score, 6) AS score, CAST(rn AS BIGINT) AS rn
 FROM ranked WHERE rn <= 10"""
 
 
+MIX_FRACTIONS, MIX_DEFAULT, MIX_SEED = {"en": 0.5, "de": 0.1}, 0.02, 42
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Domain-mixing sampler: per-stratum Bernoulli keep via the md5
+    uniform — O(1) per row, window-free, nested across fraction sweeps."""
+    from bertopic_spark.operators.distribution import stratified_sample
+
+    return stratified_sample(_docs(spark, sf_dir), "lang", MIX_FRACTIONS,
+                             default=MIX_DEFAULT, seed=MIX_SEED).select(
+        "doc_id", "lang", "source", "n_chars")
+
+
+def _sql_stratified_sample() -> str:
+    cases = " ".join(
+        f"WHEN lang = '{s}' THEN {f}" for s, f in sorted(MIX_FRACTIONS.items()))
+    return f"""SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE CAST(concat('0x', substr(md5('{MIX_SEED}_' || CAST(doc_id AS VARCHAR)),
+                               1, 15)) AS BIGINT) / CAST({16 ** 15} AS DOUBLE)
+      < (CASE {cases} ELSE {MIX_DEFAULT} END)"""
+
+
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "approx_distribution": (q_approx_distribution, SQL_APPROX_DISTRIBUTION),
     "approx_distribution_tokens": (q_approx_distribution_tokens,
@@ -3054,6 +3077,7 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "gopher_filter": (q_gopher_filter, _sql_gopher_filter()),
     "training_shards": (q_training_shards, _sql_training_shards()),
     "search_query_lang": (q_search_query, _sql_search_query()),
+    "stratified_sample": (q_stratified_sample, _sql_stratified_sample()),
     "search_snippets": (q_search_snippets, SQL_SEARCH_SNIPPETS),
     "frequent_lines_removed": (q_frequent_lines_removed, SQL_FREQUENT_LINES),
     "decontaminate_bench": (q_decontaminate_bench, SQL_DECONTAMINATE),

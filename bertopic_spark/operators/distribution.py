@@ -174,3 +174,32 @@ def scatter_add_probabilities(probs: DataFrame, mapping: dict,
 
     remapped = remap_topics(probs, mapping, topic_col)
     return remapped.groupBy(id_col, topic_col).agg(F.sum("prob").alias("prob"))
+
+
+def stratified_sample(df: DataFrame, strat_col: str,
+                      fractions: dict, default: float = 0.0,
+                      id_col: str = "doc_id", seed: int = 42) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sampling — the domain-mixing
+    primitive of a training-data pipeline (keep fraction f_s of stratum s).
+
+    A row survives iff u(id) < f(stratum), where u is the md5-derived
+    uniform in [0,1) (first 15 hex digits / 16^15 — exactly reproducible
+    in DuckDB, unlike Spark's ``sample``). O(1) per row, no window, no
+    shuffle: the filter runs inside the scan, and the SAME id keeps the
+    same u across strata/fraction changes, so raising a fraction only
+    ADDS rows (nested samples — the property mixing-weight sweeps rely
+    on).
+    """
+    for s, f in fractions.items():
+        if not (0.0 <= float(f) <= 1.0):
+            raise ValueError(f"fraction for {s!r} must be in [0,1]")
+    if not (0.0 <= float(default) <= 1.0):
+        raise ValueError("default fraction must be in [0,1]")
+    u = (F.conv(F.substring(
+            F.md5(F.concat_ws("_", F.lit(seed),
+                              F.col(id_col).cast("string"))), 1, 15),
+            16, 10).cast("double") / F.lit(float(16 ** 15)))
+    frac = F.lit(float(default))
+    for s, f in sorted(fractions.items()):
+        frac = F.when(F.col(strat_col) == s, F.lit(float(f))).otherwise(frac)
+    return df.filter(u < frac)

@@ -123,3 +123,29 @@ def test_token_windows_matches_reference(spark, window, stride, padding):
         # within-window order is a bag (scoring is order-insensitive)
         ordered = [sorted(have[k]) for k in sorted(have)]
         assert ordered == [sorted(w) for w in want], (doc_id, want, ordered)
+
+
+def test_stratified_sample_deterministic_and_nested(spark):
+    import hashlib
+
+    import pytest as _pytest
+    from bertopic_spark.operators.distribution import stratified_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = [(r.doc_id, r.lang) for r in docs.select("doc_id", "lang").collect()]
+    fr = {"en": 0.5, "de": 0.1}
+    got = sorted(r.doc_id for r in
+                 stratified_sample(docs, "lang", fr, default=0.02).collect())
+
+    def u(d):
+        h = hashlib.md5(f"42_{d}".encode()).hexdigest()[:15]
+        return int(h, 16) / 16 ** 15
+
+    want = sorted(d for d, lg in rows if u(d) < fr.get(lg, 0.02))
+    assert got == want and got
+    # nested: raising a fraction only adds rows
+    a = {r.doc_id for r in stratified_sample(docs, "lang", {"en": 0.3}).collect()}
+    b = {r.doc_id for r in stratified_sample(docs, "lang", {"en": 0.6}).collect()}
+    assert a <= b and len(a) < len(b)
+    with _pytest.raises(ValueError):
+        stratified_sample(docs, "lang", {"en": 1.5})
