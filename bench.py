@@ -70,6 +70,9 @@ BENCH_QUERIES = [
     "pq_adc_topk",
     "redact_pii",
     "passage_topk",
+    "gopher_filter",
+    "training_shards",
+    "search_query_lang",
 ]
 
 

@@ -415,7 +415,8 @@ def passage_topk(corpus: DataFrame, qterms: DataFrame,
                  window: int = 64, stride: int = 32, k: int = 10,
                  k1: float = 1.2, b: float = 0.75, per_doc: bool = True,
                  text_col: str = "content", id_col: str = "doc_id",
-                 mode: str = "ascii_code") -> DataFrame:
+                 mode: str = "ascii_code", persist_counts: bool = True,
+                 _persisted_out: list | None = None) -> DataFrame:
     """Passage retrieval with MaxP doc ranking (Dai & Callan 2019 shape):
     (query_id, id, start_pos, plen, score, rank).
 
@@ -426,14 +427,14 @@ def passage_topk(corpus: DataFrame, qterms: DataFrame,
     ``per_doc`` each doc is represented by its best passage (MaxP) before
     the per-query top-k, else passages rank directly.
 
-    Physical shape — passages are NEVER materialized: postings are pruned
-    to the query's terms first, then each surviving posting expands into
-    its ≤ window/stride covering window starts (one ``F.sequence``
-    explode); tf aggregates per (id, start, term). Doc lengths, window
-    counts, and the passage-length average all come from ONE scan of
-    token-array sizes (a per-row HOF fold, no shuffle). At 100 TB the
-    expansion factor applies only to |postings of query terms|, not the
-    corpus.
+    Physical shape — passages are NEVER materialized, and the corpus
+    tokenizes exactly twice: one persisted ``doc_term_counts`` pass feeds
+    doc lengths, window counts, the passage-length average AND the
+    document-frequency/idf table; one positional pass feeds the postings,
+    which are pruned to the query's terms BEFORE each surviving posting
+    expands into its ≤ window/stride covering window starts (one
+    ``F.sequence`` explode). At 100 TB the expansion factor applies only
+    to |postings of query terms|, not the corpus.
     """
     from bertopic_spark.tokenizer import with_tokens
 
@@ -443,23 +444,37 @@ def passage_topk(corpus: DataFrame, qterms: DataFrame,
         raise ValueError("k must be >= 1")
     w, s = int(window), int(stride)
 
-    toks = with_tokens(corpus.select(id_col, text_col), text_col, mode)
     n_docs = corpus.count()
+    x = doc_term_counts(corpus, text_col, [id_col], mode, with_len=True)
+    if persist_counts:
+        x = x.persist()
+        if _persisted_out is not None:
+            _persisted_out.append(x)
 
-    # one sizes scan: doc len, window count, summed passage length
-    ln = F.size(F.coalesce(F.col("tokens"), F.array().cast("array<string>")))
-    nw = F.when(ln > 0, F.floor((ln - 1) / s) + 1).otherwise(F.lit(0))
-    splen = F.when(ln > 0, F.aggregate(
+    # doc lengths / window counts / passage-length average — all derived
+    # from the counts pass (docs with zero tokens have no windows and
+    # contribute nothing, exactly as an explicit per-doc scan would)
+    lens = x.groupBy(id_col).agg(F.max("doc_len").alias("dl"))
+    nw = F.floor((F.col("dl") - 1) / s) + 1
+    splen = F.aggregate(
         F.sequence(F.lit(0), (nw.cast("int") - 1) * s, F.lit(s)),
         F.lit(0).cast("long"),
-        lambda acc, st: acc + F.least(F.lit(w), ln - st))).otherwise(F.lit(0))
-    lens = toks.select(F.col(id_col), ln.alias("dl"), nw.alias("nw"),
-                       splen.alias("splen"))
-    stats = lens.agg(
-        (F.sum("splen") / F.sum("nw")).alias("avgpl"))
+        lambda acc, st: acc + F.least(F.lit(w), F.col("dl") - st))
+    stats = (lens.select(nw.alias("nw"), splen.alias("splen"))
+             .agg((F.sum("splen") / F.sum("nw")).alias("avgpl")))
 
-    # postings pruned to query terms, then expanded to covering windows
+    # doc-level df over the full vocabulary → Robertson idf (query terms only)
     terms_only = qterms.select("term").distinct()
+    dft = x.groupBy("term").agg(F.count("*").alias("df"))
+    idf = (dft.join(F.broadcast(terms_only), "term")
+           .select("term",
+                   F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df")
+                                       + F.lit(0.5))
+                         / (F.col("df") + F.lit(0.5))).alias("idf")))
+
+    # positional pass: postings pruned to query terms, then expanded to
+    # covering windows
+    toks = with_tokens(corpus.select(id_col, text_col), text_col, mode)
     post = (toks.select(F.col(id_col),
                         F.posexplode("tokens").alias("pos", "term"))
             .join(F.broadcast(terms_only), "term"))
@@ -472,18 +487,8 @@ def passage_topk(corpus: DataFrame, qterms: DataFrame,
            .groupBy(id_col, "start_pos", "term")
            .agg(F.count("*").cast("double").alias("tf")))
 
-    # doc-level df over the full vocabulary → Robertson idf (query terms only)
-    dft = (toks.select(F.col(id_col),
-                       F.explode(F.array_distinct("tokens")).alias("term"))
-           .groupBy("term").agg(F.count("*").alias("df")))
-    idf = (dft.join(F.broadcast(terms_only), "term")
-           .select("term",
-                   F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df")
-                                       + F.lit(0.5))
-                         / (F.col("df") + F.lit(0.5))).alias("idf")))
-
     scored = (ptf.join(F.broadcast(idf), "term")
-              .join(lens.select(id_col, "dl"), id_col)
+              .join(lens, id_col)
               .crossJoin(F.broadcast(stats))
               .withColumn("plen", F.least(F.lit(w),
                                           F.col("dl") - F.col("start_pos")))
