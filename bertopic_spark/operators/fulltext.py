@@ -507,11 +507,15 @@ def term_associations(df: DataFrame, targets: Sequence[str],
           .filter(F.col("term") != F.col("target"))
           .groupBy("target", "term")
           .agg(F.count("*").cast("long").alias("co_df")))
-    scored = (co.join(F.broadcast(dfs), "term")
+    # candidate-side df join is vocabulary-sized — shuffle join (the co
+    # relation is already grouped to |targets|·|co-vocab| rows); only the
+    # target-side slice (≤ |targets| rows) broadcasts
+    scored = (co.join(dfs, "term")
               .filter(F.col("df") >= min_df)
               .join(F.broadcast(
-                  dfs.select(F.col("term").alias("target"),
-                             F.col("df").alias("tdf"))), "target")
+                  dfs.filter(F.col("term").isin(ts))
+                  .select(F.col("term").alias("target"),
+                          F.col("df").alias("tdf"))), "target")
               .select("target", "term", "co_df",
                       F.log(F.lit(float(n_docs)) * F.col("co_df") /
                             (F.col("tdf") * F.col("df"))).alias("pmi")))
