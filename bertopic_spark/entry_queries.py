@@ -3038,6 +3038,45 @@ WHERE CAST(concat('0x', substr(md5('{MIX_SEED}_' || CAST(doc_id AS VARCHAR)),
       < (CASE {cases} ELSE {MIX_DEFAULT} END)"""
 
 
+CMS_D, CMS_W, CMS_SEED = 4, 64, 42
+
+
+def q_cms_estimates(spark, sf_dir):
+    """Count-min sketch term-frequency estimates: the sketch build shuffles
+    a fixed depth×width grid regardless of vocabulary size; estimates are
+    a |terms|×depth broadcast probe. md5-derived hashing — bit-identical
+    across engines and partitionings."""
+    from bertopic_spark.operators.sketch import cms_build, cms_estimate
+
+    sk = cms_build(_docs(spark, sf_dir), "text", "doc_id", MODE,
+                   depth=CMS_D, width=CMS_W, seed=CMS_SEED)
+    terms = sorted({t for q in DRIVER_QUERIES.values()
+                    for t in tokenize_one(q, MODE)})
+    return cms_estimate(sk, terms, depth=CMS_D, width=CMS_W, seed=CMS_SEED)
+
+
+def _sql_cms_estimates() -> str:
+    terms = sorted({t for q in DRIVER_QUERIES.values()
+                    for t in tokenize_one(q, MODE)})
+    tvals = ", ".join(f"('{t}')" for t in terms)
+    rvals = ", ".join(f"({r})" for r in range(CMS_D))
+    bucket = (f"CAST(concat('0x', substr(md5('{CMS_SEED}_' || r.row || '_' "
+              f"|| {{t}}), 1, 15)) AS BIGINT) % {CMS_W}")
+    return f"""WITH
+tk AS (SELECT {duckdb_tokens_sql('text', MODE)} AS ts FROM documents),
+t2 AS (SELECT unnest(ts) AS term FROM tk),
+g AS (SELECT r.row, {bucket.format(t='term')} AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM t2 CROSS JOIN (VALUES {rvals}) r(row)
+      GROUP BY r.row, bucket),
+p AS (SELECT q.term, r.row, {bucket.format(t='q.term')} AS bucket
+      FROM (VALUES {tvals}) q(term) CROSS JOIN (VALUES {rvals}) r(row)),
+e AS (SELECT p.term, p.row, coalesce(max(g.cnt), 0) AS c
+      FROM p LEFT JOIN g ON g.row = p.row AND g.bucket = p.bucket
+      GROUP BY p.term, p.row)
+SELECT term, CAST(min(c) AS BIGINT) AS est FROM e GROUP BY term"""
+
+
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "approx_distribution": (q_approx_distribution, SQL_APPROX_DISTRIBUTION),
     "approx_distribution_tokens": (q_approx_distribution_tokens,
@@ -3078,6 +3117,7 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "training_shards": (q_training_shards, _sql_training_shards()),
     "search_query_lang": (q_search_query, _sql_search_query()),
     "stratified_sample": (q_stratified_sample, _sql_stratified_sample()),
+    "cms_estimates": (q_cms_estimates, _sql_cms_estimates()),
     "search_snippets": (q_search_snippets, SQL_SEARCH_SNIPPETS),
     "frequent_lines_removed": (q_frequent_lines_removed, SQL_FREQUENT_LINES),
     "decontaminate_bench": (q_decontaminate_bench, SQL_DECONTAMINATE),

@@ -1,0 +1,90 @@
+"""Distributed frequency sketches.
+
+A count-min sketch (Cormode & Muthukrishnan 2005) as a long-form relation
+(row, bucket, cnt): the streaming/mergeable answer to "how often is term t"
+when the exact vocabulary-size aggregation is too wide to keep. Hashing is
+md5-derived (same idiom as the engine's other seeded randomness) so the
+sketch is bit-identical across engines, partitionings and cluster sizes —
+and the DuckDB oracle replays it exactly.
+
+Physical shape: build = one tokenize pass, one groupBy((row, bucket))
+whose cardinality is depth×width REGARDLESS of vocabulary size (the whole
+point — the shuffle never carries the vocabulary); merge = unionByName +
+the same groupBy (counters are linear); query = a broadcast probe of
+|terms|×depth rows, never a scan.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bertopic_spark.tokenizer import with_tokens
+
+
+def _bucket(term, row: int, width: int, seed: int):
+    h = F.conv(F.substring(
+        F.md5(F.concat_ws("_", F.lit(seed), F.lit(row), term)), 1, 15),
+        16, 10).cast("long")
+    return h % width
+
+
+def cms_build(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+              mode: str = "ascii_code", depth: int = 4, width: int = 1024,
+              seed: int = 42) -> DataFrame:
+    """Count-min sketch of term occurrences: (row, bucket, cnt).
+
+    depth×width rows total — the reduction from |vocab| to a fixed grid is
+    what makes the sketch shippable (broadcastable serving state) at any
+    corpus size.
+    """
+    if depth < 1 or width < 1:
+        raise ValueError("depth and width must be >= 1")
+    toks = with_tokens(df.select(id_col, text_col), text_col, mode)
+    terms = toks.select(F.explode("tokens").alias("term"))
+    rows = [terms.select(F.lit(r).alias("row"),
+                         _bucket(F.col("term"), r, width, seed).alias("bucket"))
+            for r in range(depth)]
+    from functools import reduce
+    return (reduce(DataFrame.unionByName, rows)
+            .groupBy("row", "bucket")
+            .agg(F.count("*").cast("long").alias("cnt")))
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge sketches built with the SAME (depth, width, seed): counters
+    are linear, so merge = union + re-sum. This is the property that lets
+    per-partition / per-day sketches roll up without touching raw data."""
+    from functools import reduce
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    return (reduce(DataFrame.unionByName, sketches)
+            .groupBy("row", "bucket")
+            .agg(F.sum("cnt").cast("long").alias("cnt")))
+
+
+def cms_estimate(sketch: DataFrame, terms: Sequence[str],
+                 depth: int = 4, width: int = 1024,
+                 seed: int = 42) -> DataFrame:
+    """Point estimates for ``terms``: (term, est) with est ≥ true count
+    (classic CMS one-sided error). The probe is a |terms|×depth broadcast
+    joined to the sketch — no scan of anything corpus-sized."""
+    ts = sorted(set(str(t) for t in terms))
+    if not ts:
+        raise ValueError("need at least one probe term")
+    spark = sketch.sparkSession
+    probe = spark.createDataFrame(
+        [(t, r) for t in ts for r in range(depth)], "term string, row int")
+    h = F.conv(F.substring(
+        F.md5(F.concat_ws("_", F.lit(seed), F.col("row"), F.col("term"))),
+        1, 15), 16, 10).cast("long")
+    probe = probe.select("term", "row", (h % width).alias("bucket"))
+    hit = (sketch.join(F.broadcast(probe), ["row", "bucket"])
+           .groupBy("term", "row").agg(F.max("cnt").alias("c")))
+    # a missing counter row means 0 — left join from the probe grid
+    grid = probe.select("term", "row").distinct()
+    per_row = (grid.join(hit, ["term", "row"], "left")
+               .select("term", F.coalesce("c", F.lit(0)).alias("c")))
+    return per_row.groupBy("term").agg(F.min("c").cast("long").alias("est"))

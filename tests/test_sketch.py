@@ -1,0 +1,65 @@
+"""Count-min sketch: one-sided error, exactness at wide width, linearity
+(merge == build-on-union), cross-partitioning determinism."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bertopic_spark.operators.sketch import cms_build, cms_estimate, cms_merge
+from bertopic_spark.tokenizer import tokenize_one
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def true_counts(docs):
+    true = {}
+    for r in docs.select("text").collect():
+        for t in tokenize_one(r.text or "", "ascii_code"):
+            true[t] = true.get(t, 0) + 1
+    return true
+
+
+def test_cms_one_sided_and_collisions(spark, docs, true_counts):
+    vocab = sorted(true_counts)
+    sk = cms_build(docs, depth=2, width=16)  # tiny grid forces collisions
+    est = {r.term: r.est
+           for r in cms_estimate(sk, vocab, depth=2, width=16).collect()}
+    assert all(est[t] >= true_counts[t] for t in vocab)
+    assert any(est[t] > true_counts[t] for t in vocab)  # collisions happen
+    # unseen term estimates are finite and >= 0 (collision noise only)
+    oov = cms_estimate(sk, ["zzqx_never"], depth=2, width=16).collect()
+    assert oov[0].est >= 0
+
+
+def test_cms_exact_when_wide(spark, docs, true_counts):
+    vocab = sorted(true_counts)
+    sk = cms_build(docs, depth=4, width=1 << 16)
+    est = {r.term: r.est
+           for r in cms_estimate(sk, vocab, depth=4, width=1 << 16).collect()}
+    assert est == true_counts
+
+
+def test_cms_linear_merge_and_partitioning(spark, docs):
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    merged = {(r.row, r.bucket): r.cnt for r in cms_merge(
+        cms_build(a, depth=3, width=64),
+        cms_build(b, depth=3, width=64)).collect()}
+    full = {(r.row, r.bucket): r.cnt
+            for r in cms_build(docs, depth=3, width=64).collect()}
+    assert merged == full
+    repart = {(r.row, r.bucket): r.cnt
+              for r in cms_build(docs.repartition(13), depth=3,
+                                 width=64).collect()}
+    assert repart == full
+    with pytest.raises(ValueError):
+        cms_merge()
+    with pytest.raises(ValueError):
+        cms_build(docs, depth=0)
+    with pytest.raises(ValueError):
+        cms_estimate(cms_build(docs), [])
