@@ -2711,8 +2711,9 @@ tka AS (SELECT doc_id, {duckdb_tokens_sql('text', MODE)} AS ta,
 ex AS (SELECT doc_id, unnest(ta) AS term, {wt} AS w FROM tka
        UNION ALL SELECT doc_id, unnest(tb) AS term, {ws} AS w FROM tka),
 wtf AS (SELECT doc_id, term, sum(w) AS wtf FROM ex GROUP BY doc_id, term),
-wdl AS (SELECT doc_id, {wt}*len(ta) + {ws}*len(tb) AS wdl FROM tka),
-st AS (SELECT avg(wdl) AS avgwdl, count(*) AS n FROM wdl),
+wdl AS (SELECT doc_id, {wt}*coalesce(len(ta), 0) + {ws}*coalesce(len(tb), 0) AS wdl
+        FROM tka),
+st AS (SELECT sum(wdl) / count(*) AS avgwdl, count(*) AS n FROM wdl),
 dft AS (SELECT term, count(*) AS df FROM wtf GROUP BY term),
 idf AS (SELECT term, ln(1.0 + (st.n - df + 0.5) / (df + 0.5)) AS idf
         FROM dft CROSS JOIN st),

@@ -313,17 +313,12 @@ def bm25f_topk(corpus: DataFrame, qterms: DataFrame,
         if _persisted_out is not None:
             _persisted_out.append(wtf)
 
-    lens = corpus.select(id_col, *[c for c, _ in flds])
-    for c, _ in flds:
-        lens = with_tokens(lens, c, mode, out_col=f"_tk_{c}")
-    wdl = lens.select(
-        F.col(id_col),
-        sum((F.lit(w) * F.size(F.coalesce(F.col(f"_tk_{c}"),
-                                          F.array().cast("array<string>")))
-             for c, w in flds), start=F.lit(0.0)).alias("wdl"))
-
+    # blended doc length is DERIVED from the counts relation (Σ_terms wtf
+    # per doc = Σ_f w_f·len_f) — no second tokenize pass; docs empty in
+    # every field have wdl 0 and enter the average via the n_docs divisor
+    wdl = wtf.groupBy(id_col).agg(F.sum("wtf").alias("wdl"))
     n_docs = corpus.count()
-    stats = wdl.agg(F.avg("wdl").alias("avgwdl"))
+    stats = wdl.agg((F.sum("wdl") / F.lit(float(n_docs))).alias("avgwdl"))
     dft = wtf.groupBy("term").agg(F.count("*").alias("df"))
     idf = dft.select(
         "term",
