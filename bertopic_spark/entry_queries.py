@@ -3078,6 +3078,47 @@ e AS (SELECT p.term, p.row, coalesce(max(g.cnt), 0) AS c
 SELECT term, CAST(min(c) AS BIGINT) AS est FROM e GROUP BY term"""
 
 
+BLOOM_K, BLOOM_BITS = 4, 1 << 12
+
+
+def q_bloom_membership(spark, sf_dir):
+    """Bloom membership: filter built over the corpus vocabulary (set bit
+    positions only — broadcastable), probed with the driver queries' terms
+    plus OOV controls. No false negatives by construction."""
+    from bertopic_spark.operators.fulltext import term_dictionary
+    from bertopic_spark.operators.sketch import bloom_build, bloom_contains
+
+    d = term_dictionary(_docs(spark, sf_dir), "text", "doc_id", MODE)
+    bloom = bloom_build(d, "term", k_hashes=BLOOM_K, n_bits=BLOOM_BITS)
+    probes = sorted({t for q in DRIVER_QUERIES.values()
+                     for t in tokenize_one(q, MODE)}
+                    | {f"zzqx_oov_{i}" for i in range(8)})
+    pdf = spark.createDataFrame([(t,) for t in probes], "term string")
+    return bloom_contains(bloom, pdf, "term",
+                          k_hashes=BLOOM_K, n_bits=BLOOM_BITS)
+
+
+def _sql_bloom_membership() -> str:
+    probes = sorted({t for q in DRIVER_QUERIES.values()
+                     for t in tokenize_one(q, MODE)}
+                    | {f"zzqx_oov_{i}" for i in range(8)})
+    pvals = ", ".join(f"('{t}')" for t in probes)
+    rvals = ", ".join(f"({r})" for r in range(BLOOM_K))
+    bit = (f"CAST(concat('0x', substr(md5('42_' || r.row || '_' || {{v}}),"
+           f" 1, 15)) AS BIGINT) % {BLOOM_BITS}")
+    return f"""WITH
+tk AS (SELECT doc_id, {duckdb_tokens_sql('text', MODE)} AS ts FROM documents),
+vocab AS (SELECT DISTINCT unnest(ts) AS v FROM tk),
+bloom AS (SELECT DISTINCT {bit.format(v='v')} AS bit
+          FROM vocab CROSS JOIN (VALUES {rvals}) r(row)),
+pb AS (SELECT q.value, r.row, {bit.format(v='q.value')} AS bit
+       FROM (VALUES {pvals}) q(value) CROSS JOIN (VALUES {rvals}) r(row))
+SELECT pb.value,
+       count(b.bit) = count(DISTINCT pb.row) AS maybe
+FROM pb LEFT JOIN bloom b ON b.bit = pb.bit
+GROUP BY pb.value"""
+
+
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "approx_distribution": (q_approx_distribution, SQL_APPROX_DISTRIBUTION),
     "approx_distribution_tokens": (q_approx_distribution_tokens,
@@ -3119,6 +3160,7 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "search_query_lang": (q_search_query, _sql_search_query()),
     "stratified_sample": (q_stratified_sample, _sql_stratified_sample()),
     "cms_estimates": (q_cms_estimates, _sql_cms_estimates()),
+    "bloom_membership": (q_bloom_membership, _sql_bloom_membership()),
     "search_snippets": (q_search_snippets, SQL_SEARCH_SNIPPETS),
     "frequent_lines_removed": (q_frequent_lines_removed, SQL_FREQUENT_LINES),
     "decontaminate_bench": (q_decontaminate_bench, SQL_DECONTAMINATE),

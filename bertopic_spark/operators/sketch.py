@@ -88,3 +88,48 @@ def cms_estimate(sketch: DataFrame, terms: Sequence[str],
     per_row = (grid.join(hit, ["term", "row"], "left")
                .select("term", F.coalesce("c", F.lit(0)).alias("c")))
     return per_row.groupBy("term").agg(F.min("c").cast("long").alias("est"))
+
+
+def bloom_build(df: DataFrame, col: str = "term", k_hashes: int = 4,
+                n_bits: int = 1 << 16, seed: int = 42) -> DataFrame:
+    """Bloom filter over the distinct values of ``col``: (bit) — the set
+    bit positions, at most min(k·|values|, n_bits) rows.
+
+    The distributed membership primitive (e.g. ship a benchmark shingle
+    set to every executor without shipping the shingles): k md5-derived
+    positions per value, distinct. Build shuffles ≤ n_bits rows; the
+    relation broadcasts when n_bits is sized to the expected set.
+    """
+    if k_hashes < 1 or n_bits < 1:
+        raise ValueError("k_hashes and n_bits must be >= 1")
+    vals = df.select(F.col(col).alias("v")).where(F.col("v").isNotNull())
+    rows = [vals.select(_bucket(F.col("v"), r, n_bits, seed).alias("bit"))
+            for r in range(k_hashes)]
+    from functools import reduce
+    return reduce(DataFrame.unionByName, rows).distinct()
+
+
+def bloom_contains(bloom: DataFrame, probe: DataFrame, col: str,
+                   k_hashes: int = 4, n_bits: int = 1 << 16,
+                   seed: int = 42) -> DataFrame:
+    """Membership verdicts for ``probe[col]``: (value, maybe) — ``maybe``
+    is True iff ALL k bit positions are set (no false negatives; false
+    positives at the classic Bloom rate for the chosen n_bits).
+
+    The bloom relation broadcasts; the probe side streams — membership
+    against a billion-shingle set without a shuffle of either."""
+    if k_hashes < 1 or n_bits < 1:
+        raise ValueError("k_hashes and n_bits must be >= 1")
+    p = probe.select(F.col(col).alias("value")).where(
+        F.col("value").isNotNull()).distinct()
+    from functools import reduce
+    probe_bits = reduce(DataFrame.unionByName, [
+        p.select("value", F.lit(r).alias("r"),
+                 _bucket(F.col("value"), r, n_bits, seed).alias("bit"))
+        for r in range(k_hashes)])
+    hit = (probe_bits.join(F.broadcast(bloom.withColumn("_set", F.lit(1))),
+                           "bit", "left")
+           .groupBy("value")
+           .agg((F.count(F.when(F.col("_set").isNotNull(), 1))
+                 == F.countDistinct("r")).alias("maybe")))
+    return hit

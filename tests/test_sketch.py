@@ -63,3 +63,28 @@ def test_cms_linear_merge_and_partitioning(spark, docs):
         cms_build(docs, depth=0)
     with pytest.raises(ValueError):
         cms_estimate(cms_build(docs), [])
+
+
+def test_bloom_no_false_negatives_and_fp_rate(spark, docs, true_counts):
+    from bertopic_spark.operators.sketch import bloom_build, bloom_contains
+
+    vocab = sorted(true_counts)
+    terms = spark.createDataFrame([(t,) for t in vocab], "term string")
+    bloom = bloom_build(terms, "term", k_hashes=4, n_bits=1 << 12)
+    # every member reports maybe=True (no false negatives)
+    got = {r.value: r.maybe
+           for r in bloom_contains(bloom, terms, "term",
+                                   k_hashes=4, n_bits=1 << 12).collect()}
+    assert all(got[t] for t in vocab)
+    # non-members: tiny grid → some false positives possible, but with
+    # 4 hashes over 4096 bits and ~30 members the rate is ~0; assert most
+    # of 200 synthetic non-members are rejected
+    import pytest as _pytest
+    non = spark.createDataFrame([(f"zzqx_{i}",) for i in range(200)],
+                                "term string")
+    nm = {r.value: r.maybe
+          for r in bloom_contains(bloom, non, "term",
+                                  k_hashes=4, n_bits=1 << 12).collect()}
+    assert sum(nm.values()) <= 5
+    with _pytest.raises(ValueError):
+        bloom_build(terms, "term", k_hashes=0)
