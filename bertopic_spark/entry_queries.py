@@ -3119,6 +3119,46 @@ FROM pb LEFT JOIN bloom b ON b.bit = pb.bit
 GROUP BY pb.value"""
 
 
+HLL_P, HLL_SEED = 8, 42
+
+
+def q_hll_distinct_terms(spark, sf_dir):
+    """HyperLogLog distinct-term estimate with md5-derived registers —
+    bit-identical across engines (unlike approx_count_distinct's HLL++);
+    one groupBy of ≤ 2^p keys regardless of cardinality."""
+    from bertopic_spark.operators.fulltext import doc_term_positions
+    from bertopic_spark.operators.sketch import hll_estimate, hll_registers
+
+    terms = doc_term_positions(_docs(spark, sf_dir), "text", "doc_id",
+                               MODE).select("term")
+    reg = hll_registers(terms, "term", p=HLL_P, seed=HLL_SEED)
+    return hll_estimate(reg, p=HLL_P).select(_r6(F.col("est")).alias("est"))
+
+
+def _sql_hll_distinct_terms() -> str:
+    m = 1 << HLL_P
+    alpha = 0.7213 / (1.0 + 1.079 / m) if m > 64 else {16: 0.673, 32: 0.697,
+                                                       64: 0.709}[m]
+    rho_max = 60 - HLL_P + 1
+    return f"""WITH
+tk AS (SELECT {duckdb_tokens_sql('text', MODE)} AS ts FROM documents),
+t2 AS (SELECT unnest(ts) AS term FROM tk),
+h AS (SELECT CAST(concat('0x', substr(md5('{HLL_SEED}_' || term), 1, 15))
+              AS BIGINT) AS h FROM t2 WHERE term IS NOT NULL),
+r AS (SELECT h % {m} AS idx,
+             CASE WHEN CAST(floor(h / {m}) AS BIGINT) > 0
+                  THEN {rho_max} - length(bin(CAST(floor(h / {m}) AS BIGINT)))
+                  ELSE {rho_max} END AS rho
+      FROM h),
+reg AS (SELECT idx, max(rho) AS rho FROM r GROUP BY idx),
+agg AS (SELECT sum(power(2.0, -rho)) AS s, count(*) AS nz FROM reg),
+e AS (SELECT ({alpha * m * m}) / (s + ({m} - nz)) AS raw,
+             {m} - nz AS zeros FROM agg)
+SELECT round(CASE WHEN raw <= {2.5 * m} AND zeros > 0
+             THEN {float(m)} * ln({float(m)} / zeros) ELSE raw END, 6) AS est
+FROM e"""
+
+
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "approx_distribution": (q_approx_distribution, SQL_APPROX_DISTRIBUTION),
     "approx_distribution_tokens": (q_approx_distribution_tokens,
@@ -3161,6 +3201,7 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "stratified_sample": (q_stratified_sample, _sql_stratified_sample()),
     "cms_estimates": (q_cms_estimates, _sql_cms_estimates()),
     "bloom_membership": (q_bloom_membership, _sql_bloom_membership()),
+    "hll_distinct_terms": (q_hll_distinct_terms, _sql_hll_distinct_terms()),
     "search_snippets": (q_search_snippets, SQL_SEARCH_SNIPPETS),
     "frequent_lines_removed": (q_frequent_lines_removed, SQL_FREQUENT_LINES),
     "decontaminate_bench": (q_decontaminate_bench, SQL_DECONTAMINATE),

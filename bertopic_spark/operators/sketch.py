@@ -133,3 +133,66 @@ def bloom_contains(bloom: DataFrame, probe: DataFrame, col: str,
            .agg((F.count(F.when(F.col("_set").isNotNull(), 1))
                  == F.countDistinct("r")).alias("maybe")))
     return hit
+
+
+_HLL_BITS = 60  # md5-derived hash width (15 hex digits)
+
+
+def _hll_alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(df: DataFrame, col: str, p: int = 12,
+                  seed: int = 42) -> DataFrame:
+    """HyperLogLog registers over ``df[col]``: (idx, rho) — m=2^p rows max.
+
+    Flajolet et al. 2007 with md5-derived hashing, so the registers (and
+    therefore the estimate) are bit-identical across engines, partitions
+    and cluster sizes — unlike ``approx_count_distinct``, whose HLL++ is
+    not reproducible outside Spark. Register index = low p bits' modulus,
+    rho = leading-zero run of the remaining 60−p bits + 1 (computed from
+    the binary-string length — pure integer math, no float log). One
+    groupBy of at most 2^p keys regardless of cardinality; registers merge
+    by max (tested).
+    """
+    if not (4 <= p <= 18):
+        raise ValueError("p must be in [4, 18]")
+    m = 1 << p
+    h = F.conv(F.substring(
+        F.md5(F.concat_ws("_", F.lit(seed), F.col(col))), 1, 15),
+        16, 10).cast("long")
+    idx = h % m
+    w = F.floor(h / m).cast("long")
+    rho = F.when(w > 0, F.lit(_HLL_BITS - p + 1) - F.length(F.bin(w))
+                 ).otherwise(F.lit(_HLL_BITS - p + 1)).cast("int")
+    return (df.where(F.col(col).isNotNull())
+            .select(idx.alias("idx"), rho.alias("rho"))
+            .groupBy("idx").agg(F.max("rho").alias("rho")))
+
+
+def hll_estimate(registers: DataFrame, p: int = 12) -> DataFrame:
+    """Cardinality estimate from a register relation: one row (est).
+
+    Raw estimate α_m·m²/Σ2^(−rho) with the standard small-range linear-
+    counting correction (absent registers count as rho=0). Same float
+    arithmetic on both engines — the DuckDB oracle reproduces the estimate
+    exactly, not just approximately.
+    """
+    m = 1 << p
+    agg = registers.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("s"),
+        F.count("*").alias("nz"))
+    est = agg.select(
+        (F.lit(_hll_alpha(m) * m * m)
+         / (F.col("s") + (F.lit(m) - F.col("nz")))).alias("raw"),
+        (F.lit(m) - F.col("nz")).alias("zeros"))
+    return est.select(
+        F.when((F.col("raw") <= 2.5 * m) & (F.col("zeros") > 0),
+               F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("zeros"))
+               ).otherwise(F.col("raw")).alias("est"))

@@ -88,3 +88,33 @@ def test_bloom_no_false_negatives_and_fp_rate(spark, docs, true_counts):
     assert sum(nm.values()) <= 5
     with _pytest.raises(ValueError):
         bloom_build(terms, "term", k_hashes=0)
+
+
+def test_hll_accuracy_merge_and_determinism(spark):
+    from bertopic_spark.operators.sketch import hll_estimate, hll_registers
+
+    # high-cardinality synthetic set → exercises the raw estimator branch
+    n = 20000
+    vals = spark.range(n).select(
+        F.concat(F.lit("v_"), F.col("id").cast("string")).alias("v"))
+    reg = hll_registers(vals, "v", p=8)
+    est = hll_estimate(reg, p=8).collect()[0].est
+    assert abs(est - n) / n < 0.15  # ~1.04/sqrt(256) ≈ 6.5% expected
+    # low cardinality → linear-counting branch, near-exact
+    small = vals.limit(30)
+    est_s = hll_estimate(hll_registers(small, "v", p=8), p=8).collect()[0].est
+    assert abs(est_s - 30) < 3
+    # registers merge by max == registers of the union
+    a = vals.filter(F.col("v").substr(-1, 1).isin("0", "1", "2"))
+    b = vals.subtract(a)
+    ra, rb = hll_registers(a, "v", p=8), hll_registers(b, "v", p=8)
+    merged = (ra.unionByName(rb).groupBy("idx")
+              .agg(F.max("rho").alias("rho")))
+    full = {(r.idx, r.rho) for r in reg.collect()}
+    assert {(r.idx, r.rho) for r in merged.collect()} == full
+    # partitioning-invariant
+    rep = {(r.idx, r.rho)
+           for r in hll_registers(vals.repartition(17), "v", p=8).collect()}
+    assert rep == full
+    with pytest.raises(ValueError):
+        hll_registers(vals, "v", p=3)
