@@ -3159,6 +3159,33 @@ SELECT round(CASE WHEN raw <= {2.5 * m} AND zeros > 0
 FROM e"""
 
 
+def q_corpus_profile(spark, sf_dir):
+    """Per-language corpus profile: counts, totals, mean and exact token
+    percentiles (F.percentile ≡ DuckDB quantile_cont, bit-identical) —
+    one tokenize pass, one groupBy(lang)."""
+    from bertopic_spark.operators.textstats import corpus_profile
+
+    out = corpus_profile(_docs(spark, sf_dir), "lang", "text", "doc_id", MODE)
+    return out.select("lang", "n_docs", "total_tokens",
+                      _r6(F.col("mean_tokens")).alias("mean_tokens"),
+                      _r6(F.col("p50_tokens")).alias("p50_tokens"),
+                      _r6(F.col("p90_tokens")).alias("p90_tokens"),
+                      _r6(F.col("p99_tokens")).alias("p99_tokens"))
+
+
+def _sql_corpus_profile() -> str:
+    return f"""WITH
+tk AS (SELECT lang, len({duckdb_tokens_sql('text', MODE)}) AS n_tokens
+       FROM documents)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(n_tokens), 6) AS mean_tokens,
+       round(quantile_cont(n_tokens, 0.5), 6) AS p50_tokens,
+       round(quantile_cont(n_tokens, 0.9), 6) AS p90_tokens,
+       round(quantile_cont(n_tokens, 0.99), 6) AS p99_tokens
+FROM tk GROUP BY lang"""
+
+
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "approx_distribution": (q_approx_distribution, SQL_APPROX_DISTRIBUTION),
     "approx_distribution_tokens": (q_approx_distribution_tokens,
@@ -3202,6 +3229,7 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "cms_estimates": (q_cms_estimates, _sql_cms_estimates()),
     "bloom_membership": (q_bloom_membership, _sql_bloom_membership()),
     "hll_distinct_terms": (q_hll_distinct_terms, _sql_hll_distinct_terms()),
+    "corpus_profile": (q_corpus_profile, _sql_corpus_profile()),
     "search_snippets": (q_search_snippets, SQL_SEARCH_SNIPPETS),
     "frequent_lines_removed": (q_frequent_lines_removed, SQL_FREQUENT_LINES),
     "decontaminate_bench": (q_decontaminate_bench, SQL_DECONTAMINATE),

@@ -339,3 +339,34 @@ def gopher_filter(df, text_col: str = "text", id_col: str = "doc_id",
         F.col(id_col),
         (reasons == "").alias("keep"),
         reasons.alias("reasons"))
+
+
+def corpus_profile(df, strat_col: str, text_col: str = "text",
+                   id_col: str = "doc_id", mode: str = "ascii_code",
+                   percentiles=(0.5, 0.9, 0.99)):
+    """Per-stratum corpus profile: (stratum, n_docs, total_tokens,
+    mean_tokens, p<q>_tokens…) — the shape/skew report a pipeline runs
+    before sizing shards, filters and samplers.
+
+    One tokenize pass → one groupBy(stratum). Exact percentiles via
+    ``F.percentile`` (linear interpolation — bit-identical to DuckDB's
+    ``quantile_cont``, verified in the gate); at 100 TB swap for
+    ``percentile_approx`` per stratum if exact sort-based percentiles
+    become the bottleneck (documented trade-off, same relation shape).
+    """
+    from bertopic_spark.tokenizer import with_tokens
+
+    toks = with_tokens(df.select(id_col, strat_col, text_col),
+                       text_col, mode)
+    nt = toks.select(
+        F.col(strat_col),
+        F.size(F.coalesce(F.col("tokens"),
+                          F.array().cast("array<string>")))
+        .cast("long").alias("n_tokens"))
+    aggs = [F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.avg("n_tokens").alias("mean_tokens")]
+    for q in percentiles:
+        name = f"p{int(round(q * 100))}_tokens"
+        aggs.append(F.percentile("n_tokens", float(q)).alias(name))
+    return nt.groupBy(strat_col).agg(*aggs)
