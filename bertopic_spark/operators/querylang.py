@@ -152,3 +152,78 @@ def search_query(corpus: DataFrame, q: str, k: int = 10,
            .localCheckpoint(eager=True))
     x.unpersist()
     return out
+
+
+def search_query_indexed(spark, seg_path: str, pos_path: str, q: str,
+                         dictionary: DataFrame | None = None,
+                         meta: DataFrame | None = None, k: int = 10,
+                         id_col: str = "doc_id", mode: str = "ascii_code",
+                         max_expand: int = 1000, n_buckets: int | None = None,
+                         span: int | None = None,
+                         pos_buckets: int | None = None) -> DataFrame:
+    """The query language served ENTIRELY from persisted index trees — no
+    corpus scan: gating clauses read the positional segments
+    (bucket-pruned), scoring reads the compressed scoring segments
+    (bucket-pruned + decoded in Arrow batches). Result-identical to
+    ``search_query`` over the source corpus (tested).
+
+    ``dictionary`` — the (term, df) relation materialized at build time —
+    is required when the query has wildcard/fuzzy clauses; ``meta`` (id +
+    metadata columns) is required for field:value clauses. Only the
+    query's own terms are ever read: ≤ |clauses|+max_expand postings
+    lists, each pruned to its term-hash bucket.
+    """
+    from bertopic_spark.index.positions import read_positions
+    from bertopic_spark.index.segments import (DEFAULT_SPAN, N_TERM_BUCKETS,
+                                               decode_blocks,
+                                               pruned_block_scan)
+    from bertopic_spark.operators.fulltext import (boolean_match_postings,
+                                                   phrase_match_postings)
+
+    nb = n_buckets or N_TERM_BUCKETS
+    pb = pos_buckets or nb
+    sp = span or DEFAULT_SPAN
+    spec = parse_query(q, mode)
+    expansions: list[str] = []
+    if spec["wildcards"] or spec["fuzzies"]:
+        if dictionary is None:
+            raise ValueError("wildcard/fuzzy clauses need the index's "
+                             "term dictionary")
+        for pat in spec["wildcards"]:
+            expansions += (prefix_terms(dictionary, pat[:-1], max_expand)
+                           if re.match(r"^[^*?]+\*$", pat)
+                           else wildcard_terms(dictionary, pat, max_expand))
+        for t, dist in spec["fuzzies"]:
+            expansions += fuzzy_terms(dictionary, t, dist, max_expand)
+    positive = sorted({*spec["must"], *spec["should"], *expansions,
+                       *(t for p in spec["phrases"] for t in p)})
+    if not positive:
+        raise ValueError("query has no positive terms to rank")
+    if spec["fields"] and meta is None:
+        raise ValueError("field clauses need the meta relation")
+
+    gate_terms = sorted({*positive, *spec["must_not"],
+                         *(t for p in spec["not_phrases"] for t in p)})
+    pos = read_positions(spark, pos_path, gate_terms, pb)
+    cand = boolean_match_postings(
+        pos.select(id_col, "term"), must=spec["must"], should=positive,
+        must_not=spec["must_not"], min_should=1,
+        id_col=id_col).select(id_col)
+    for p in spec["phrases"]:
+        cand = cand.join(phrase_match_postings(pos, p, id_col)
+                         .select(id_col), id_col, "leftsemi")
+    for p in spec["not_phrases"]:
+        cand = cand.join(phrase_match_postings(pos, p, id_col)
+                         .select(id_col), id_col, "leftanti")
+    for col, val in spec["fields"]:
+        cand = cand.join(meta.filter(F.col(col) == val).select(id_col),
+                         id_col, "leftsemi")
+
+    scores = decode_blocks(
+        pruned_block_scan(spark, seg_path, positive, nb), sp)
+    hits = (scores.join(cand, id_col, "leftsemi")
+            .groupBy(id_col).agg(F.sum("score").alias("score")))
+    top = hits.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+    w = Window.partitionBy().orderBy(F.desc("score"), F.asc(id_col))
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select(id_col, "score", "rank"))

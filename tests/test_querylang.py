@@ -88,3 +88,43 @@ def test_search_query_guards(spark, docs):
     # relation must be released (checkpoints are k-row, tolerated)
     after = len(jsc.getPersistentRDDs())
     assert after - before <= 3
+
+
+def test_indexed_search_equals_scan_path(spark, docs, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    from bertopic_spark.index.positions import write_positions
+    from bertopic_spark.index.segments import (build_block_index,
+                                               write_index_segments)
+    from bertopic_spark.operators.bm25 import doc_scores
+    from bertopic_spark.operators.fulltext import (doc_term_positions,
+                                                   term_dictionary)
+    from bertopic_spark.operators.querylang import search_query_indexed
+
+    root = tmp_path_factory.mktemp("qlidx")
+    seg, posp = str(root / "seg"), str(root / "pos")
+    held = []
+    sc = doc_scores(docs, "text", "doc_id", _persisted_out=held)
+    write_index_segments(build_block_index(sc, span=256), seg, n_buckets=16)
+    write_positions(doc_term_positions(docs, "text", "doc_id"), posp,
+                    n_buckets=16)
+    d = term_dictionary(docs, "text", "doc_id").persist()
+    held.append(d)
+    for q in ['+customer -spark "customer stream" ord* valu~ lang:en',
+              'customer stream -"batch vector"',
+              '+order w?ndow']:
+        got = [(r.doc_id, round(r.score, 9), r["rank"])
+               for r in search_query_indexed(
+                   spark, seg, posp, q, dictionary=d,
+                   meta=docs.select("doc_id", "lang"), k=5,
+                   n_buckets=16, span=256, pos_buckets=16).collect()]
+        want = [(r.doc_id, round(r.score, 9), r["rank"])
+                for r in search_query(docs, q, k=5, text_col="text").collect()]
+        assert got == want and got, q
+    with pytest.raises(ValueError):
+        search_query_indexed(spark, seg, posp, "+customer ord*")  # no dict
+    with pytest.raises(ValueError):
+        search_query_indexed(spark, seg, posp, "customer lang:en",
+                             dictionary=d)  # no meta
+    for x in held:
+        x.unpersist()
