@@ -186,6 +186,35 @@ def main() -> None:
     timings["bm25_serve_warm_batch40"] = round(wbatch_sec, 3)
     shutil.rmtree(seg_dir, ignore_errors=True)
 
+    # --- positional tree: build the compressed phrase/proximity index and
+    # serve a mixed query-language batch from the persisted trees only
+    # (index/positions.py + operators/querylang.search_query_indexed).
+    from bertopic_spark.index.positions import (build_pos_blocks,
+                                                read_pos_segments,
+                                                write_pos_segments)
+    from bertopic_spark.operators.fulltext import (doc_term_positions,
+                                                   phrase_match_postings)
+
+    pos_dir = tempfile.mkdtemp(prefix="bench_pos_")
+    try:
+        t0 = time.perf_counter()
+        write_pos_segments(
+            build_pos_blocks(
+                doc_term_positions(corpus, "content", "doc_id"), 4096),
+            pos_dir)
+        timings["pos_index_build"] = round(time.perf_counter() - t0, 3)
+        # 8 two-term phrases drawn from the query fixtures, one batch each
+        phr = [qts[qid][:2] for qid in sorted(fq) if len(qts[qid]) >= 2][:8]
+        t0 = time.perf_counter()
+        n_ph = 0
+        for p in phr:
+            n_ph += phrase_match_postings(
+                read_pos_segments(spark, pos_dir, p), p).count()
+        timings["phrase_serve_indexed8"] = round(time.perf_counter() - t0, 3)
+        extras["phrase_indexed_hits"] = n_ph
+    finally:
+        shutil.rmtree(pos_dir, ignore_errors=True)
+
     # --- incremental maintenance: delta append + tombstone delete + query
     # over the merged generations (index/incremental.py). The story at
     # 100 TB: a nightly 5% delta costs O(delta), never a rebuild.

@@ -118,14 +118,17 @@ def build_pos_blocks(positions: DataFrame,
     varint pack runs vectorized over JVM-pre-grouped arrays (the same
     plan shape the scoring-block build measured fastest)."""
 
+    # JVM-side struct-field extraction hands the UDF plain numpy arrays per
+    # block (the same trick as segments.build_block_index) — the Python
+    # side never touches a per-position dict/row object
     @F.pandas_udf(BinaryType())
-    def enc(blk: pd.Series, pl: pd.Series) -> pd.Series:
+    def enc(blk: pd.Series, ids: pd.Series, ps: pd.Series) -> pd.Series:
         out = []
-        for b, rows in zip(blk, pl):
-            ids = np.array([r["doc_id"] for r in rows], dtype=np.int64)
-            ps = np.array([r["pos"] for r in rows], dtype=np.int64)
-            uids, cts = np.unique(ids, return_counts=True)
-            out.append(encode_pos_block(uids, cts, ps, int(b) * span))
+        for b, i, p in zip(blk, ids, ps):
+            i = np.asarray(i, dtype=np.int64)
+            p = np.asarray(p, dtype=np.int64)
+            uids, cts = np.unique(i, return_counts=True)
+            out.append(encode_pos_block(uids, cts, p, int(b) * span))
         return pd.Series(out)
 
     grouped = (positions
@@ -135,7 +138,8 @@ def build_pos_blocks(positions: DataFrame,
                     F.count(F.lit(1)).alias("n_pos"),
                     F.sort_array(F.collect_list(
                         F.struct("doc_id", "pos"))).alias("pl")))
-    return (grouped.withColumn("payload", enc(F.col("blk"), F.col("pl")))
+    return (grouped.withColumn(
+        "payload", enc(F.col("blk"), F.col("pl.doc_id"), F.col("pl.pos")))
             .drop("pl"))
 
 
