@@ -291,3 +291,15 @@ class IndexBuild:
             else:
                 out[s] = None
         return out
+
+
+def index_dictionary(spark, root: str) -> "DataFrame":
+    """(term, df) read from the materialized postings stage — the term
+    dictionary that wildcard/fuzzy expansion (operators/querylang,
+    operators/fulltext.expand_terms) consults WITHOUT re-tokenizing the
+    corpus. Postings are one row per (doc, term), so count(*) per term is
+    exactly the document frequency; the agg prunes to two columns at the
+    parquet scan."""
+    p = spark.read.parquet(os.path.join(root, "postings"))
+    return (p.groupBy("term")
+            .agg(F.count(F.lit(1)).cast("long").alias("df")))

@@ -114,3 +114,17 @@ def test_param_change_triggers_rebuild(spark, corpus_df, root):
     # postings untouched on the span-only change
     m2 = json.load(open(os.path.join(root, "postings", "_MANIFEST.json")))
     assert m2["input_fingerprint"] == m["input_fingerprint"]
+
+
+def test_index_dictionary_matches_live(spark, tmp_path):
+    from bertopic_spark.corpus import load_corpus
+    from bertopic_spark.index.checkpoint import IndexBuild, index_dictionary
+    from bertopic_spark.operators.fulltext import term_dictionary
+
+    corpus = load_corpus(spark, n_files=120, seed=42)
+    root = str(tmp_path / "idx")
+    IndexBuild(spark, root, mode="ascii_code").build(corpus)
+    got = {(r.term, r.df) for r in index_dictionary(spark, root).collect()}
+    want = {(r.term, r.df) for r in
+            term_dictionary(corpus, "content", "doc_id").collect()}
+    assert got == want and got
