@@ -3186,6 +3186,46 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
 FROM tk GROUP BY lang"""
 
 
+def q_search_query_indexed(spark, sf_dir):
+    """The same query string served ENTIRELY from persisted index trees —
+    scoring segments + positional segments + materialized dictionary built
+    into a temp dir, then bucket-pruned serving with no corpus scan. Same
+    oracle as the scan path: the two physical strategies must agree."""
+    import shutil
+    import tempfile
+
+    from bertopic_spark.index.positions import write_positions
+    from bertopic_spark.index.segments import (build_block_index,
+                                               write_index_segments)
+    from bertopic_spark.operators.bm25 import doc_scores
+    from bertopic_spark.operators.fulltext import (doc_term_positions,
+                                                   term_dictionary)
+    from bertopic_spark.operators.querylang import search_query_indexed
+
+    docs = _docs(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="gate_qlidx_")
+    held = []
+    try:
+        sc = doc_scores(docs, "text", "doc_id", MODE, _persisted_out=held)
+        write_index_segments(build_block_index(sc, span=512),
+                             f"{root}/seg", n_buckets=16)
+        write_positions(doc_term_positions(docs, "text", "doc_id", MODE),
+                        f"{root}/pos", n_buckets=16)
+        d = term_dictionary(docs, "text", "doc_id", MODE)
+        out = search_query_indexed(
+            spark, f"{root}/seg", f"{root}/pos", QL_QUERY, dictionary=d,
+            meta=docs.select("doc_id", "lang"), k=10, mode=MODE,
+            n_buckets=16, span=512, pos_buckets=16)
+        out = out.select("doc_id", _r6(F.col("score")).alias("score"),
+                         F.col("rank").cast("long").alias("rn"))
+        out = out.localCheckpoint(eager=True)
+    finally:
+        for x in held:
+            x.unpersist()
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "approx_distribution": (q_approx_distribution, SQL_APPROX_DISTRIBUTION),
     "approx_distribution_tokens": (q_approx_distribution_tokens,
@@ -3225,6 +3265,7 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "gopher_filter": (q_gopher_filter, _sql_gopher_filter()),
     "training_shards": (q_training_shards, _sql_training_shards()),
     "search_query_lang": (q_search_query, _sql_search_query()),
+    "search_query_indexed": (q_search_query_indexed, _sql_search_query()),
     "stratified_sample": (q_stratified_sample, _sql_stratified_sample()),
     "cms_estimates": (q_cms_estimates, _sql_cms_estimates()),
     "bloom_membership": (q_bloom_membership, _sql_bloom_membership()),
