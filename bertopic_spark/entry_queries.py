@@ -3226,6 +3226,41 @@ def q_search_query_indexed(spark, sf_dir):
     return out
 
 
+LM_ALPHA = 0.5
+
+
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style quality signal: per-doc cross-entropy/perplexity under
+    the Lidstone-smoothed corpus unigram LM. The LM is a vocabulary-sized
+    (term, logp) relation — shuffle-joined, never broadcast."""
+    from bertopic_spark.operators.textstats import lm_perplexity
+
+    out = lm_perplexity(_docs(spark, sf_dir), "text", "doc_id", MODE,
+                        alpha=LM_ALPHA)
+    return out.select("doc_id", "n_tokens",
+                      _r6(F.col("cross_entropy")).alias("cross_entropy"),
+                      _r6(F.col("perplexity")).alias("perplexity"))
+
+
+def _sql_lm_perplexity() -> str:
+    return f"""WITH
+tk AS (SELECT doc_id, {duckdb_tokens_sql('text', MODE)} AS ts FROM documents),
+x AS (SELECT doc_id, unnest(ts) AS term FROM tk),
+xc AS (SELECT doc_id, term, count(*) AS tf FROM x GROUP BY doc_id, term),
+lm AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ctf FROM xc GROUP BY term),
+tot AS (SELECT sum(ctf) AS total, count(*) AS v FROM lm),
+lp AS (SELECT term, ln((ctf + {LM_ALPHA}) / (tot.total + {LM_ALPHA} * tot.v))
+              AS logp FROM lm CROSS JOIN tot),
+dl AS (SELECT doc_id, len(ts) AS n FROM tk WHERE len(ts) > 0),
+h AS (SELECT xc.doc_id, -sum(xc.tf * lp.logp) / dl.n AS ce,
+             CAST(dl.n AS BIGINT) AS n_tokens
+      FROM xc JOIN lp USING (term) JOIN dl ON dl.doc_id = xc.doc_id
+      GROUP BY xc.doc_id, dl.n)
+SELECT doc_id, n_tokens, round(ce, 6) AS cross_entropy,
+       round(exp(ce), 6) AS perplexity
+FROM h"""
+
+
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "approx_distribution": (q_approx_distribution, SQL_APPROX_DISTRIBUTION),
     "approx_distribution_tokens": (q_approx_distribution_tokens,
@@ -3271,6 +3306,7 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "bloom_membership": (q_bloom_membership, _sql_bloom_membership()),
     "hll_distinct_terms": (q_hll_distinct_terms, _sql_hll_distinct_terms()),
     "corpus_profile": (q_corpus_profile, _sql_corpus_profile()),
+    "lm_perplexity": (q_lm_perplexity, _sql_lm_perplexity()),
     "search_snippets": (q_search_snippets, SQL_SEARCH_SNIPPETS),
     "frequent_lines_removed": (q_frequent_lines_removed, SQL_FREQUENT_LINES),
     "decontaminate_bench": (q_decontaminate_bench, SQL_DECONTAMINATE),

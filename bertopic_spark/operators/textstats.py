@@ -370,3 +370,47 @@ def corpus_profile(df, strat_col: str, text_col: str = "text",
         name = f"p{int(round(q * 100))}_tokens"
         aggs.append(F.percentile("n_tokens", float(q)).alias(name))
     return nt.groupBy(strat_col).agg(*aggs)
+
+
+def lm_perplexity(df, text_col: str = "text", id_col: str = "doc_id",
+                  mode: str = "ascii_code", alpha: float = 0.5,
+                  lm_counts=None):
+    """Per-doc cross-entropy / perplexity under the corpus unigram LM —
+    the CCNet-style quality signal (docs far from the corpus distribution
+    score high): (id, n_tokens, cross_entropy, perplexity).
+
+    p(t) = (tf_corpus(t) + α) / (total + α·|V|) (Lidstone smoothing);
+    H(d) = −Σ_t tf_d(t)·ln p(t) / len(d); ppl = exp(H). Train/apply split:
+    pass ``lm_counts`` (a (term, tf) relation, e.g. from a held-out or
+    earlier snapshot) to score against a frozen LM; default trains on the
+    scored corpus itself. Physical shape: one counts pass, the LM is a
+    (term, logp) relation joined onto the doc-term counts (vocabulary-
+    sized — shuffle join, NOT broadcast), one groupBy(id).
+    """
+    from bertopic_spark.operators.postings import doc_term_counts
+
+    x = doc_term_counts(df, text_col, [id_col], mode, with_len=True)
+    lm = (lm_counts if lm_counts is not None
+          else x.groupBy("term").agg(F.sum("tf").alias("tf")))
+    lm = lm.groupBy("term").agg(F.sum("tf").alias("ctf"))
+    tot = lm.agg(F.sum("ctf").alias("total"), F.count("*").alias("v"))
+    logp = (lm.crossJoin(F.broadcast(tot))
+            .select("term",
+                    F.log((F.col("ctf") + F.lit(float(alpha)))
+                          / (F.col("total")
+                             + F.lit(float(alpha)) * F.col("v")))
+                    .alias("logp")))
+    # OOV terms (when lm_counts is external) get the α-mass logp
+    oov = (tot.select(F.log(F.lit(float(alpha))
+                            / (F.col("total")
+                               + F.lit(float(alpha)) * F.col("v")))
+                      .alias("oov_logp")))
+    h = (x.join(logp, "term", "left")
+         .crossJoin(F.broadcast(oov))
+         .groupBy(id_col)
+         .agg(F.first("doc_len").alias("n_tokens"),
+              (-F.sum(F.col("tf") * F.coalesce("logp", "oov_logp"))
+               / F.first("doc_len")).alias("cross_entropy")))
+    return h.select(id_col, F.col("n_tokens").cast("long").alias("n_tokens"),
+                    "cross_entropy",
+                    F.exp("cross_entropy").alias("perplexity"))

@@ -176,3 +176,39 @@ def test_training_shards_composition(spark):
                   for r in pack_shards(kc.join(reps, "doc_id"), 1000,
                                        text_col="text").collect())
     assert got == want and got
+
+
+def test_lm_perplexity_brute_and_frozen_lm(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from bertopic_spark.operators.textstats import lm_perplexity
+    from bertopic_spark.tokenizer import tokenize_one
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {r.doc_id: (r.n_tokens, round(r.cross_entropy, 9))
+           for r in lm_perplexity(docs).collect()}
+    rows = [(r.doc_id, tokenize_one(r.text or "", "ascii_code"))
+            for r in docs.select("doc_id", "text").collect()]
+    ctf = {}
+    for _, ts in rows:
+        for t in ts:
+            ctf[t] = ctf.get(t, 0) + 1
+    total, v, a = sum(ctf.values()), len(ctf), 0.5
+    for d, ts in rows:
+        h = -sum(math.log((ctf[t] + a) / (total + a * v)) for t in ts) / len(ts)
+        assert got[d] == (len(ts), round(h, 9)), d
+    # frozen LM: score against half the corpus's counts; an OOV-only doc
+    # gets the alpha-mass logp, not a crash
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    from bertopic_spark.operators.postings import doc_term_counts
+    lm = (doc_term_counts(half, "text", ["doc_id"])
+          .groupBy("term").agg(F.sum("tf").alias("tf")))
+    oov = spark.createDataFrame([(999999, "zzqx qqzx zzqx")],
+                                "doc_id long, text string")
+    out = lm_perplexity(docs.unionByName(oov.withColumn(
+        "lang", F.lit("en")).withColumn("source", F.lit("s"))
+        .withColumn("n_chars", F.lit(14)).select(docs.columns)),
+        lm_counts=lm).filter(F.col("doc_id") == 999999).collect()
+    assert len(out) == 1 and out[0].perplexity > 0
