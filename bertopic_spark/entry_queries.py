@@ -3261,6 +3261,75 @@ SELECT doc_id, n_tokens, round(ce, 6) AS cross_entropy,
 FROM h"""
 
 
+LANGID_N = 3
+
+
+def q_langid_ngram(spark, sf_dir):
+    """Char-n-gram multinomial-NB language ID trained on the documents
+    table's lang labels (resubstitution predictions — the gate checks the
+    NB arithmetic, not generalization)."""
+    from bertopic_spark.operators.textstats import langid_ngram
+
+    return langid_ngram(_docs(spark, sf_dir), "text", "doc_id", "lang",
+                        n=LANGID_N, alpha=LM_ALPHA)
+
+
+def _sql_langid_ngram() -> str:
+    return f"""WITH
+g AS (SELECT doc_id, lang, lower(substr(text, i.i, {LANGID_N})) AS gram
+      FROM documents,
+      unnest(range(1, greatest(coalesce(length(text), 0) - {LANGID_N} + 1, 0)
+                      + 1)) AS i(i)),
+tg AS (SELECT lang AS label, gram, count(*) AS c FROM g GROUP BY label, gram),
+stats AS (SELECT label, sum(c) AS tot FROM tg GROUP BY label),
+vocab AS (SELECT count(DISTINCT gram) AS v FROM tg),
+weights AS (SELECT label, gram, ln(c + {LM_ALPHA}) - ln({LM_ALPHA}) AS w
+            FROM tg),
+consts AS (SELECT label, ln({LM_ALPHA}) - ln(tot + {LM_ALPHA} * v) AS konst
+           FROM stats CROSS JOIN vocab),
+dg AS (SELECT doc_id, gram, count(*) AS tf FROM g GROUP BY doc_id, gram),
+sparse AS (SELECT doc_id, label, sum(tf * w) AS s
+           FROM dg JOIN weights USING (gram) GROUP BY doc_id, label),
+dlen AS (SELECT doc_id,
+                greatest(coalesce(length(text), 0) - {LANGID_N} + 1, 0) AS glen
+         FROM documents),
+sims AS (SELECT dlen.doc_id, consts.label,
+                coalesce(sparse.s, 0) + dlen.glen * consts.konst AS score
+         FROM dlen CROSS JOIN consts
+         LEFT JOIN sparse ON sparse.doc_id = dlen.doc_id
+                         AND sparse.label = consts.label),
+r AS (SELECT doc_id, label, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, label ASC) AS rn
+      FROM sims)
+SELECT doc_id, label AS pred_lang, round(score, 6) AS score
+FROM r WHERE rn = 1"""
+
+
+DUPSPAN_K = 8
+
+
+def q_dup_spans(spark, sf_dir):
+    """Exact-substring dedup signal (Lee et al. 2022): k-token windows
+    shared across >= 2 documents, md5-keyed before the shuffle."""
+    from bertopic_spark.operators.dedup import duplicate_spans
+
+    return duplicate_spans(_docs(spark, sf_dir), "text", "doc_id",
+                           k=DUPSPAN_K, mode=MODE)
+
+
+def _sql_dup_spans() -> str:
+    return f"""WITH
+tk AS (SELECT doc_id, {duckdb_tokens_sql('text', MODE)} AS ts FROM documents),
+w AS (SELECT doc_id,
+             md5(array_to_string(ts[i.i:i.i + {DUPSPAN_K - 1}], ' ')) AS window_hash
+      FROM tk,
+      unnest(range(1, greatest(len(ts) - {DUPSPAN_K} + 1, 0) + 1)) AS i(i))
+SELECT window_hash, count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_occurrences, min(doc_id) AS first_doc_id
+FROM w GROUP BY window_hash HAVING count(DISTINCT doc_id) >= 2"""
+
+
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "approx_distribution": (q_approx_distribution, SQL_APPROX_DISTRIBUTION),
     "approx_distribution_tokens": (q_approx_distribution_tokens,
@@ -3307,6 +3376,8 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "hll_distinct_terms": (q_hll_distinct_terms, _sql_hll_distinct_terms()),
     "corpus_profile": (q_corpus_profile, _sql_corpus_profile()),
     "lm_perplexity": (q_lm_perplexity, _sql_lm_perplexity()),
+    "langid_ngram": (q_langid_ngram, _sql_langid_ngram()),
+    "dup_spans": (q_dup_spans, _sql_dup_spans()),
     "search_snippets": (q_search_snippets, SQL_SEARCH_SNIPPETS),
     "frequent_lines_removed": (q_frequent_lines_removed, SQL_FREQUENT_LINES),
     "decontaminate_bench": (q_decontaminate_bench, SQL_DECONTAMINATE),

@@ -460,3 +460,39 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 5,
     return (d.join(b, "shingle")
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).cast("long").alias("n_shared")))
+
+
+def duplicate_spans(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 8,
+                    mode: str = "ascii_code", min_docs: int = 2) -> DataFrame:
+    """Repeated k-token windows shared across documents — the signal behind
+    exact-substring training-data dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): (window_hash, n_docs,
+    n_occurrences, first_doc_id) for every k-token window appearing in
+    ≥ ``min_docs`` distinct documents.
+
+    Windows are md5-hashed BEFORE the explode so the shuffle carries
+    fixed-width digests, never window strings; the token array is bound
+    once as a HOF lambda var (CollapseProject would otherwise inline the
+    tokenizer regexp into every window slice). One explode + one
+    groupBy(hash) — linear in corpus token count, skew-free (a window hash
+    key's group is the duplicate cluster itself). At production scale swap
+    md5 for xxhash64 (8-byte); md5 is kept for the cross-engine oracle.
+    """
+    from bertopic_spark.tokenizer import tokens_expr
+
+    def wins(ts):
+        cnt = F.size(ts) - (k - 1)
+        seq = (F.when(cnt >= 1, F.sequence(F.lit(1), cnt))
+               .otherwise(F.array().cast("array<int>")))
+        return F.transform(
+            seq, lambda i: F.md5(F.concat_ws(" ", F.slice(ts, i, k))))
+
+    bound = F.get(
+        F.transform(F.array(tokens_expr(F.col(text_col), mode)), wins), 0)
+    w = df.select(F.col(id_col), F.explode(bound).alias("window_hash"))
+    return (w.groupBy("window_hash")
+            .agg(F.count_distinct(F.col(id_col)).alias("n_docs"),
+                 F.count(F.lit(1)).alias("n_occurrences"),
+                 F.min(id_col).alias("first_doc_id"))
+            .filter(F.col("n_docs") >= F.lit(min_docs)))

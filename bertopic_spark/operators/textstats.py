@@ -414,3 +414,67 @@ def lm_perplexity(df, text_col: str = "text", id_col: str = "doc_id",
     return h.select(id_col, F.col("n_tokens").cast("long").alias("n_tokens"),
                     "cross_entropy",
                     F.exp("cross_entropy").alias("perplexity"))
+
+
+def char_ngrams(text, n: int = 3):
+    """Sliding character n-grams of ``text`` (a raw attribute column) as an
+    array, lowercased per gram. ``text`` must be a plain column reference —
+    substr on an attribute is free per element; a computed intermediate
+    would be inlined per gram by CollapseProject (use fulltext._bound)."""
+    cnt = F.length(text) - (n - 1)
+    seq = (F.when(cnt >= 1, F.sequence(F.lit(1), cnt))
+           .otherwise(F.array().cast("array<int>")))
+    return F.transform(seq, lambda i: F.lower(text.substr(i, F.lit(n))))
+
+
+def langid_ngram(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", label_col: str = "lang",
+                 n: int = 3, alpha: float = 0.5,
+                 train: DataFrame | None = None) -> DataFrame:
+    """Char-n-gram multinomial Naive Bayes language ID (the classic
+    Cavnar-Trenkle-shaped n-gram heuristic, NB-scored): (id, pred_<label>,
+    score). Train on ``train`` (default: ``df`` itself, resubstitution) and
+    predict the argmax label for every row of ``df``.
+
+    score(d, l) = Σ_g tf_dg·ln p(g|l), Lidstone-smoothed, decomposed so the
+    plan stays sparse: a (label, gram, w) weight relation joined on gram
+    (vocabulary-sized — shuffle join, fan-out bounded by the label count)
+    plus a per-label constant carried by a broadcast of the label-stats
+    relation. No dense doc×label matrix; docs with no grams tie at 0 and
+    take the lexicographically first label.
+    """
+    from pyspark.sql import Window
+
+    train = train if train is not None else df
+    la = F.lit(float(alpha))
+    tg = (train.select(F.col(label_col).alias("label"),
+                       F.explode(char_ngrams(F.col(text_col), n)).alias("gram"))
+          .groupBy("label", "gram").agg(F.count(F.lit(1)).alias("c")))
+    stats = tg.groupBy("label").agg(F.sum("c").alias("tot"))
+    vocab = tg.agg(F.count_distinct("gram").alias("v"))
+    weights = tg.select("label", "gram",
+                        (F.log(F.col("c") + la) - F.log(la)).alias("w"))
+    consts = (stats.crossJoin(F.broadcast(vocab))
+              .select("label",
+                      (F.log(la) - F.log(F.col("tot") + la * F.col("v")))
+                      .alias("konst")))
+    dg = (df.select(F.col(id_col),
+                    F.explode(char_ngrams(F.col(text_col), n)).alias("gram"))
+          .groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("tf")))
+    sparse = (dg.join(weights, "gram")
+              .groupBy(id_col, "label")
+              .agg(F.sum(F.col("tf") * F.col("w")).alias("s")))
+    dlen = df.select(
+        F.col(id_col),
+        F.coalesce(F.size(char_ngrams(F.col(text_col), n)), F.lit(0))
+        .cast("long").alias("glen"))
+    sims = (dlen.crossJoin(F.broadcast(consts))
+            .join(sparse, [id_col, "label"], "left")
+            .select(F.col(id_col), "label",
+                    (F.coalesce(F.col("s"), F.lit(0.0))
+                     + F.col("glen") * F.col("konst")).alias("score")))
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("label"))
+    return (sims.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col(id_col), F.col("label").alias(f"pred_{label_col}"),
+                    F.round("score", 6).alias("score")))

@@ -355,3 +355,26 @@ def _group(df):
     for r in df.orderBy("query_vec_id", "rn").collect():
         out.setdefault(r.query_vec_id, []).append(r)
     return out.items()
+
+
+def test_duplicate_spans_brute(documents_df):
+    import hashlib
+
+    from bertopic_spark.operators.dedup import duplicate_spans
+    from bertopic_spark.tokenizer import tokenize_one
+
+    k = 6
+    rows = [(r.doc_id, tokenize_one(r.text or "", "ascii_code"))
+            for r in documents_df.select("doc_id", "text").collect()]
+    occ = {}
+    for d, ts in rows:
+        for i in range(len(ts) - k + 1):
+            h = hashlib.md5(" ".join(ts[i:i + k]).encode()).hexdigest()
+            occ.setdefault(h, []).append(d)
+    want = {h: (len(set(ds)), len(ds), min(ds))
+            for h, ds in occ.items() if len(set(ds)) >= 2}
+    got = {r.window_hash: (r.n_docs, r.n_occurrences, r.first_doc_id)
+           for r in duplicate_spans(documents_df, k=k).collect()}
+    assert got == want and got  # non-empty by construction of the fixture
+    # k longer than every document: no windows, empty relation, no crash
+    assert duplicate_spans(documents_df, k=10_000).count() == 0

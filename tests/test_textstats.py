@@ -212,3 +212,39 @@ def test_lm_perplexity_brute_and_frozen_lm(spark):
         .withColumn("n_chars", F.lit(14)).select(docs.columns)),
         lm_counts=lm).filter(F.col("doc_id") == 999999).collect()
     assert len(out) == 1 and out[0].perplexity > 0
+
+
+def test_langid_ngram_brute_and_frozen_train(documents_df):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from bertopic_spark.operators.textstats import langid_ngram
+
+    n, a = 3, 0.5
+    got = {r.doc_id: (r.pred_lang, r.score)
+           for r in langid_ngram(documents_df, n=n, alpha=a).collect()}
+    rows = [(r.doc_id, r.lang, (r.text or "").lower())
+            for r in documents_df.select("doc_id", "lang", "text").collect()]
+
+    def grams(t):
+        return [t[i:i + n] for i in range(len(t) - n + 1)]
+
+    tg, tot, vocab = {}, {}, set()
+    for _, lab, t in rows:
+        for g in grams(t):
+            tg[(lab, g)] = tg.get((lab, g), 0) + 1
+            tot[lab] = tot.get(lab, 0) + 1
+            vocab.add(g)
+    v, langs = len(vocab), sorted(tot)
+    for d, _, t in rows:
+        sc = {lab: sum(math.log((tg.get((lab, g), 0) + a) / (tot[lab] + a * v))
+                       for g in grams(t)) for lab in langs}
+        best = sorted(langs, key=lambda lab: (-sc[lab], lab))[0]
+        assert got[d][0] == best, (d, got[d], sc)
+        assert abs(got[d][1] - sc[best]) < 1e-5, (d, got[d][1], sc[best])
+    # frozen train relation: a model trained without 'zh' never predicts it
+    tr = documents_df.filter(F.col("lang") != "zh")
+    preds = {r.pred_lang
+             for r in langid_ngram(documents_df, train=tr).collect()}
+    assert preds and "zh" not in preds
