@@ -73,6 +73,11 @@ BENCH_QUERIES = [
     "gopher_filter",
     "training_shards",
     "search_query_lang",
+    # round-3 quality-signal additions (unigram-LM perplexity, char-n-gram
+    # language ID, duplicated k-token span detection)
+    "lm_perplexity",
+    "langid_ngram",
+    "dup_spans",
 ]
 
 

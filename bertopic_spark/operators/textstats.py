@@ -374,7 +374,8 @@ def corpus_profile(df, strat_col: str, text_col: str = "text",
 
 def lm_perplexity(df, text_col: str = "text", id_col: str = "doc_id",
                   mode: str = "ascii_code", alpha: float = 0.5,
-                  lm_counts=None):
+                  lm_counts=None, persist_counts: bool = True,
+                  _persisted_out: list | None = None):
     """Per-doc cross-entropy / perplexity under the corpus unigram LM —
     the CCNet-style quality signal (docs far from the corpus distribution
     score high): (id, n_tokens, cross_entropy, perplexity).
@@ -390,6 +391,15 @@ def lm_perplexity(df, text_col: str = "text", id_col: str = "doc_id",
     from bertopic_spark.operators.postings import doc_term_counts
 
     x = doc_term_counts(df, text_col, [id_col], mode, with_len=True)
+    if lm_counts is None and persist_counts:
+        # x feeds both the LM training agg and the scoring join; their
+        # column pruning differs so ReuseExchange can't dedupe, and the
+        # corpus would tokenize twice (same trap and same fix as
+        # bm25.doc_scores). Collect the handle via _persisted_out to
+        # unpersist after materializing.
+        x = x.persist()
+        if _persisted_out is not None:
+            _persisted_out.append(x)
     lm = (lm_counts if lm_counts is not None
           else x.groupBy("term").agg(F.sum("tf").alias("tf")))
     lm = lm.groupBy("term").agg(F.sum("tf").alias("ctf"))
@@ -430,7 +440,9 @@ def char_ngrams(text, n: int = 3):
 def langid_ngram(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id", label_col: str = "lang",
                  n: int = 3, alpha: float = 0.5,
-                 train: DataFrame | None = None) -> DataFrame:
+                 train: DataFrame | None = None,
+                 persist_counts: bool = True,
+                 _persisted_out: list | None = None) -> DataFrame:
     """Char-n-gram multinomial Naive Bayes language ID (the classic
     Cavnar-Trenkle-shaped n-gram heuristic, NB-scored): (id, pred_<label>,
     score). Train on ``train`` (default: ``df`` itself, resubstitution) and
@@ -442,14 +454,36 @@ def langid_ngram(df: DataFrame, text_col: str = "text",
     plus a per-label constant carried by a broadcast of the label-stats
     relation. No dense doc×label matrix; docs with no grams tie at 0 and
     take the lexicographically first label.
+
+    Physical shape: ONE gram-explode pass over the corpus — the base
+    (id[, label], gram, tf) counts relation feeds the profile agg, the
+    scoring join and the doc-length agg, so it is persisted by default
+    (their column pruning differs; ReuseExchange can't dedupe — same
+    trap/fix as bm25.doc_scores). Doc lengths rejoin an id-only (column-
+    pruned) scan so zero-gram docs stay in the output.
     """
     from pyspark.sql import Window
 
-    train = train if train is not None else df
     la = F.lit(float(alpha))
-    tg = (train.select(F.col(label_col).alias("label"),
-                       F.explode(char_ngrams(F.col(text_col), n)).alias("gram"))
-          .groupBy("label", "gram").agg(F.count(F.lit(1)).alias("c")))
+    base_cols = [F.col(id_col)]
+    if train is None:
+        base_cols.append(F.col(label_col).alias("label"))
+    base = (df.select(*base_cols,
+                      F.explode(char_ngrams(F.col(text_col), n)).alias("gram"))
+            .groupBy(*([id_col, "label", "gram"] if train is None
+                       else [id_col, "gram"]))
+            .agg(F.count(F.lit(1)).alias("tf")))
+    if persist_counts:
+        base = base.persist()
+        if _persisted_out is not None:
+            _persisted_out.append(base)
+    if train is None:
+        tg = base.groupBy("label", "gram").agg(F.sum("tf").alias("c"))
+    else:
+        tg = (train.select(F.col(label_col).alias("label"),
+                           F.explode(char_ngrams(F.col(text_col), n))
+                           .alias("gram"))
+              .groupBy("label", "gram").agg(F.count(F.lit(1)).alias("c")))
     stats = tg.groupBy("label").agg(F.sum("c").alias("tot"))
     vocab = tg.agg(F.count_distinct("gram").alias("v"))
     weights = tg.select("label", "gram",
@@ -458,16 +492,16 @@ def langid_ngram(df: DataFrame, text_col: str = "text",
               .select("label",
                       (F.log(la) - F.log(F.col("tot") + la * F.col("v")))
                       .alias("konst")))
-    dg = (df.select(F.col(id_col),
-                    F.explode(char_ngrams(F.col(text_col), n)).alias("gram"))
-          .groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("tf")))
+    dg = base.select(F.col(id_col), "gram", "tf")
     sparse = (dg.join(weights, "gram")
               .groupBy(id_col, "label")
               .agg(F.sum(F.col("tf") * F.col("w")).alias("s")))
-    dlen = df.select(
-        F.col(id_col),
-        F.coalesce(F.size(char_ngrams(F.col(text_col), n)), F.lit(0))
-        .cast("long").alias("glen"))
+    dlen = (df.select(F.col(id_col))
+            .join(base.groupBy(id_col).agg(F.sum("tf").alias("glen")),
+                  id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce(F.col("glen"), F.lit(0)).cast("long")
+                    .alias("glen")))
     sims = (dlen.crossJoin(F.broadcast(consts))
             .join(sparse, [id_col, "label"], "left")
             .select(F.col(id_col), "label",
