@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "lm_perplexity",
     "langid_ngram",
     "dup_spans",
+    "pruned_bm25_topk",
 ]
 
 

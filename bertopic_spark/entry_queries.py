@@ -3306,6 +3306,48 @@ SELECT doc_id, label AS pred_lang, round(score, 6) AS score
 FROM r WHERE rn = 1"""
 
 
+PRUNE_FRAC, PRUNE_MIN = 0.2, 10
+
+
+def q_pruned_bm25_topk(spark, sf_dir):
+    """Static index pruning (Carmel et al. 2001): per term keep the
+    strongest max(min_keep, ceil(frac*df)) postings, then serve top-10
+    BM25 from the pruned relation."""
+    from bertopic_spark.operators.bm25 import (bm25_topk, doc_scores,
+                                               prune_index)
+
+    scores = doc_scores(_docs(spark, sf_dir), "text", "doc_id", MODE)
+    pruned = prune_index(scores, "doc_id", PRUNE_FRAC, PRUNE_MIN)
+    qt = query_terms(queries_df(spark, DRIVER_QUERIES), MODE)
+    t = bm25_topk(pruned, qt, k=10)
+    return t.select("query_id", "doc_id", _r6(F.col("score")).alias("score"),
+                    F.col("rank").cast("long").alias("rn"))
+
+
+def _sql_pruned_bm25_topk() -> str:
+    return f"""WITH {_TOKS}, {_XDOC}, {_scores_sql('xdoc', 'doc_id', True, False)},
+pruned AS (
+  SELECT term, doc_id, score FROM (
+    SELECT term, doc_id, score,
+           row_number() OVER (PARTITION BY term
+                              ORDER BY score DESC, doc_id ASC) AS prn,
+           count(*) OVER (PARTITION BY term) AS dft
+    FROM scores)
+  WHERE prn <= greatest({PRUNE_MIN},
+                        CAST(ceil({PRUNE_FRAC} * dft) AS BIGINT))),
+q(query_id, term) AS (VALUES {_query_term_values()}),
+hits AS (
+  SELECT q.query_id, p.doc_id, sum(p.score) AS score
+  FROM q JOIN pruned p USING (term) GROUP BY q.query_id, p.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rn
+  FROM hits)
+SELECT query_id, doc_id, round(score, 6) AS score, rn
+FROM ranked WHERE rn <= 10"""
+
+
 DUPSPAN_K = 8
 
 
@@ -3378,6 +3420,7 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "lm_perplexity": (q_lm_perplexity, _sql_lm_perplexity()),
     "langid_ngram": (q_langid_ngram, _sql_langid_ngram()),
     "dup_spans": (q_dup_spans, _sql_dup_spans()),
+    "pruned_bm25_topk": (q_pruned_bm25_topk, _sql_pruned_bm25_topk()),
     "search_snippets": (q_search_snippets, SQL_SEARCH_SNIPPETS),
     "frequent_lines_removed": (q_frequent_lines_removed, SQL_FREQUENT_LINES),
     "decontaminate_bench": (q_decontaminate_bench, SQL_DECONTAMINATE),

@@ -570,3 +570,30 @@ def bm25_topk_stratified(corpus: DataFrame, qterms: DataFrame,
     return (hits.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", strat_col, id_col, "score", "rank"))
+
+
+def prune_index(scores: DataFrame, id_col: str = "doc_id",
+                keep_frac: float = 0.2, min_keep: int = 10) -> DataFrame:
+    """Static index pruning (Carmel et al. 2001, uniform top-k pruning):
+    per term keep only the strongest ``max(min_keep, ceil(keep_frac·df_t))``
+    postings by (score desc, id asc). Same schema as ``scores`` in, so every
+    serving path (exhaustive, WAND blocks) runs unchanged on the pruned
+    relation.
+
+    Guarantee: single-term queries with k ≤ ``min_keep`` are EXACTLY
+    rank-identical to the full index (the term's top-min_keep postings all
+    survive); multi-term quality degrades gracefully while the index
+    shrinks toward keep_frac of its size. One window pass — the same
+    shuffle shape as the c-TF-IDF top-n (partitionBy term), no second scan;
+    at 100 TB this is an offline compaction producing a smaller segment
+    set, not a query-time cost.
+    """
+    w = Window.partitionBy("term").orderBy(F.desc("score"), F.asc(id_col))
+    wc = Window.partitionBy("term")
+    keep = F.greatest(
+        F.lit(int(min_keep)),
+        F.ceil(F.lit(float(keep_frac)) * F.count(F.lit(1)).over(wc)))
+    return (scores.withColumn("_rn", F.row_number().over(w))
+            .withColumn("_keep", keep)
+            .filter(F.col("_rn") <= F.col("_keep"))
+            .drop("_rn", "_keep"))

@@ -350,3 +350,36 @@ def test_stratified_independent_of_other_strata(spark, corpus_df, qterms_small):
             for r in both.filter(F.col("lang") != "zz_alien").collect()]
     assert sorted(rows) == sorted(kept)
     assert both.filter(F.col("lang") == "zz_alien").count() > 0
+
+
+def test_prune_index_single_term_identity_and_shrink(spark, corpus_df):
+    """Carmel uniform top-k pruning: single-term queries with k <= min_keep
+    are rank-identical to the full index, and the relation shrinks."""
+    from pyspark.sql import functions as F
+
+    from bertopic_spark.operators.bm25 import prune_index
+
+    scores = doc_scores(corpus_df, mode=MODE).cache()
+    pruned = prune_index(scores, keep_frac=0.05, min_keep=7).cache()
+    assert pruned.count() < scores.count()
+    # per-term cap actually enforced
+    over = (pruned.groupBy("term").count()
+            .join(scores.groupBy("term").agg(F.count(F.lit(1)).alias("dft")),
+                  "term")
+            .filter(F.col("count")
+                    > F.greatest(F.lit(7), F.ceil(0.05 * F.col("dft")))))
+    assert over.count() == 0
+    # single-term queries from the corpus vocabulary (never hand-typed),
+    # spanning frequent and rare terms
+    terms = [r.term for r in (scores.groupBy("term")
+                              .agg(F.count(F.lit(1)).alias("dft"))
+                              .orderBy(F.desc("dft"), F.asc("term"))
+                              .limit(200).collect())][::40]
+    qt = spark.createDataFrame(list(enumerate(terms)),
+                               "query_id long, term string")
+    full = sorted((r.query_id, r["rank"], r.doc_id, round(r.score, 9))
+                  for r in bm25_topk(scores, qt, k=7).collect())
+    got = sorted((r.query_id, r["rank"], r.doc_id, round(r.score, 9))
+                 for r in bm25_topk(pruned, qt, k=7).collect())
+    assert got == full and got
+    scores.unpersist(); pruned.unpersist()
