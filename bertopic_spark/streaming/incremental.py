@@ -179,3 +179,30 @@ def stream_append_index(spark: SparkSession, input_dir: str, idx,
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def windowed_term_counts(stream: DataFrame, ts_col: str = "ts",
+                         text_col: str = "text", mode: str = "ascii_code",
+                         window: str = "1 hour",
+                         watermark: str = "2 hours") -> DataFrame:
+    """Event-time windowed term counts with late-data handling: the
+    watermark bounds state (windows older than max(event_time) − watermark
+    are finalized and dropped from the store) and discards later-than-
+    watermark rows — the Structured Streaming contract for unbounded
+    sources, where foreachBatch-style time-agnostic counting would grow
+    state forever.
+
+    Works on a streaming OR batch DataFrame (withWatermark is a no-op in
+    batch, so batch output == the same groupBy without a watermark — the
+    parity the test asserts). Append output mode emits a (window, term)
+    row exactly once, when its window finalizes.
+    """
+    from bertopic_spark.tokenizer import tokens_expr
+
+    return (stream
+            .withWatermark(ts_col, watermark)
+            .select(F.col(ts_col),
+                    F.explode(tokens_expr(F.col(text_col), mode))
+                    .alias("term"))
+            .groupBy(F.window(ts_col, window), "term")
+            .agg(F.count(F.lit(1)).alias("tf")))

@@ -85,3 +85,48 @@ def test_stream_ingest_foreachbatch(spark, documents_df, tmp_path):
     q.awaitTermination(120)
     assert idx.state().count() > 0
     assert idx.vocab().count() > 0
+
+
+def test_windowed_term_counts_watermark_drops_late(spark, tmp_path):
+    """Append-mode watermark contract: a window is emitted exactly once
+    when it finalizes, later-than-watermark rows are dropped, and the
+    same function on a batch DataFrame degrades to a plain groupBy."""
+    from datetime import datetime
+
+    from bertopic_spark.streaming.incremental import windowed_term_counts
+
+    schema = "ts timestamp, text string"
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+
+    feed([(datetime(2026, 1, 1, 10, 5), "spark merge"),
+          (datetime(2026, 1, 1, 10, 20), "merge")])
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (windowed_term_counts(stream, "ts", "text",
+                              window="1 hour", watermark="2 hours")
+         .writeStream.format("memory").queryName("wtc_late")
+         .outputMode("append").option("checkpointLocation", ckpt).start())
+    q.processAllAvailable()
+    # watermark advances to 12:00 at the end of this batch
+    feed([(datetime(2026, 1, 1, 14, 0), "scan")])
+    q.processAllAvailable()
+    # 09:30 is behind the 12:00 watermark -> dropped; 10:00-window emits
+    feed([(datetime(2026, 1, 1, 9, 30), "merge"),
+          (datetime(2026, 1, 1, 14, 30), "scan")])
+    q.processAllAvailable()
+    q.stop()
+    rows = {(r["window"].start.hour, r["term"]): r["tf"]
+            for r in spark.sql("SELECT * FROM wtc_late").collect()}
+    assert rows[(10, "merge")] == 2 and rows[(10, "spark")] == 1
+    assert not any(h == 9 for h, _ in rows)   # late row never resurrects
+    assert not any(h == 14 for h, _ in rows)  # open window not emitted
+    # batch parity: withWatermark is a no-op in batch mode
+    batch = spark.createDataFrame(
+        [(datetime(2026, 1, 1, 10, 5), "spark merge"),
+         (datetime(2026, 1, 1, 9, 30), "merge")], schema)
+    got = {(r["window"].start.hour, r["term"]): r["tf"]
+           for r in windowed_term_counts(batch, "ts", "text").collect()}
+    assert got == {(10, "spark"): 1, (10, "merge"): 1, (9, "merge"): 1}
