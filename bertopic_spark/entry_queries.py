@@ -3306,6 +3306,39 @@ SELECT doc_id, label AS pred_lang, round(score, 6) AS score
 FROM r WHERE rn = 1"""
 
 
+SESSION_GAP_MIN = 30
+
+
+def q_sessionize_events(spark, sf_dir):
+    """Session windows over the events table (session_window semantics:
+    a session ends gap after its last event)."""
+    from bertopic_spark.streaming.incremental import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = sessionize(ev, "ts", ["user_id"], f"{SESSION_GAP_MIN} minutes",
+                     value_col="value")
+    return out.select("user_id", "session_start", "session_end",
+                      F.col("n_events").cast("long").alias("n_events"),
+                      _r6(F.col("sum_value")).alias("sum_value"))
+
+
+def _sql_sessionize_events() -> str:
+    return f"""WITH
+o AS (SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL {SESSION_GAP_MIN} MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL {SESSION_GAP_MIN} MINUTE AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM s GROUP BY user_id, sid"""
+
+
 PRUNE_FRAC, PRUNE_MIN = 0.2, 10
 
 
@@ -3421,6 +3454,7 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "langid_ngram": (q_langid_ngram, _sql_langid_ngram()),
     "dup_spans": (q_dup_spans, _sql_dup_spans()),
     "pruned_bm25_topk": (q_pruned_bm25_topk, _sql_pruned_bm25_topk()),
+    "sessionize_events": (q_sessionize_events, _sql_sessionize_events()),
     "search_snippets": (q_search_snippets, SQL_SEARCH_SNIPPETS),
     "frequent_lines_removed": (q_frequent_lines_removed, SQL_FREQUENT_LINES),
     "decontaminate_bench": (q_decontaminate_bench, SQL_DECONTAMINATE),

@@ -206,3 +206,30 @@ def windowed_term_counts(stream: DataFrame, ts_col: str = "ts",
                     .alias("term"))
             .groupBy(F.window(ts_col, window), "term")
             .agg(F.count(F.lit(1)).alias("tf")))
+
+
+def sessionize(df: DataFrame, ts_col: str = "ts",
+               key_cols=("user_id",), gap: str = "30 minutes",
+               value_col: str | None = None,
+               watermark: str | None = None) -> DataFrame:
+    """Session windows per key — events chain while consecutive gaps are
+    < ``gap``; a session ends ``gap`` after its last event (Spark
+    ``session_window`` semantics): (keys…, session_start, session_end,
+    n_events[, sum_<value_col>]).
+
+    Batch AND streaming: pass ``watermark`` on a stream so session state
+    is bounded and sessions emit (append mode) once the watermark passes
+    their end. The shuffle is one groupBy on the key columns — session
+    merging is state-store-side, never a window over the raw event log.
+    """
+    x = df.withWatermark(ts_col, watermark) if watermark else df
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias(f"sum_{value_col}"))
+    return (x.groupBy(*key_cols, F.session_window(ts_col, gap).alias("sw"))
+            .agg(*aggs)
+            .select(*key_cols,
+                    F.col("sw.start").alias("session_start"),
+                    F.col("sw.end").alias("session_end"),
+                    "n_events",
+                    *([f"sum_{value_col}"] if value_col is not None else [])))

@@ -130,3 +130,41 @@ def test_windowed_term_counts_watermark_drops_late(spark, tmp_path):
     got = {(r["window"].start.hour, r["term"]): r["tf"]
            for r in windowed_term_counts(batch, "ts", "text").collect()}
     assert got == {(10, "spark"): 1, (10, "merge"): 1, (9, "merge"): 1}
+
+
+def test_sessionize_streaming_matches_batch(spark, tmp_path):
+    """session_window on a watermarked stream emits, in append mode, the
+    same finalized sessions the batch path computes."""
+    from datetime import datetime
+
+    from bertopic_spark.streaming.incremental import sessionize
+
+    schema = "ts timestamp, user_id long, value double"
+    rows1 = [(datetime(2026, 1, 1, 10, 0), 1, 1.0),
+             (datetime(2026, 1, 1, 10, 10), 1, 2.0),   # same session (gap 10m)
+             (datetime(2026, 1, 1, 11, 0), 1, 4.0),    # new session (gap 50m)
+             (datetime(2026, 1, 1, 10, 5), 2, 8.0)]
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    spark.createDataFrame(rows1, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (sessionize(stream, "ts", ["user_id"], "30 minutes",
+                    value_col="value", watermark="1 hour")
+         .writeStream.format("memory").queryName("sess_stream")
+         .outputMode("append").option("checkpointLocation", ckpt).start())
+    q.processAllAvailable()
+    # advance the watermark far past every session end -> all finalize
+    spark.createDataFrame([(datetime(2026, 1, 2, 0, 0), 9, 0.0)], schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    got = {(r.user_id, r.session_start, r.session_end, r.n_events,
+            r.sum_value)
+           for r in spark.sql(
+               "SELECT * FROM sess_stream WHERE user_id < 9").collect()}
+    want = {(r.user_id, r.session_start, r.session_end, r.n_events,
+             r.sum_value)
+            for r in sessionize(spark.createDataFrame(rows1, schema), "ts",
+                                ["user_id"], "30 minutes",
+                                value_col="value").collect()}
+    assert got == want and len(want) == 3
