@@ -233,3 +233,41 @@ def sessionize(df: DataFrame, ts_col: str = "ts",
                     F.col("sw.end").alias("session_end"),
                     "n_events",
                     *([f"sum_{value_col}"] if value_col is not None else [])))
+
+
+def stateful_term_totals(stream: DataFrame, text_col: str = "text",
+                         mode: str = "ascii_code") -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    running per-term corpus totals that survive across micro-batches in
+    the state store — the arbitrary-state path for semantics the built-in
+    windowed aggs can't express (each trigger emits (term, total, n_batches)
+    in update mode only for terms the batch touched).
+
+    Contrast with the foreachBatch MERGE paths above: state here lives in
+    Spark's per-key state store (partitioned by term, checkpointed with
+    the query), not in a caller-managed parquet relation — exactly-once
+    per the streaming checkpoint contract. Arrow-batched; no per-row
+    Python.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from bertopic_spark.tokenizer import tokens_expr
+
+    terms = stream.select(
+        F.explode(tokens_expr(F.col(text_col), mode)).alias("term"))
+
+    def update(key, pdfs, state):
+        import pandas as pd
+        add = sum(len(p) for p in pdfs)
+        total, batches = state.get if state.exists else (0, 0)
+        state.update((total + add, batches + 1))
+        yield pd.DataFrame({"term": [key[0]], "total": [total + add],
+                            "n_batches": [batches + 1]})
+
+    return terms.groupBy("term").applyInPandasWithState(
+        update,
+        outputStructType="term string, total long, n_batches long",
+        stateStructType="total long, n_batches long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -168,3 +168,30 @@ def test_sessionize_streaming_matches_batch(spark, tmp_path):
                                 ["user_id"], "30 minutes",
                                 value_col="value").collect()}
     assert got == want and len(want) == 3
+
+
+def test_stateful_term_totals_accumulates_across_batches(spark, tmp_path):
+    """applyInPandasWithState keeps per-term state in the state store:
+    batch 2's emission includes batch 1's counts."""
+    from bertopic_spark.streaming.incremental import stateful_term_totals
+
+    schema = "text string"
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    spark.createDataFrame([("spark merge spark",)], schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (stateful_term_totals(stream)
+         .writeStream.format("memory").queryName("stt")
+         .outputMode("update").option("checkpointLocation", ckpt).start())
+    q.processAllAvailable()
+    spark.createDataFrame([("spark scan",)], schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    rows = [(r.term, r.total, r.n_batches)
+            for r in spark.sql("SELECT * FROM stt").collect()]
+    # update-mode memory sink appends each trigger's emissions
+    assert ("spark", 2, 1) in rows and ("merge", 1, 1) in rows
+    assert ("spark", 3, 2) in rows    # state survived into batch 2
+    assert ("scan", 1, 1) in rows
+    assert ("merge", 1, 2) not in rows  # untouched keys are not re-emitted
