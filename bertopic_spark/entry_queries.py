@@ -1883,13 +1883,86 @@ FROM topk, flr"""
 
 def q_topic_map_2d(spark, sf_dir):
     """visualize_topics data (_bertopic.py:2541-2594): deterministic 2-D
-    classical-MDS coordinates from the topic cosine-distance relation.
-    Iterative eigendecomposition — not SQL-expressible, rows-only gate;
-    geometry is pytest-verified (distance recovery + determinism)."""
+    classical-MDS coordinates from the topic cosine-distance relation,
+    via the fixed-iteration power-method eigensolve (viz._power_mds) —
+    every step arithmetic-portable, so the DuckDB oracle replays the
+    identical iteration schedule and the 6dp coordinates match exactly."""
     from bertopic_spark.operators.viz import topic_map_2d
 
     s = ctfidf(_cls_x(spark, sf_dir), ["lang"])
     return topic_map_2d(s, "lang")
+
+
+def _power_mds_sql(iters: int = 80) -> str:
+    """DuckDB replay of viz._power_mds over the lang-class c-TF-IDF
+    cosine-distance matrix: Torgerson double-centering, ``iters`` unrolled
+    power iterations per component (one matvec CTE + one exact max-abs
+    rescale CTE each), final L2 normalize, first-argmax sign anchor,
+    Rayleigh quotient, rank-1 deflation. Every generated CTE is
+    MATERIALIZED so the ~340-step chain plans linearly instead of
+    re-inlining multiply-referenced steps."""
+    parts = [f"""WITH {_TOKS}, {_XCLS},
+{_stats_sql('xcls', 'lang', False)},
+scores AS MATERIALIZED (
+  SELECT x.lang, x.term, (x.tf / clen.class_len) * idf.idf AS score
+  FROM xcls x JOIN clen USING (lang) JOIN idf USING (term)),
+cnrm AS (SELECT lang, sqrt(sum(score * score)) AS nrm FROM scores GROUP BY lang),
+nrmd AS MATERIALIZED (SELECT s.lang, s.term, s.score / cnrm.nrm AS v
+  FROM scores s JOIN cnrm USING (lang)),
+cls AS MATERIALIZED (
+  SELECT lang, CAST(row_number() OVER (ORDER BY lang) - 1 AS INTEGER) AS i
+  FROM (SELECT DISTINCT lang FROM xcls)),
+cpairs AS MATERIALIZED (
+  SELECT a.lang AS la, b.lang AS lb, round(1.0 - sum(a.v * b.v), 6) AS d
+  FROM nrmd a JOIN nrmd b ON a.term = b.term AND a.lang < b.lang
+  GROUP BY a.lang, b.lang),
+dm AS MATERIALIZED (
+  SELECT ca.i AS i, cb.i AS j,
+         CASE WHEN ca.i = cb.i THEN 0.0 ELSE coalesce(p.d, q.d, 1.0) END AS d
+  FROM cls ca CROSS JOIN cls cb
+  LEFT JOIN cpairs p ON p.la = ca.lang AND p.lb = cb.lang
+  LEFT JOIN cpairs q ON q.la = cb.lang AND q.lb = ca.lang),
+d2m AS MATERIALIZED (SELECT i, j, d * d AS v FROM dm),
+rmm AS MATERIALIZED (SELECT i, avg(v) AS m FROM d2m GROUP BY i),
+gmm AS MATERIALIZED (SELECT avg(v) AS m FROM d2m),
+b0 AS MATERIALIZED (
+  SELECT d2m.i, d2m.j, -0.5 * (d2m.v - ri.m - rj.m + gmm.m) AS val
+  FROM d2m JOIN rmm ri ON ri.i = d2m.i JOIN rmm rj ON rj.i = d2m.j
+  CROSS JOIN gmm)"""]
+    for c, bm in ((1, "b0"), (2, "b1")):
+        parts.append(
+            f"v{c}_0 AS MATERIALIZED (SELECT i, CAST(i + 1 AS DOUBLE) AS val FROM cls)")
+        for t in range(1, iters + 1):
+            parts.append(
+                f"w{c}_{t} AS MATERIALIZED (SELECT b.i AS i, sum(b.val * v.val) AS val "
+                f"FROM {bm} b JOIN v{c}_{t - 1} v ON b.j = v.i GROUP BY b.i)")
+            parts.append(
+                f"v{c}_{t} AS MATERIALIZED (SELECT i, CASE WHEN max(abs(val)) OVER () = 0 "
+                f"THEN val ELSE val / max(abs(val)) OVER () END AS val FROM w{c}_{t})")
+        parts.append(
+            f"e{c} AS MATERIALIZED (SELECT i, CASE WHEN sqrt(sum(val * val) OVER ()) = 0 "
+            f"THEN 0.0 ELSE val / sqrt(sum(val * val) OVER ()) END AS val FROM v{c}_{iters})")
+        parts.append(
+            f"u{c} AS MATERIALIZED (SELECT i, val * (CASE WHEN "
+            f"first_value(val) OVER (ORDER BY abs(val) DESC, i ASC) < 0 "
+            f"THEN -1.0 ELSE 1.0 END) AS val FROM e{c})")
+        parts.append(
+            f"lam{c} AS MATERIALIZED (SELECT coalesce(sum(ui.val * b.val * uj.val), 0.0) AS l "
+            f"FROM {bm} b JOIN u{c} ui ON ui.i = b.i JOIN u{c} uj ON uj.i = b.j)")
+        if c == 1:
+            parts.append(
+                "b1 AS MATERIALIZED (SELECT b.i, b.j, b.val - l1.l * ui.val * uj.val AS val "
+                "FROM b0 b JOIN u1 ui ON ui.i = b.i JOIN u1 uj ON uj.i = b.j "
+                "CROSS JOIN lam1 l1)")
+    return ",\n".join(parts) + """
+SELECT c.lang,
+       round(u1.val * sqrt(greatest(l1.l, 0.0)), 6) AS x,
+       round(u2.val * sqrt(greatest(l2c.l, 0.0)), 6) AS y
+FROM cls c JOIN u1 ON u1.i = c.i JOIN u2 ON u2.i = c.i
+CROSS JOIN lam1 l1 CROSS JOIN lam2 l2c"""
+
+
+SQL_TOPIC_MAP_2D = _power_mds_sql()
 
 
 def q_document_map_2d(spark, sf_dir):
@@ -3504,7 +3577,7 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "generated_labels": (q_generated_labels, SQL_GENERATED_LABELS),
     "topic_sim_matrix": (q_topic_sim_matrix, SQL_TOPIC_SIM_MATRIX),
     "term_rank_curve": (q_term_rank_curve, SQL_TERM_RANK_CURVE),
-    "topic_map_2d": (q_topic_map_2d, None),  # iterative MDS — rows-only gate
+    "topic_map_2d": (q_topic_map_2d, SQL_TOPIC_MAP_2D),
     "document_map_2d": (q_document_map_2d, SQL_DOCUMENT_MAP_2D),
     "merge_models_sizes": (q_merge_models_sizes, _sql_merge_models()),
 }

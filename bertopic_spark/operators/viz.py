@@ -11,7 +11,9 @@ plotly layer itself is presentation code and out of scope — SURVEY §0).
   ``visualize_topics`` (reference ``_bertopic.py:2541-2594`` uses UMAP over
   topic embeddings; UMAP is non-deterministic and needs a native lib, so
   this engine substitutes CLASSICAL MDS — Torgerson double-centering +
-  eigendecomposition — over the same topic-similarity relation the heatmap
+  a fixed-iteration power-method eigensolve (`_power_mds`) whose every
+  step is SQL-replayable, so the gate query has a full DuckDB oracle —
+  over the same topic-similarity relation the heatmap
   uses). The pair-distance relation is computed distributed
   (``class_pair_distances``: one term join, never a dense class×term
   matrix); only the k×k distance list is collected, and k = number of
@@ -74,12 +76,57 @@ def _classical_mds(dist: np.ndarray, n_components: int = 2) -> np.ndarray:
     return coords
 
 
+def _power_mds(dist: np.ndarray, n_components: int = 2,
+               iters: int = 80) -> np.ndarray:
+    """Fixed-iteration power-method classical MDS — ARITHMETIC-PORTABLE:
+    every step (double-centering, matvec, max-abs rescale, final L2
+    normalize, first-argmax sign anchor, Rayleigh quotient, rank-1
+    deflation) is plain arithmetic over the (i, j, val) matrix relation,
+    so a SQL engine can replay the SAME fixed iteration count and the
+    6dp-rounded coordinates agree cross-engine (the DuckDB oracle for the
+    ``topic_map_2d`` gate does exactly that). ``eigh`` (`_classical_mds`)
+    is backend-specific LAPACK and not replayable. With a nonzero eigengap
+    the power variant converges to the same top eigenpairs (tested vs
+    eigh on a planar configuration).
+
+    The per-iteration rescale divides by max(|w|) — a comparison, not a
+    sum, so it is exact across engines and keeps values in double range
+    at any class count (unnormalized products overflow past ~λ^iters)."""
+    n = dist.shape[0]
+    d2 = dist.astype(float) ** 2
+    rm = d2.mean(axis=1)
+    gm = float(d2.mean())
+    b = -0.5 * (d2 - rm[None, :] - rm[:, None] + gm)
+    coords = np.zeros((n, n_components))
+    for c in range(n_components):
+        v = np.arange(1.0, n + 1.0)  # deterministic, generically non-orthogonal
+        for _ in range(iters):
+            w = b @ v
+            m = float(np.max(np.abs(w)))
+            v = w if m == 0.0 else w / m
+        nrm = float(np.sqrt(v @ v))
+        if nrm == 0.0:
+            continue  # zero vector: column stays 0, b undeflated (λ = 0)
+        e = v / nrm
+        anchor = int(np.argmax(np.abs(e)))
+        if e[anchor] < 0:
+            e = -e
+        lam = float(e @ (b @ e))
+        coords[:, c] = e * np.sqrt(max(lam, 0.0))
+        b = b - lam * np.outer(e, e)
+    return coords
+
+
 def topic_map_2d(scores: DataFrame, class_col: str,
-                 round_to: int = 6, max_classes: int = 2000) -> DataFrame:
+                 round_to: int = 6, max_classes: int = 2000,
+                 method: str = "power", iters: int = 80) -> DataFrame:
     """(class, x, y) — deterministic 2-D intertopic map from the c-TF-IDF
     cosine-distance relation. Pairs sharing no term get distance 1 (cos 0),
     the diagonal 0. Coordinates round to ``round_to`` dp.
 
+    ``method="power"`` (default) uses the fixed-iteration power solve so
+    the relation is fully DuckDB-oracle-checkable; ``method="eigh"`` keeps
+    the LAPACK eigendecomposition (identical up to convergence).
     ``max_classes`` caps the k×k driver matrix (same 2,000 bound as
     ``hierarchical_topics`` / ``reduce_topics_agglomerative``)."""
     from bertopic_spark.operators.topics import class_pair_distances
@@ -90,7 +137,8 @@ def topic_map_2d(scores: DataFrame, class_col: str,
             f"{n_classes} classes exceeds max_classes={max_classes}: the "
             "k×k distance matrix no longer fits a driver; reduce topics "
             "first or map per partition")
-    pairs = class_pair_distances(scores, class_col, round_to=12).collect()
+    # distances round at round_to so the SQL oracle sees bit-identical input
+    pairs = class_pair_distances(scores, class_col, round_to=round_to).collect()
     classes = sorted({r["_ca"] for r in pairs} | {r["_cb"] for r in pairs}
                      | {r[0] for r in
                         scores.select(class_col).distinct().collect()})
@@ -101,18 +149,23 @@ def topic_map_2d(scores: DataFrame, class_col: str,
     for r in pairs:
         i, j = idx[r["_ca"]], idx[r["_cb"]]
         d[i, j] = d[j, i] = r["dist"]
-    coords = _classical_mds(d, 2)
+    coords = (_power_mds(d, 2, iters) if method == "power"
+              else _classical_mds(d, 2))
     spark = scores.sparkSession
-    rows = [(c, round(float(coords[i, 0]), round_to),
-             round(float(coords[i, 1]), round_to))
+    rows = [(c, float(coords[i, 0]), float(coords[i, 1]))
             for c, i in idx.items()]
-    # class column keeps its ORIGINAL type; coords are double
+    # class column keeps its ORIGINAL type; coords are double. Rounding
+    # goes through F.round (HALF_UP exact-decimal, same as every other
+    # oracle-gated relation) — Python round() is HALF_EVEN and disagrees
+    # with the SQL oracle on exact half-ulp boundaries.
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     schema = StructType([scores.select(class_col).schema.fields[0],
                          StructField("x", DoubleType(), False),
                          StructField("y", DoubleType(), False)])
-    return spark.createDataFrame(rows, schema)
+    return spark.createDataFrame(rows, schema).select(
+        class_col, F.round("x", round_to).alias("x"),
+        F.round("y", round_to).alias("y"))
 
 
 def document_map_2d(emb: DataFrame, id_col: str = "vec_id",
@@ -128,8 +181,7 @@ def document_map_2d(emb: DataFrame, id_col: str = "vec_id",
     one narrow shuffle on the doc id, coefficients derived from
     ``md5(seed_axis_dim)`` exactly like ``random_hyperplane_buckets``
     (similarity.py), so a SQL engine reproduces the coordinates
-    bit-for-bit — this relation is oracle-gated, unlike the MDS topic map
-    (eigendecomposition is not SQL-expressible).
+    bit-for-bit — oracle-gated, like the power-method MDS topic map.
 
     Pair it with ``topic_map_2d`` for the intertopic view; per-doc hover
     metadata joins on ``id_col`` downstream.

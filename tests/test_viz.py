@@ -54,6 +54,31 @@ def test_classical_mds_deterministic_sign():
     assert np.array_equal(a, b)
 
 
+def test_power_mds_matches_eigh():
+    """The fixed-iteration power solve (the SQL-replayable default)
+    converges to the SAME top-2 eigenpairs as LAPACK eigh whenever the
+    eigengap is nonzero — planar config, well-separated spectrum."""
+    from bertopic_spark.operators.viz import _power_mds
+
+    pts = np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 2.0], [3.0, 1.0], [2.0, 2.0]])
+    d = np.sqrt(((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1))
+    assert np.allclose(_power_mds(d, 2), _classical_mds(d, 2), atol=1e-9)
+    # and it reproduces the planar distances exactly, like eigh
+    coords = _power_mds(d, 2)
+    d2 = np.sqrt(((coords[:, None, :] - coords[None, :, :]) ** 2).sum(-1))
+    assert np.allclose(d, d2, atol=1e-9)
+
+
+def test_power_mds_degenerate_zero_matrix():
+    """All-equal points: B = 0, power iterations stay zero, coordinates
+    all land at the origin instead of NaN (the SQL oracle's CASE guards
+    mirror this exactly)."""
+    from bertopic_spark.operators.viz import _power_mds
+
+    coords = _power_mds(np.zeros((4, 4)), 2)
+    assert np.array_equal(coords, np.zeros((4, 2)))
+
+
 def test_topic_map_2d_geometry_and_determinism(spark):
     """The 2-D map's pairwise distances must approximate the class
     cosine distances (exact when k classes fit in 2 MDS dims is not
