@@ -54,15 +54,38 @@ def _identifier_pool(rng: random.Random, n: int = 5000) -> List[str]:
     return pool
 
 
-def generate_rows(n_files: int, seed: int = 42) -> List[Tuple[str, str, str, str, str, str]]:
-    """Rows of (repo, path, commit, lang, content, content_sha)."""
+def generate_rows(n_files: int, seed: int = 42, locality: float = 0.0,
+                  pool_size: int = 5000) -> List[Tuple[str, str, str, str, str, str]]:
+    """Rows of (repo, path, commit, lang, content, content_sha).
+
+    ``locality`` (0..1) is the fraction of identifier draws taken from a
+    per-repo 150-identifier sub-pool instead of the global zipf pool —
+    modeling real code corpora, where a repo's own identifiers/imports
+    dominate its vocabulary. ``pool_size`` scales the global identifier
+    pool: the 5,000 default keeps every term dense at test corpus sizes;
+    Heaps-law-realistic corpora (vocabulary ~ N^0.7-0.9) need a pool that
+    grows with n_files, which is where rare-term effects (docid-order
+    compression, long-tail df) become visible. Defaults are bit-identical
+    to the original generator (same RNG stream), so every cached fixture
+    and fingerprint is unchanged; the docid-order layout experiment
+    (jobs/docid_order_ab.py) uses locality > 0 and a scaled pool."""
     from itertools import accumulate
 
     rng = random.Random(seed)
-    pool = _identifier_pool(rng)
+    pool = _identifier_pool(rng, pool_size)
     # zipf-ish ranks: identifier i sampled with weight ~ 1/(i+1).
     # cum_weights makes each draw O(log n) (identical output to weights=).
     cum_weights = list(accumulate(1.0 / (i + 1) for i in range(len(pool))))
+    repo_pools: Dict[str, List[str]] = {}
+
+    def _repo_pool(repo: str) -> List[str]:
+        got = repo_pools.get(repo)
+        if got is None:
+            # seeded per repo, independent of the main stream
+            got = random.Random(f"{seed}_vocab_{repo}").sample(pool, 150)
+            repo_pools[repo] = got
+        return got
+
     rows = []
     for i in range(n_files):
         repo = f"org{i % 7}/repo{i % 23}"
@@ -74,7 +97,16 @@ def generate_rows(n_files: int, seed: int = 42) -> List[Tuple[str, str, str, str
         n_lines = rng.randint(30, 300)
         lines = [f"// {' '.join(rng.choices(STOP_TERMS, k=8))}"]
         for _ in range(n_lines):
-            idents = rng.choices(pool, cum_weights=cum_weights, k=rng.randint(2, 6))
+            if locality > 0.0:
+                rp = _repo_pool(repo)
+                idents = [
+                    rp[int(rng.random() * len(rp))]
+                    if rng.random() < locality
+                    else rng.choices(pool, cum_weights=cum_weights, k=1)[0]
+                    for _ in range(rng.randint(2, 6))
+                ]
+            else:
+                idents = rng.choices(pool, cum_weights=cum_weights, k=rng.randint(2, 6))
             stops = rng.choices(STOP_TERMS, k=rng.randint(1, 4))
             lines.append(" ".join(stops[:1] + idents + stops[1:]))
         content = "\n".join(lines)
@@ -84,13 +116,16 @@ def generate_rows(n_files: int, seed: int = 42) -> List[Tuple[str, str, str, str
 
 
 def write_corpus_parquet(spark, n_files: int, seed: int = 42,
-                         cache_dir: str = "/root/repo/.cache") -> str:
+                         cache_dir: str = "/root/repo/.cache",
+                         locality: float = 0.0, pool_size: int = 5000) -> str:
     """Materialize the corpus once; return the parquet path."""
-    path = os.path.join(cache_dir, f"source_files_n{n_files}_s{seed}.parquet")
+    loc = f"_l{locality}" if locality else ""
+    loc += f"_p{pool_size}" if pool_size != 5000 else ""
+    path = os.path.join(cache_dir, f"source_files_n{n_files}_s{seed}{loc}.parquet")
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
     os.makedirs(cache_dir, exist_ok=True)
-    rows = generate_rows(n_files, seed)
+    rows = generate_rows(n_files, seed, locality, pool_size)
     df = spark.createDataFrame(
         rows, "repo string, path string, commit string, lang string, content string, content_sha string"
     )
@@ -99,7 +134,9 @@ def write_corpus_parquet(spark, n_files: int, seed: int = 42,
     return path
 
 
-def load_corpus(spark, n_files: int, seed: int = 42, cache_dir: str = "/root/repo/.cache"):
+def load_corpus(spark, n_files: int, seed: int = 42,
+                cache_dir: str = "/root/repo/.cache", locality: float = 0.0,
+                pool_size: int = 5000):
     """Corpus DataFrame with a deterministic dense doc_id (SURVEY §4.2 #4).
 
     Uses the scalable zipWithIndex-style assignment (range repartition +
@@ -108,7 +145,8 @@ def load_corpus(spark, n_files: int, seed: int = 42, cache_dir: str = "/root/rep
     """
     from bertopic_spark.index.segments import assign_doc_ids
 
-    df = spark.read.parquet(write_corpus_parquet(spark, n_files, seed, cache_dir))
+    df = spark.read.parquet(
+        write_corpus_parquet(spark, n_files, seed, cache_dir, locality, pool_size))
     return assign_doc_ids(df, ["repo", "path", "commit"])
 
 
