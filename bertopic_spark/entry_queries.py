@@ -3478,6 +3478,81 @@ SELECT window_hash, count(DISTINCT doc_id) AS n_docs,
 FROM w GROUP BY window_hash HAVING count(DISTINCT doc_id) >= 2"""
 
 
+GRAPH_V, GRAPH_MINW, GRAPH_ITERS, GRAPH_K = 50, 2, 5, 25
+
+
+def q_cooccurrence_edges(spark, sf_dir):
+    """Term co-occurrence graph (operators/graph.py): top-V-vocab-pruned
+    doc-level self-join — fan-out capped at C(V,2) regardless of corpus
+    size; the scale knob for TextRank/link analysis."""
+    from bertopic_spark.operators.graph import cooccurrence_edges
+
+    return cooccurrence_edges(_docs(spark, sf_dir), "text", "doc_id",
+                              v=GRAPH_V, min_w=GRAPH_MINW, mode=MODE)
+
+
+def _sql_graph_base() -> str:
+    """Shared CTE prefix: tokens → distinct doc-terms → top-V vocab →
+    co-occurrence edges (src < dst, weight = co-document count)."""
+    return f"""tk AS (SELECT doc_id, {duckdb_tokens_sql('text', MODE)} AS ts FROM documents),
+dt AS (SELECT doc_id, unnest(list_distinct(ts)) AS term FROM tk),
+dfs AS (SELECT term, count(*) AS df FROM dt GROUP BY term),
+vocab AS (SELECT term FROM dfs ORDER BY df DESC, term ASC LIMIT {GRAPH_V}),
+dtv AS (SELECT dt.doc_id, dt.term FROM dt JOIN vocab USING (term)),
+ed AS (SELECT a.term AS src, b.term AS dst, CAST(count(*) AS BIGINT) AS w
+       FROM dtv a JOIN dtv b USING (doc_id)
+       WHERE a.term < b.term GROUP BY 1, 2
+       HAVING count(*) >= {GRAPH_MINW})"""
+
+
+def _sql_cooccurrence_edges() -> str:
+    return f"WITH\n{_sql_graph_base()}\nSELECT src, dst, w FROM ed"
+
+
+def q_textrank_keywords(spark, sf_dir):
+    """TextRank keywords (operators/graph.py): weighted PageRank over the
+    co-occurrence graph, fixed {GRAPH_ITERS} power iterations (cross-engine
+    reproducible), top-k ranked on the 6-dp-rounded score so rank order is
+    identical in both engines at the hash tolerance."""
+    from bertopic_spark.operators.graph import cooccurrence_edges, pagerank
+
+    e = cooccurrence_edges(_docs(spark, sf_dir), "text", "doc_id",
+                           v=GRAPH_V, min_w=GRAPH_MINW, mode=MODE)
+    pr = pagerank(e, damping=0.85, iters=GRAPH_ITERS, undirected=True)
+    s = pr.select(F.col("node").alias("term"),
+                  _r6(F.col("score")).alias("score"))
+    w = Window.orderBy(F.desc("score"), F.asc("term"))
+    return (s.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= GRAPH_K))
+
+
+def _sql_textrank_keywords() -> str:
+    steps = []
+    prev = "r0"
+    for i in range(1, GRAPH_ITERS + 1):
+        steps.append(f"""r{i} AS (
+  SELECT t.dst AS node,
+         0.15 / (SELECT n FROM nv) + 0.85 * sum(t.p * r.score) AS score
+  FROM tr t JOIN {prev} r ON r.node = t.src GROUP BY t.dst)""")
+        prev = f"r{i}"
+    chain = ",\n".join(steps)
+    return f"""WITH
+{_sql_graph_base()},
+sym AS (SELECT src, dst, CAST(w AS DOUBLE) AS w FROM ed
+        UNION ALL SELECT dst, src, CAST(w AS DOUBLE) FROM ed),
+deg AS (SELECT src, sum(w) AS wdeg FROM sym GROUP BY src),
+nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+tr AS (SELECT s.src, s.dst, s.w / d.wdeg AS p FROM sym s JOIN deg d USING (src)),
+r0 AS (SELECT src AS node, 1.0 / (SELECT n FROM nv) AS score FROM deg),
+{chain},
+rounded AS (SELECT node AS term, round(score, 6) AS score FROM {prev}),
+ranked AS (SELECT term, score,
+                  row_number() OVER (ORDER BY score DESC, term ASC) AS rank
+           FROM rounded)
+SELECT term, score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {GRAPH_K}"""
+
+
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "approx_distribution": (q_approx_distribution, SQL_APPROX_DISTRIBUTION),
     "approx_distribution_tokens": (q_approx_distribution_tokens,
@@ -3580,4 +3655,6 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "topic_map_2d": (q_topic_map_2d, SQL_TOPIC_MAP_2D),
     "document_map_2d": (q_document_map_2d, SQL_DOCUMENT_MAP_2D),
     "merge_models_sizes": (q_merge_models_sizes, _sql_merge_models()),
+    "cooccurrence_edges": (q_cooccurrence_edges, _sql_cooccurrence_edges()),
+    "textrank_keywords": (q_textrank_keywords, _sql_textrank_keywords()),
 }

@@ -1,0 +1,101 @@
+"""Link-analysis operators (operators/graph.py): weighted PageRank against
+a local numpy reference (directed graph with a dangling node — the
+stochastic fix-up case), probability-mass invariants, vocabulary-pruned
+co-occurrence edges, TextRank keyword extraction."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bertopic_spark.operators.graph import (cooccurrence_edges, pagerank,
+                                            textrank_keywords, top_vocab)
+
+DAMP, ITERS = 0.85, 20
+EDGES = [(1, 2, 1.0), (1, 3, 2.0), (2, 3, 1.0), (3, 1, 1.0), (3, 4, 1.0)]
+NODES = [1, 2, 3, 4]  # node 4 is dangling (no out-edges)
+
+
+def _numpy_pagerank():
+    wdeg = {u: sum(w for (a, _, w) in EDGES if a == u) for u in NODES}
+    r = {u: 1.0 / len(NODES) for u in NODES}
+    for _ in range(ITERS):
+        dang = sum(r[u] for u in NODES if wdeg.get(u, 0) == 0)
+        nxt = {}
+        for v in NODES:
+            mass = sum(r[a] * w / wdeg[a] for (a, b, w) in EDGES if b == v)
+            nxt[v] = (1 - DAMP) / len(NODES) + DAMP * (dang / len(NODES) + mass)
+        r = nxt
+    return r
+
+
+def test_pagerank_matches_numpy_directed_dangling(spark):
+    e = spark.createDataFrame(EDGES, "src long, dst long, w double")
+    got = {r["node"]: r["score"]
+           for r in pagerank(e, DAMP, ITERS, undirected=False).collect()}
+    want = _numpy_pagerank()
+    assert set(got) == set(want)
+    for u in NODES:
+        assert got[u] == pytest.approx(want[u], abs=1e-12)
+    # stochastic fix-up: total probability mass is preserved exactly
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_undirected_mass_and_symmetry(spark):
+    # path graph a-b-c with equal weights: a and c are symmetric
+    e = spark.createDataFrame([("a", "b", 1.0), ("b", "c", 1.0)],
+                              "src string, dst string, w double")
+    got = {r["node"]: r["score"] for r in pagerank(e, iters=30).collect()}
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    assert got["a"] == pytest.approx(got["c"], abs=1e-12)
+    assert got["b"] > got["a"]
+
+
+def test_pagerank_checkpoint_storage_bounded(spark):
+    e = spark.createDataFrame(EDGES, "src long, dst long, w double")
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    pagerank(e, iters=12, checkpoint_every=3, undirected=False).collect()
+    # the trans relation and all but the live rank generation are released
+    after = len(spark.sparkContext._jsc.getPersistentRDDs())
+    assert after - before <= 1
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, f"alpha beta {'gamma' if i % 2 else 'delta'} tok{i % 7}")
+            for i in range(40)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_top_vocab_rank_deterministic(docs):
+    v = top_vocab(docs, "text", "doc_id", v=4).collect()
+    got = [(r["term"], r["df"], r["vrank"]) for r in
+           sorted(v, key=lambda r: r["vrank"])]
+    # alpha/beta df=40 (tie → term asc), then gamma 20 before delta 20
+    assert got == [("alpha", 40, 1), ("beta", 40, 2),
+                   ("delta", 20, 3), ("gamma", 20, 4)]
+
+
+def test_cooccurrence_edges_pruned_and_counted(docs):
+    e = {(r["src"], r["dst"]): r["w"] for r in
+         cooccurrence_edges(docs, "text", "doc_id", v=4).collect()}
+    # only top-4 vocab participates: no tok* vertices
+    assert all(not s.startswith("tok") and not d.startswith("tok")
+               for s, d in e)
+    assert e[("alpha", "beta")] == 40
+    assert e[("alpha", "delta")] == 20 and e[("beta", "gamma")] == 20
+    assert ("delta", "gamma") not in e  # never co-occur
+    assert all(s < d for s, d in e)
+
+
+def test_textrank_keywords_shape(docs):
+    out = textrank_keywords(docs, "text", "doc_id", k=4, v=4, iters=5)
+    rows = out.orderBy("rank").collect()
+    assert [r["rank"] for r in rows] == [1, 2, 3, 4]
+    assert rows[0]["term"] in ("alpha", "beta")  # hub terms rank first
+    # deterministic across invocations
+    again = textrank_keywords(docs, "text", "doc_id", k=4, v=4, iters=5)
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again.orderBy("rank").collect()]
+
+
+def test_pagerank_empty_graph(spark):
+    e = spark.createDataFrame([], "src long, dst long, w double")
+    assert pagerank(e, iters=2).count() == 0
