@@ -175,6 +175,148 @@ def decode_block(payload: bytes, range_start: int) -> Tuple[List[int], List[int]
     return list(ids), list(tfs), list(scores)
 
 
+# ---------------------------------------------------------------------------
+# PFor-delta codec (Zukowski et al., ICDE 2006; NewPFD patch scheme of
+# Yan/Ding/Suel, WWW 2009): bit-pack every value's low b bits at a fixed
+# width chosen per block, patch the overflow ("exceptions") out of band as
+# varints. Same block grid / metadata / float64 score stream as the varint
+# codec — only the integer streams change — so WAND metadata and rank
+# identity are codec-independent. The north rule names this family
+# explicitly ("delta+varint (PForDelta-style) compressed posting blocks");
+# jobs/pfor_ab.py measures both codecs head-to-head.
+# ---------------------------------------------------------------------------
+
+def _pack_bits(vals: np.ndarray, b: int) -> bytes:
+    """Bit-pack uint64 values at fixed width ``b`` (little-endian bit order)."""
+    if b == 0 or vals.size == 0:
+        return b""
+    bits = ((vals[:, None] >> np.arange(b, dtype=np.uint64)) & np.uint64(1))
+    return np.packbits(bits.astype(np.uint8).ravel(), bitorder="little").tobytes()
+
+
+def _unpack_bits(buf: np.ndarray, pos: int, n: int, b: int) -> Tuple[np.ndarray, int]:
+    """Inverse of _pack_bits: n b-bit values from buf[pos:]."""
+    if b == 0 or n == 0:
+        return np.zeros(n, dtype=np.uint64), pos
+    nbytes = (n * b + 7) // 8
+    bits = np.unpackbits(buf[pos:pos + nbytes], count=n * b,
+                         bitorder="little").reshape(n, b).astype(np.uint64)
+    vals = (bits << np.arange(b, dtype=np.uint64)).sum(axis=1, dtype=np.uint64)
+    return vals, pos + nbytes
+
+
+def _pfor_width(v: np.ndarray) -> int:
+    """Cost-minimizing patch width (deterministic; ties → smaller b).
+
+    cost(b) = ceil(n·b/8) packed bytes + Σ_{nbits>b} ceil((nbits-b)/7)
+    varint high-bit bytes + 1 position-delta byte per exception, minimized
+    over b = 0..max_bitlen via the bit-length histogram — O(n) to build
+    the histogram, O(65²) scalar work after, independent of block size
+    (the chooser is encoder-side only: the stream records b, so any
+    deterministic choice decodes identically)."""
+    if v.size == 0:
+        return 0
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    while (tmp > 0).any():
+        nz = tmp > 0
+        nbits[nz] += 1
+        tmp >>= np.uint64(1)
+    hist = np.bincount(nbits, minlength=65).astype(np.int64)
+    hi = int(nbits.max())
+    n = int(v.size)
+    best_b, best_cost = 0, None
+    for b in range(hi + 1):
+        cost = (n * b + 7) // 8
+        for j in range(b + 1, hi + 1):
+            if hist[j]:
+                cost += int(hist[j]) * (((j - b) + 6) // 7 + 1)
+        if best_cost is None or cost < best_cost:
+            best_b, best_cost = b, cost
+    return best_b
+
+
+def _pfor_encode_np(vals: np.ndarray) -> bytes:
+    """One PFor-patched integer stream: varint n_exc; byte b; packed low
+    bits; varint exception position deltas; varint exception high bits."""
+    v = vals.astype(np.uint64, copy=False)
+    b = _pfor_width(v)
+    if b >= 64:
+        exc, low = np.zeros(v.shape, bool), v
+    elif b == 0:
+        exc, low = v > 0, np.zeros(v.shape, np.uint64)
+    else:
+        exc = (v >> np.uint64(b)) > 0
+        low = v & np.uint64((1 << b) - 1)
+    head = bytearray()
+    _varint_encode([int(exc.sum())], head)
+    head.append(b)
+    out = bytes(head) + _pack_bits(low, b)
+    if exc.any():
+        pos = np.flatnonzero(exc)
+        posd = np.empty(pos.shape, dtype=np.uint64)
+        posd[0] = pos[0]
+        posd[1:] = np.diff(pos)
+        out += _varint_encode_np(posd) + _varint_encode_np(v[exc] >> np.uint64(b))
+    return out
+
+
+def _pfor_decode_np(buf: np.ndarray, pos: int, n: int) -> Tuple[np.ndarray, int]:
+    (n_exc_arr, pos) = _varint_decode_np(buf, pos, 1)
+    n_exc = int(n_exc_arr[0])
+    b = int(buf[pos]); pos += 1
+    vals, pos = _unpack_bits(buf, pos, n, b)
+    if n_exc:
+        posd, pos = _varint_decode_np(buf, pos, n_exc)
+        highs, pos = _varint_decode_np(buf, pos, n_exc)
+        idx = np.cumsum(posd.astype(np.int64))
+        idx[0] = int(posd[0])  # first delta is absolute
+        vals[idx] |= highs << np.uint64(b)
+    return vals, pos
+
+
+def encode_block_pfor(doc_ids, tfs, scores, range_start: int) -> bytes:
+    """PFor-delta flavor of ``encode_block``: varint n; PFor(doc-id gaps);
+    PFor(tfs); float64 scores. Same semantics, alternative codec."""
+    ids = np.asarray(doc_ids, dtype=np.int64)
+    if ids.size == 0:
+        return b""
+    deltas = np.empty(ids.shape, dtype=np.uint64)
+    deltas[0] = ids[0] - range_start
+    deltas[1:] = np.diff(ids).astype(np.uint64)
+    head = bytearray()
+    _varint_encode([int(ids.size)], head)
+    return (
+        bytes(head)
+        + _pfor_encode_np(deltas)
+        + _pfor_encode_np(np.asarray(tfs, dtype=np.uint64))
+        + np.asarray(scores, dtype="<f8").tobytes()
+    )
+
+
+def decode_block_pfor_arrays(payload: bytes, range_start: int):
+    """Inverse of encode_block_pfor (numpy arrays, same contract as
+    ``decode_block_arrays``)."""
+    if not payload:
+        return (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.float64))
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    (n_arr, pos) = _varint_decode_np(buf, 0, 1)
+    n = int(n_arr[0])
+    deltas, pos = _pfor_decode_np(buf, pos, n)
+    tfs, pos = _pfor_decode_np(buf, pos, n)
+    scores = np.frombuffer(payload, dtype="<f8", count=n, offset=pos)
+    doc_ids = np.cumsum(deltas.astype(np.int64)) + range_start
+    return doc_ids, tfs.astype(np.int64), scores
+
+
+CODECS = {
+    "varint": (lambda i, t, s, rs: encode_block(i, t, s, rs),
+               lambda p, rs: decode_block_arrays(p, rs)),
+    "pfor": (lambda i, t, s, rs: encode_block_pfor(i, t, s, rs),
+             lambda p, rs: decode_block_pfor_arrays(p, rs)),
+}
+
+
 def decode_block_arrays(payload: bytes, range_start: int):
     """Decode to numpy arrays (int64 ids, int64 tfs, float64 scores) —
     the zero-copy-ish path the query kernels consume."""

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import BinaryType
 
-from bertopic_spark.index.blocks import DEFAULT_SPAN, encode_block
+from bertopic_spark.index.blocks import DEFAULT_SPAN
 
 
 def assign_doc_ids(df: DataFrame, order_cols: Sequence[str],
@@ -83,14 +83,22 @@ def verify_content_sha(df: DataFrame, content_col: str = "content",
     return df.filter(F.sha2(F.col(content_col), 256) != F.col(sha_col)).count()
 
 
-def build_block_index(scores: DataFrame, span: int = DEFAULT_SPAN) -> DataFrame:
+def build_block_index(scores: DataFrame, span: int = DEFAULT_SPAN,
+                      codec: str = "varint") -> DataFrame:
     """(term, blk, n_docs, doc_min, doc_max, max_score, sum_tf, payload).
 
     ``scores`` is the doc-level scored postings (doc_id, term, tf, score)
     from operators/bm25.doc_scores. One shuffle on (term, blk) via
     applyInPandas: columns arrive as numpy arrays, sort + varint-pack are
     fully vectorized (no per-posting Python).
+
+    ``codec``: "varint" (default) or "pfor" (blocks.CODECS) — identical
+    block grid, metadata and score stream; only the integer-stream bytes
+    differ (content-equality tested, sizes A/B'd in jobs/pfor_ab.py).
     """
+    from bertopic_spark.index.blocks import CODECS
+
+    encode_fn = CODECS[codec][0]
     # JVM two-phase agg builds the sorted per-block posting arrays (cheap,
     # partial-agg friendly); field extraction hands the pandas UDF plain
     # numpy arrays per row — the varint pack is then fully vectorized.
@@ -99,7 +107,7 @@ def build_block_index(scores: DataFrame, span: int = DEFAULT_SPAN) -> DataFrame:
     @F.pandas_udf(BinaryType())
     def enc(blk: pd.Series, ids: pd.Series, tfs: pd.Series, scs: pd.Series) -> pd.Series:
         out = [
-            encode_block(i, t, s, int(b) * span)
+            encode_fn(i, t, s, int(b) * span)
             for b, i, t, s in zip(blk, ids, tfs, scs)
         ]
         return pd.Series(out)
@@ -269,7 +277,8 @@ def _topk_over_scan(scan: DataFrame, query_terms: dict[int, list[str]],
     )
 
 
-def decode_blocks(blocks: DataFrame, span: int = DEFAULT_SPAN) -> DataFrame:
+def decode_blocks(blocks: DataFrame, span: int = DEFAULT_SPAN,
+                  codec: str = "varint") -> DataFrame:
     """Inverse of build_block_index → (term, doc_id, tf, score) long form.
 
     mapInPandas (Arrow batches): one narrow pass, no shuffle.
@@ -286,13 +295,15 @@ def decode_blocks(blocks: DataFrame, span: int = DEFAULT_SPAN) -> DataFrame:
 
     import numpy as np
 
-    from bertopic_spark.index.blocks import decode_block_arrays
+    from bertopic_spark.index.blocks import CODECS
+
+    decode_fn = CODECS[codec][1]
 
     def gen(batches):
         for pdf in batches:
             terms, dids, tfs, scs = [], [], [], []
             for term, blk, payload in zip(pdf["term"], pdf["blk"], pdf["payload"]):
-                ids, t, s = decode_block_arrays(bytes(payload), int(blk) * span)
+                ids, t, s = decode_fn(bytes(payload), int(blk) * span)
                 terms.append(np.full(len(ids), term, dtype=object))
                 dids.append(ids)
                 tfs.append(t)

@@ -30,7 +30,7 @@ from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
 from bertopic_spark.index.blocks import DEFAULT_SPAN
 
 
-def _decode_score(cand: DataFrame, span: int) -> DataFrame:
+def _decode_score(cand: DataFrame, span: int, codec: str = "varint") -> DataFrame:
     """(query_id, term, blk, payload) → exact (query_id, doc_id, score) sums."""
     out_schema = StructType([
         StructField("query_id", LongType()),
@@ -41,12 +41,13 @@ def _decode_score(cand: DataFrame, span: int) -> DataFrame:
     def gen(batches):
         import numpy as np
 
-        from bertopic_spark.index.blocks import decode_block_arrays
+        from bertopic_spark.index.blocks import CODECS
 
+        decode_fn = CODECS[codec][1]
         for pdf in batches:
             qids, dids, scs = [], [], []
             for qid, blk, payload in zip(pdf["query_id"], pdf["blk"], pdf["payload"]):
-                ids, _, s = decode_block_arrays(bytes(payload), int(blk) * span)
+                ids, _, s = decode_fn(bytes(payload), int(blk) * span)
                 qids.append(np.full(len(ids), int(qid), dtype=np.int64))
                 dids.append(ids)
                 scs.append(s)
@@ -71,6 +72,7 @@ def blockmax_topk(
     seed_buckets: int = 4,
     persist_cand: bool = True,
     _persisted_out: list | None = None,
+    codec: str = "varint",
 ) -> DataFrame:
     """(query_id, doc_id, score, rank) — rank-identical to the exhaustive
     scorer; prunes buckets whose block-max upper bound can't reach top-k.
@@ -96,7 +98,7 @@ def blockmax_topk(
     w_ub = Window.partitionBy("query_id").orderBy(F.desc("ub"), F.asc("blk"))
     seed = ub.withColumn("r", F.row_number().over(w_ub)).filter(F.col("r") <= seed_buckets)
     seed_scores = _decode_score(
-        cand.join(seed.select("query_id", "blk"), ["query_id", "blk"]), span
+        cand.join(seed.select("query_id", "blk"), ["query_id", "blk"]), span, codec
     )
     w_seed = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     theta = (
@@ -108,7 +110,7 @@ def blockmax_topk(
         F.col("theta").isNull() | (F.col("ub") >= F.col("theta"))
     )
     final = _decode_score(
-        cand.join(survivors.select("query_id", "blk"), ["query_id", "blk"]), span
+        cand.join(survivors.select("query_id", "blk"), ["query_id", "blk"]), span, codec
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
