@@ -205,6 +205,109 @@ SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, round(score, 6) AS score,
 FROM ranked WHERE rn <= 10"""
 
 
+LM_MU = 2000.0
+
+
+def q_lm_topk(spark, sf_dir):
+    """Query-likelihood retrieval, Dirichlet smoothing µ=2000 (operators/
+    bm25.lm_topk): the canonical second ranking model over the same
+    postings — matched-term ln-sum + doc-length prior, candidates pruned
+    to docs matching ≥1 query term."""
+    from bertopic_spark.operators.bm25 import lm_topk
+
+    qt = query_terms(queries_df(spark, DRIVER_QUERIES), MODE)
+    t = lm_topk(_docs(spark, sf_dir), qt, k=10, mu=LM_MU,
+                text_col="text", mode=MODE)
+    return t.select(
+        "query_id", "doc_id", _r6(F.col("score")).alias("score"),
+        F.col("rank").cast("long").alias("rn"),
+    )
+
+
+SQL_LM_TOPK = f"""WITH {_TOKS}, {_XDOC},
+cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM xdoc GROUP BY term),
+tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM xdoc),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM xdoc GROUP BY doc_id),
+q(query_id, term) AS (VALUES {_query_term_values()}),
+qv AS (SELECT q.query_id, q.term FROM q JOIN cf USING (term)),
+nq AS (SELECT query_id, count(*) AS n_q FROM qv GROUP BY query_id),
+hits AS (
+  SELECT qv.query_id, x.doc_id,
+         sum(ln(1.0 + x.tf * tot.total / ({LM_MU} * cf.cf))) AS ql
+  FROM qv JOIN xdoc x USING (term) JOIN cf USING (term) CROSS JOIN tot
+  GROUP BY qv.query_id, x.doc_id),
+scored AS (
+  SELECT h.query_id, h.doc_id,
+         h.ql + nq.n_q * ln({LM_MU} / (dl.dl + {LM_MU})) AS score
+  FROM hits h JOIN dl USING (doc_id) JOIN nq USING (query_id)),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rn
+  FROM scored)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, round(score, 6) AS score,
+       CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 10"""
+
+
+def q_ltr_features(spark, sf_dir):
+    """Learning-to-rank feature extraction (operators/bm25.ltr_features):
+    per-(query, candidate) bm25 + Dirichlet-LM + coverage + length +
+    static-quality features in one pruned pass — the training-data side
+    of a ranking pipeline."""
+    from bertopic_spark.operators.bm25 import ltr_features
+    from bertopic_spark.operators.textstats import quality_score
+
+    d = _docs(spark, sf_dir)
+    qt = query_terms(queries_df(spark, DRIVER_QUERIES), MODE)
+    qual = quality_score(d, "text", "doc_id", MODE)
+    out = ltr_features(d, qt, text_col="text", mode=MODE, mu=LM_MU,
+                       quality=qual)
+    return out.select(
+        "query_id", "doc_id", _r6(F.col("bm25")).alias("bm25"),
+        _r6(F.col("ql")).alias("ql"), "n_matched", "n_q",
+        _r6(F.col("match_ratio")).alias("match_ratio"), "dl", "sum_tf",
+        "quality",
+    )
+
+
+SQL_LTR_FEATURES = f"""WITH {_TOKS}, {_XDOC},
+{_stats_sql('xdoc', 'doc_id', True)},
+cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM xdoc GROUP BY term),
+tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM xdoc),
+q(query_id, term) AS (VALUES {_query_term_values()}),
+qv AS (SELECT q.query_id, q.term FROM q JOIN cf USING (term)),
+nq AS (SELECT query_id, count(*) AS n_q FROM qv GROUP BY query_id),
+qtk AS (SELECT doc_id, text, {duckdb_tokens_sql('text', MODE)} AS ts FROM documents),
+qs AS (SELECT doc_id,
+         CAST(len(ts) AS BIGINT) AS n_tokens,
+         CASE WHEN len(ts) > 0 THEN len(list_distinct(ts)) * 1.0 / len(ts) ELSE 0.0 END AS ttr,
+         round(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) * 1.0 /
+               greatest(length(text), 1), 6) AS alpha_ratio
+       FROM qtk),
+qual AS (SELECT doc_id,
+  round((CASE WHEN n_tokens < 5 THEN 0.2 WHEN n_tokens > 5000 THEN 0.5 ELSE 1.0 END)
+        * (0.5 + 0.5 * ttr) * alpha_ratio, 6) AS quality
+  FROM qs),
+feat AS (
+  SELECT qv.query_id, x.doc_id,
+         sum(x.tf * 1.0 / clen.class_len * idf.idf) AS bm25,
+         sum(ln(1.0 + x.tf * tot.total / ({LM_MU} * cf.cf))) AS ql_sum,
+         CAST(count(*) AS BIGINT) AS n_matched,
+         CAST(sum(x.tf) AS BIGINT) AS sum_tf,
+         CAST(max(clen.class_len) AS BIGINT) AS dl
+  FROM qv JOIN xdoc x USING (term) JOIN cf USING (term)
+       JOIN idf USING (term) JOIN clen USING (doc_id) CROSS JOIN tot
+  GROUP BY qv.query_id, x.doc_id)
+SELECT CAST(f.query_id AS BIGINT) AS query_id, f.doc_id,
+       round(f.bm25, 6) AS bm25,
+       round(f.ql_sum + nq.n_q * ln({LM_MU} / (f.dl + {LM_MU})), 6) AS ql,
+       f.n_matched, CAST(nq.n_q AS BIGINT) AS n_q,
+       round(f.n_matched * 1.0 / nq.n_q, 6) AS match_ratio,
+       f.dl, f.sum_tf, qual.quality
+FROM feat f JOIN nq USING (query_id) JOIN qual USING (doc_id)"""
+
+
 def q_incremental_bm25_topk(spark, sf_dir):
     """Incremental index maintenance (index/incremental.py): append the
     even-id half, append the odd-id half, tombstone-delete every 17th doc,
@@ -3657,4 +3760,6 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "merge_models_sizes": (q_merge_models_sizes, _sql_merge_models()),
     "cooccurrence_edges": (q_cooccurrence_edges, _sql_cooccurrence_edges()),
     "textrank_keywords": (q_textrank_keywords, _sql_textrank_keywords()),
+    "lm_topk": (q_lm_topk, SQL_LM_TOPK),
+    "ltr_features": (q_ltr_features, SQL_LTR_FEATURES),
 }

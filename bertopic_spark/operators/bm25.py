@@ -151,6 +151,146 @@ def bm25_topk(
     )
 
 
+def lm_topk(
+    corpus: DataFrame,
+    qterms: DataFrame,
+    k: int = 10,
+    mu: float = 2000.0,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    mode: str = "ascii_code",
+    persist_counts: bool = True,
+    _persisted_out: list | None = None,
+) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet-prior smoothing (Zhai &
+    Lafferty, SIGIR 2001) — the canonical second ranking model next to
+    BM25, decomposed into its index-friendly form:
+
+        score(q,d) = Σ_{t∈q∩d} ln(1 + tf·|C| / (µ·cf_t))
+                     + |q∩V|·ln(µ / (dl + µ))
+
+    so only postings of matched terms are touched plus one doc-length
+    term. OOV query terms (cf=0) are dropped, and candidates are docs
+    matching ≥1 query term — both standard retrieval practice (a
+    zero-match doc's score is query-independent noise).
+
+    Physical shape mirrors ``bm25_topk_adhoc``: one tokenize pass over
+    the corpus (persisted — it feeds collection stats AND the scored
+    join), postings semi-joined to the query's terms before any scoring,
+    collection stats (cf, |C|) one partial-agg pass (irreducible:
+    corpus-wide, same as BM25's idf), doc length carried on the counts
+    relation (no second per-doc join), one groupBy (query, doc) shuffle,
+    WindowGroupLimit top-k.
+    """
+    if mu <= 0:
+        raise ValueError("mu must be > 0")
+    x = doc_term_counts(corpus, text_col, [id_col], mode, with_len=True)
+    if persist_counts:
+        x = x.persist()
+        if _persisted_out is not None:
+            _persisted_out.append(x)
+    cf = x.groupBy("term").agg(F.sum("tf").alias("cf"))
+    tot = x.agg(F.sum("tf").alias("total"))
+    terms_only = qterms.select("term").distinct()
+    cfq = cf.join(F.broadcast(terms_only), "term").crossJoin(F.broadcast(tot))
+    n_q = (qterms.join(F.broadcast(cfq.select("term")), "term")
+           .groupBy("query_id").agg(F.count(F.lit(1)).alias("n_q")))
+    matched = (
+        x.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(cfq), "term")
+        .groupBy("query_id", id_col)
+        .agg(
+            F.sum(F.log(F.lit(1.0) + F.col("tf") * F.col("total") /
+                        (F.lit(mu) * F.col("cf")))).alias("ql"),
+            F.max("doc_len").alias("dl"),
+        )
+    )
+    scored = matched.join(F.broadcast(n_q), "query_id").select(
+        "query_id", id_col,
+        (F.col("ql") + F.col("n_q") *
+         F.log(F.lit(mu) / (F.col("dl") + F.lit(mu)))).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "rank")
+    )
+
+
+def ltr_features(
+    corpus: DataFrame,
+    qterms: DataFrame,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    mode: str = "ascii_code",
+    mu: float = 2000.0,
+    quality: DataFrame | None = None,
+    persist_counts: bool = True,
+    _persisted_out: list | None = None,
+) -> DataFrame:
+    """Learning-to-rank feature extraction: one relation of per-
+    (query_id, doc_id) candidate features, the training-data side of a
+    ranking pipeline (candidates = docs matching ≥1 in-vocabulary query
+    term, exactly the retrieval candidate set):
+
+    bm25 (Σ matched c-TF-IDF/BM25 term scores — identical formula to
+    ``bm25_topk_adhoc``), ql (full Dirichlet query-likelihood score,
+    same decomposition as ``lm_topk``), n_matched / n_q / match_ratio
+    (query coverage), dl (doc length), sum_tf (matched term mass), and
+    optionally a per-doc static ``quality`` prior joined in (any
+    (doc_id, quality) relation, e.g. ``textstats.quality_score`` or a
+    ``graph.pagerank`` authority score).
+
+    Physical shape: ONE tokenize pass (persisted counts feed collection
+    stats and the matched join), postings semi-joined to query terms
+    before feature math, all per-term/per-query statistics broadcast,
+    one groupBy (query, doc) shuffle; the optional quality join is the
+    only non-broadcast join (keyed on doc id, candidates-side pruned).
+    """
+    from bertopic_spark.operators.ctfidf import term_stats
+
+    x = doc_term_counts(corpus, text_col, [id_col], mode, with_len=True)
+    if persist_counts:
+        x = x.persist()
+        if _persisted_out is not None:
+            _persisted_out.append(x)
+    stats = term_stats(x.withColumnRenamed("doc_len", "class_len"),
+                       [id_col], bm25_weighting=True)
+    cf = x.groupBy("term").agg(F.sum("tf").alias("cf"))
+    tot = x.agg(F.sum("tf").alias("total"))
+    terms_only = qterms.select("term").distinct()
+    cfq = cf.join(F.broadcast(terms_only), "term").crossJoin(F.broadcast(tot))
+    n_q = (qterms.join(F.broadcast(cfq.select("term")), "term")
+           .groupBy("query_id").agg(F.count(F.lit(1)).alias("n_q")))
+    matched = (
+        x.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(cfq), "term")
+        .join(F.broadcast(stats.join(F.broadcast(terms_only), "term")
+                          .select("term", "idf")), "term")
+        .groupBy("query_id", id_col)
+        .agg(
+            F.sum(F.col("tf") / F.col("doc_len") * F.col("idf")).alias("bm25"),
+            F.sum(F.log(F.lit(1.0) + F.col("tf") * F.col("total") /
+                        (F.lit(mu) * F.col("cf")))).alias("ql_sum"),
+            F.count(F.lit(1)).cast("long").alias("n_matched"),
+            F.sum("tf").cast("long").alias("sum_tf"),
+            F.max("doc_len").cast("long").alias("dl"),
+        )
+    )
+    out = matched.join(F.broadcast(n_q), "query_id").select(
+        "query_id", id_col, "bm25",
+        (F.col("ql_sum") + F.col("n_q") *
+         F.log(F.lit(mu) / (F.col("dl") + F.lit(mu)))).alias("ql"),
+        "n_matched", "n_q",
+        (F.col("n_matched") / F.col("n_q")).alias("match_ratio"),
+        "dl", "sum_tf",
+    )
+    if quality is not None:
+        out = out.join(quality.select(id_col, "quality"), id_col, "left")
+    return out
+
+
 def more_like_this(
     corpus: DataFrame,
     seed_ids,

@@ -1,0 +1,100 @@
+"""Dirichlet query-likelihood retrieval (operators/bm25.lm_topk) and LTR
+feature extraction (operators/bm25.ltr_features): local-math reference on
+a tiny corpus, OOV handling, feature consistency with the retrieval ops."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from bertopic_spark.operators.bm25 import (bm25_topk_adhoc, lm_topk,
+                                           ltr_features, queries_df,
+                                           query_terms)
+
+MU = 50.0
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, "spark index spark query"),
+        (1, "index build merge"),
+        (2, "query plan query plan query"),
+        (3, "unrelated words entirely different"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, content string")
+
+
+@pytest.fixture(scope="module")
+def qt(spark):
+    return query_terms(queries_df(spark, {0: "spark query", 1: "zzz_oov"}))
+
+
+def _local_lm(corpus_rows, query_terms_, mu):
+    docs = {i: t.split() for i, t in corpus_rows}
+    cf = {}
+    for ts in docs.values():
+        for t in ts:
+            cf[t] = cf.get(t, 0) + 1
+    total = sum(cf.values())
+    qv = [t for t in query_terms_ if t in cf]
+    out = {}
+    for d, ts in docs.items():
+        tfs = {t: ts.count(t) for t in qv if t in ts}
+        if not tfs:
+            continue  # candidate pruning: ≥1 matched term
+        s = sum(math.log(1 + tf * total / (mu * cf[t])) for t, tf in tfs.items())
+        out[d] = s + len(qv) * math.log(mu / (len(ts) + mu))
+    return out
+
+
+def test_lm_topk_matches_local_math(spark, corpus, qt):
+    rows = corpus.collect()
+    want = _local_lm([(r["doc_id"], r["content"]) for r in rows],
+                     ["spark", "query"], MU)
+    got = {r["doc_id"]: r["score"] for r in
+           lm_topk(corpus, qt, k=10, mu=MU).filter("query_id = 0").collect()}
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], abs=1e-12)
+    # doc 3 shares no query terms — pruned from candidates
+    assert 3 not in got
+
+
+def test_lm_topk_oov_only_query_empty(corpus, qt):
+    assert lm_topk(corpus, qt, k=10, mu=MU).filter("query_id = 1").count() == 0
+
+
+def test_lm_topk_rejects_bad_mu(corpus, qt):
+    with pytest.raises(ValueError):
+        lm_topk(corpus, qt, mu=0.0)
+
+
+def test_ltr_features_consistent_with_retrieval_ops(spark, corpus, qt):
+    feats = {r["doc_id"]: r for r in
+             ltr_features(corpus, qt, mu=MU).filter("query_id = 0").collect()}
+    # ql feature == lm_topk score, bm25 feature == bm25_topk_adhoc score
+    lm = {r["doc_id"]: r["score"] for r in
+          lm_topk(corpus, qt, k=10, mu=MU).filter("query_id = 0").collect()}
+    bm = {r["doc_id"]: r["score"] for r in
+          bm25_topk_adhoc(corpus, qt, k=10).filter("query_id = 0").collect()}
+    assert set(feats) == set(lm) == set(bm)
+    for d, f in feats.items():
+        assert f["ql"] == pytest.approx(lm[d], abs=1e-12)
+        assert f["bm25"] == pytest.approx(bm[d], abs=1e-12)
+        assert f["n_q"] == 2
+        assert 0 < f["match_ratio"] <= 1.0
+        assert f["match_ratio"] == pytest.approx(f["n_matched"] / f["n_q"])
+    # doc 0 matches both query terms, doc 1 and 2 one each
+    assert feats[0]["n_matched"] == 2
+    assert feats[2]["n_matched"] == 1
+    assert feats[2]["sum_tf"] == 3 and feats[2]["dl"] == 5
+
+
+def test_ltr_features_quality_left_join(spark, corpus, qt):
+    qual = spark.createDataFrame([(0, 0.9)], "doc_id long, quality double")
+    out = {r["doc_id"]: r["quality"] for r in
+           ltr_features(corpus, qt, mu=MU, quality=qual)
+           .filter("query_id = 0").collect()}
+    assert out[0] == pytest.approx(0.9)
+    assert out[2] is None  # left join keeps candidates without a prior
