@@ -79,6 +79,11 @@ BENCH_QUERIES = [
     "langid_ngram",
     "dup_spans",
     "pruned_bm25_topk",
+    # round-3 ranking-family additions (graph link analysis, second
+    # ranking model, LTR feature extraction)
+    "textrank_keywords",
+    "lm_topk",
+    "ltr_features",
 ]
 
 
@@ -151,6 +156,12 @@ def main() -> None:
     extras["index_build_docs_per_sec"] = round(n_docs / build_sec, 1)
     extras["index_postings"] = n_postings
     extras["index_docs"] = n_docs
+
+    # --- PFor-delta codec build over the same scored postings (codec seam;
+    # byte ratios and content/rank identity are measured in jobs/pfor_ab.py)
+    t0 = time.perf_counter()
+    _run(build_block_index(scores, 4096, codec="pfor"))
+    timings["index_build_pfor"] = round(time.perf_counter() - t0, 3)
 
     # --- north-star: BM25 query latency p50/p99 on the segment index ---
     fq = fixture_queries(40)

@@ -205,6 +205,26 @@ SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, round(score, 6) AS score,
 FROM ranked WHERE rn <= 10"""
 
 
+def q_tiered_bm25_topk(spark, sf_dir):
+    """Tiered champion-list serving (operators/bm25.tiered_bm25_topk):
+    tier-1 answers only when the per-query bound certificate PROVES
+    rank-identity; uncertified queries escalate to the full index — so
+    the oracle is the exhaustive SQL (two physical strategies, one
+    truth, like search_query_indexed)."""
+    from bertopic_spark.operators.bm25 import doc_scores, tiered_bm25_topk
+
+    qt = query_terms(queries_df(spark, DRIVER_QUERIES), MODE)
+    d = _docs(spark, sf_dir)
+    handles: list = []
+    scores = doc_scores(d, text_col="text", id_col="doc_id", mode=MODE,
+                        _persisted_out=handles)
+    t = tiered_bm25_topk(scores, qt, k=10, m=64)
+    return t.select(
+        "query_id", "doc_id", _r6(F.col("score")).alias("score"),
+        F.col("rank").cast("long").alias("rn"),
+    )
+
+
 LM_MU = 2000.0
 
 
@@ -3762,4 +3782,5 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "textrank_keywords": (q_textrank_keywords, _sql_textrank_keywords()),
     "lm_topk": (q_lm_topk, SQL_LM_TOPK),
     "ltr_features": (q_ltr_features, SQL_LTR_FEATURES),
+    "tiered_bm25_topk": (q_tiered_bm25_topk, SQL_BM25_DOC_TOPK),
 }

@@ -218,6 +218,142 @@ def lm_topk(
     )
 
 
+def champion_lists(scores: DataFrame, m: int = 64,
+                   id_col: str = "doc_id") -> tuple[DataFrame, DataFrame]:
+    """Tier-1 champion lists (Manning IR §7.1.3): per term the top-``m``
+    postings by (score desc, id asc), plus the per-term escape bound
+    ``smin_out`` = the weakest kept score when the list was truncated,
+    0.0 when the champion list is the COMPLETE posting list (df ≤ m —
+    then no non-champion posting exists and the term can never
+    contribute undercount). Returns (champions, bounds).
+
+    One window pass partitioned by term — same shuffle shape as
+    ``prune_index``; at scale both relations are materialized offline
+    (champions are ~m·|vocab| rows, bounds |vocab| rows).
+    """
+    if m < 1:
+        raise ValueError("m must be >= 1")
+    w = Window.partitionBy("term").orderBy(F.desc("score"), F.asc(id_col))
+    wc = Window.partitionBy("term")
+    ranked = (scores.withColumn("_rn", F.row_number().over(w))
+              .withColumn("_df", F.count(F.lit(1)).over(wc)))
+    ch = ranked.filter(F.col("_rn") <= m)
+    bounds = (ch.groupBy("term")
+              .agg(F.min("score").alias("_kth"), F.max("_df").alias("_df"))
+              .select(
+                  "term",
+                  F.when(F.col("_df") > m, F.col("_kth"))
+                  .otherwise(F.lit(0.0)).alias("smin_out"),
+                  (F.col("_df") > m).cast("long").alias("incomplete")))
+    return ch.drop("_rn", "_df"), bounds
+
+
+def tiered_bm25_topk(
+    scores: DataFrame,
+    qterms: DataFrame,
+    k: int = 10,
+    m: int = 64,
+    id_col: str = "doc_id",
+    champions: tuple[DataFrame, DataFrame] | None = None,
+    _report_out: dict | None = None,
+    _persisted_out: list | None = None,
+) -> DataFrame:
+    """Tiered serving with a PROVABLE per-query rank-safety certificate:
+    answer from the tier-1 champion lists when the bounds certify the
+    result equals the exhaustive top-k (docs, scores AND ranks); escalate
+    only the uncertified queries to the full index. Output is therefore
+    ALWAYS rank-identical to ``bm25_topk`` — the tier is a physical
+    optimization, never a semantics change.
+
+    Certificate (scores may be negative — BM25's clamped idf admits them,
+    which cuts both ways: an unseen non-champion match can RAISE or LOWER
+    a doc's true score):
+    * upper bounds: for candidate d, ub(d) = tier1(d) +
+      Σ_{t∈q, d∉champ(t)} max(smin_out(t), 0) — an unseen contribution is
+      either absent (0) or ≤ smin_out(t); a doc in no champion list is
+      bounded by ub_out = Σ_t max(smin_out(t), 0).
+    * exactness: tier1(d) equals the true score iff every query term is
+      either matched by d inside its champion list or has a COMPLETE
+      champion list (df ≤ m — no unseen posting can exist). A negative
+      unseen match on a truncated term would silently lower the true
+      score below tier1(d), so "smin_out ≤ 0" is NOT sufficient.
+    With θ = the k-th candidate's tier1 score, the answer is certified
+    iff ≥k candidates exist, every returned doc is exact, θ > every
+    non-returned candidate's ub, and θ > ub_out (ties escalate —
+    conservative).
+
+    Physical shape: champion postings are ≤ m·|q| rows per query
+    (broadcast-joined, one (query, doc) groupBy); the certificate is one
+    per-query agg; only failed query ids (batch-sized) are collected to
+    route the escalation subset through ``bm25_topk``.
+    """
+    ch, bounds = champions if champions is not None else champion_lists(
+        scores, m, id_col)
+    qb = (qterms.join(bounds, "term", "left")
+          .select("query_id",
+                  F.greatest(F.coalesce("smin_out", F.lit(0.0)),
+                             F.lit(0.0)).alias("smin_pos"),
+                  F.coalesce("incomplete", F.lit(0)).alias("incomplete")))
+    q_out = qb.groupBy("query_id").agg(
+        F.sum("smin_pos").alias("ub_out"),
+        F.sum("incomplete").alias("n_inc"))
+    cand = (ch.join(F.broadcast(qterms), "term")
+            .join(F.broadcast(bounds), "term")
+            .groupBy("query_id", id_col)
+            .agg(F.sum("score").alias("lb"),
+                 F.sum(F.greatest("smin_out", F.lit(0.0))).alias("_msp"),
+                 F.sum("incomplete").alias("_minc")))
+    cand = cand.join(F.broadcast(q_out), "query_id").select(
+        "query_id", id_col, "lb",
+        (F.col("lb") + F.col("ub_out") - F.col("_msp")).alias("ub"),
+        "ub_out", "n_inc",
+        # exact iff every incomplete query term was matched inside its
+        # champion list (complete terms can never hide a posting)
+        (F.col("_minc") == F.col("n_inc")).cast("int").alias("exact"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("lb"), F.asc(id_col))
+    # persisted: the candidate relation feeds the certificate agg AND the
+    # tier-1 answer. Same cache-lifetime contract as bm25.py's other
+    # serving ops: long-lived sessions collect the handle via
+    # ``_persisted_out`` and unpersist after materializing each batch.
+    ranked = cand.withColumn("rn", F.row_number().over(w)).persist()
+    if _persisted_out is not None:
+        _persisted_out.append(ranked)
+    neg_inf = F.lit(float("-inf"))
+    cert = ranked.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_cand"),
+        F.min(F.when(F.col("rn") <= k, F.col("exact"))).alias("all_exact"),
+        F.min(F.when(F.col("rn") <= k, F.col("lb"))).alias("theta"),
+        F.coalesce(F.max(F.when(F.col("rn") > k, F.col("ub"))),
+                   neg_inf).alias("rest_ub"),
+        # a matching-but-unseen doc must match ≥1 INCOMPLETE term; with
+        # every list complete no such doc exists and the bound is vacuous
+        F.max(F.when(F.col("n_inc") > 0, F.col("ub_out"))
+              .otherwise(neg_inf)).alias("ub_out"),
+    )
+    safe = ((F.col("n_cand") >= k) & (F.col("all_exact") == 1) &
+            (F.col("theta") > F.col("rest_ub")) &
+            (F.col("theta") > F.col("ub_out")))
+    verdicts = {r["query_id"]: bool(r["ok"]) for r in
+                cert.select("query_id", safe.alias("ok")).collect()}
+    all_qids = [r["query_id"] for r in
+                qterms.select("query_id").distinct().collect()]
+    served = sorted(q for q in all_qids if verdicts.get(q, False))
+    escalated = sorted(q for q in all_qids if not verdicts.get(q, False))
+    if _report_out is not None:
+        _report_out["served_tier1"] = served
+        _report_out["escalated"] = escalated
+    tier1 = (ranked.filter(F.col("rn") <= k)
+             .filter(F.col("query_id").isin(served))
+             .select("query_id", id_col, F.col("lb").alias("score"),
+                     F.col("rn").alias("rank")))
+    if not escalated:
+        return tier1
+    full = bm25_topk(scores,
+                     qterms.filter(F.col("query_id").isin(escalated)),
+                     k, id_col)
+    return tier1.unionByName(full) if served else full
+
+
 def ltr_features(
     corpus: DataFrame,
     qterms: DataFrame,
