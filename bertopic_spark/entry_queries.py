@@ -365,6 +365,39 @@ def q_incremental_bm25_topk(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_asof_bm25_topk(spark, sf_dir):
+    """Snapshot time travel (index/incremental.py as_of): same three
+    mutations as the incremental gate, but queried AS OF generation 2 —
+    before the tombstone delete — so the oracle is BM25 over ALL
+    documents. Reproducible retrieval for training-data lineage."""
+    import shutil
+    import tempfile
+
+    from bertopic_spark.index.incremental import IncrementalIndex
+
+    docs = _docs(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="bsp_asofidx_")
+    try:
+        idx = IncrementalIndex.create(spark, root, mode=MODE)
+        idx.append(docs.filter(F.col("doc_id") % 2 == 0),
+                   text_col="text", id_col="doc_id")
+        idx.append(docs.filter(F.col("doc_id") % 2 == 1),
+                   text_col="text", id_col="doc_id")
+        idx.delete(docs.filter(F.col("doc_id") % 17 == 0),
+                   text_col="text", id_col="doc_id")
+        qt_map = {qid: sorted(set(tokenize_one(t, MODE)))
+                  for qid, t in DRIVER_QUERIES.items()}
+        rows = (idx.as_of(2).topk(qt_map, k=10)
+                .select("query_id", "doc_id",
+                        _r6(F.col("score")).alias("score"),
+                        F.col("rank").cast("long").alias("rn"))
+                .collect())
+        return spark.createDataFrame(
+            rows, "query_id long, doc_id long, score double, rn long")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 SQL_INCREMENTAL_BM25 = f"""WITH
 toks AS (
   SELECT doc_id, unnest({duckdb_tokens_sql('text', MODE)}) AS term
@@ -3783,4 +3816,5 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "lm_topk": (q_lm_topk, SQL_LM_TOPK),
     "ltr_features": (q_ltr_features, SQL_LTR_FEATURES),
     "tiered_bm25_topk": (q_tiered_bm25_topk, SQL_BM25_DOC_TOPK),
+    "asof_bm25_topk": (q_asof_bm25_topk, SQL_BM25_DOC_TOPK),
 }

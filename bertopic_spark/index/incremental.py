@@ -87,6 +87,39 @@ class IncrementalIndex:
         self.root = root
         self.manifest = manifest
         self.cfg = manifest["config"]
+        self._frozen = False  # True for as_of() time-travel views
+
+    def _mutable(self) -> None:
+        if self._frozen:
+            raise ValueError(
+                "this IncrementalIndex is a read-only as_of() view; "
+                "open the live index to append/delete/compact")
+
+    def as_of(self, n_gens: int) -> "IncrementalIndex":
+        """Time-travel view: the index exactly as it was after its first
+        ``n_gens`` generations (0 = empty). Generations are immutable and
+        the manifest is the only state, so the view is free — no data is
+        copied; every read path (``topk``/``postings``/``merged_stats``/
+        ``status``) simply sees the manifest prefix. Same contract as an
+        Iceberg snapshot read: reproducible retrieval for training-data
+        lineage ("which shards did the index serve LAST week?").
+
+        ``compact()`` rewrites history into one generation and removes the
+        old directories — it is snapshot expiry; earlier as_of points are
+        gone after it (by design: retention is a storage decision, and a
+        caller wanting history keeps compaction off or snapshots the
+        manifest). Views are read-only: mutators raise.
+        """
+        gens = self.manifest["gens"]
+        if not 0 <= n_gens <= len(gens):
+            raise ValueError(
+                f"as_of({n_gens}) out of range: index has {len(gens)} "
+                "generations")
+        m = dict(self.manifest)
+        m["gens"] = list(gens[:n_gens])
+        view = IncrementalIndex(self.spark, self.root, m)
+        view._frozen = True
+        return view
 
     # -- lifecycle ----------------------------------------------------------
 
@@ -187,6 +220,7 @@ class IncrementalIndex:
         to overlap any existing add generation's id range — collisions
         would silently merge two documents' postings.
         """
+        self._mutable()
         if sha_col is not None:
             bad = verify_content_sha(df, text_col, sha_col)
             if bad:
@@ -265,6 +299,7 @@ class IncrementalIndex:
         rebuild over the survivors. Deleting an id twice would
         double-subtract, so overlap with existing tombstones raises.
         """
+        self._mutable()
         ids = docs.select(F.col(id_col).cast("long").alias("doc_id")).distinct()
         prior = self.tombstones()
         if prior is not None:
@@ -457,6 +492,7 @@ class IncrementalIndex:
         here, unlike the query path), so compaction never touches the
         original corpus. Doc ids are preserved (blocks are id-range keyed;
         a sparse id space costs nothing)."""
+        self._mutable()
         live = self.postings().persist()
         try:
             norms = live.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))

@@ -170,3 +170,61 @@ def test_stream_append_matches_batch(spark, documents_df, tmp_path):
     q = stream_append_index(spark, inp, idx, "text", "doc_id", schema, ckpt)
     q.awaitTermination(120)
     assert len(IncrementalIndex.open(spark, root).manifest["gens"]) == n_gens
+
+
+@pytest.fixture(scope="module")
+def asof_idx(spark, documents_df, tmp_path_factory):
+    """Own index: the shared ``built`` fixture is compacted (history
+    expired) by test_compact_preserves_results — exactly the contract
+    as_of documents — so time-travel tests need unexpired generations."""
+    root = str(tmp_path_factory.mktemp("asofidx"))
+    shutil.rmtree(root)
+    idx = IncrementalIndex.create(spark, root, mode=MODE)
+    idx.append(documents_df.filter(F.col("doc_id") % 2 == 0),
+               text_col="text", id_col="doc_id")
+    idx.append(documents_df.filter(F.col("doc_id") % 2 == 1),
+               text_col="text", id_col="doc_id")
+    idx.delete(documents_df.filter(F.col("doc_id") % 17 == 0),
+               text_col="text", id_col="doc_id")
+    return idx
+
+
+def test_asof_snapshot_views(spark, documents_df, asof_idx):
+    # as-of the first generation: only the even half, scored AS ITS OWN
+    # corpus (idf/avg-len from that snapshot alone)
+    evens = documents_df.filter(F.col("doc_id") % 2 == 0)
+    assert _inc_topk(asof_idx.as_of(1)) == _rebuild_topk(spark, evens)
+    # as-of generation 2: both halves, before the tombstone delete
+    assert _inc_topk(asof_idx.as_of(2)) == _rebuild_topk(spark, documents_df)
+    # as-of the full history == the live index
+    assert _inc_topk(asof_idx.as_of(3)) == _inc_topk(asof_idx)
+    # empty snapshot
+    assert _inc_topk(asof_idx.as_of(0)) == []
+    assert asof_idx.as_of(0).status()["generations"] == 0
+
+
+def test_asof_views_are_frozen(documents_df, asof_idx):
+    view = asof_idx.as_of(1)
+    with pytest.raises(ValueError, match="read-only"):
+        view.append(documents_df.limit(1), text_col="text", id_col="doc_id")
+    with pytest.raises(ValueError, match="read-only"):
+        view.delete(documents_df.limit(1), text_col="text", id_col="doc_id")
+    with pytest.raises(ValueError, match="read-only"):
+        view.compact()
+    with pytest.raises(ValueError, match="out of range"):
+        asof_idx.as_of(99)
+    # the live index stays mutable and unchanged by the view
+    assert len(asof_idx.manifest["gens"]) == 3
+
+
+def test_compact_expires_asof_history(spark, documents_df, tmp_path):
+    root = str(tmp_path / "expidx")
+    idx = IncrementalIndex.create(spark, root, mode=MODE)
+    idx.append(documents_df.filter(F.col("doc_id") % 2 == 0),
+               text_col="text", id_col="doc_id")
+    idx.append(documents_df.filter(F.col("doc_id") % 2 == 1),
+               text_col="text", id_col="doc_id")
+    idx.compact()
+    # history is expired: only the single compacted snapshot remains
+    assert len(idx.manifest["gens"]) == 1
+    assert _inc_topk(idx.as_of(1)) == _inc_topk(idx)
