@@ -158,3 +158,55 @@ def test_new_ops_empty_corpus(spark, edge_docs):
     assert prf_expand_topk(empty, qdf, text_col="text").count() == 0
     assert pack_shards(empty, 10, text_col="text").count() == 0
     assert term_associations(empty, ["customer"]).count() == 0
+
+
+def test_lm_and_ltr_edge_probes(spark):
+    from bertopic_spark.operators.bm25 import lm_topk, ltr_features
+
+    corpus = spark.createDataFrame(
+        [("r", "f.py", "c0", "alpha beta", 0)], CORPUS_SCHEMA)
+    empty_q = spark.createDataFrame([], "query_id long, term string")
+    assert lm_topk(corpus, empty_q, text_col="content").count() == 0
+    assert ltr_features(corpus, empty_q, text_col="content").count() == 0
+    oov_q = spark.createDataFrame([(0, "zzz")], "query_id long, term string")
+    assert lm_topk(corpus, oov_q, text_col="content").count() == 0
+    assert ltr_features(corpus, oov_q, text_col="content").count() == 0
+    empty_c = spark.createDataFrame([], CORPUS_SCHEMA)
+    q = spark.createDataFrame([(0, "alpha")], "query_id long, term string")
+    assert lm_topk(empty_c, q, text_col="content").count() == 0
+
+
+def test_tiered_edge_probes(spark):
+    from bertopic_spark.operators.bm25 import tiered_bm25_topk
+
+    empty_scores = spark.createDataFrame(
+        [], "term string, doc_id long, score double")
+    q = spark.createDataFrame([(0, "alpha")], "query_id long, term string")
+    rep = {}
+    # empty index: every query escalates, exhaustive over empty = empty
+    assert tiered_bm25_topk(empty_scores, q, k=3, m=4,
+                            _report_out=rep).count() == 0
+    assert rep["escalated"] == [0]
+    # empty query batch
+    empty_q = spark.createDataFrame([], "query_id long, term string")
+    scores = spark.createDataFrame([("alpha", 0, 1.0)],
+                                   "term string, doc_id long, score double")
+    assert tiered_bm25_topk(scores, empty_q, k=3, m=4).count() == 0
+
+
+def test_graph_edge_probes(spark):
+    from bertopic_spark.operators.graph import (cooccurrence_edges,
+                                                textrank_keywords)
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert cooccurrence_edges(empty_docs, "text", "doc_id").count() == 0
+    assert textrank_keywords(empty_docs, "text", "doc_id").count() == 0
+    # single-term docs: no pairs, empty graph, empty keywords
+    solo = spark.createDataFrame([(i, "alpha") for i in range(5)],
+                                 "doc_id long, text string")
+    assert cooccurrence_edges(solo, "text", "doc_id").count() == 0
+    assert textrank_keywords(solo, "text", "doc_id").count() == 0
+    # null text rows contribute nothing and do not crash
+    nulls = spark.createDataFrame([(0, "alpha beta"), (1, None)],
+                                  "doc_id long, text string")
+    assert cooccurrence_edges(nulls, "text", "doc_id").count() == 1
