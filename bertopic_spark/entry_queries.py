@@ -225,6 +225,45 @@ def q_tiered_bm25_topk(spark, sf_dir):
     )
 
 
+def q_explain_topk(spark, sf_dir):
+    """Lucene-explain analog (operators/bm25.explain_topk): per-term score
+    breakdown of every top-k hit; Σ contribution over a doc = its score."""
+    from bertopic_spark.operators.bm25 import doc_scores, explain_topk
+
+    qt = query_terms(queries_df(spark, DRIVER_QUERIES), MODE)
+    d = _docs(spark, sf_dir)
+    handles: list = []
+    scores = doc_scores(d, text_col="text", id_col="doc_id", mode=MODE,
+                        _persisted_out=handles)
+    t = explain_topk(scores, qt, k=10)
+    return t.select(
+        "query_id", "doc_id", "term", "tf",
+        _r6(F.col("contribution")).alias("contribution"),
+        _r6(F.col("score")).alias("score"),
+        F.col("rank").cast("long").alias("rn"),
+    )
+
+
+SQL_EXPLAIN_TOPK = f"""WITH {_TOKS}, {_XDOC}, {_scores_sql('xdoc', 'doc_id', True, False)},
+q(query_id, term) AS (VALUES {_query_term_values()}),
+hits AS (
+  SELECT q.query_id, s.doc_id, sum(s.score) AS doc_score
+  FROM q JOIN scores s USING (term) GROUP BY q.query_id, s.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, doc_score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY doc_score DESC, doc_id ASC) AS rn
+  FROM hits)
+SELECT CAST(r.query_id AS BIGINT) AS query_id, r.doc_id, s.term, x.tf,
+       round(s.score, 6) AS contribution,
+       round(r.doc_score, 6) AS score, CAST(r.rn AS BIGINT) AS rn
+FROM ranked r
+JOIN q ON q.query_id = r.query_id
+JOIN scores s ON s.doc_id = r.doc_id AND s.term = q.term
+JOIN xdoc x ON x.doc_id = r.doc_id AND x.term = q.term
+WHERE r.rn <= 10"""
+
+
 LM_MU = 2000.0
 
 
@@ -3817,4 +3856,5 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "ltr_features": (q_ltr_features, SQL_LTR_FEATURES),
     "tiered_bm25_topk": (q_tiered_bm25_topk, SQL_BM25_DOC_TOPK),
     "asof_bm25_topk": (q_asof_bm25_topk, SQL_BM25_DOC_TOPK),
+    "explain_topk": (q_explain_topk, SQL_EXPLAIN_TOPK),
 }

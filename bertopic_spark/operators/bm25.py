@@ -218,6 +218,30 @@ def lm_topk(
     )
 
 
+def explain_topk(
+    scores: DataFrame,
+    qterms: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Lucene-explain analog: the per-term score breakdown of every top-k
+    hit — (query_id, doc_id, term, tf, contribution, score, rank), one row
+    per matched (hit, term), where Σ contribution over the doc = score.
+    The debugging/audit surface behind "why did this doc rank here?".
+
+    Physical shape: the top-k hits (k·|q| rows) broadcast back onto the
+    query-pruned postings — the breakdown join touches only postings of
+    query terms, and only rows for ranked docs survive.
+    """
+    hits = bm25_topk(scores, qterms, k, id_col).withColumnRenamed(
+        "score", "doc_score")
+    pruned = scores.join(F.broadcast(qterms), "term")
+    return (pruned.join(F.broadcast(hits), ["query_id", id_col])
+            .select("query_id", id_col, "term", "tf",
+                    F.col("score").alias("contribution"),
+                    F.col("doc_score").alias("score"), "rank"))
+
+
 def champion_lists(scores: DataFrame, m: int = 64,
                    id_col: str = "doc_id") -> tuple[DataFrame, DataFrame]:
     """Tier-1 champion lists (Manning IR §7.1.3): per term the top-``m``

@@ -98,3 +98,19 @@ def test_ltr_features_quality_left_join(spark, corpus, qt):
            .filter("query_id = 0").collect()}
     assert out[0] == pytest.approx(0.9)
     assert out[2] is None  # left join keeps candidates without a prior
+
+
+def test_explain_topk_contributions_sum_to_score(spark, corpus, qt):
+    from bertopic_spark.operators.bm25 import doc_scores, explain_topk
+
+    scores = doc_scores(corpus, mode="ascii_code", persist_counts=False)
+    rows = explain_topk(scores, qt, k=3).filter("query_id = 0").collect()
+    assert rows
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for d, rs in by_doc.items():
+        total = sum(r["contribution"] for r in rs)
+        assert total == pytest.approx(rs[0]["score"], abs=1e-12)
+        assert len({r["rank"] for r in rs}) == 1
+        assert len({r["term"] for r in rs}) == len(rs)  # one row per term
