@@ -264,6 +264,49 @@ JOIN xdoc x ON x.doc_id = r.doc_id AND x.term = q.term
 WHERE r.rn <= 10"""
 
 
+OKAPI_K1, OKAPI_B = 1.2, 0.75
+
+
+def q_okapi_bm25_topk(spark, sf_dir):
+    """Classical Okapi BM25 (operators/bm25.okapi_bm25_topk): Robertson
+    tf saturation + explicit length normalization (k1=1.2, b=0.75),
+    Lucene's non-negative idf — distinct from the BERTopic-parity
+    class-based weighting the other bm25 gates cover."""
+    from bertopic_spark.operators.bm25 import okapi_bm25_topk
+
+    qt = query_terms(queries_df(spark, DRIVER_QUERIES), MODE)
+    t = okapi_bm25_topk(_docs(spark, sf_dir), qt, k=10, k1=OKAPI_K1,
+                        b=OKAPI_B, text_col="text", mode=MODE)
+    return t.select(
+        "query_id", "doc_id", _r6(F.col("score")).alias("score"),
+        F.col("rank").cast("long").alias("rn"),
+    )
+
+
+SQL_OKAPI_BM25 = f"""WITH {_TOKS}, {_XDOC},
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM xdoc GROUP BY doc_id),
+nstats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM xdoc GROUP BY term),
+q(query_id, term) AS (VALUES {_query_term_values()}),
+hits AS (
+  SELECT q.query_id, x.doc_id,
+         sum(ln(1.0 + (ns.n - dfs.df + 0.5) / (dfs.df + 0.5)) *
+             x.tf * {OKAPI_K1 + 1.0} /
+             (x.tf + {OKAPI_K1} * (1.0 - {OKAPI_B} +
+                                   {OKAPI_B} * dl.dl / ns.avgdl))) AS score
+  FROM q JOIN xdoc x USING (term) JOIN dfs USING (term)
+       JOIN dl ON dl.doc_id = x.doc_id CROSS JOIN nstats ns
+  GROUP BY q.query_id, x.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rn
+  FROM hits)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, round(score, 6) AS score,
+       CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 10"""
+
+
 LM_MU = 2000.0
 
 
@@ -3857,4 +3900,5 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "tiered_bm25_topk": (q_tiered_bm25_topk, SQL_BM25_DOC_TOPK),
     "asof_bm25_topk": (q_asof_bm25_topk, SQL_BM25_DOC_TOPK),
     "explain_topk": (q_explain_topk, SQL_EXPLAIN_TOPK),
+    "okapi_bm25_topk": (q_okapi_bm25_topk, SQL_OKAPI_BM25),
 }

@@ -218,6 +218,71 @@ def lm_topk(
     )
 
 
+def okapi_bm25_topk(
+    corpus: DataFrame,
+    qterms: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    mode: str = "ascii_code",
+    persist_counts: bool = True,
+    _persisted_out: list | None = None,
+) -> DataFrame:
+    """Classical Okapi BM25 (Robertson et al., TREC-3) — tf saturation and
+    explicit length normalization, distinct from the engine's
+    BERTopic-parity class-based weighting (``doc_scores``/`bm25_topk``,
+    reference ``_ctfidf.py``):
+
+        score(q,d) = Σ_{t∈q∩d} ln(1 + (N - df + 0.5)/(df + 0.5)) ·
+                     tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+
+    (the Lucene idf variant — non-negative by construction, so the
+    champion/WAND bound machinery gets its textbook preconditions here).
+    Same physical shape as ``lm_topk``: one tokenize pass, postings
+    semi-joined to query terms before scoring, df/avgdl one partial-agg
+    pass, broadcast stats, one (query, doc) shuffle, WindowGroupLimit.
+    """
+    if k1 < 0 or not 0.0 <= b <= 1.0:
+        raise ValueError("need k1 >= 0 and 0 <= b <= 1")
+    x = doc_term_counts(corpus, text_col, [id_col], mode, with_len=True)
+    if persist_counts:
+        x = x.persist()
+        if _persisted_out is not None:
+            _persisted_out.append(x)
+    row = (x.groupBy(id_col).agg(F.max("doc_len").alias("dl"))
+           .agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+           .collect()[0])
+    n_docs, avgdl = int(row["n"]), row["avgdl"]
+    if n_docs == 0:
+        return _empty_topk(corpus.sparkSession, id_col)
+    terms_only = qterms.select("term").distinct()
+    dfs = (x.join(F.broadcast(terms_only), "term")
+           .groupBy("term").agg(F.countDistinct(id_col).alias("df")))
+    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) /
+                (F.col("df") + 0.5))
+    denom = (F.col("tf") + F.lit(k1) *
+             (F.lit(1.0 - b) + F.lit(b) * F.col("doc_len") / F.lit(avgdl)))
+    hits = (
+        x.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfs.select("term", idf.alias("idf"))), "term")
+        .groupBy("query_id", id_col)
+        .agg(F.sum(F.col("idf") * F.col("tf") * F.lit(k1 + 1.0) / denom)
+             .alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (hits.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", id_col, "score", "rank"))
+
+
+def _empty_topk(spark, id_col: str = "doc_id") -> DataFrame:
+    """Empty (query_id, doc_id, score, rank) relation."""
+    return spark.createDataFrame(
+        [], f"query_id long, {id_col} long, score double, rank int")
+
+
 def explain_topk(
     scores: DataFrame,
     qterms: DataFrame,

@@ -114,3 +114,59 @@ def test_explain_topk_contributions_sum_to_score(spark, corpus, qt):
         assert total == pytest.approx(rs[0]["score"], abs=1e-12)
         assert len({r["rank"] for r in rs}) == 1
         assert len({r["term"] for r in rs}) == len(rs)  # one row per term
+
+
+def test_okapi_bm25_matches_local_math(spark, corpus, qt):
+    from bertopic_spark.operators.bm25 import okapi_bm25_topk
+
+    K1, B = 1.2, 0.75
+    rows = [(r["doc_id"], r["content"].split()) for r in corpus.collect()]
+    docs = dict(rows)
+    n = len(docs)
+    avgdl = sum(len(ts) for ts in docs.values()) / n
+    df = {}
+    for ts in docs.values():
+        for t in set(ts):
+            df[t] = df.get(t, 0) + 1
+    want = {}
+    for d, ts in docs.items():
+        s = 0.0
+        matched = False
+        for t in ("spark", "query"):
+            tf = ts.count(t)
+            if tf == 0:
+                continue
+            matched = True
+            idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * tf * (K1 + 1) / (tf + K1 * (1 - B + B * len(ts) / avgdl))
+        if matched:
+            want[d] = s
+    got = {r["doc_id"]: r["score"] for r in
+           okapi_bm25_topk(corpus, qt, k=10, k1=K1, b=B)
+           .filter("query_id = 0").collect()}
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], abs=1e-12)
+    # Okapi idf is non-negative by construction → scores positive
+    assert all(v > 0 for v in got.values())
+
+
+def test_okapi_param_validation_and_empty(spark, corpus, qt):
+    from bertopic_spark.operators.bm25 import okapi_bm25_topk
+
+    with pytest.raises(ValueError):
+        okapi_bm25_topk(corpus, qt, k1=-1.0)
+    with pytest.raises(ValueError):
+        okapi_bm25_topk(corpus, qt, b=1.5)
+    empty = spark.createDataFrame([], "doc_id long, content string")
+    assert okapi_bm25_topk(empty, qt).count() == 0
+    # b=0 disables length normalization: two docs with the same tf tie
+    rows = [(0, "spark alpha"), (1, "spark beta gamma delta epsilon")]
+    c2 = spark.createDataFrame(rows, "doc_id long, content string")
+    q2 = spark.createDataFrame([(0, "spark")], "query_id long, term string")
+    b0 = {r["doc_id"]: r["score"] for r in
+          okapi_bm25_topk(c2, q2, b=0.0).collect()}
+    assert b0[0] == pytest.approx(b0[1], abs=1e-15)
+    b75 = {r["doc_id"]: r["score"] for r in
+           okapi_bm25_topk(c2, q2, b=0.75).collect()}
+    assert b75[0] > b75[1]  # shorter doc wins under length normalization
