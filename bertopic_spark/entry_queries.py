@@ -264,6 +264,32 @@ JOIN xdoc x ON x.doc_id = r.doc_id AND x.term = q.term
 WHERE r.rn <= 10"""
 
 
+def q_percolate(spark, sf_dir):
+    """Reverse search (operators/fulltext.percolate): every document
+    matched against the standing query registry at 50% coverage — the
+    alerting/routing primitive of an ingest pipeline; registry broadcast,
+    matching map-side."""
+    from bertopic_spark.operators.fulltext import percolate
+
+    qt = query_terms(queries_df(spark, DRIVER_QUERIES), MODE)
+    return percolate(_docs(spark, sf_dir), qt, text_col="text",
+                     min_should_match=0.5, mode=MODE)
+
+
+SQL_PERCOLATE = f"""WITH {_TOKS},
+dt AS (SELECT DISTINCT doc_id, term FROM toks),
+q(query_id, term) AS (VALUES {_query_term_values()}),
+qn AS (SELECT query_id, CAST(count(DISTINCT term) AS BIGINT) AS n_q
+       FROM q GROUP BY query_id),
+hits AS (
+  SELECT dt.doc_id, q.query_id, CAST(count(*) AS BIGINT) AS n_matched
+  FROM dt JOIN q USING (term) GROUP BY dt.doc_id, q.query_id)
+SELECT h.doc_id, CAST(h.query_id AS BIGINT) AS query_id, h.n_matched,
+       qn.n_q, round(h.n_matched * 1.0 / qn.n_q, 6) AS coverage
+FROM hits h JOIN qn USING (query_id)
+WHERE h.n_matched >= CAST(ceil(0.5 * qn.n_q) AS BIGINT)"""
+
+
 OKAPI_K1, OKAPI_B = 1.2, 0.75
 
 
@@ -3901,4 +3927,5 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "asof_bm25_topk": (q_asof_bm25_topk, SQL_BM25_DOC_TOPK),
     "explain_topk": (q_explain_topk, SQL_EXPLAIN_TOPK),
     "okapi_bm25_topk": (q_okapi_bm25_topk, SQL_OKAPI_BM25),
+    "percolate": (q_percolate, SQL_PERCOLATE),
 }

@@ -624,3 +624,43 @@ def proximity_match_postings(positions: DataFrame, terms: Sequence[str],
                            _bound(F.col("evs"), lambda e: _min_span(e, n))
                            .cast("long").alias("min_span"))
             .filter(F.col("min_span") <= window))
+
+
+def percolate(docs: DataFrame, queries: DataFrame,
+              text_col: str = "text", id_col: str = "doc_id",
+              min_should_match: float = 1.0,
+              mode: str = "ascii_code") -> DataFrame:
+    """Reverse search (Elasticsearch-percolator analog): match incoming
+    DOCUMENTS against a registry of standing QUERIES — the alerting /
+    routing primitive of an ingest pipeline ("which saved searches does
+    this new document satisfy?").
+
+    ``queries`` is the standing (query_id, term) relation;
+    ``min_should_match`` is the fraction of a query's distinct terms the
+    document must contain (1.0 = AND semantics, the percolator default;
+    0.5 = at least half). Returns (doc_id, query_id, n_matched, n_q,
+    coverage) for every satisfied pair.
+
+    Physical shape: the standing-query registry is broadcast (typical
+    registries are 10³-10⁵ terms — kilobytes), so matching is MAP-SIDE
+    over the document stream plus one (doc, query) count agg whose
+    cardinality is bounded by matches, not |docs|·|queries|. Composes
+    directly under foreachBatch for streaming ingest.
+    """
+    if not 0.0 < min_should_match <= 1.0:
+        raise ValueError("min_should_match must be in (0, 1]")
+    qn = queries.groupBy("query_id").agg(
+        F.count_distinct("term").alias("n_q"))
+    dt = (with_tokens(docs.select(id_col, text_col), text_col, mode)
+          .select(F.col(id_col),
+                  F.explode(F.array_distinct("tokens")).alias("term")))
+    hits = (dt.join(F.broadcast(queries.select("query_id", "term").distinct()),
+                    "term")
+            .groupBy(id_col, "query_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_matched")))
+    need = F.ceil(F.lit(float(min_should_match)) * F.col("n_q")).cast("long")
+    return (hits.join(F.broadcast(qn), "query_id")
+            .filter(F.col("n_matched") >= need)
+            .select(id_col, "query_id", "n_matched", "n_q",
+                    F.round(F.col("n_matched") / F.col("n_q"), 6)
+                    .alias("coverage")))

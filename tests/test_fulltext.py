@@ -390,3 +390,27 @@ def test_proximity_validation(spark, docs):
         proximity_match(docs, ["only"], 5)
     with pytest.raises(ValueError):
         proximity_match(docs, ["a1", "b1", "c1"], 2)  # window < n terms
+
+
+def test_percolate_semantics(spark):
+    from bertopic_spark.operators.fulltext import percolate
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "alpha delta"), (2, "epsilon")],
+        "doc_id long, text string")
+    q = spark.createDataFrame(
+        [(0, "alpha"), (0, "beta"), (1, "alpha"), (2, "zzz_oov")],
+        "query_id long, term string")
+    # AND semantics (default): query 0 needs both alpha AND beta
+    got = {(r["doc_id"], r["query_id"]): (r["n_matched"], r["n_q"]) for r in
+           percolate(docs, q, min_should_match=1.0).collect()}
+    assert got == {(0, 0): (2, 2), (0, 1): (1, 1), (1, 1): (1, 1)}
+    # 50% coverage admits single-term matches of the two-term query
+    half = {(r["doc_id"], r["query_id"]) for r in
+            percolate(docs, q, min_should_match=0.5).collect()}
+    assert (1, 0) in half and (0, 0) in half
+    # OOV-only standing query never fires; doc 2 matches nothing
+    assert all(qid != 2 for _, qid in half)
+    assert all(d != 2 for d, _ in half)
+    with pytest.raises(ValueError):
+        percolate(docs, q, min_should_match=0.0)
