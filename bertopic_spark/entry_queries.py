@@ -506,6 +506,70 @@ def q_asof_bm25_topk(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_incremental_okapi_topk(spark, sf_dir):
+    """One index, two ranking models: the SAME generational index as the
+    incremental gate (evens + odds + tombstone delete) served with the
+    Okapi scorer — possible because generations store idf-free postings
+    (tf in the payload, dl in norms, df from the pruned decode, N/Σlen
+    from signed manifest counters)."""
+    import shutil
+    import tempfile
+
+    from bertopic_spark.index.incremental import IncrementalIndex
+
+    docs = _docs(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="bsp_okidx_")
+    try:
+        idx = IncrementalIndex.create(spark, root, mode=MODE)
+        idx.append(docs.filter(F.col("doc_id") % 2 == 0),
+                   text_col="text", id_col="doc_id")
+        idx.append(docs.filter(F.col("doc_id") % 2 == 1),
+                   text_col="text", id_col="doc_id")
+        idx.delete(docs.filter(F.col("doc_id") % 17 == 0),
+                   text_col="text", id_col="doc_id")
+        qt_map = {qid: sorted(set(tokenize_one(t, MODE)))
+                  for qid, t in DRIVER_QUERIES.items()}
+        rows = (idx.topk(qt_map, k=10, scorer="okapi",
+                         k1=OKAPI_K1, b=OKAPI_B)
+                .select("query_id", "doc_id",
+                        _r6(F.col("score")).alias("score"),
+                        F.col("rank").cast("long").alias("rn"))
+                .collect())
+        return spark.createDataFrame(
+            rows, "query_id long, doc_id long, score double, rn long")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_INCREMENTAL_OKAPI = f"""WITH
+toks AS (
+  SELECT doc_id, unnest({duckdb_tokens_sql('text', MODE)}) AS term
+  FROM documents WHERE doc_id % 17 <> 0
+),
+{_XDOC},
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM xdoc GROUP BY doc_id),
+nstats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM xdoc GROUP BY term),
+q(query_id, term) AS (VALUES {_query_term_values()}),
+hits AS (
+  SELECT q.query_id, x.doc_id,
+         sum(ln(1.0 + (ns.n - dfs.df + 0.5) / (dfs.df + 0.5)) *
+             x.tf * {OKAPI_K1 + 1.0} /
+             (x.tf + {OKAPI_K1} * (1.0 - {OKAPI_B} +
+                                   {OKAPI_B} * dl.dl / ns.avgdl))) AS score
+  FROM q JOIN xdoc x USING (term) JOIN dfs USING (term)
+       JOIN dl ON dl.doc_id = x.doc_id CROSS JOIN nstats ns
+  GROUP BY q.query_id, x.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rn
+  FROM hits)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, round(score, 6) AS score,
+       CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 10"""
+
+
 SQL_INCREMENTAL_BM25 = f"""WITH
 toks AS (
   SELECT doc_id, unnest({duckdb_tokens_sql('text', MODE)}) AS term
@@ -3928,4 +3992,5 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "explain_topk": (q_explain_topk, SQL_EXPLAIN_TOPK),
     "okapi_bm25_topk": (q_okapi_bm25_topk, SQL_OKAPI_BM25),
     "percolate": (q_percolate, SQL_PERCOLATE),
+    "incremental_okapi_topk": (q_incremental_okapi_topk, SQL_INCREMENTAL_OKAPI),
 }

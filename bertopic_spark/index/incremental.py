@@ -415,7 +415,8 @@ class IncrementalIndex:
         return out
 
     def topk(self, query_terms: Mapping[int, Sequence[str]], k: int = 10,
-             exact: bool = True) -> DataFrame:
+             exact: bool = True, scorer: str = "ctfidf",
+             k1: float = 1.2, b: float = 0.75) -> DataFrame:
         """(query_id, doc_id, score, rank) over the LIVE corpus — same
         output contract (and, on the exact path, float64 math) as
         operators/bm25.bm25_topk over a full rebuild of the survivors.
@@ -426,10 +427,22 @@ class IncrementalIndex:
         flips require two docs within ~1e-7 relative score, which the
         deterministic doc_id tie-break then resolves identically anyway).
 
+        ``scorer``: "ctfidf" (BERTopic-parity class-based weighting, the
+        default) or "okapi" (classical Okapi BM25 with ``k1``/``b`` —
+        rank-identical to operators/bm25.okapi_bm25_topk over a rebuild
+        of the survivors). ONE index serves both models because
+        generations store idf-FREE postings: tf rides the payload, doc
+        length rides the norms sidecar, document frequency of the query's
+        terms falls out of the already-pruned candidate decode, and the
+        live N / Σlen scalars are the signed manifest counters. Okapi
+        always joins norms (its length normalization needs dl).
+
         100-TB note: the norms join keys on doc_id AFTER term/bucket pruning
         (candidates ≪ corpus); co-partition norms by doc_id//span if a
         profile ever shows that exchange dominating.
         """
+        if scorer not in ("ctfidf", "okapi"):
+            raise ValueError(f"unknown scorer {scorer!r}")
         all_terms = sorted({t for ts in query_terms.values() for t in ts})
         empty = self.spark.createDataFrame(
             [], "query_id long, doc_id long, score double, rank int")
@@ -441,14 +454,34 @@ class IncrementalIndex:
         tomb = self.tombstones()
         if tomb is not None:
             cand = cand.join(F.broadcast(tomb), "doc_id", "left_anti")
-        idf = self.merged_stats(all_terms).select("term", "idf")
-        if exact:
-            cand = cand.join(self.norms(), "doc_id")
-            tfn = self._tfn(F.col("tf"), F.col("doc_len"))
+        if scorer == "okapi":
+            st = self.status()
+            if st["n_classes"] <= 0:
+                return empty
+            n = float(st["n_classes"])
+            avgdl = st["sum_len"] / st["n_classes"]
+            dfs = cand.groupBy("term").agg(
+                F.count_distinct("doc_id").alias("df"))
+            okapi_idf = F.log(F.lit(1.0) + (F.lit(n) - F.col("df") + 0.5) /
+                              (F.col("df") + 0.5))
+            denom = (F.col("tf") + F.lit(k1) *
+                     (F.lit(1.0 - b) +
+                      F.lit(b) * F.col("doc_len") / F.lit(avgdl)))
+            scored = (cand.join(self.norms(), "doc_id")
+                      .join(F.broadcast(dfs.select(
+                          "term", okapi_idf.alias("idf"))), "term")
+                      .select("doc_id", "term",
+                              (F.col("idf") * F.col("tf") *
+                               F.lit(k1 + 1.0) / denom).alias("s")))
         else:
-            tfn = F.col("tfn32")
-        scored = (cand.join(F.broadcast(idf), "term")
-                  .select("doc_id", "term", (tfn * F.col("idf")).alias("s")))
+            idf = self.merged_stats(all_terms).select("term", "idf")
+            if exact:
+                cand = cand.join(self.norms(), "doc_id")
+                tfn = self._tfn(F.col("tf"), F.col("doc_len"))
+            else:
+                tfn = F.col("tfn32")
+            scored = (cand.join(F.broadcast(idf), "term")
+                      .select("doc_id", "term", (tfn * F.col("idf")).alias("s")))
         qt = self.spark.createDataFrame(
             [(int(q), t) for q, ts in sorted(query_terms.items())
              for t in sorted(set(ts))],

@@ -228,3 +228,27 @@ def test_compact_expires_asof_history(spark, documents_df, tmp_path):
     # history is expired: only the single compacted snapshot remains
     assert len(idx.manifest["gens"]) == 1
     assert _inc_topk(idx.as_of(1)) == _inc_topk(idx)
+
+
+def test_okapi_scorer_matches_adhoc_over_survivors(spark, documents_df, asof_idx):
+    from bertopic_spark.operators.bm25 import okapi_bm25_topk, queries_df, query_terms
+
+    surv = documents_df.filter(F.col("doc_id") % 17 != 0)
+    qt = query_terms(queries_df(spark, QUERIES), MODE)
+    ref = [(r.query_id, r.doc_id, r["rank"]) for r in
+           okapi_bm25_topk(surv, qt, k=10, text_col="text", mode=MODE)
+           .orderBy("query_id", "rank").collect()]
+    ref_scores = [r.score for r in
+                  okapi_bm25_topk(surv, qt, k=10, text_col="text", mode=MODE)
+                  .orderBy("query_id", "rank").collect()]
+    got_rows = (asof_idx.topk(_qt_map(), k=10, scorer="okapi")
+                .orderBy("query_id", "rank").collect())
+    got = [(r.query_id, r.doc_id, r["rank"]) for r in got_rows]
+    assert got == ref  # rank-identical: one index, two ranking models
+    for a, b in zip((r.score for r in got_rows), ref_scores):
+        assert a == pytest.approx(b, abs=1e-9)
+
+
+def test_okapi_scorer_rejects_unknown(asof_idx):
+    with pytest.raises(ValueError, match="unknown scorer"):
+        asof_idx.topk(_qt_map(), scorer="tfidf")
