@@ -290,6 +290,37 @@ FROM hits h JOIN qn USING (query_id)
 WHERE h.n_matched >= CAST(ceil(0.5 * qn.n_q) AS BIGINT)"""
 
 
+def q_code_tokenize_counts(spark, sf_dir):
+    """Code-aware analyzer gate (tokenizer.tokens_expr mode=code_aware —
+    the north star's camelCase/snake_case splitting): the text is
+    deterministically mangled into snake_case runs (spaces → '_') inside
+    BOTH engines, so the value hash proves the splitting itself —
+    ascii_code would keep each run as ONE token, code_aware must split
+    it back into the original words."""
+    from bertopic_spark.operators.postings import doc_term_counts
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.replace(F.col("text"), F.lit(" "), F.lit("_"))
+        .alias("code_text"))
+    x = doc_term_counts(d, "code_text", ["doc_id"], "code_aware")
+    return (x.groupBy("term")
+            .agg(F.sum("tf").cast("long").alias("tf"),
+                 F.count(F.lit(1)).cast("long").alias("df"))
+            .filter(F.col("df") >= 50))
+
+
+def _sql_code_tokenize() -> str:
+    mangled = "replace(text, ' ', '_')"
+    return f"""WITH
+tk AS (SELECT doc_id, {duckdb_tokens_sql(mangled, 'code_aware')} AS ts
+       FROM documents),
+dt AS (SELECT doc_id, unnest(ts) AS term FROM tk),
+x AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM dt GROUP BY doc_id, term)
+SELECT term, CAST(sum(tf) AS BIGINT) AS tf, CAST(count(*) AS BIGINT) AS df
+FROM x GROUP BY term HAVING count(*) >= 50"""
+
+
 OKAPI_K1, OKAPI_B = 1.2, 0.75
 
 
@@ -3993,4 +4024,5 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "okapi_bm25_topk": (q_okapi_bm25_topk, SQL_OKAPI_BM25),
     "percolate": (q_percolate, SQL_PERCOLATE),
     "incremental_okapi_topk": (q_incremental_okapi_topk, SQL_INCREMENTAL_OKAPI),
+    "code_tokenize_counts": (q_code_tokenize_counts, _sql_code_tokenize()),
 }
