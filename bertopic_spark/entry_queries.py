@@ -321,6 +321,45 @@ SELECT term, CAST(sum(tf) AS BIGINT) AS tf, CAST(count(*) AS BIGINT) AS df
 FROM x GROUP BY term HAVING count(*) >= 50"""
 
 
+def q_search_after_page2(spark, sf_dir):
+    """Keyset pagination (operators/bm25.search_after): page 2 fetched
+    via the cursor from page 1's last hit; the oracle computes ranks
+    11-20 of the SAME global ordering directly — keyset and offset
+    formulations must agree row-for-row."""
+    from bertopic_spark.operators.bm25 import doc_scores, search_after
+
+    qt = query_terms(queries_df(spark, DRIVER_QUERIES), MODE)
+    d = _docs(spark, sf_dir)
+    handles: list = []
+    scores = doc_scores(d, text_col="text", id_col="doc_id", mode=MODE,
+                        _persisted_out=handles)
+    page1 = bm25_topk(scores, qt, k=10)
+    cursors = (page1.filter(F.col("rank") == 10)
+               .select("query_id", F.col("score").alias("after_score"),
+                       F.col("doc_id").alias("after_doc"),
+                       F.col("rank").alias("after_rank")))
+    t = search_after(scores, qt, cursors, k=10)
+    return t.select(
+        "query_id", "doc_id", _r6(F.col("score")).alias("score"),
+        F.col("rank").cast("long").alias("rn"),
+    )
+
+
+SQL_SEARCH_AFTER = f"""WITH {_TOKS}, {_XDOC}, {_scores_sql('xdoc', 'doc_id', True, False)},
+q(query_id, term) AS (VALUES {_query_term_values()}),
+hits AS (
+  SELECT q.query_id, s.doc_id, sum(s.score) AS score
+  FROM q JOIN scores s USING (term) GROUP BY q.query_id, s.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rn
+  FROM hits)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, round(score, 6) AS score,
+       CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn BETWEEN 11 AND 20"""
+
+
 OKAPI_K1, OKAPI_B = 1.2, 0.75
 
 
@@ -4025,4 +4064,5 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "percolate": (q_percolate, SQL_PERCOLATE),
     "incremental_okapi_topk": (q_incremental_okapi_topk, SQL_INCREMENTAL_OKAPI),
     "code_tokenize_counts": (q_code_tokenize_counts, _sql_code_tokenize()),
+    "search_after_page2": (q_search_after_page2, SQL_SEARCH_AFTER),
 }

@@ -218,6 +218,45 @@ def lm_topk(
     )
 
 
+def search_after(
+    scores: DataFrame,
+    qterms: DataFrame,
+    cursors: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keyset pagination (Elasticsearch search_after analog): the next
+    ``k`` hits strictly after a per-query cursor in the global
+    (score desc, doc_id asc) order. ``cursors`` is (query_id,
+    after_score, after_doc) — normally the last hit of the previous page.
+
+    Deep paging via OFFSET forces every page to rank all prior pages;
+    the keyset filter instead prunes candidates BEFORE the window, so
+    page N costs the same as page 1. Returned ``rank`` continues the
+    global numbering (cursor rank + i), proven against the offset
+    formulation by the oracle gate.
+    """
+    hits = (
+        scores.join(F.broadcast(qterms), "term")
+        .groupBy("query_id", id_col)
+        .agg(F.sum("score").alias("score"))
+    )
+    cur = cursors.select(
+        "query_id", F.col("after_score").alias("_as"),
+        F.col("after_doc").alias("_ad"),
+        F.coalesce(F.col("after_rank"), F.lit(0)).alias("_ar")
+        if "after_rank" in cursors.columns else F.lit(0).alias("_ar"))
+    paged = (hits.join(F.broadcast(cur), "query_id")
+             .filter((F.col("score") < F.col("_as")) |
+                     ((F.col("score") == F.col("_as")) &
+                      (F.col(id_col) > F.col("_ad")))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (paged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .select("query_id", id_col, "score",
+                    (F.col("_ar") + F.col("_rn")).cast("int").alias("rank")))
+
+
 def okapi_bm25_topk(
     corpus: DataFrame,
     qterms: DataFrame,

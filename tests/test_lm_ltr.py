@@ -170,3 +170,31 @@ def test_okapi_param_validation_and_empty(spark, corpus, qt):
     b75 = {r["doc_id"]: r["score"] for r in
            okapi_bm25_topk(c2, q2, b=0.75).collect()}
     assert b75[0] > b75[1]  # shorter doc wins under length normalization
+
+
+def test_search_after_pages_partition_ranking(spark, corpus, qt):
+    from bertopic_spark.operators.bm25 import (bm25_topk, doc_scores,
+                                               search_after)
+
+    scores = doc_scores(corpus, mode="ascii_code", persist_counts=False)
+    full = [(r["doc_id"], r["rank"]) for r in
+            bm25_topk(scores, qt, k=100).filter("query_id = 0")
+            .orderBy("rank").collect()]
+    page1 = bm25_topk(scores, qt, k=2).filter("query_id = 0")
+    cur = page1.filter("rank = 2").select(
+        "query_id", F.col("score").alias("after_score"),
+        F.col("doc_id").alias("after_doc"), F.col("rank").alias("after_rank"))
+    page2 = [(r["doc_id"], r["rank"]) for r in
+             search_after(scores, qt, cur, k=2).filter("query_id = 0")
+             .orderBy("rank").collect()]
+    got = [(r["doc_id"], r["rank"]) for r in
+           page1.orderBy("rank").collect()] + page2
+    assert got == full[:len(got)]  # keyset pages == offset slices
+    # exhausted cursor → empty page
+    last = len(full)
+    cur_end = spark.createDataFrame(
+        [(0, full[-1][0], last)], "query_id long, after_doc long, after_rank long"
+    ).join(bm25_topk(scores, qt, k=100)
+           .filter(F.col("rank") == last)
+           .select("query_id", F.col("score").alias("after_score")), "query_id")
+    assert search_after(scores, qt, cur_end, k=2).count() == 0
