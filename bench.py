@@ -84,6 +84,12 @@ BENCH_QUERIES = [
     "textrank_keywords",
     "lm_topk",
     "ltr_features",
+    # round-3 serving-surface additions (classical Okapi, certified
+    # tiered serving, reverse search, keyset paging)
+    "okapi_bm25_topk",
+    "tiered_bm25_topk",
+    "percolate",
+    "search_after_page2",
 ]
 
 
