@@ -195,3 +195,36 @@ def test_stateful_term_totals_accumulates_across_batches(spark, tmp_path):
     assert ("spark", 3, 2) in rows    # state survived into batch 2
     assert ("scan", 1, 1) in rows
     assert ("merge", 1, 2) not in rows  # untouched keys are not re-emitted
+
+
+def test_percolate_streaming_ingest(spark, tmp_path):
+    """percolate composes onto a document stream via foreachBatch: a doc
+    lives wholly in one micro-batch, so matching is stateless across
+    batches (no watermark, no growing state) — the alerting deployment
+    shape. Standing queries broadcast into every batch."""
+    from bertopic_spark.operators.fulltext import percolate
+
+    schema = "doc_id long, text string"
+    src, ckpt = str(tmp_path / "psrc"), str(tmp_path / "pckpt")
+    out_dir = str(tmp_path / "pout")
+    q = spark.createDataFrame(
+        [(0, "alpha"), (0, "beta"), (1, "gamma")], "query_id long, term string")
+    spark.createDataFrame(
+        [(0, "alpha beta x"), (1, "alpha only")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    def sink(batch_df, batch_id):
+        (percolate(batch_df, q, min_should_match=1.0)
+         .write.mode("append").parquet(out_dir))
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    sq = (stream.writeStream.foreachBatch(sink)
+          .option("checkpointLocation", ckpt).start())
+    sq.processAllAvailable()
+    spark.createDataFrame([(2, "gamma ray")], schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    sq.processAllAvailable()
+    sq.stop()
+    got = {(r.doc_id, r.query_id) for r in
+           spark.read.parquet(out_dir).collect()}
+    assert got == {(0, 0), (2, 1)}  # doc 1 matched only alpha: below AND
