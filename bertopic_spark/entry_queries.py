@@ -3951,6 +3951,73 @@ SELECT term, score, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {GRAPH_K}"""
 
 
+GRAPHG_V, GRAPHG_K = 30, 10
+
+
+def q_textrank_per_class(spark, sf_dir):
+    """Per-class TextRank (operators/graph.pagerank_grouped): every lang's
+    term graph built and power-iterated in the SAME loop — the algebra is
+    keyed by (lang, node), so a thousand class graphs cost one iteration
+    loop, not a driver loop over classes."""
+    from bertopic_spark.operators.graph import (cooccurrence_edges_grouped,
+                                                pagerank_grouped)
+
+    e = cooccurrence_edges_grouped(_docs(spark, sf_dir), "text", "doc_id",
+                                   ["lang"], v=GRAPHG_V, min_w=GRAPH_MINW,
+                                   mode=MODE)
+    pr = pagerank_grouped(e, ["lang"], damping=0.85, iters=GRAPH_ITERS)
+    s = pr.select("lang", F.col("node").alias("term"),
+                  _r6(F.col("score")).alias("score"))
+    w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("term"))
+    return (s.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= GRAPHG_K))
+
+
+def _sql_textrank_per_class() -> str:
+    steps = []
+    prev = "r0"
+    for i in range(1, GRAPH_ITERS + 1):
+        steps.append(f"""r{i} AS (
+  SELECT t.lang, t.dst AS node,
+         0.15 * ng.inv_n + 0.85 * sum(t.p * r.score) AS score
+  FROM tr t JOIN {prev} r ON r.lang = t.lang AND r.node = t.src
+       JOIN ng ON ng.lang = t.lang
+  GROUP BY t.lang, t.dst, ng.inv_n)""")
+        prev = f"r{i}"
+    chain = ",\n".join(steps)
+    return f"""WITH
+tk AS (SELECT doc_id, lang, {duckdb_tokens_sql('text', MODE)} AS ts FROM documents),
+dt AS (SELECT doc_id, lang, unnest(list_distinct(ts)) AS term FROM tk),
+dfs AS (SELECT lang, term, count(*) AS df FROM dt GROUP BY lang, term),
+vocab AS (SELECT lang, term FROM (
+  SELECT lang, term,
+         row_number() OVER (PARTITION BY lang ORDER BY df DESC, term ASC) AS vr
+  FROM dfs) WHERE vr <= {GRAPHG_V}),
+dtv AS (SELECT dt.doc_id, dt.lang, dt.term
+        FROM dt JOIN vocab ON vocab.lang = dt.lang AND vocab.term = dt.term),
+ed AS (SELECT a.lang, a.term AS src, b.term AS dst,
+              CAST(count(*) AS BIGINT) AS w
+       FROM dtv a JOIN dtv b ON a.doc_id = b.doc_id AND a.lang = b.lang
+       WHERE a.term < b.term GROUP BY a.lang, a.term, b.term
+       HAVING count(*) >= {GRAPH_MINW}),
+sym AS (SELECT lang, src, dst, CAST(w AS DOUBLE) AS w FROM ed
+        UNION ALL SELECT lang, dst, src, CAST(w AS DOUBLE) FROM ed),
+deg AS (SELECT lang, src, sum(w) AS wdeg FROM sym GROUP BY lang, src),
+ng AS (SELECT lang, 1.0 / count(*) AS inv_n FROM deg GROUP BY lang),
+tr AS (SELECT s.lang, s.src, s.dst, s.w / d.wdeg AS p
+       FROM sym s JOIN deg d ON d.lang = s.lang AND d.src = s.src),
+r0 AS (SELECT deg.lang, deg.src AS node, ng.inv_n AS score
+       FROM deg JOIN ng ON ng.lang = deg.lang),
+{chain},
+rounded AS (SELECT lang, node AS term, round(score, 6) AS score FROM {prev}),
+ranked AS (SELECT lang, term, score,
+                  row_number() OVER (PARTITION BY lang
+                                     ORDER BY score DESC, term ASC) AS rank
+           FROM rounded)
+SELECT lang, term, score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {GRAPHG_K}"""
+
+
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "approx_distribution": (q_approx_distribution, SQL_APPROX_DISTRIBUTION),
     "approx_distribution_tokens": (q_approx_distribution_tokens,
@@ -4065,4 +4132,5 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "incremental_okapi_topk": (q_incremental_okapi_topk, SQL_INCREMENTAL_OKAPI),
     "code_tokenize_counts": (q_code_tokenize_counts, _sql_code_tokenize()),
     "search_after_page2": (q_search_after_page2, SQL_SEARCH_AFTER),
+    "textrank_per_class": (q_textrank_per_class, _sql_textrank_per_class()),
 }

@@ -155,6 +155,95 @@ def pagerank(edges: DataFrame, damping: float = 0.85, iters: int = 10,
     return ranks
 
 
+def cooccurrence_edges_grouped(df: DataFrame, text_col: str, id_col: str,
+                               group_cols: list[str], v: int = 50,
+                               min_w: int = 1,
+                               mode: str = "ascii_code") -> DataFrame:
+    """Per-group co-occurrence graphs in ONE pass: (group_cols..., src,
+    dst, w). The top-``v`` vocabulary is selected PER GROUP (df desc,
+    term asc — a partitioned window over the per-group vocabulary
+    relation), then the doc self-join is keyed by (group, doc), so a
+    thousand per-class graphs are built by the same two shuffles that
+    build one.
+    """
+    toks = with_tokens(df.select(*group_cols, id_col, text_col),
+                       text_col, mode)
+    dt = toks.select(*group_cols, F.col(id_col),
+                     F.explode(F.array_distinct("tokens")).alias("term"))
+    dfs = (dt.groupBy(*group_cols, "term")
+           .agg(F.count("*").cast("long").alias("df")))
+    w = Window.partitionBy(*group_cols).orderBy(F.desc("df"), F.asc("term"))
+    vocab = (dfs.withColumn("_vr", F.row_number().over(w))
+             .filter(F.col("_vr") <= v).select(*group_cols, "term"))
+    dtv = dt.join(vocab, [*group_cols, "term"])
+    a = dtv.select(*group_cols, F.col(id_col), F.col("term").alias("src"))
+    b = dtv.select(*group_cols, F.col(id_col), F.col("term").alias("dst"))
+    return (a.join(b, [*group_cols, id_col])
+            .filter(F.col("src") < F.col("dst"))
+            .groupBy(*group_cols, "src", "dst")
+            .agg(F.count("*").cast("long").alias("w"))
+            .filter(F.col("w") >= min_w))
+
+
+def pagerank_grouped(edges: DataFrame, group_cols: list[str],
+                     damping: float = 0.85, iters: int = 10,
+                     src: str = "src", dst: str = "dst", weight: str = "w",
+                     checkpoint_every: int = 5) -> DataFrame:
+    """Weighted PageRank over MANY independent graphs simultaneously:
+    (group_cols..., node, score), Σ score = 1 within each group.
+
+    Every iteration is the SAME one join + one groupBy as the scalar
+    ``pagerank``, just keyed by (group, node) — a thousand per-class
+    graphs cost one iteration loop, not a driver loop over classes
+    (the engine's single-pass-over-slices discipline, cf. A6/P3).
+    Undirected only (the TextRank shape): edges are symmetrized, so no
+    dangling mass exists and no per-group scalar collects are needed —
+    the loop body is pure DataFrame algebra.
+    """
+    if not 0.0 < damping < 1.0:
+        raise ValueError("damping must be in (0, 1)")
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty; use pagerank()")
+    g = list(group_cols)
+    e = edges.select(*g, F.col(src).alias("src"), F.col(dst).alias("dst"),
+                     F.col(weight).cast("double").alias("w"))
+    e = e.unionAll(e.select(*g, F.col("dst").alias("src"),
+                            F.col("src").alias("dst"), "w"))
+    nodes = e.select(*g, F.col("src").alias("node")).distinct()
+    ng = nodes.groupBy(*g).agg(F.count(F.lit(1)).alias("n_g"))
+    nodes = nodes.join(F.broadcast(ng), g)
+    deg = e.groupBy(*g, "src").agg(F.sum("w").alias("wdeg"))
+    trans = (e.join(deg, [*g, "src"])
+             .select(*g, "src", "dst",
+                     (F.col("w") / F.col("wdeg")).alias("p"))
+             .localCheckpoint(eager=True))
+    ranks = nodes.select(*g, "node", (F.lit(1.0) / F.col("n_g")).alias("score"))
+    prev_ckpt = None
+    for i in range(iters):
+        contrib = (trans.join(
+            F.broadcast(ranks.withColumnRenamed("node", "src")), [*g, "src"])
+            .groupBy(*g, "dst")
+            .agg(F.sum(F.col("p") * F.col("score")).alias("mass")))
+        stepped = (nodes.join(
+            contrib.withColumnRenamed("dst", "node"), [*g, "node"], "left")
+            .select(*g, "node",
+                    ((F.lit(1.0 - damping) / F.col("n_g")) +
+                     F.lit(damping) * F.coalesce("mass", F.lit(0.0)))
+                    .alias("score")))
+        if (i + 1) % checkpoint_every == 0 or i == iters - 1:
+            new = stepped.localCheckpoint(eager=True)
+            if prev_ckpt is not None:
+                _release_local_checkpoint(prev_ckpt)
+            prev_ckpt = new
+            ranks = new
+        else:
+            ranks = stepped
+    _release_local_checkpoint(trans)
+    return ranks.select(*g, "node", "score")
+
+
 def textrank_keywords(df: DataFrame, text_col: str, id_col: str,
                       k: int = 20, v: int = 100, min_w: int = 1,
                       damping: float = 0.85, iters: int = 5,

@@ -99,3 +99,30 @@ def test_textrank_keywords_shape(docs):
 def test_pagerank_empty_graph(spark):
     e = spark.createDataFrame([], "src long, dst long, w double")
     assert pagerank(e, iters=2).count() == 0
+
+
+def test_grouped_pagerank_matches_per_group_scalar(spark):
+    from pyspark.sql import functions as F
+
+    from bertopic_spark.operators.graph import (cooccurrence_edges_grouped,
+                                                pagerank_grouped)
+
+    docs = spark.createDataFrame(
+        [(1, "a", "alpha beta gamma"), (2, "a", "alpha beta"),
+         (3, "b", "delta epsilon"), (4, "b", "delta epsilon zeta"),
+         (5, "b", "zeta delta")],
+        "doc_id long, lang string, text string")
+    ge = cooccurrence_edges_grouped(docs, "text", "doc_id", ["lang"], v=10)
+    got = {(r["lang"], r["node"]): r["score"] for r in
+           pagerank_grouped(ge, ["lang"], iters=8).collect()}
+    for lang in ("a", "b"):
+        sub = docs.filter(F.col("lang") == lang)
+        e = cooccurrence_edges(sub, "text", "doc_id", v=10)
+        ref = {r["node"]: r["score"] for r in pagerank(e, iters=8).collect()}
+        assert set(ref) == {n for (g, n) in got if g == lang}
+        for n, s in ref.items():
+            assert got[(lang, n)] == pytest.approx(s, abs=1e-12)
+        assert sum(v for (g, _), v in got.items()
+                   if g == lang) == pytest.approx(1.0, abs=1e-9)
+    with pytest.raises(ValueError, match="group_cols"):
+        pagerank_grouped(ge, [], iters=2)
