@@ -128,3 +128,69 @@ def test_indexed_search_equals_scan_path(spark, docs, tmp_path_factory):
                              dictionary=d)  # no meta
     for x in held:
         x.unpersist()
+
+
+class TestFuzzIndexedParity:
+    """Property fuzz: random query-language strings assembled from the
+    CORPUS vocabulary (never hand-typed English — empty-result parity is
+    vacuous) must rank identically through the scan path and the
+    persisted-index path."""
+
+    @pytest.fixture(scope="class")
+    def setup(self, spark, docs, tmp_path_factory):
+        from bertopic_spark.index.positions import write_positions
+        from bertopic_spark.index.segments import (build_block_index,
+                                                   write_index_segments)
+        from bertopic_spark.operators.bm25 import doc_scores
+        from bertopic_spark.operators.fulltext import (doc_term_positions,
+                                                       term_dictionary)
+
+        root = tmp_path_factory.mktemp("qlfuzz")
+        seg, posp = str(root / "seg"), str(root / "pos")
+        held = []
+        sc = doc_scores(docs, "text", "doc_id", _persisted_out=held)
+        write_index_segments(build_block_index(sc, span=256), seg, n_buckets=16)
+        write_positions(doc_term_positions(docs, "text", "doc_id"), posp,
+                        n_buckets=16)
+        d = term_dictionary(docs, "text", "doc_id").persist()
+        held.append(d)
+        vocab = [r["term"] for r in
+                 d.orderBy(F.desc("df"), F.asc("term")).limit(24).collect()]
+        yield seg, posp, d, vocab
+        for x in held:
+            x.unpersist()
+
+    def test_fuzz(self, spark, docs, setup):
+        import random
+
+        from bertopic_spark.operators.querylang import search_query_indexed
+
+        seg, posp, d, vocab = setup
+        rng = random.Random(717)
+        checked = nonempty = 0
+        for _ in range(12):
+            terms = rng.sample(vocab, 5)
+            parts = [terms[0], terms[1]]
+            if rng.random() < 0.5:
+                parts.append("+" + terms[2])
+            if rng.random() < 0.5:
+                parts.append("-" + terms[3])
+            if rng.random() < 0.4:
+                parts.append(f'"{terms[0]} {terms[1]}"')
+            if rng.random() < 0.4:
+                parts.append(terms[4][:3] + "*")
+            if rng.random() < 0.3:
+                parts.append(terms[4] + "~")
+            q = " ".join(parts)
+            got = [(r.doc_id, round(r.score, 9), r["rank"])
+                   for r in search_query_indexed(
+                       spark, seg, posp, q, dictionary=d, k=5,
+                       n_buckets=16, span=256, pos_buckets=16).collect()]
+            want = [(r.doc_id, round(r.score, 9), r["rank"])
+                    for r in search_query(docs, q, k=5,
+                                          text_col="text").collect()]
+            assert got == want, q
+            checked += 1
+            nonempty += bool(got)
+        assert checked == 12
+        assert nonempty >= 8  # vocabulary-drawn queries must mostly hit
