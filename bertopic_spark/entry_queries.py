@@ -3951,6 +3951,38 @@ SELECT term, score, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {GRAPH_K}"""
 
 
+def q_asof_click_purchase(spark, sf_dir):
+    """As-of join (operators/temporal.asof_join): each click enriched
+    with the user's latest purchase at-or-before it — union-tag + one
+    window pass per key (|L|+|R|, never a range-join candidate blowup).
+    Oracle is DuckDB's NATIVE ASOF JOIN."""
+    from bertopic_spark.operators.temporal import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("p_id"), "value")
+    out = asof_join(clicks, purchases, ["user_id"], "ts",
+                    right_cols=["p_id", "value"], suffix="_p")
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("ts_p").alias("purchase_ts"),
+        F.col("p_id_p").alias("purchase_id"),
+        _r6(F.col("value_p")).alias("purchase_value"),
+    )
+
+
+SQL_ASOF = """WITH
+l AS (SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'click'),
+r AS (SELECT user_id, ts, event_id AS p_id, value FROM events
+      WHERE event_type = 'purchase')
+SELECT l.event_id, l.user_id, l.ts, r.ts AS purchase_ts,
+       r.p_id AS purchase_id, round(r.value, 6) AS purchase_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"""
+
+
 GRAPHG_V, GRAPHG_K = 30, 10
 
 
@@ -4133,4 +4165,5 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "code_tokenize_counts": (q_code_tokenize_counts, _sql_code_tokenize()),
     "search_after_page2": (q_search_after_page2, SQL_SEARCH_AFTER),
     "textrank_per_class": (q_textrank_per_class, _sql_textrank_per_class()),
+    "asof_click_purchase": (q_asof_click_purchase, SQL_ASOF),
 }

@@ -1,0 +1,68 @@
+"""As-of join (operators/temporal.py) against pandas.merge_asof — the
+reference implementation of the semantics — plus tolerance, forward
+direction, and left-join null contracts."""
+
+from datetime import datetime, timedelta
+
+import pandas as pd
+import pytest
+
+from bertopic_spark.operators.temporal import asof_join
+
+T0 = datetime(2026, 1, 1)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    import random
+
+    rng = random.Random(99)
+    lrows = [(u, T0 + timedelta(minutes=rng.randrange(0, 5000)), i)
+             for i, u in enumerate(rng.choices(range(6), k=120))]
+    rrows = [(u, T0 + timedelta(minutes=rng.randrange(0, 5000)), float(i))
+             for i, u in enumerate(rng.choices(range(8), k=80))]
+    # enforce the uniqueness contract per (key, ts)
+    lrows = list({(u, t): (u, t, i) for u, t, i in lrows}.values())
+    rrows = list({(u, t): (u, t, v) for u, t, v in rrows}.values())
+    L = spark.createDataFrame(lrows, "user long, ts timestamp, lid long")
+    R = spark.createDataFrame(rrows, "user long, ts timestamp, val double")
+    lp = pd.DataFrame(lrows, columns=["user", "ts", "lid"]).sort_values("ts")
+    rp = pd.DataFrame(rrows, columns=["user", "ts", "val"]).sort_values("ts")
+    return L, R, lp, rp
+
+
+@pytest.mark.parametrize("direction,tol", [
+    ("backward", None), ("forward", None),
+    ("backward", 3600.0), ("forward", 600.0),
+])
+def test_asof_matches_pandas_merge_asof(frames, direction, tol):
+    L, R, lp, rp = frames
+    got = {r["lid"]: (r["ts_right"], r["val_right"]) for r in
+           asof_join(L, R, ["user"], "ts", direction=direction,
+                     tolerance_seconds=tol).collect()}
+    ref = pd.merge_asof(
+        lp, rp, on="ts", by="user", direction=direction,
+        tolerance=None if tol is None else pd.Timedelta(seconds=tol))
+    assert len(got) == len(lp)  # left-join: every left row survives
+    for _, row in ref.iterrows():
+        g_ts, g_val = got[row["lid"]]
+        if pd.isna(row["val"]):
+            assert g_val is None and g_ts is None
+        else:
+            assert g_val == row["val"]
+            # matched right ts reported alongside
+            assert g_ts is not None
+
+
+def test_asof_tie_is_inclusive(spark):
+    L = spark.createDataFrame([(1, T0, 0)], "user long, ts timestamp, lid long")
+    R = spark.createDataFrame([(1, T0, 5.0)], "user long, ts timestamp, val double")
+    for d in ("backward", "forward"):
+        out = asof_join(L, R, ["user"], "ts", direction=d).collect()[0]
+        assert out["val_right"] == 5.0
+
+
+def test_asof_validation(spark):
+    L = spark.createDataFrame([(1, T0, 0)], "user long, ts timestamp, lid long")
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(L, L, ["user"], "ts", direction="nearest")
