@@ -3983,6 +3983,39 @@ SELECT l.event_id, l.user_id, l.ts, r.ts AS purchase_ts,
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"""
 
 
+def q_range_click_purchase(spark, sf_dir):
+    """Range (band) join (operators/temporal.range_join): all purchases
+    in the hour BEFORE each click, per user — bucketized by the band
+    width into an equi-join (≤2 bucket probes per left row), never a
+    per-key cartesian. Oracle is the plain inequality join."""
+    from bertopic_spark.operators.temporal import range_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"),
+        F.col("event_id").alias("p_id"), "value")
+    out = range_join(clicks, purchases, ["user_id"], "ts", "pts",
+                     -3600.0, 0.0)
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("pts_right").alias("purchase_ts"),
+        F.col("p_id_right").alias("purchase_id"),
+        _r6(F.col("value_right")).alias("purchase_value"),
+    )
+
+
+SQL_RANGE_JOIN = """WITH
+l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+r AS (SELECT user_id, ts AS pts, event_id AS p_id, value FROM events
+      WHERE event_type = 'purchase')
+SELECT l.event_id, l.user_id, l.ts, r.pts AS purchase_ts,
+       r.p_id AS purchase_id, round(r.value, 6) AS purchase_value
+FROM l JOIN r ON l.user_id = r.user_id
+             AND r.pts >= l.ts - INTERVAL 1 HOUR AND r.pts <= l.ts"""
+
+
 GRAPHG_V, GRAPHG_K = 30, 10
 
 
@@ -4166,4 +4199,5 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "search_after_page2": (q_search_after_page2, SQL_SEARCH_AFTER),
     "textrank_per_class": (q_textrank_per_class, _sql_textrank_per_class()),
     "asof_click_purchase": (q_asof_click_purchase, SQL_ASOF),
+    "range_click_purchase": (q_range_click_purchase, SQL_RANGE_JOIN),
 }

@@ -20,8 +20,53 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _us(col: Column) -> Column:
+    """Microseconds since epoch; NTZ-safe (unix_micros rejects
+    TIMESTAMP_NTZ — the cast interprets NTZ in the session zone, which is
+    consistent across both join sides, so band/tolerance arithmetic is
+    unaffected)."""
+    return F.unix_micros(col.cast("timestamp"))
+
+
+def range_join(left: DataFrame, right: DataFrame, on: Sequence[str],
+               left_ts: str, right_ts: str,
+               lower_seconds: float, upper_seconds: float,
+               suffix: str = "_right") -> DataFrame:
+    """Band join: every (left, right) pair with the same keys and
+    ``right_ts`` ∈ [left_ts + lower, left_ts + upper] (inclusive).
+
+    A naive inequality join makes Spark build |L|·|R| pairs PER KEY
+    before filtering (BroadcastNestedLoopJoin / cartesian within key).
+    This implementation buckets both sides by the band width W =
+    upper − lower: a right row lands in bucket floor(ts/W); a left row's
+    band can only intersect buckets floor((ts+lower)/W) and the one
+    after, so each left row explodes into ≤ 2 bucket probes and the join
+    is an EQUI-join on (keys, bucket) followed by the exact band filter —
+    candidates are linear in the true neighborhood size, and Catalyst
+    gets a hashable key (shuffle or broadcast, its choice).
+    """
+    if upper_seconds < lower_seconds:
+        raise ValueError("upper_seconds must be >= lower_seconds")
+    w_us = max(int((upper_seconds - lower_seconds) * 1e6), 1)
+    on = list(on)
+    rcols = [c for c in right.columns if c not in on]
+    r = right.select(
+        *on, *[F.col(c).alias(f"{c}{suffix}") for c in rcols],
+        (F.floor(_us(F.col(right_ts)) / w_us)).alias("_bkt"))
+    lo_us = _us(F.col(left_ts)) + int(lower_seconds * 1e6)
+    l = left.withColumn(
+        "_bkt", F.explode(F.array(F.floor(lo_us / w_us),
+                                  F.floor(lo_us / w_us) + 1)))
+    rts = F.col(f"{right_ts}{suffix}")
+    band_lo = _us(F.col(left_ts)) + F.lit(int(lower_seconds * 1e6))
+    band_hi = _us(F.col(left_ts)) + F.lit(int(upper_seconds * 1e6))
+    return (l.join(r, [*on, "_bkt"])
+            .filter(_us(rts).between(band_lo, band_hi))
+            .drop("_bkt"))
 
 
 def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
@@ -72,8 +117,8 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
                                .over(w))
                .filter(F.col("_tag") == 1))
     if tolerance_seconds is not None:
-        gap = F.abs(F.unix_micros(F.col("_ts")) -
-                    F.unix_micros(F.col(f"_m.{rts}{suffix}"))) / 1e6
+        gap = F.abs(_us(F.col("_ts")) -
+                    _us(F.col(f"_m.{rts}{suffix}"))) / 1e6
         matched = matched.withColumn(
             "_m", F.when(gap <= float(tolerance_seconds), F.col("_m")))
     out_cols = [F.col(f"_lrow.{c}").alias(c) for c in left.columns]

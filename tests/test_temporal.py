@@ -66,3 +66,31 @@ def test_asof_validation(spark):
     L = spark.createDataFrame([(1, T0, 0)], "user long, ts timestamp, lid long")
     with pytest.raises(ValueError, match="direction"):
         asof_join(L, L, ["user"], "ts", direction="nearest")
+
+
+def test_range_join_matches_brute_force(spark, frames):
+    from bertopic_spark.operators.temporal import range_join
+
+    L, R, lp, rp = frames
+    for lo, hi in [(-3600.0, 0.0), (0.0, 1800.0), (-600.0, 600.0)]:
+        got = {(r["lid"], r["val_right"]) for r in
+               range_join(L, R, ["user"], "ts", "ts", lo, hi).collect()}
+        want = set()
+        for _, l in lp.iterrows():
+            for _, r in rp.iterrows():
+                if l["user"] == r["user"] and \
+                        lo <= (r["ts"] - l["ts"]).total_seconds() <= hi:
+                    want.add((l["lid"], r["val"]))
+        assert got == want, (lo, hi)
+
+
+def test_range_join_zero_width_and_validation(spark):
+    from bertopic_spark.operators.temporal import range_join
+
+    L = spark.createDataFrame([(1, T0, 0)], "user long, ts timestamp, lid long")
+    R = spark.createDataFrame([(1, T0, 5.0), (1, T0 + timedelta(seconds=1), 6.0)],
+                              "user long, rts timestamp, val double")
+    got = range_join(L, R, ["user"], "ts", "rts", 0.0, 0.0).collect()
+    assert [(r["lid"], r["val_right"]) for r in got] == [(0, 5.0)]
+    with pytest.raises(ValueError):
+        range_join(L, R, ["user"], "ts", "rts", 10.0, 0.0)
