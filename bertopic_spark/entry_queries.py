@@ -4016,6 +4016,32 @@ FROM l JOIN r ON l.user_id = r.user_id
              AND r.pts >= l.ts - INTERVAL 1 HOUR AND r.pts <= l.ts"""
 
 
+def q_events_rollup_day(spark, sf_dir):
+    """Continuous-aggregate rollup (operators/rollup.rollup_levels): the
+    DAY level is re-aggregated from the HOUR level (raw scanned once, at
+    the finest grain only); the oracle aggregates days straight from raw
+    — algebraic measures make the two provably equal."""
+    from bertopic_spark.operators.rollup import rollup_levels
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    day = rollup_levels(ev, "ts", ["event_type"], "value",
+                        levels=("hour", "day"))["day"]
+    # avg derived from the 6dp-rounded sum so both engines divide the
+    # IDENTICAL numerator (a raw two-stage sum can land a hair under an
+    # exact rounding boundary that the oracle's one-stage sum sits on)
+    return day.select(
+        "bucket", "event_type", "n", _r6(F.col("sum_v")).alias("sum_v"),
+        _r6(F.col("min_v")).alias("min_v"), _r6(F.col("max_v")).alias("max_v"),
+        _r6(_r6(F.col("sum_v")) / F.col("n")).alias("avg_v"))
+
+
+SQL_ROLLUP_DAY = """SELECT date_trunc('day', ts) AS bucket, event_type,
+       CAST(count(*) AS BIGINT) AS n, round(sum(value), 6) AS sum_v,
+       round(min(value), 6) AS min_v, round(max(value), 6) AS max_v,
+       round(round(sum(value), 6) / count(*), 6) AS avg_v
+FROM events GROUP BY 1, 2"""
+
+
 GRAPHG_V, GRAPHG_K = 30, 10
 
 
@@ -4200,4 +4226,5 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "textrank_per_class": (q_textrank_per_class, _sql_textrank_per_class()),
     "asof_click_purchase": (q_asof_click_purchase, SQL_ASOF),
     "range_click_purchase": (q_range_click_purchase, SQL_RANGE_JOIN),
+    "events_rollup_day": (q_events_rollup_day, SQL_ROLLUP_DAY),
 }

@@ -1,0 +1,71 @@
+"""Hypertable-style continuous-aggregate rollups (TimescaleDB analog):
+a multi-resolution time hierarchy where the FINEST level is aggregated
+from raw events once and every coarser level is re-aggregated from the
+level below — count/sum/min/max are algebraic, so day-from-hour equals
+day-from-raw exactly, and avg is derived as sum/n at read time.
+
+Why it matters at 100 TB: the raw event table is scanned once per refresh
+window for the finest grain; hour→day→week→month each re-aggregate a
+relation that is orders of magnitude smaller than raw. Non-algebraic
+measures (distinct users) do NOT rollup — use the mergeable sketches
+(``operators/sketch.py`` HLL registers merge linearly) alongside.
+Incremental refresh composes with the streaming layer: the finest level
+is a watermarked windowed agg (``streaming/incremental.windowed_term_
+counts`` shape) and coarser levels re-aggregate its appends.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# coarse-to-fine ordering for validation
+_GRAIN_ORDER = ["minute", "hour", "day", "week", "month", "year"]
+
+
+def rollup_levels(df: DataFrame, ts_col: str, keys: Sequence[str],
+                  value_col: str,
+                  levels: Sequence[str] = ("hour", "day", "week"),
+                  ) -> dict[str, DataFrame]:
+    """{level: (bucket, keys..., n, sum_v, min_v, max_v)} — the finest
+    level aggregated from ``df`` once, each coarser level re-aggregated
+    from the previous level's relation (one groupBy over an already-tiny
+    input; raw is never re-scanned)."""
+    lv = list(levels)
+    order = [_GRAIN_ORDER.index(x) for x in lv]  # ValueError = bad grain
+    if order != sorted(order) or len(set(lv)) != len(lv):
+        raise ValueError(f"levels must be strictly fine-to-coarse, got {lv}")
+    keys = list(keys)
+    out: dict[str, DataFrame] = {}
+    finer: DataFrame | None = None
+    for level in lv:
+        if finer is None:
+            agg = (df.select(
+                F.date_trunc(level, F.col(ts_col)).alias("bucket"),
+                *keys, F.col(value_col).alias("_v"))
+                .groupBy("bucket", *keys)
+                .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                     F.sum("_v").alias("sum_v"),
+                     F.min("_v").alias("min_v"),
+                     F.max("_v").alias("max_v")))
+        else:
+            agg = (finer.select(
+                F.date_trunc(level, F.col("bucket")).alias("bucket"),
+                *keys, "n", "sum_v", "min_v", "max_v")
+                .groupBy("bucket", *keys)
+                .agg(F.sum("n").cast("long").alias("n"),
+                     F.sum("sum_v").alias("sum_v"),
+                     F.min("min_v").alias("min_v"),
+                     F.max("max_v").alias("max_v")))
+        out[level] = agg
+        finer = agg
+    return out
+
+
+def with_avg(level_df: DataFrame, dp: int = 6) -> DataFrame:
+    """Derived average at read time (avg itself is not algebraic; sum/n
+    is — the standard continuous-aggregate trick)."""
+    return level_df.withColumn(
+        "avg_v", F.round(F.col("sum_v") / F.col("n"), dp))
