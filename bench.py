@@ -90,6 +90,11 @@ BENCH_QUERIES = [
     "tiered_bm25_topk",
     "percolate",
     "search_after_page2",
+    # round-3 temporal/rollup additions
+    "asof_click_purchase",
+    "range_click_purchase",
+    "events_rollup_day",
+    "textrank_per_class",
 ]
 
 
