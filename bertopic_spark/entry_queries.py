@@ -4042,6 +4042,32 @@ SQL_ROLLUP_DAY = """SELECT date_trunc('day', ts) AS bucket, event_type,
 FROM events GROUP BY 1, 2"""
 
 
+def q_suggest_index(spark, sf_dir):
+    """Materialized suggest-as-you-type completions (operators/fulltext.
+    suggest_index): per term-prefix (len 2-4) the top-8 completions by df
+    — serving a keystroke is a point lookup, never a dictionary scan."""
+    from bertopic_spark.operators.fulltext import suggest_index, term_dictionary
+
+    d = term_dictionary(_docs(spark, sf_dir), "text", "doc_id", MODE)
+    return suggest_index(d, min_len=2, max_len=4, k=8)
+
+
+SQL_SUGGEST_INDEX = f"""WITH {_TOKS},
+dt AS (SELECT DISTINCT doc_id, term FROM toks),
+dict AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY term),
+pre AS (
+  SELECT substring(term, 1, n.n) AS prefix, term, df
+  FROM dict, unnest(range(2, least(length(term), 4) + 1)) AS n(n)
+  WHERE length(term) >= 2),
+ranked AS (
+  SELECT prefix, term, df,
+         row_number() OVER (PARTITION BY prefix
+                            ORDER BY df DESC, term ASC) AS rank
+  FROM pre)
+SELECT prefix, term, df, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 8"""
+
+
 GRAPHG_V, GRAPHG_K = 30, 10
 
 
@@ -4227,4 +4253,5 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "asof_click_purchase": (q_asof_click_purchase, SQL_ASOF),
     "range_click_purchase": (q_range_click_purchase, SQL_RANGE_JOIN),
     "events_rollup_day": (q_events_rollup_day, SQL_ROLLUP_DAY),
+    "suggest_index_topk": (q_suggest_index, SQL_SUGGEST_INDEX),
 }

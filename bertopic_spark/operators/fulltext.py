@@ -664,3 +664,41 @@ def percolate(docs: DataFrame, queries: DataFrame,
             .select(id_col, "query_id", "n_matched", "n_q",
                     F.round(F.col("n_matched") / F.col("n_q"), 6)
                     .alias("coverage")))
+
+
+def suggest_index(dictionary: DataFrame, min_len: int = 2, max_len: int = 4,
+                  k: int = 8) -> DataFrame:
+    """Materialized suggest-as-you-type completions: (prefix, term, df,
+    rank) — for every term prefix of length ``min_len``..``max_len``, the
+    top-``k`` completions by document frequency (df desc, term asc).
+
+    This is the precomputed completion table behind interactive query
+    suggestion at scale: serving a keystroke is a point lookup on
+    ``prefix`` (partition-prunable when written partitioned/bucketed by
+    prefix), never a dictionary scan. Build cost: each term explodes into
+    ≤ max_len-min_len+1 prefix rows, then one windowed top-k per prefix —
+    the window partitions by prefix, so no single task sees more than one
+    prefix's candidates.
+    """
+    if not 1 <= min_len <= max_len:
+        raise ValueError("need 1 <= min_len <= max_len")
+    pre = (dictionary.filter(F.length("term") >= min_len)
+           .select("term", "df",
+                   F.explode(F.sequence(
+                       F.lit(min_len),
+                       F.least(F.length("term"), F.lit(max_len))))
+                   .alias("_n")))
+    pre = pre.select(F.expr("substring(term, 1, _n)").alias("prefix"),
+                     "term", "df")
+    w = Window.partitionBy("prefix").orderBy(F.desc("df"), F.asc("term"))
+    return (pre.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("prefix", "term", "df", "rank"))
+
+
+def suggest(index: DataFrame, typed: str, k: int = 8) -> DataFrame:
+    """Completions for what the user typed so far — a point filter on the
+    materialized suggest index (no dictionary scan)."""
+    return (index.filter(F.col("prefix") == typed.lower())
+            .filter(F.col("rank") <= k)
+            .orderBy("rank"))

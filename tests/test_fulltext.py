@@ -414,3 +414,29 @@ def test_percolate_semantics(spark):
     assert all(d != 2 for d, _ in half)
     with pytest.raises(ValueError):
         percolate(docs, q, min_should_match=0.0)
+
+
+def test_suggest_index_and_lookup(spark):
+    from bertopic_spark.operators.fulltext import (suggest_index,
+                                                   term_dictionary)
+    from bertopic_spark.operators.fulltext import suggest
+
+    docs = spark.createDataFrame(
+        [(0, "spark sparkle spartan spin a"), (1, "spark sparkle spin"),
+         (2, "spark other")],
+        "doc_id long, text string")
+    d = term_dictionary(docs, "text", "doc_id")
+    idx = suggest_index(d, min_len=2, max_len=4, k=3)
+    got = {(r["prefix"], r["rank"]): r["term"] for r in idx.collect()}
+    # df order: spark(3) > sparkle(2)=spin(2, term asc) > spartan(1)
+    assert got[("spa", 1)] == "spark"
+    assert got[("spa", 2)] == "sparkle"
+    assert got[("spa", 3)] == "spartan"
+    assert got[("sp", 2)] == "sparkle" and got[("sp", 3)] == "spin"
+    # prefixes capped at max_len=4; terms shorter than min_len excluded
+    assert all(2 <= len(p) <= 4 for p, _ in got)
+    assert not any(t == "a" for t in got.values())
+    hits = suggest(idx, "SP", k=2).collect()
+    assert [r["term"] for r in hits] == ["spark", "sparkle"]
+    with pytest.raises(ValueError):
+        suggest_index(d, min_len=0)
