@@ -640,6 +640,39 @@ SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, round(score, 6) AS score,
 FROM ranked WHERE rn <= 10"""
 
 
+def q_index_changes(spark, sf_dir):
+    """Snapshot CDC (index/incremental.changes_between): docs added or
+    deleted between as_of(1) and as_of(3) of the evens/odds/delete-17ths
+    history — odd docs deleted inside the window net out; even 17ths
+    (present at the base snapshot) surface as deletions."""
+    import shutil
+    import tempfile
+
+    from bertopic_spark.index.incremental import IncrementalIndex
+
+    docs = _docs(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="bsp_cdcidx_")
+    try:
+        idx = IncrementalIndex.create(spark, root, mode=MODE)
+        idx.append(docs.filter(F.col("doc_id") % 2 == 0),
+                   text_col="text", id_col="doc_id")
+        idx.append(docs.filter(F.col("doc_id") % 2 == 1),
+                   text_col="text", id_col="doc_id")
+        idx.delete(docs.filter(F.col("doc_id") % 17 == 0),
+                   text_col="text", id_col="doc_id")
+        rows = idx.changes_between(1, 3).collect()
+        return spark.createDataFrame(rows, "doc_id long, change string")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_INDEX_CHANGES = """SELECT doc_id, 'added' AS change FROM documents
+WHERE doc_id % 2 = 1 AND doc_id % 17 <> 0
+UNION ALL
+SELECT doc_id, 'deleted' AS change FROM documents
+WHERE doc_id % 2 = 0 AND doc_id % 17 = 0"""
+
+
 SQL_INCREMENTAL_BM25 = f"""WITH
 toks AS (
   SELECT doc_id, unnest({duckdb_tokens_sql('text', MODE)}) AS term
@@ -4254,4 +4287,5 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "range_click_purchase": (q_range_click_purchase, SQL_RANGE_JOIN),
     "events_rollup_day": (q_events_rollup_day, SQL_ROLLUP_DAY),
     "suggest_index_topk": (q_suggest_index, SQL_SUGGEST_INDEX),
+    "index_changes_cdc": (q_index_changes, SQL_INDEX_CHANGES),
 }

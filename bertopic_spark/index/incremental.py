@@ -333,6 +333,44 @@ class IncrementalIndex:
 
     # -- read side ----------------------------------------------------------
 
+    def changes_between(self, g0: int, g1: int) -> DataFrame:
+        """Snapshot diff (CDC over the generation history): (doc_id,
+        change) for every document added or deleted between ``as_of(g0)``
+        and ``as_of(g1)`` — the lineage answer to "what changed in the
+        index since last week's training run?". Reads only the norms/ids
+        sidecars of the generations in (g0, g1]; postings are never
+        decoded. A doc both added and deleted inside the window nets to
+        no row (it is invisible to both snapshots). Subject to the same
+        history contract as ``as_of``: compaction expires it.
+        """
+        gens = self.manifest["gens"]
+        if not 0 <= g0 <= g1 <= len(gens):
+            raise ValueError(
+                f"need 0 <= g0 <= g1 <= {len(gens)}, got ({g0}, {g1})")
+        added, deleted = [], []
+        for g in gens[g0:g1]:
+            path = os.path.join(self._gen_dir(g["name"]),
+                                "norms" if g["kind"] == "add" else "ids")
+            r = self.spark.read.schema(
+                _NORMS_SCHEMA if g["kind"] == "add" else _IDS_SCHEMA
+            ).parquet(path).select("doc_id")
+            (added if g["kind"] == "add" else deleted).append(r)
+
+        def _union(parts):
+            if not parts:
+                return self.spark.createDataFrame([], _IDS_SCHEMA)
+            out = parts[0]
+            for x in parts[1:]:
+                out = out.unionByName(x)
+            return out.distinct()
+
+        a, d = _union(added), _union(deleted)
+        return (a.join(d, "doc_id", "left_anti")
+                .select("doc_id", F.lit("added").alias("change"))
+                .unionByName(
+                    d.join(a, "doc_id", "left_anti")
+                    .select("doc_id", F.lit("deleted").alias("change"))))
+
     def tombstones(self) -> DataFrame | None:
         """Union of all tombstoned doc_ids (None when no deletes exist)."""
         dels = [g for g in self.manifest["gens"] if g["kind"] == "delete"]

@@ -252,3 +252,19 @@ def test_okapi_scorer_matches_adhoc_over_survivors(spark, documents_df, asof_idx
 def test_okapi_scorer_rejects_unknown(asof_idx):
     with pytest.raises(ValueError, match="unknown scorer"):
         asof_idx.topk(_qt_map(), scorer="tfidf")
+
+
+def test_changes_between_cdc(spark, documents_df, asof_idx):
+    # window (1, 3]: odds added, 17ths deleted; odd 17ths net out
+    got = {(r["doc_id"], r["change"]) for r in
+           asof_idx.changes_between(1, 3).collect()}
+    ids = [r["doc_id"] for r in documents_df.select("doc_id").collect()]
+    want = {(i, "added") for i in ids if i % 2 == 1 and i % 17 != 0}
+    want |= {(i, "deleted") for i in ids if i % 2 == 0 and i % 17 == 0}
+    assert got == want
+    # empty window; full window sanity
+    assert asof_idx.changes_between(2, 2).count() == 0
+    full = {c for _, c in got}
+    assert full == {"added", "deleted"}
+    with pytest.raises(ValueError):
+        asof_idx.changes_between(3, 1)
