@@ -4101,6 +4101,90 @@ SELECT prefix, term, df, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= 8"""
 
 
+FUSE_LEG_K, FUSE_K = 20, 10
+
+
+def q_combmnz_fuse(spark, sf_dir):
+    """CombMNZ score fusion (operators/bm25.combsum_fuse): the class-based
+    BM25 leg and the Okapi leg min-max-normalized per query then fused
+    with an agreement multiplier — the calibrated complement to RRF."""
+    from bertopic_spark.operators.bm25 import (combsum_fuse, doc_scores,
+                                               okapi_bm25_topk)
+
+    d = _docs(spark, sf_dir)
+    qt = query_terms(queries_df(spark, DRIVER_QUERIES), MODE)
+    handles: list = []
+    scores = doc_scores(d, text_col="text", id_col="doc_id", mode=MODE,
+                        _persisted_out=handles)
+    leg_a = bm25_topk(scores, qt, k=FUSE_LEG_K)
+    leg_b = okapi_bm25_topk(d, qt, k=FUSE_LEG_K, k1=OKAPI_K1, b=OKAPI_B,
+                            text_col="text", mode=MODE)
+    out = combsum_fuse([leg_a, leg_b], k=FUSE_K, mnz=True)
+    return out.select("query_id", "doc_id", _r6(F.col("score")).alias("score"),
+                      "n_legs", F.col("rank").cast("long").alias("rn"))
+
+
+def _sql_combmnz() -> str:
+    return f"""WITH {_TOKS}, {_XDOC},
+{_scores_sql('xdoc', 'doc_id', True, False)},
+q(query_id, term) AS (VALUES {_query_term_values()}),
+ahits AS (
+  SELECT q.query_id, s.doc_id, sum(s.score) AS score
+  FROM q JOIN scores s USING (term) GROUP BY q.query_id, s.doc_id),
+aleg AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rn
+  FROM ahits QUALIFY rn <= {FUSE_LEG_K}),
+odl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM xdoc GROUP BY doc_id),
+ons AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM odl),
+odfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM xdoc GROUP BY term),
+ohits AS (
+  SELECT q.query_id, x.doc_id,
+         sum(ln(1.0 + (ns.n - odfs.df + 0.5) / (odfs.df + 0.5)) *
+             x.tf * {OKAPI_K1 + 1.0} /
+             (x.tf + {OKAPI_K1} * (1.0 - {OKAPI_B} +
+                                   {OKAPI_B} * odl.dl / ns.avgdl))) AS score
+  FROM q JOIN xdoc x USING (term) JOIN odfs USING (term)
+       JOIN odl ON odl.doc_id = x.doc_id CROSS JOIN ons ns
+  GROUP BY q.query_id, x.doc_id),
+oleg AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rn
+  FROM ohits QUALIFY rn <= {FUSE_LEG_K}),
+normed AS (
+  SELECT query_id, doc_id,
+         round(CASE WHEN max(score) OVER (PARTITION BY query_id) =
+                         min(score) OVER (PARTITION BY query_id)
+               THEN 1.0
+               ELSE (score - min(score) OVER (PARTITION BY query_id)) /
+                    (max(score) OVER (PARTITION BY query_id) -
+                     min(score) OVER (PARTITION BY query_id)) END, 9) AS c
+  FROM aleg
+  UNION ALL
+  SELECT query_id, doc_id,
+         round(CASE WHEN max(score) OVER (PARTITION BY query_id) =
+                         min(score) OVER (PARTITION BY query_id)
+               THEN 1.0
+               ELSE (score - min(score) OVER (PARTITION BY query_id)) /
+                    (max(score) OVER (PARTITION BY query_id) -
+                     min(score) OVER (PARTITION BY query_id)) END, 9) AS c
+  FROM oleg),
+fused AS (
+  SELECT query_id, doc_id, sum(c) * count(*) AS score,
+         CAST(count(*) AS BIGINT) AS n_legs
+  FROM normed GROUP BY query_id, doc_id),
+franked AS (
+  SELECT query_id, doc_id, score, n_legs,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rn
+  FROM fused)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+       round(score, 6) AS score, n_legs, CAST(rn AS BIGINT) AS rn
+FROM franked WHERE rn <= {FUSE_K}"""
+
+
 GRAPHG_V, GRAPHG_K = 30, 10
 
 
@@ -4288,4 +4372,5 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "events_rollup_day": (q_events_rollup_day, SQL_ROLLUP_DAY),
     "suggest_index_topk": (q_suggest_index, SQL_SUGGEST_INDEX),
     "index_changes_cdc": (q_index_changes, SQL_INDEX_CHANGES),
+    "combmnz_fuse": (q_combmnz_fuse, _sql_combmnz()),
 }

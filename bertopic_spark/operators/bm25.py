@@ -648,6 +648,52 @@ def rrf_fuse(rankings, k0: int = 60, k: int = 10,
             .select("query_id", id_col, "score", "rank"))
 
 
+def combsum_fuse(rankings, k: int = 10, id_col: str = "doc_id",
+                 mnz: bool = False, dp: int = 9) -> DataFrame:
+    """Score-based fusion (Fox & Shaw, TREC-2): per leg min-max-normalize
+    scores WITHIN each query to [0, 1], then CombSUM (Σ normalized
+    scores) or CombMNZ (``mnz=True``: CombSUM × number of legs that
+    retrieved the doc — rewards agreement). The calibrated complement to
+    ``rrf_fuse`` when leg scores are meaningful; each leg needs
+    (query_id, id, score).
+
+    Degenerate legs (one candidate, or all scores equal within a query)
+    normalize to 1.0 by convention. Normalized scores are rounded to
+    ``dp`` decimals before summing so the fused ordering is reproducible
+    cross-engine (min-max division is association-free but the inputs may
+    not be). Physical shape: per-leg per-query min/max is a tiny agg over
+    top-k relations; everything downstream shuffles |legs|·k rows per
+    query.
+    """
+    from functools import reduce as _reduce
+
+    legs = list(rankings)
+    if not legs:
+        raise ValueError("need at least one ranking leg")
+    norm = []
+    for r in legs:
+        mm = r.groupBy("query_id").agg(F.min("score").alias("_mn"),
+                                       F.max("score").alias("_mx"))
+        norm.append(
+            r.join(F.broadcast(mm), "query_id")
+            .select("query_id", F.col(id_col),
+                    F.round(
+                        F.when(F.col("_mx") == F.col("_mn"), F.lit(1.0))
+                        .otherwise((F.col("score") - F.col("_mn")) /
+                                   (F.col("_mx") - F.col("_mn"))), dp)
+                    .alias("c")))
+    hits = (_reduce(DataFrame.unionByName, norm)
+            .groupBy("query_id", id_col)
+            .agg(F.sum("c").alias("_s"),
+                 F.count(F.lit(1)).cast("long").alias("n_legs")))
+    score = (F.col("_s") * F.col("n_legs")) if mnz else F.col("_s")
+    scored = hits.select("query_id", id_col, score.alias("score"), "n_legs")
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", id_col, "score", "n_legs", "rank"))
+
+
 def collapse_topk(hits: DataFrame, meta: DataFrame, collapse_col: str,
                   per_key: int = 1, k: int = 10,
                   id_col: str = "doc_id") -> DataFrame:

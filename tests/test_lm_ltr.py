@@ -198,3 +198,28 @@ def test_search_after_pages_partition_ranking(spark, corpus, qt):
            .filter(F.col("rank") == last)
            .select("query_id", F.col("score").alias("after_score")), "query_id")
     assert search_after(scores, qt, cur_end, k=2).count() == 0
+
+
+def test_combsum_mnz_fusion(spark, corpus, qt):
+    from bertopic_spark.operators.bm25 import (bm25_topk, combsum_fuse,
+                                               doc_scores, okapi_bm25_topk)
+
+    scores = doc_scores(corpus, mode="ascii_code", persist_counts=False)
+    a = bm25_topk(scores, qt, k=5)
+    b = okapi_bm25_topk(corpus, qt, k=5, persist_counts=False)
+    fused = combsum_fuse([a, b], k=5, mnz=True).filter("query_id = 0")
+    rows = {r["doc_id"]: r for r in fused.collect()}
+    assert rows
+    for d, r in rows.items():
+        assert r["n_legs"] in (1, 2)
+        assert 0.0 <= r["score"] <= 4.0 + 1e-9  # mnz max = 2 legs × Σ1.0 × 2
+    # the per-leg top-1 docs both carry normalized score 1.0 in their leg
+    top_a = a.filter("query_id = 0 and rank = 1").collect()[0]["doc_id"]
+    if top_a in rows and rows[top_a]["n_legs"] == 2:
+        assert rows[top_a]["score"] > 2.0  # agreement multiplier kicks in
+    # single-leg fusion is a no-op ordering-wise
+    solo = combsum_fuse([a], k=5).filter("query_id = 0")
+    assert [r["doc_id"] for r in solo.orderBy("rank").collect()] == \
+        [r["doc_id"] for r in a.filter("query_id = 0").orderBy("rank").collect()]
+    with pytest.raises(ValueError):
+        combsum_fuse([])
