@@ -4101,6 +4101,45 @@ SELECT prefix, term, df, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= 8"""
 
 
+def q_events_cube(spark, sf_dir):
+    """OLAP cube over (event_type, day): all four grouping sets in one
+    pass (Spark CUBE = partial-agg-friendly expand + one shuffle);
+    oracle is DuckDB GROUP BY CUBE."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (ev.select(F.col("event_type"),
+                      F.date_trunc("day", "ts").alias("day"), "value")
+            .cube("event_type", "day")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 _r6(F.sum("value")).alias("sum_v")))
+
+
+SQL_EVENTS_CUBE = """SELECT event_type, date_trunc('day', ts) AS day,
+       CAST(count(*) AS BIGINT) AS n, round(sum(value), 6) AS sum_v
+FROM events GROUP BY CUBE (event_type, date_trunc('day', ts))"""
+
+
+def q_events_rolling_24h(spark, sf_dir):
+    """Rolling 24-hour window per event type (RANGE frame over event-time
+    seconds): count and sum of the trailing day at every event — the
+    moving-aggregate surface, windowed by RANGE not ROWS."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = (Window.partitionBy("event_type")
+         .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+         .rangeBetween(-86400 * 1_000_000, 0))
+    return (ev.select("event_id", "event_type", "ts", "value")
+            .withColumn("n_24h", F.count(F.lit(1)).over(w).cast("long"))
+            .withColumn("sum_24h", _r6(F.sum("value").over(w)))
+            .select("event_id", "event_type", "ts", "n_24h", "sum_24h"))
+
+
+SQL_EVENTS_ROLLING = """SELECT event_id, event_type, ts,
+       CAST(count(*) OVER w AS BIGINT) AS n_24h,
+       round(sum(value) OVER w, 6) AS sum_24h
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY ts
+             RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)"""
+
+
 FUSE_LEG_K, FUSE_K = 20, 10
 
 
@@ -4373,4 +4412,6 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "suggest_index_topk": (q_suggest_index, SQL_SUGGEST_INDEX),
     "index_changes_cdc": (q_index_changes, SQL_INDEX_CHANGES),
     "combmnz_fuse": (q_combmnz_fuse, _sql_combmnz()),
+    "events_cube": (q_events_cube, SQL_EVENTS_CUBE),
+    "events_rolling_24h": (q_events_rolling_24h, SQL_EVENTS_ROLLING),
 }
