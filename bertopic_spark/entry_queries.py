@@ -4140,6 +4140,30 @@ WINDOW w AS (PARTITION BY event_type ORDER BY ts
              RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)"""
 
 
+def q_okapi_wand_topk(spark, sf_dir):
+    """Okapi served through block-max WAND (okapi_doc_scores →
+    build_block_index → blockmax_topk): the same compressed-block pruning
+    machinery runs a second ranking function unchanged because the blocks
+    carry scorer-agnostic (tf, score) streams — and non-negative Okapi
+    scores make block-max upper bounds tight. Oracle = the exhaustive
+    Okapi SQL (pruned path, same truth)."""
+    from bertopic_spark.index.segments import build_block_index
+    from bertopic_spark.index.wand import blockmax_topk
+    from bertopic_spark.operators.bm25 import okapi_doc_scores
+
+    d = _docs(spark, sf_dir)
+    qt = query_terms(queries_df(spark, DRIVER_QUERIES), MODE)
+    handles: list = []
+    rel = okapi_doc_scores(d, k1=OKAPI_K1, b=OKAPI_B, text_col="text",
+                           mode=MODE, _persisted_out=handles)
+    blocks = build_block_index(rel, span=512)
+    t = blockmax_topk(blocks, qt, k=10, span=512, persist_cand=False)
+    return t.select(
+        "query_id", "doc_id", _r6(F.col("score")).alias("score"),
+        F.col("rank").cast("long").alias("rn"),
+    )
+
+
 FUSE_LEG_K, FUSE_K = 20, 10
 
 
@@ -4414,4 +4438,5 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "combmnz_fuse": (q_combmnz_fuse, _sql_combmnz()),
     "events_cube": (q_events_cube, SQL_EVENTS_CUBE),
     "events_rolling_24h": (q_events_rolling_24h, SQL_EVENTS_ROLLING),
+    "okapi_wand_topk": (q_okapi_wand_topk, SQL_OKAPI_BM25),
 }

@@ -218,6 +218,51 @@ def lm_topk(
     )
 
 
+def okapi_doc_scores(
+    corpus: DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    mode: str = "ascii_code",
+    persist_counts: bool = True,
+    _persisted_out: list | None = None,
+) -> DataFrame:
+    """Okapi-scored doc-level index: (doc_id, term, tf, score) with
+    score = idf_RSJ(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) — the
+    per-term decomposition of classical BM25, so
+    ``bm25_topk(okapi_doc_scores(c), q)`` ≡ ``okapi_bm25_topk(c, q)``
+    and the relation feeds every downstream serving structure unchanged:
+    ``build_block_index``/WAND (block-max bounds are tighter AND the
+    scores are non-negative — the textbook precondition champion-list
+    tiering wants, cf. jobs/tiered_ab.py), ``prune_index``,
+    ``champion_lists``.
+    """
+    if k1 < 0 or not 0.0 <= b <= 1.0:
+        raise ValueError("need k1 >= 0 and 0 <= b <= 1")
+    x = doc_term_counts(corpus, text_col, [id_col], mode, with_len=True)
+    if persist_counts:
+        x = x.persist()
+        if _persisted_out is not None:
+            _persisted_out.append(x)
+    row = (x.groupBy(id_col).agg(F.max("doc_len").alias("dl"))
+           .agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+           .collect()[0])
+    n_docs, avgdl = int(row["n"]), row["avgdl"]
+    if n_docs == 0:
+        return x.select(id_col, "term", "tf",
+                        F.lit(0.0).alias("score")).limit(0)
+    dfs = x.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) /
+                (F.col("df") + 0.5))
+    denom = (F.col("tf") + F.lit(k1) *
+             (F.lit(1.0 - b) + F.lit(b) * F.col("doc_len") / F.lit(avgdl)))
+    return (x.join(dfs.select("term", idf.alias("_idf")), "term")
+            .select(id_col, "term", "tf",
+                    (F.col("_idf") * F.col("tf") * F.lit(k1 + 1.0) / denom)
+                    .alias("score")))
+
+
 def search_after(
     scores: DataFrame,
     qterms: DataFrame,

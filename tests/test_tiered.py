@@ -80,3 +80,22 @@ def test_persisted_handle_released(spark, setup):
         h.unpersist(blocking=True)
     after = len(spark.sparkContext._jsc.getPersistentRDDs())
     assert after == before - 1
+
+
+def test_okapi_doc_scores_decomposition(spark):
+    """bm25_topk over okapi_doc_scores == okapi_bm25_topk: the per-term
+    decomposition feeding blocks/WAND/champions is exact."""
+    from bertopic_spark.corpus import fixture_queries, load_corpus
+    from bertopic_spark.operators.bm25 import okapi_bm25_topk, okapi_doc_scores
+
+    corpus = load_corpus(spark, n_files=300)
+    qt = query_terms(queries_df(spark, fixture_queries(6)), "ascii_code")
+    rel = okapi_doc_scores(corpus, persist_counts=False)
+    got = [(r.query_id, r.doc_id, r["rank"], round(r.score, 12)) for r in
+           bm25_topk(rel, qt, k=5).orderBy("query_id", "rank").collect()]
+    want = [(r.query_id, r.doc_id, r["rank"], round(r.score, 12)) for r in
+            okapi_bm25_topk(corpus, qt, k=5, persist_counts=False)
+            .orderBy("query_id", "rank").collect()]
+    assert got == want and got
+    # non-negative by construction: the champion-bound precondition
+    assert rel.filter("score < 0").count() == 0
