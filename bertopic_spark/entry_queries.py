@@ -506,6 +506,27 @@ SELECT CAST(f.query_id AS BIGINT) AS query_id, f.doc_id,
 FROM feat f JOIN nq USING (query_id) JOIN qual USING (doc_id)"""
 
 
+def _evens_odds_del17_index(spark, sf_dir):
+    """Shared incremental-gate fixture: append evens, append odds,
+    tombstone every 17th — built fresh in a temp root (caller must
+    shutil.rmtree it). The hand-derived SQL oracles hard-code the
+    doc_id % 2 / % 17 history, so it lives in exactly one place."""
+    import tempfile
+
+    from bertopic_spark.index.incremental import IncrementalIndex
+
+    docs = _docs(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="bsp_incfx_")
+    idx = IncrementalIndex.create(spark, root, mode=MODE)
+    idx.append(docs.filter(F.col("doc_id") % 2 == 0),
+               text_col="text", id_col="doc_id")
+    idx.append(docs.filter(F.col("doc_id") % 2 == 1),
+               text_col="text", id_col="doc_id")
+    idx.delete(docs.filter(F.col("doc_id") % 17 == 0),
+               text_col="text", id_col="doc_id")
+    return idx, root
+
+
 def q_incremental_bm25_topk(spark, sf_dir):
     """Incremental index maintenance (index/incremental.py): append the
     even-id half, append the odd-id half, tombstone-delete every 17th doc,
@@ -514,20 +535,9 @@ def q_incremental_bm25_topk(spark, sf_dir):
     store idf-free postings and the merged idf is applied at query time.
     """
     import shutil
-    import tempfile
 
-    from bertopic_spark.index.incremental import IncrementalIndex
-
-    docs = _docs(spark, sf_dir)
-    root = tempfile.mkdtemp(prefix="bsp_incidx_")
+    idx, root = _evens_odds_del17_index(spark, sf_dir)
     try:
-        idx = IncrementalIndex.create(spark, root, mode=MODE)
-        idx.append(docs.filter(F.col("doc_id") % 2 == 0),
-                   text_col="text", id_col="doc_id")
-        idx.append(docs.filter(F.col("doc_id") % 2 == 1),
-                   text_col="text", id_col="doc_id")
-        idx.delete(docs.filter(F.col("doc_id") % 17 == 0),
-                   text_col="text", id_col="doc_id")
         qt_map = {qid: sorted(set(tokenize_one(t, MODE)))
                   for qid, t in DRIVER_QUERIES.items()}
         rows = (idx.topk(qt_map, k=10)
@@ -549,20 +559,9 @@ def q_asof_bm25_topk(spark, sf_dir):
     before the tombstone delete — so the oracle is BM25 over ALL
     documents. Reproducible retrieval for training-data lineage."""
     import shutil
-    import tempfile
 
-    from bertopic_spark.index.incremental import IncrementalIndex
-
-    docs = _docs(spark, sf_dir)
-    root = tempfile.mkdtemp(prefix="bsp_asofidx_")
+    idx, root = _evens_odds_del17_index(spark, sf_dir)
     try:
-        idx = IncrementalIndex.create(spark, root, mode=MODE)
-        idx.append(docs.filter(F.col("doc_id") % 2 == 0),
-                   text_col="text", id_col="doc_id")
-        idx.append(docs.filter(F.col("doc_id") % 2 == 1),
-                   text_col="text", id_col="doc_id")
-        idx.delete(docs.filter(F.col("doc_id") % 17 == 0),
-                   text_col="text", id_col="doc_id")
         qt_map = {qid: sorted(set(tokenize_one(t, MODE)))
                   for qid, t in DRIVER_QUERIES.items()}
         rows = (idx.as_of(2).topk(qt_map, k=10)
@@ -583,20 +582,9 @@ def q_incremental_okapi_topk(spark, sf_dir):
     (tf in the payload, dl in norms, df from the pruned decode, N/Σlen
     from signed manifest counters)."""
     import shutil
-    import tempfile
 
-    from bertopic_spark.index.incremental import IncrementalIndex
-
-    docs = _docs(spark, sf_dir)
-    root = tempfile.mkdtemp(prefix="bsp_okidx_")
+    idx, root = _evens_odds_del17_index(spark, sf_dir)
     try:
-        idx = IncrementalIndex.create(spark, root, mode=MODE)
-        idx.append(docs.filter(F.col("doc_id") % 2 == 0),
-                   text_col="text", id_col="doc_id")
-        idx.append(docs.filter(F.col("doc_id") % 2 == 1),
-                   text_col="text", id_col="doc_id")
-        idx.delete(docs.filter(F.col("doc_id") % 17 == 0),
-                   text_col="text", id_col="doc_id")
         qt_map = {qid: sorted(set(tokenize_one(t, MODE)))
                   for qid, t in DRIVER_QUERIES.items()}
         rows = (idx.topk(qt_map, k=10, scorer="okapi",
@@ -646,20 +634,9 @@ def q_index_changes(spark, sf_dir):
     history — odd docs deleted inside the window net out; even 17ths
     (present at the base snapshot) surface as deletions."""
     import shutil
-    import tempfile
 
-    from bertopic_spark.index.incremental import IncrementalIndex
-
-    docs = _docs(spark, sf_dir)
-    root = tempfile.mkdtemp(prefix="bsp_cdcidx_")
+    idx, root = _evens_odds_del17_index(spark, sf_dir)
     try:
-        idx = IncrementalIndex.create(spark, root, mode=MODE)
-        idx.append(docs.filter(F.col("doc_id") % 2 == 0),
-                   text_col="text", id_col="doc_id")
-        idx.append(docs.filter(F.col("doc_id") % 2 == 1),
-                   text_col="text", id_col="doc_id")
-        idx.delete(docs.filter(F.col("doc_id") % 17 == 0),
-                   text_col="text", id_col="doc_id")
         rows = idx.changes_between(1, 3).collect()
         return spark.createDataFrame(rows, "doc_id long, change string")
     finally:

@@ -333,28 +333,38 @@ class IncrementalIndex:
 
     # -- read side ----------------------------------------------------------
 
-    def changes_between(self, g0: int, g1: int) -> DataFrame:
-        """Snapshot diff (CDC over the generation history): (doc_id,
-        change) for every document added or deleted between ``as_of(g0)``
-        and ``as_of(g1)`` — the lineage answer to "what changed in the
-        index since last week's training run?". Reads only the norms/ids
-        sidecars of the generations in (g0, g1]; postings are never
-        decoded. A doc both added and deleted inside the window nets to
-        no row (it is invisible to both snapshots). Subject to the same
-        history contract as ``as_of``: compaction expires it.
-        """
-        gens = self.manifest["gens"]
-        if not 0 <= g0 <= g1 <= len(gens):
-            raise ValueError(
-                f"need 0 <= g0 <= g1 <= {len(gens)}, got ({g0}, {g1})")
+    def _gen_ids(self, gens) -> tuple[list, list]:
+        """(added, deleted) id relations for a generation slice, read from
+        the norms/ids sidecars (postings never decoded)."""
         added, deleted = [], []
-        for g in gens[g0:g1]:
+        for g in gens:
             path = os.path.join(self._gen_dir(g["name"]),
                                 "norms" if g["kind"] == "add" else "ids")
             r = self.spark.read.schema(
                 _NORMS_SCHEMA if g["kind"] == "add" else _IDS_SCHEMA
             ).parquet(path).select("doc_id")
             (added if g["kind"] == "add" else deleted).append(r)
+        return added, deleted
+
+    def changes_between(self, g0: int, g1: int) -> DataFrame:
+        """Snapshot diff (CDC over the generation history): (doc_id,
+        change) for every document whose index visibility differs between
+        ``as_of(g0)`` and ``as_of(g1)`` — the lineage answer to "what
+        changed in the index since last week's training run?". Reads only
+        the norms/ids sidecars of the generations involved; postings are
+        never decoded. A doc both added and deleted inside the window
+        nets to no row, and a deletion is reported only for docs that
+        actually EXISTED at the g0 snapshot (a tombstone for a
+        never-indexed doc is a no-op to both snapshots). "Existence" is
+        index visibility — a document that tokenized to zero terms has no
+        postings, is invisible to every query at every snapshot, and is
+        therefore invisible to CDC too. Subject to the same history
+        contract as ``as_of``: compaction expires it.
+        """
+        gens = self.manifest["gens"]
+        if not 0 <= g0 <= g1 <= len(gens):
+            raise ValueError(
+                f"need 0 <= g0 <= g1 <= {len(gens)}, got ({g0}, {g1})")
 
         def _union(parts):
             if not parts:
@@ -364,11 +374,14 @@ class IncrementalIndex:
                 out = out.unionByName(x)
             return out.distinct()
 
-        a, d = _union(added), _union(deleted)
-        return (a.join(d, "doc_id", "left_anti")
+        w_add, w_del = map(_union, self._gen_ids(gens[g0:g1]))
+        p_add, p_del = map(_union, self._gen_ids(gens[:g0]))
+        existed_at_g0 = p_add.join(p_del, "doc_id", "left_anti")
+        return (w_add.join(w_del, "doc_id", "left_anti")
                 .select("doc_id", F.lit("added").alias("change"))
                 .unionByName(
-                    d.join(a, "doc_id", "left_anti")
+                    w_del.join(w_add, "doc_id", "left_anti")
+                    .join(existed_at_g0, "doc_id", "left_semi")
                     .select("doc_id", F.lit("deleted").alias("change"))))
 
     def tombstones(self) -> DataFrame | None:

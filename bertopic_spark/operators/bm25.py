@@ -269,6 +269,7 @@ def search_after(
     cursors: DataFrame,
     k: int = 10,
     id_col: str = "doc_id",
+    round_dp: int | None = None,
 ) -> DataFrame:
     """Keyset pagination (Elasticsearch search_after analog): the next
     ``k`` hits strictly after a per-query cursor in the global
@@ -280,12 +281,24 @@ def search_after(
     page N costs the same as page 1. Returned ``rank`` continues the
     global numbering (cursor rank + i), proven against the offset
     formulation by the oracle gate.
+
+    Cursor stability contract: the boundary comparison is an EQUALITY on
+    the recomputed float score, which is bit-stable only while the
+    scoring plan is (pages served from one session / one persisted
+    relation). For cursors that must survive across sessions or plan
+    changes, pass ``round_dp`` — hit scores are rounded to that many
+    decimals before comparison AND in the output, so a stored cursor
+    re-enters on quantized values immune to float summation-order
+    jitter (ranking then tie-breaks on doc_id within a quantum, exactly
+    like the oracle's rounded compare).
     """
     hits = (
         scores.join(F.broadcast(qterms), "term")
         .groupBy("query_id", id_col)
         .agg(F.sum("score").alias("score"))
     )
+    if round_dp is not None:
+        hits = hits.withColumn("score", F.round("score", round_dp))
     cur = cursors.select(
         "query_id", F.col("after_score").alias("_as"),
         F.col("after_doc").alias("_ad"),

@@ -696,9 +696,17 @@ def suggest_index(dictionary: DataFrame, min_len: int = 2, max_len: int = 4,
             .select("prefix", "term", "df", "rank"))
 
 
-def suggest(index: DataFrame, typed: str, k: int = 8) -> DataFrame:
+def suggest(index: DataFrame, typed: str, k: int = 8,
+            max_len: int = 4) -> DataFrame:
     """Completions for what the user typed so far — a point filter on the
-    materialized suggest index (no dictionary scan)."""
-    return (index.filter(F.col("prefix") == typed.lower())
-            .filter(F.col("rank") <= k)
-            .orderBy("rank"))
+    materialized suggest index (no dictionary scan). ``max_len`` must
+    match the index's build parameter: once the user types past it, the
+    lookup uses the longest materialized prefix and post-filters the
+    (≤k) completions with startswith — without this the surface would go
+    dark at keystroke max_len+1 (no such prefix was ever materialized)."""
+    t = typed.lower()
+    out = (index.filter(F.col("prefix") == t[:max_len])
+           .filter(F.col("rank") <= k))
+    if len(t) > max_len:
+        out = out.filter(F.col("term").startswith(t))
+    return out.orderBy("rank")

@@ -82,7 +82,9 @@ def cooccurrence_edges(df: DataFrame, text_col: str, id_col: str,
 
 def pagerank(edges: DataFrame, damping: float = 0.85, iters: int = 10,
              src: str = "src", dst: str = "dst", weight: str = "w",
-             undirected: bool = True, checkpoint_every: int = 5) -> DataFrame:
+             undirected: bool = True, checkpoint_every: int = 5,
+             broadcast_ranks: bool = True,
+             checkpoint_last: bool = True) -> DataFrame:
     """Weighted PageRank: (node, score), Σ score = 1.
 
     score_{i+1}(v) = (1-d)/N + d·( Σ_{u→v} score_i(u)·w(u,v)/wdeg(u)
@@ -134,8 +136,8 @@ def pagerank(edges: DataFrame, damping: float = 0.85, iters: int = 10,
                         .agg(F.coalesce(F.sum("score"), F.lit(0.0)))
                         .collect()[0][0])
         base = (1.0 - damping) / n + damping * dangling / n
-        contrib = (trans.join(F.broadcast(ranks),
-                              trans["src"] == ranks["node"])
+        rank_side = F.broadcast(ranks) if broadcast_ranks else ranks
+        contrib = (trans.join(rank_side, trans["src"] == ranks["node"])
                    .groupBy("dst")
                    .agg(F.sum(F.col("p") * F.col("score")).alias("mass")))
         stepped = (nodes.join(contrib.withColumnRenamed("dst", "node"),
@@ -143,7 +145,8 @@ def pagerank(edges: DataFrame, damping: float = 0.85, iters: int = 10,
                    .select("node",
                            (F.lit(base) + F.lit(damping) *
                             F.coalesce("mass", F.lit(0.0))).alias("score")))
-        if (i + 1) % checkpoint_every == 0 or i == iters - 1:
+        if (i + 1) % checkpoint_every == 0 or (i == iters - 1 and
+                                               checkpoint_last):
             new = stepped.localCheckpoint(eager=True)
             if prev_ckpt is not None:
                 _release_local_checkpoint(prev_ckpt)
@@ -151,7 +154,8 @@ def pagerank(edges: DataFrame, damping: float = 0.85, iters: int = 10,
             ranks = new
         else:
             ranks = stepped
-    _release_local_checkpoint(trans)
+    if checkpoint_last:
+        _release_local_checkpoint(trans)
     return ranks
 
 
@@ -188,7 +192,9 @@ def cooccurrence_edges_grouped(df: DataFrame, text_col: str, id_col: str,
 def pagerank_grouped(edges: DataFrame, group_cols: list[str],
                      damping: float = 0.85, iters: int = 10,
                      src: str = "src", dst: str = "dst", weight: str = "w",
-                     checkpoint_every: int = 5) -> DataFrame:
+                     checkpoint_every: int = 5,
+                     broadcast_ranks: bool = True,
+                     checkpoint_last: bool = True) -> DataFrame:
     """Weighted PageRank over MANY independent graphs simultaneously:
     (group_cols..., node, score), Σ score = 1 within each group.
 
@@ -198,7 +204,10 @@ def pagerank_grouped(edges: DataFrame, group_cols: list[str],
     (the engine's single-pass-over-slices discipline, cf. A6/P3).
     Undirected only (the TextRank shape): edges are symmetrized, so no
     dangling mass exists and no per-group scalar collects are needed —
-    the loop body is pure DataFrame algebra.
+    the loop body is pure DataFrame algebra. The grouped rank vector is
+    |V|·n_groups rows — pass ``broadcast_ranks=False`` once that exceeds
+    broadcast size (the per-iteration join falls back to a shuffle join
+    on the same (group, node) keys, algebra unchanged).
     """
     if not 0.0 < damping < 1.0:
         raise ValueError("damping must be in (0, 1)")
@@ -222,8 +231,10 @@ def pagerank_grouped(edges: DataFrame, group_cols: list[str],
     ranks = nodes.select(*g, "node", (F.lit(1.0) / F.col("n_g")).alias("score"))
     prev_ckpt = None
     for i in range(iters):
-        contrib = (trans.join(
-            F.broadcast(ranks.withColumnRenamed("node", "src")), [*g, "src"])
+        rank_side = ranks.withColumnRenamed("node", "src")
+        if broadcast_ranks:
+            rank_side = F.broadcast(rank_side)
+        contrib = (trans.join(rank_side, [*g, "src"])
             .groupBy(*g, "dst")
             .agg(F.sum(F.col("p") * F.col("score")).alias("mass")))
         stepped = (nodes.join(
@@ -232,7 +243,8 @@ def pagerank_grouped(edges: DataFrame, group_cols: list[str],
                     ((F.lit(1.0 - damping) / F.col("n_g")) +
                      F.lit(damping) * F.coalesce("mass", F.lit(0.0)))
                     .alias("score")))
-        if (i + 1) % checkpoint_every == 0 or i == iters - 1:
+        if (i + 1) % checkpoint_every == 0 or (i == iters - 1 and
+                                               checkpoint_last):
             new = stepped.localCheckpoint(eager=True)
             if prev_ckpt is not None:
                 _release_local_checkpoint(prev_ckpt)
@@ -240,7 +252,8 @@ def pagerank_grouped(edges: DataFrame, group_cols: list[str],
             ranks = new
         else:
             ranks = stepped
-    _release_local_checkpoint(trans)
+    if checkpoint_last:
+        _release_local_checkpoint(trans)
     return ranks.select(*g, "node", "score")
 
 

@@ -2,10 +2,12 @@
 a multi-resolution time hierarchy where the FINEST level is aggregated
 from raw events once and every coarser level is re-aggregated from the
 level below — count/sum/min/max are algebraic, so day-from-hour equals
-day-from-raw exactly, and avg is derived as sum/n at read time.
+day-from-raw exactly, and avg is derived as sum/n at read time. 'week'
+may only terminate a hierarchy (ISO weeks cross month/year boundaries,
+so nothing coarser can be derived from week buckets — validated).
 
 Why it matters at 100 TB: the raw event table is scanned once per refresh
-window for the finest grain; hour→day→week→month each re-aggregate a
+window for the finest grain; hour→day→month→year each re-aggregate a
 relation that is orders of magnitude smaller than raw. Non-algebraic
 measures (distinct users) do NOT rollup — use the mergeable sketches
 (``operators/sketch.py`` HLL registers merge linearly) alongside.
@@ -37,6 +39,14 @@ def rollup_levels(df: DataFrame, ts_col: str, keys: Sequence[str],
     order = [_GRAIN_ORDER.index(x) for x in lv]  # ValueError = bad grain
     if order != sorted(order) or len(set(lv)) != len(lv):
         raise ValueError(f"levels must be strictly fine-to-coarse, got {lv}")
+    if "week" in lv[:-1]:
+        # ISO weeks cross month/year boundaries: a month bucket derived
+        # from week buckets credits each month-leading partial week to the
+        # PRIOR month — week does not nest inside any coarser grain, so it
+        # may only terminate a hierarchy
+        raise ValueError(
+            "'week' does not nest inside coarser grains (ISO weeks cross "
+            "month/year boundaries) — it may only be the LAST level")
     keys = list(keys)
     out: dict[str, DataFrame] = {}
     finer: DataFrame | None = None

@@ -51,19 +51,25 @@ def range_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     """
     if upper_seconds < lower_seconds:
         raise ValueError("upper_seconds must be >= lower_seconds")
-    w_us = max(int((upper_seconds - lower_seconds) * 1e6), 1)
+    # quantize the band ONCE and derive the bucket width from the SAME
+    # integers the filter uses — deriving W independently via
+    # int((upper-lower)*1e6) can truncate 1 µs short of the filter span
+    # (float error), leaving upper-edge matches in a third, unprobed
+    # bucket
+    lo_i, hi_i = int(round(lower_seconds * 1e6)), int(round(upper_seconds * 1e6))
+    w_us = max(hi_i - lo_i, 1)
     on = list(on)
     rcols = [c for c in right.columns if c not in on]
     r = right.select(
         *on, *[F.col(c).alias(f"{c}{suffix}") for c in rcols],
         (F.floor(_us(F.col(right_ts)) / w_us)).alias("_bkt"))
-    lo_us = _us(F.col(left_ts)) + int(lower_seconds * 1e6)
+    lo_us = _us(F.col(left_ts)) + lo_i
     l = left.withColumn(
         "_bkt", F.explode(F.array(F.floor(lo_us / w_us),
                                   F.floor(lo_us / w_us) + 1)))
     rts = F.col(f"{right_ts}{suffix}")
-    band_lo = _us(F.col(left_ts)) + F.lit(int(lower_seconds * 1e6))
-    band_hi = _us(F.col(left_ts)) + F.lit(int(upper_seconds * 1e6))
+    band_lo = _us(F.col(left_ts)) + F.lit(lo_i)
+    band_hi = _us(F.col(left_ts)) + F.lit(hi_i)
     return (l.join(r, [*on, "_bkt"])
             .filter(_us(rts).between(band_lo, band_hi))
             .drop("_bkt"))
@@ -87,7 +93,12 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
 
     Right rows must be unique per (keys, right_ts) — enforce upstream
     (e.g. keep the max-id event) or the matched payload is
-    nondeterministic; this mirrors merge_asof's contract.
+    nondeterministic; this mirrors merge_asof's contract. NULL
+    timestamps: right rows with a NULL ``right_ts`` are dropped (they
+    order before/after everything under Spark's null-first sort and
+    would otherwise masquerade as matches — pandas.merge_asof refuses
+    NaT keys outright); left rows with a NULL ``left_ts`` are returned
+    unmatched.
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
@@ -97,12 +108,15 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
         right_cols = [c for c in right.columns if c not in on and c != rts]
     payload_fields = [F.col(rts).alias(f"{rts}{suffix}")] + [
         F.col(c).alias(f"{c}{suffix}") for c in right_cols]
-    r = right.select(*on, F.col(rts).alias("_ts"),
-                     F.struct(*payload_fields).alias("_payload"),
-                     F.lit(0).alias("_tag"))
+    r = (right.filter(F.col(rts).isNotNull())
+         .select(*on, F.col(rts).alias("_ts"),
+                 F.struct(*payload_fields).alias("_payload"),
+                 F.lit(0).alias("_tag")))
     left_struct = F.struct(*[F.col(c) for c in left.columns]).alias("_lrow")
-    l = left.select(*on, F.col(left_ts).alias("_ts"),
-                    left_struct, F.lit(1).alias("_tag"))
+    l_all = left.select(*on, F.col(left_ts).alias("_ts"),
+                        left_struct, F.lit(1).alias("_tag"))
+    l = l_all.filter(F.col("_ts").isNotNull())
+    l_null = l_all.filter(F.col("_ts").isNull())
     both = (r.withColumn("_lrow", F.lit(None).cast(l.schema["_lrow"].dataType))
             .select(*on, "_ts", "_lrow", "_payload", "_tag")
             .unionByName(
@@ -125,4 +139,7 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     out_cols += [F.col(f"_m.{rts}{suffix}").alias(f"{rts}{suffix}")]
     out_cols += [F.col(f"_m.{c}{suffix}").alias(f"{c}{suffix}")
                  for c in right_cols]
-    return matched.select(*out_cols)
+    out = matched.select(*out_cols)
+    unmatched = l_null.withColumn(
+        "_m", F.lit(None).cast(r.schema["_payload"].dataType))
+    return out.unionByName(unmatched.select(*out_cols))

@@ -55,7 +55,7 @@ def main() -> None:
         ("pagerank (1 iteration shown) — transition relation checkpointed "
          "once; each step = broadcast join of the bounded rank vector + "
          "one groupBy(dst) exchange",
-         pagerank(edges, iters=1, checkpoint_every=10)),
+         pagerank(edges, iters=1, checkpoint_every=10, checkpoint_last=False)),
         ("lm_topk — postings semi-joined to query terms before scoring "
          "(BroadcastHashJoin on term), collection stats one partial agg, "
          "single (query, doc) exchange, WindowGroupLimit top-k",

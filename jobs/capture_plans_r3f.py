@@ -65,7 +65,8 @@ def main() -> None:
          search_after(scores, qt, cursors, k=10)),
         ("pagerank_grouped (1 iteration) — one join + one groupBy keyed "
          "by (class, node); a thousand class graphs share this plan",
-         pagerank_grouped(ge, ["lang"], iters=1, checkpoint_every=10)),
+         pagerank_grouped(ge, ["lang"], iters=1, checkpoint_every=10,
+                          checkpoint_last=False)),
     ]
     out = []
     for title, df in sections:

@@ -438,5 +438,9 @@ def test_suggest_index_and_lookup(spark):
     assert not any(t == "a" for t in got.values())
     hits = suggest(idx, "SP", k=2).collect()
     assert [r["term"] for r in hits] == ["spark", "sparkle"]
+    # typing past max_len: longest materialized prefix + startswith filter
+    deep = suggest(idx, "SPARKL", k=3, max_len=4).collect()
+    assert [r["term"] for r in deep] == ["sparkle"]
+    assert [r["term"] for r in suggest(idx, "spart", k=3).collect()] == ["spartan"]
     with pytest.raises(ValueError):
         suggest_index(d, min_len=0)

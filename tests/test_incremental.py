@@ -268,3 +268,20 @@ def test_changes_between_cdc(spark, documents_df, asof_idx):
     assert full == {"added", "deleted"}
     with pytest.raises(ValueError):
         asof_idx.changes_between(3, 1)
+
+
+def test_changes_between_tombstone_of_unindexed_is_invisible(spark, tmp_path):
+    root = str(tmp_path / "cdcguard")
+    idx = IncrementalIndex.create(spark, root, mode=MODE)
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma")], "doc_id long, text string")
+    idx.append(docs, text_col="text", id_col="doc_id")
+    # tombstone a doc the index never contained: a no-op to every snapshot
+    ghost = spark.createDataFrame([(99, "zzz")], "doc_id long, text string")
+    idx.delete(ghost, text_col="text", id_col="doc_id")
+    got = {(r["doc_id"], r["change"]) for r in
+           idx.changes_between(1, 2).collect()}
+    assert got == set()  # the ghost tombstone must NOT surface as deleted
+    full = {(r["doc_id"], r["change"]) for r in
+            idx.changes_between(0, 2).collect()}
+    assert full == {(1, "added"), (2, "added")}

@@ -223,3 +223,27 @@ def test_combsum_mnz_fusion(spark, corpus, qt):
         [r["doc_id"] for r in a.filter("query_id = 0").orderBy("rank").collect()]
     with pytest.raises(ValueError):
         combsum_fuse([])
+
+
+def test_search_after_round_dp_quantized_cursor(spark, corpus, qt):
+    """round_dp makes cursors valid across sessions/plans: both pages
+    rank on quantized scores, so a 1-ulp float-sum difference between
+    the page-1 and page-N jobs cannot duplicate or drop the boundary."""
+    from bertopic_spark.operators.bm25 import (bm25_topk, doc_scores,
+                                               search_after)
+
+    scores = doc_scores(corpus, mode="ascii_code", persist_counts=False)
+    full = bm25_topk(scores, qt, k=100).filter("query_id = 0") \
+        .withColumn("score", F.round("score", 6))
+    cur = (full.filter("rank = 1")
+           .select("query_id", F.col("score").alias("after_score"),
+                   F.col("doc_id").alias("after_doc"),
+                   F.col("rank").alias("after_rank")))
+    page2 = search_after(scores, qt, cur, k=2, round_dp=6) \
+        .filter("query_id = 0").orderBy("rank").collect()
+    # quantized page-2 docs follow the quantized global ordering
+    ordered = sorted(((r["doc_id"], r["score"]) for r in full.collect()),
+                     key=lambda t: (-t[1], t[0]))
+    assert len(ordered) >= 2  # the fixture query must actually paginate
+    assert [(r["doc_id"], r["score"]) for r in page2] == ordered[1:3]
+    assert [r["rank"] for r in page2] == [1 + i + 1 for i in range(len(page2))]

@@ -54,3 +54,18 @@ def test_rollup_avg_and_validation(events):
         rollup_levels(events, "ts", ["k"], "v", levels=("day", "hour"))
     with pytest.raises(ValueError):
         rollup_levels(events, "ts", ["k"], "v", levels=("fortnight",))
+
+
+def test_week_only_terminal(events):
+    # ISO weeks cross month boundaries: deriving month from week would
+    # credit month-leading partial weeks to the prior month
+    with pytest.raises(ValueError, match="week"):
+        rollup_levels(events, "ts", ["k"], "v", levels=("hour", "week", "month"))
+    # terminal week stays legal (covered by the equality test too)
+    assert "week" in rollup_levels(events, "ts", ["k"], "v",
+                                   levels=("day", "week"))
+    # month derived from day is exact
+    levels = rollup_levels(events, "ts", ["k"], "v", levels=("day", "month"))
+    got = {(r["bucket"], r["k"]): r["n"] for r in levels["month"].collect()}
+    want = {k: v[0] for k, v in _direct(events, "month").items()}
+    assert got == want

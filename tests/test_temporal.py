@@ -94,3 +94,42 @@ def test_range_join_zero_width_and_validation(spark):
     assert [(r["lid"], r["val_right"]) for r in got] == [(0, 5.0)]
     with pytest.raises(ValueError):
         range_join(L, R, ["user"], "ts", "rts", 10.0, 0.0)
+
+
+def test_range_join_fractional_band_edge(spark):
+    # regression: W derived independently of the filter integers truncated
+    # 1 µs short (int((0.3-(-0.6))*1e6) == 899999), losing upper-edge
+    # matches that landed in a third, unprobed bucket
+    from bertopic_spark.operators.temporal import range_join
+
+    rows_l, rows_r = [], []
+    for i in range(200):
+        base = T0 + timedelta(seconds=i * 7.3)
+        rows_l.append((1, base, i))
+        rows_r.append((1, base + timedelta(seconds=0.3), float(i)))  # at band_hi
+        rows_r.append((1, base - timedelta(seconds=0.6), float(i) + 0.5))  # at band_lo
+    L = spark.createDataFrame(rows_l, "user long, ts timestamp, lid long")
+    R = spark.createDataFrame(rows_r, "user long, rts timestamp, val double")
+    got = {(r["lid"], r["val_right"]) for r in
+           range_join(L, R, ["user"], "ts", "rts", -0.6, 0.3).collect()}
+    lp, rp = L.collect(), R.collect()
+    want = {(l["lid"], r["val"]) for l in lp for r in rp
+            if -0.6 <= (r["rts"] - l["ts"]).total_seconds() <= 0.3}
+    assert got == want
+    # both inclusive edges must be present for every left row
+    assert all((i, float(i)) in got and (i, float(i) + 0.5) in got
+               for i in range(200))
+
+
+def test_asof_join_null_timestamps(spark):
+    # a NULL right ts must never masquerade as a match; NULL left ts rows
+    # come back unmatched (merge_asof refuses NaT keys outright)
+    from bertopic_spark.operators.temporal import asof_join
+
+    L = spark.createDataFrame(
+        [(1, T0, 0), (1, None, 1)], "user long, ts timestamp, lid long")
+    R = spark.createDataFrame(
+        [(1, None, 5.0), (2, T0, 7.0)], "user long, ts timestamp, val double")
+    got = {r["lid"]: (r["ts_right"], r["val_right"]) for r in
+           asof_join(L, R, ["user"], "ts").collect()}
+    assert got == {0: (None, None), 1: (None, None)}
