@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from bertopic_spark.operators.bm25 import bm25_topk, doc_scores, queries_df, query_terms
 from bertopic_spark.operators.ctfidf import ctfidf, term_stats, top_k_terms
 from bertopic_spark.operators.postings import class_term_counts, doc_term_counts
-from bertopic_spark.tokenizer import duckdb_tokens_sql, tokenize_one
+from bertopic_spark.tokenizer import duckdb_stem_s_sql, duckdb_tokens_sql, tokenize_one
 
 MODE = "ascii_code"
 
@@ -199,6 +199,146 @@ hits AS (
 ranked AS (
   SELECT query_id, doc_id, score,
          row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
+  FROM hits)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, round(score, 6) AS score,
+       CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 10"""
+
+
+def q_min_should_topk(spark, sf_dir):
+    """Lucene minimum_should_match on a scored disjunction
+    (operators/bm25.bm25_topk_minshould): docs must match ≥ ceil(0.6 × the
+    query's own distinct-term width); the matched-count rides the scoring
+    agg's existing shuffle and the filter cuts candidates before the
+    top-k window."""
+    from bertopic_spark.operators.bm25 import bm25_topk_minshould, doc_scores
+
+    qt = query_terms(queries_df(spark, DRIVER_QUERIES), MODE)
+    handles: list = []
+    scores = doc_scores(_docs(spark, sf_dir), text_col="text",
+                        id_col="doc_id", mode=MODE, _persisted_out=handles)
+    t = bm25_topk_minshould(scores, qt, k=10, min_should=0.6)
+    return t.select(
+        "query_id", "doc_id", _r6(F.col("score")).alias("score"),
+        "n_matched", F.col("rank").cast("long").alias("rn"),
+    )
+
+
+SQL_MIN_SHOULD = f"""WITH {_TOKS}, {_XDOC}, {_scores_sql('xdoc', 'doc_id', True, False)},
+q(query_id, term) AS (VALUES {_query_term_values()}),
+qn AS (SELECT query_id, CAST(ceil(0.6 * count(DISTINCT term)) AS BIGINT) AS need
+       FROM q GROUP BY query_id),
+hits AS (
+  SELECT q.query_id, s.doc_id, sum(s.score) AS score,
+         CAST(count(DISTINCT s.term) AS BIGINT) AS n_matched
+  FROM q JOIN scores s USING (term) GROUP BY q.query_id, s.doc_id),
+ranked AS (
+  SELECT h.query_id, h.doc_id, h.score, h.n_matched,
+         row_number() OVER (PARTITION BY h.query_id
+                            ORDER BY h.score DESC, h.doc_id ASC) AS rn
+  FROM hits h JOIN qn USING (query_id) WHERE h.n_matched >= qn.need)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, round(score, 6) AS score,
+       n_matched, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 10"""
+
+
+def _plural_docs(spark, sf_dir):
+    """Deterministically pluralized corpus, mangled identically in BOTH
+    engines (the code_tokenize_counts pattern): a term gains a trailing
+    's' in documents where (doc_id + len(term)) is even, so singular and
+    plural surface forms of the same word coexist across documents —
+    the driver corpus itself has a fixed 30-term singular vocabulary the
+    stemmer would fold vacuously."""
+    from bertopic_spark.tokenizer import tokens_expr
+
+    plural = F.array_join(
+        F.transform(
+            tokens_expr(F.col("text"), MODE),
+            lambda t: F.when(
+                ((F.col("doc_id") + F.length(t)) % 2) == 0,
+                F.concat(t, F.lit("s"))).otherwise(t)),
+        " ")
+    return _docs(spark, sf_dir).select("doc_id", plural.alias("text"))
+
+
+_PDOCS = f"""
+pdocs AS (
+  SELECT doc_id, array_to_string(list_transform(
+           {duckdb_tokens_sql('text', MODE)},
+           t -> CASE WHEN (doc_id + length(t)) % 2 = 0 THEN t || 's'
+                     ELSE t END), ' ') AS text
+  FROM documents
+)"""
+
+
+def q_stemmed_vocab(spark, sf_dir):
+    """S-stemmer analyzer stage (tokenizer.stem_s_col — Harman 1991 /
+    Lucene EnglishMinimalStemFilter): vocabulary folded by stem, keeping
+    only stems that actually merge ≥ 2 surface variants; df = docs
+    containing ANY variant. One tokenize pass; the per-doc distinct is an
+    array op inside the row, the two count-distincts run over the already
+    doc-deduped (doc, term) relation."""
+    from bertopic_spark.tokenizer import stem_s_col, with_tokens
+
+    toks = with_tokens(_plural_docs(spark, sf_dir), "text", MODE)
+    dt = toks.select(
+        "doc_id", F.explode(F.array_distinct("tokens")).alias("term"))
+    st = dt.select("doc_id", "term", stem_s_col(F.col("term")).alias("stem"))
+    return (st.groupBy("stem")
+            .agg(F.count_distinct("doc_id").cast("long").alias("df"),
+                 F.count_distinct("term").cast("long").alias("n_variants"))
+            .filter(F.col("n_variants") >= 2))
+
+
+SQL_STEMMED_VOCAB = f"""WITH {_PDOCS},
+toks AS (SELECT doc_id, unnest({duckdb_tokens_sql('text', MODE)}) AS term
+         FROM pdocs),
+dt AS (SELECT DISTINCT doc_id, term FROM toks),
+st AS (SELECT doc_id, term, {duckdb_stem_s_sql('term')} AS stem FROM dt)
+SELECT stem, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(count(DISTINCT term) AS BIGINT) AS n_variants
+FROM st GROUP BY stem HAVING count(DISTINCT term) >= 2"""
+
+
+def q_synonym_bm25_topk(spark, sf_dir):
+    """Index-time synonym folding with SynonymQuery blended scoring
+    (operators/fulltext.bm25_topk_synonyms): corpus-derived stem groups
+    fold both the postings and the query terms; df/idf recomputed on the
+    folded vocabulary, so variant-split terms stop underweighting."""
+    from bertopic_spark.operators.fulltext import bm25_topk_synonyms
+
+    qt = query_terms(queries_df(spark, DRIVER_QUERIES), MODE)
+    handles: list = []
+    t = bm25_topk_synonyms(_plural_docs(spark, sf_dir), qt, k=10,
+                           text_col="text", mode=MODE,
+                           _persisted_out=handles)
+    return t.select(
+        "query_id", "doc_id", _r6(F.col("score")).alias("score"),
+        F.col("rank").cast("long").alias("rn"),
+    )
+
+
+SQL_SYNONYM_BM25 = f"""WITH {_PDOCS},
+toks AS (SELECT doc_id, unnest({duckdb_tokens_sql('text', MODE)}) AS term
+         FROM pdocs), {_XDOC},
+dict AS (SELECT DISTINCT term FROM xdoc),
+sk AS (SELECT term, {duckdb_stem_s_sql('term')} AS syn_key FROM dict),
+grp AS (SELECT syn_key FROM sk GROUP BY syn_key HAVING count(*) >= 2),
+map AS (SELECT sk.term, sk.syn_key FROM sk JOIN grp USING (syn_key)),
+xf AS (SELECT x.doc_id, coalesce(map.syn_key, x.term) AS term,
+              CAST(sum(x.tf) AS BIGINT) AS tf
+       FROM xdoc x LEFT JOIN map ON map.term = x.term GROUP BY 1, 2),
+{_scores_sql('xf', 'doc_id', True, False).lstrip()},
+q(query_id, term) AS (VALUES {_query_term_values()}),
+qf AS (SELECT DISTINCT q.query_id, coalesce(map.syn_key, q.term) AS term
+       FROM q LEFT JOIN map ON map.term = q.term),
+hits AS (
+  SELECT qf.query_id, s.doc_id, sum(s.score) AS score
+  FROM qf JOIN scores s USING (term) GROUP BY qf.query_id, s.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rn
   FROM hits)
 SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, round(score, 6) AS score,
        CAST(rn AS BIGINT) AS rn
@@ -4416,4 +4556,7 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "events_cube": (q_events_cube, SQL_EVENTS_CUBE),
     "events_rolling_24h": (q_events_rolling_24h, SQL_EVENTS_ROLLING),
     "okapi_wand_topk": (q_okapi_wand_topk, SQL_OKAPI_BM25),
+    "min_should_topk": (q_min_should_topk, SQL_MIN_SHOULD),
+    "stemmed_vocab": (q_stemmed_vocab, SQL_STEMMED_VOCAB),
+    "synonym_bm25_topk": (q_synonym_bm25_topk, SQL_SYNONYM_BM25),
 }

@@ -151,6 +151,53 @@ def bm25_topk(
     )
 
 
+def bm25_topk_minshould(
+    scores: DataFrame,
+    qterms: DataFrame,
+    k: int = 10,
+    min_should: float = 1,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Lucene ``minimum_should_match`` on a scored disjunction:
+    (query_id, doc_id, score, n_matched, rank).
+
+    Only documents containing at least ``min_should`` of the query's
+    distinct terms survive. ``min_should`` < 1 is a fraction of the query's
+    own width (ceil, per query — a 3-term query at 0.6 needs 2). Plan: the
+    required-count threshold is one tiny per-query agg broadcast onto the
+    same single groupBy(query, doc) pass bm25_topk already does — the
+    distinct-matched count rides the existing shuffle for free (the
+    (query, doc, term) rows entering the agg are already unique, scores
+    being one row per (doc, term)), then the filter cuts candidates BEFORE
+    the top-k window. At 100 TB the filter shrinks the window input
+    superlinearly with query width: broad disjunctions are exactly where
+    exhaustive top-k hurts.
+    """
+    qd = qterms.select("query_id", "term").distinct()
+    need = qd.groupBy("query_id").agg(F.count(F.lit(1)).alias("nq"))
+    if 0 < min_should < 1:
+        need = need.select(
+            "query_id", F.ceil(F.lit(float(min_should)) * F.col("nq"))
+            .cast("long").alias("need"))
+    else:
+        need = need.select(
+            "query_id", F.lit(int(min_should)).cast("long").alias("need"))
+    hits = (
+        scores.join(F.broadcast(qd), "term")
+        .groupBy("query_id", id_col)
+        .agg(F.sum("score").alias("score"),
+             F.count(F.lit(1)).cast("long").alias("n_matched"))
+        .join(F.broadcast(need), "query_id")
+        .filter(F.col("n_matched") >= F.col("need"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        hits.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "n_matched", "rank")
+    )
+
+
 def lm_topk(
     corpus: DataFrame,
     qterms: DataFrame,

@@ -710,3 +710,85 @@ def suggest(index: DataFrame, typed: str, k: int = 8,
     if len(t) > max_len:
         out = out.filter(F.col("term").startswith(t))
     return out.orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# Index-time synonym folding (Lucene SynonymGraphFilter at index time /
+# SynonymQuery semantics). A synonym map is a tiny (term, syn_key) relation —
+# terms sharing a key are one logical term: their per-doc tfs SUM (blended
+# tf) and their document frequency is the df of the folded term, so idf is
+# computed on the group, exactly what Lucene's SynonymQuery approximates
+# with max-df. The map is corpus-derived here (stem-folded groups) but any
+# (term, syn_key) relation works (hand-written thesaurus, alias table).
+# ---------------------------------------------------------------------------
+
+
+def synonym_map(counts: DataFrame, key_fn=None, min_group: int = 2) -> DataFrame:
+    """(term, syn_key) for every term whose group has ≥ ``min_group``
+    distinct members. ``key_fn``: Column → Column grouping key; default the
+    S-stemmer (plural folding). One distinct-agg over the vocabulary — the
+    map is dictionary-sized (≪ postings), always broadcastable.
+    """
+    from bertopic_spark.tokenizer import stem_s_col
+    key_fn = key_fn or stem_s_col
+    dic = counts.select("term").distinct()
+    keyed = dic.select("term", key_fn(F.col("term")).alias("syn_key"))
+    grp = (keyed.groupBy("syn_key")
+           .agg(F.count(F.lit(1)).alias("n"))
+           .filter(F.col("n") >= min_group)
+           .select("syn_key"))
+    return keyed.join(F.broadcast(grp), "syn_key").select("term", "syn_key")
+
+
+def fold_term_counts(x: DataFrame, syn: DataFrame,
+                     keys: Sequence[str]) -> DataFrame:
+    """Fold a (keys..., term, tf[, class_len]) count relation through a
+    synonym map: mapped terms are replaced by their group key and their tfs
+    re-summed per (keys, folded term). Unmapped terms pass through (left
+    join + coalesce). ``class_len`` (total tokens per key) is invariant
+    under folding, so it rides the groupBy as a grouping column instead of
+    costing an agg. The map side is broadcast; the big side never shuffles
+    beyond the one re-agg — whose input is |postings of mapped terms| plus
+    pass-through rows the partial agg collapses map-side.
+    """
+    carry = [c for c in ("class_len",) if c in x.columns]
+    folded = (x.join(F.broadcast(syn), "term", "left")
+              .select(*keys, *carry,
+                      F.coalesce("syn_key", "term").alias("term"), "tf"))
+    return (folded.groupBy(*keys, *carry, "term")
+            .agg(F.sum("tf").alias("tf")))
+
+
+def bm25_topk_synonyms(corpus: DataFrame, qterms: DataFrame,
+                       syn: DataFrame | None = None, k: int = 10,
+                       text_col: str = "content", id_col: str = "doc_id",
+                       mode: str = "ascii_code",
+                       _persisted_out: list | None = None) -> DataFrame:
+    """Ad-hoc BM25 with synonym folding on both the index and the query
+    sides: fold counts, recompute stats on the folded vocabulary (df/idf of
+    a group ≠ any member's), fold + re-distinct the query terms, then the
+    standard pushed-down scoring join (mirrors bm25.bm25_topk_adhoc).
+    ``syn=None`` derives the map from the corpus vocabulary (stem groups).
+    """
+    from bertopic_spark.operators.bm25 import bm25_topk
+    from bertopic_spark.operators.ctfidf import ctfidf, term_stats
+    from bertopic_spark.operators.postings import doc_term_counts
+
+    x = doc_term_counts(corpus, text_col, [id_col], mode, with_len=True)
+    x = x.withColumnRenamed("doc_len", "class_len")
+    if syn is None:
+        syn = synonym_map(x)
+    xf = fold_term_counts(x, syn, [id_col]).persist()
+    if _persisted_out is not None:
+        _persisted_out.append(xf)
+    qf = (qterms.join(F.broadcast(syn), "term", "left")
+          .select("query_id", F.coalesce("syn_key", "term").alias("term"))
+          .distinct())
+    stats = term_stats(xf, [id_col], bm25_weighting=True)
+    terms_only = qf.select("term").distinct()
+    scores = ctfidf(
+        xf.join(F.broadcast(terms_only), "term"), [id_col],
+        bm25_weighting=True,
+        stats=stats.join(F.broadcast(terms_only), "term"),
+    )
+    return bm25_topk(scores, qf, k, id_col)

@@ -166,3 +166,56 @@ def duckdb_tokens_sql(text_sql: str, mode: str = "ascii_code") -> str:
             f"ELSE {inner} END), '[a-z0-9]{{2,}}')"
         )
     raise ValueError(f"mode {mode!r} not SQL-expressible")
+
+
+# ---------------------------------------------------------------------------
+# S-stemmer (Harman 1991, "How effective is suffixing?"): the weak plural
+# stemmer — three suffix rules, no dictionary. Chosen over Porter because it
+# is expressible as the SAME static CASE/regexp chain in Spark SQL and DuckDB
+# (RE2 has no lookbehind, so the guards are LIKE predicates, not regex), which
+# keeps the analyzer stage DuckDB-oracle-checkable. Lucene ships the same
+# algorithm as EnglishMinimalStemFilter. Words shorter than 4 chars pass
+# through unchanged.
+# ---------------------------------------------------------------------------
+
+def stem_s(t: str) -> str:
+    """Pure-Python kernel (pandas-UDF / local-oracle path)."""
+    if len(t) < 4:
+        return t
+    if t.endswith("ies") and not t.endswith(("eies", "aies")):
+        return t[:-3] + "y"
+    if t.endswith("es") and not t.endswith(("aes", "ees", "oes")):
+        return t[:-1]
+    if t.endswith("s") and not t.endswith(("us", "ss")):
+        return t[:-1]
+    return t
+
+
+def stem_s_col(t: Column) -> Column:
+    """JVM expression mirror of ``stem_s`` — safe inside HOF lambdas
+    (``F.transform(tokens, stem_s_col)``), no Python in the hot path."""
+    return (
+        F.when(F.length(t) < 4, t)
+        .when(t.endswith("ies") & ~t.endswith("eies") & ~t.endswith("aies"),
+              F.regexp_replace(t, "ies$", "y"))
+        .when(t.endswith("es") & ~t.endswith("aes") & ~t.endswith("ees")
+              & ~t.endswith("oes"),
+              F.regexp_replace(t, "es$", "e"))
+        .when(t.endswith("s") & ~t.endswith("us") & ~t.endswith("ss"),
+              F.regexp_replace(t, "s$", ""))
+        .otherwise(t)
+    )
+
+
+def duckdb_stem_s_sql(t: str) -> str:
+    """DuckDB mirror of ``stem_s_col`` (kept adjacent so drift is caught in
+    one place, like ``duckdb_tokens_sql``)."""
+    return (
+        f"CASE WHEN length({t}) < 4 THEN {t} "
+        f"WHEN {t} LIKE '%ies' AND {t} NOT LIKE '%eies' AND {t} NOT LIKE '%aies' "
+        f"THEN regexp_replace({t}, 'ies$', 'y') "
+        f"WHEN {t} LIKE '%es' AND {t} NOT LIKE '%aes' AND {t} NOT LIKE '%ees' "
+        f"AND {t} NOT LIKE '%oes' THEN regexp_replace({t}, 'es$', 'e') "
+        f"WHEN {t} LIKE '%s' AND {t} NOT LIKE '%us' AND {t} NOT LIKE '%ss' "
+        f"THEN regexp_replace({t}, 's$', '') ELSE {t} END"
+    )
