@@ -444,3 +444,99 @@ def test_suggest_index_and_lookup(spark):
     assert [r["term"] for r in suggest(idx, "spart", k=3).collect()] == ["spartan"]
     with pytest.raises(ValueError):
         suggest_index(d, min_len=0)
+
+
+# --------------------------- synonym folding -------------------------------
+
+
+def test_stem_s_python_jvm_parity(spark):
+    from bertopic_spark.tokenizer import stem_s, stem_s_col
+    words = ["queries", "files", "classes", "bus", "boss", "goes",
+             "trees", "eies", "cat", "cats", "is", "as", "axes",
+             "toes", "shoes", "aies", "babies", "us", "properties"]
+    t = spark.createDataFrame([(w,) for w in words], "term string")
+    got = {r["term"]: r["stem"]
+           for r in t.select("term", stem_s_col(F.col("term")).alias("stem"))
+                     .collect()}
+    assert got == {w: stem_s(w) for w in words}
+    # spot-check the three rules + guards
+    assert stem_s("queries") == "query"
+    assert stem_s("classes") == "classe"   # es-rule drops only the s
+    assert stem_s("files") == "file"
+    assert stem_s("boss") == "boss"        # ss guard
+    assert stem_s("bus") == "bus"          # us guard
+    assert stem_s("is") == "is"            # length guard
+
+
+def test_synonym_map_and_fold(spark):
+    from bertopic_spark.operators.fulltext import fold_term_counts, synonym_map
+    x = spark.createDataFrame(
+        [(1, "file", 2), (1, "files", 3), (1, "zz", 1),
+         (2, "files", 5), (2, "boss", 1)],
+        "doc_id long, term string, tf long")
+    syn = synonym_map(x)
+    m = {r["term"]: r["syn_key"] for r in syn.collect()}
+    # file/files share the stem group; singletons (zz, boss) are unmapped
+    assert m == {"file": "file", "files": "file"}
+    folded = fold_term_counts(x, syn, ["doc_id"])
+    got = {(r["doc_id"], r["term"]): r["tf"] for r in folded.collect()}
+    assert got == {(1, "file"): 5, (1, "zz"): 1,
+                   (2, "file"): 5, (2, "boss"): 1}
+
+
+def test_fold_preserves_class_len(spark):
+    from bertopic_spark.operators.fulltext import fold_term_counts, synonym_map
+    x = spark.createDataFrame(
+        [(1, "file", 2, 6), (1, "files", 3, 6), (1, "zz", 1, 6)],
+        "doc_id long, term string, tf long, class_len long")
+    folded = fold_term_counts(x, synonym_map(x), ["doc_id"])
+    rows = folded.collect()
+    assert all(r["class_len"] == 6 for r in rows)
+    assert sum(r["tf"] for r in rows) == 6  # total mass invariant
+
+
+def test_synonym_bm25_blends_variants(spark):
+    """A doc split across singular/plural forms must outrank one with the
+    same total tf once folded — the SynonymQuery motivation."""
+    from bertopic_spark.operators.fulltext import bm25_topk_synonyms
+    docs = spark.createDataFrame(
+        [(1, "token tokens token tokens pad"),
+         (2, "token pad pad pad pad"),
+         (3, "other words here pad pad")],
+        "doc_id long, content string")
+    q = spark.createDataFrame([(0, "tokens")], "query_id long, term string")
+    out = bm25_topk_synonyms(docs, q, k=3).collect()
+    ranks = {r["doc_id"]: r["rank"] for r in out}
+    assert ranks[1] == 1 and ranks[2] == 2
+    assert 3 not in ranks  # no query term, folded or not
+
+
+# ------------------------- minimum_should_match ----------------------------
+
+
+def test_min_should_fraction_and_absolute(spark):
+    from bertopic_spark.operators.bm25 import (
+        bm25_topk, bm25_topk_minshould, doc_scores)
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta zz"),
+         (3, "alpha zz zz"), (4, "zz zz zz")],
+        "doc_id long, content string")
+    scores = doc_scores(docs)
+    q = spark.createDataFrame(
+        [(0, "alpha"), (0, "beta"), (0, "gamma")],
+        "query_id long, term string")
+    by_n = {n: {r["doc_id"]: r["n_matched"]
+                for r in bm25_topk_minshould(scores, q, 10, n).collect()}
+            for n in (1, 2, 3)}
+    assert set(by_n[1]) == {1, 2, 3} and set(by_n[2]) == {1, 2} \
+        and set(by_n[3]) == {1}
+    assert by_n[1] == {1: 3, 2: 2, 3: 1}
+    # fraction: ceil(0.6 * 3) = 2
+    frac = bm25_topk_minshould(scores, q, 10, 0.6)
+    assert {r["doc_id"] for r in frac.collect()} == {1, 2}
+    # min_should=1 ranks exactly like plain bm25_topk
+    plain = bm25_topk(scores, q, 10)
+    a = [(r["query_id"], r["doc_id"], r["rank"]) for r in plain.collect()]
+    b = [(r["query_id"], r["doc_id"], r["rank"])
+         for r in bm25_topk_minshould(scores, q, 10, 1).collect()]
+    assert sorted(a) == sorted(b)
