@@ -345,6 +345,92 @@ SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, round(score, 6) AS score,
 FROM ranked WHERE rn <= 10"""
 
 
+def q_significant_terms(spark, sf_dir):
+    """ES significant_terms with the JLH heuristic
+    (operators/fulltext.significant_terms): terms anomalously frequent in
+    the lang='en' foreground vs the whole corpus; foreground df rides the
+    background df's shuffle via conditional aggregation."""
+    from bertopic_spark.operators.fulltext import significant_terms
+    from bertopic_spark.tokenizer import with_tokens
+
+    toks = with_tokens(_docs(spark, sf_dir), "text", MODE)
+    dt = toks.select(
+        "doc_id", (F.col("lang") == "en").alias("fg"),
+        F.explode(F.array_distinct("tokens")).alias("term"))
+    t = significant_terms(dt, k=15)
+    return t.select(
+        "term", "df_fg", "df_all", _r6(F.col("score")).alias("score"),
+        F.col("rank").cast("long").alias("rn"),
+    )
+
+
+SQL_SIGNIFICANT_TERMS = f"""WITH {_TOKS},
+dt AS (SELECT DISTINCT doc_id, lang = 'en' AS fg, term FROM toks),
+tot AS (SELECT count(DISTINCT doc_id) AS n_all,
+               count(DISTINCT CASE WHEN fg THEN doc_id END) AS n_fg FROM dt),
+per AS (SELECT term,
+               CAST(count(DISTINCT CASE WHEN fg THEN doc_id END) AS BIGINT) AS df_fg,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS df_all
+        FROM dt GROUP BY term),
+sc AS (SELECT term, df_fg, df_all,
+              ((df_fg / n_fg) - (df_all / n_all))
+              * ((df_fg / n_fg) / (df_all / n_all)) AS score
+       FROM per CROSS JOIN tot
+       WHERE df_fg > 0 AND (df_fg / n_fg) > (df_all / n_all)),
+ranked AS (SELECT term, df_fg, df_all, score,
+                  row_number() OVER (ORDER BY score DESC, term ASC) AS rn
+           FROM sc)
+SELECT term, df_fg, df_all, round(score, 6) AS score, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 15"""
+
+
+_MTIME_SPARK = "date_sub(date'2026-01-01', cast(doc_id % 365 as int))"
+_MTIME_DUCK = "(DATE '2026-01-01' - CAST(doc_id % 365 AS INTEGER))"
+_DECAY_NOW = "2026-03-01"
+
+
+def q_decay_topk(spark, sf_dir):
+    """ES function_score gauss decay (operators/bm25.decay_topk):
+    relevance × recency with multiplier 0.5^((age/scale)^2); the decay
+    multiplies BEFORE the top-k cut. Deterministic doc mtime fixture
+    derived from doc_id identically in both engines."""
+    from bertopic_spark.operators.bm25 import decay_topk
+
+    qt = query_terms(queries_df(spark, DRIVER_QUERIES), MODE)
+    handles: list = []
+    scores = doc_scores(_docs(spark, sf_dir), text_col="text",
+                        id_col="doc_id", mode=MODE, _persisted_out=handles)
+    times = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_MTIME_SPARK).alias("mtime"))
+    t = decay_topk(scores, qt, times, now=_DECAY_NOW, scale_days=30, k=10)
+    return t.select(
+        "query_id", "doc_id", _r6(F.col("score")).alias("score"),
+        _r6(F.col("decayed")).alias("decayed"),
+        F.col("rank").cast("long").alias("rn"),
+    )
+
+
+SQL_DECAY_TOPK = f"""WITH {_TOKS}, {_XDOC}, {_scores_sql('xdoc', 'doc_id', True, False)},
+q(query_id, term) AS (VALUES {_query_term_values()}),
+times AS (SELECT doc_id, {_MTIME_DUCK} AS mtime FROM documents),
+hits AS (
+  SELECT q.query_id, s.doc_id, sum(s.score) AS score
+  FROM q JOIN scores s USING (term) GROUP BY 1, 2),
+dec AS (
+  SELECT h.query_id, h.doc_id, h.score,
+         h.score * pow(0.5, pow((DATE '{_DECAY_NOW}' - t.mtime) / 30.0, 2))
+           AS decayed
+  FROM hits h JOIN times t USING (doc_id)),
+ranked AS (
+  SELECT query_id, doc_id, score, decayed,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY decayed DESC, doc_id ASC) AS rn
+  FROM dec)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, round(score, 6) AS score,
+       round(decayed, 6) AS decayed, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 10"""
+
+
 def q_tiered_bm25_topk(spark, sf_dir):
     """Tiered champion-list serving (operators/bm25.tiered_bm25_topk):
     tier-1 answers only when the per-query bound certificate PROVES
@@ -4559,4 +4645,6 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "min_should_topk": (q_min_should_topk, SQL_MIN_SHOULD),
     "stemmed_vocab": (q_stemmed_vocab, SQL_STEMMED_VOCAB),
     "synonym_bm25_topk": (q_synonym_bm25_topk, SQL_SYNONYM_BM25),
+    "significant_terms": (q_significant_terms, SQL_SIGNIFICANT_TERMS),
+    "decay_topk": (q_decay_topk, SQL_DECAY_TOPK),
 }

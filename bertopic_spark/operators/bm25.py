@@ -1152,3 +1152,45 @@ def prune_index(scores: DataFrame, id_col: str = "doc_id",
             .withColumn("_keep", keep)
             .filter(F.col("_rn") <= F.col("_keep"))
             .drop("_rn", "_keep"))
+
+
+def decay_topk(
+    scores: DataFrame,
+    qterms: DataFrame,
+    doc_times: DataFrame,
+    now: str,
+    scale_days: int = 30,
+    k: int = 10,
+    id_col: str = "doc_id",
+    ts_col: str = "mtime",
+) -> DataFrame:
+    """ES function_score gauss decay on document age: relevance × recency.
+    multiplier = 0.5 ^ ((age_days / scale_days)^2) — 1.0 at age 0, exactly
+    0.5 at ``scale_days`` (ES ``decay=0.5`` convention), gaussian tail
+    beyond. Returns (query_id, doc_id, score, decayed, rank) ranked by the
+    decayed score.
+
+    Plan: relevance hits first (inverted-index probe + one groupBy — the
+    bm25_topk shape), THEN the time join: the hits relation is
+    |matching docs| × |queries|, far smaller than the corpus, so the doc
+    metadata joins after aggregation, not before. Decay must multiply
+    BEFORE the top-k cut — a stale #1 can lose to a fresh #12 — so the
+    window runs on decayed scores; everything stays JVM-side arithmetic.
+    """
+    qd = qterms.select("query_id", "term").distinct()
+    hits = (
+        scores.join(F.broadcast(qd), "term")
+        .groupBy("query_id", id_col)
+        .agg(F.sum("score").alias("score"))
+        .join(doc_times.select(id_col, ts_col), id_col)
+    )
+    age = F.datediff(F.lit(now).cast("date"), F.col(ts_col).cast("date"))
+    mult = F.pow(F.lit(0.5), F.pow(age / F.lit(float(scale_days)), 2))
+    hits = hits.withColumn("decayed", F.col("score") * mult)
+    w = Window.partitionBy("query_id").orderBy(F.desc("decayed"),
+                                               F.asc(id_col))
+    return (
+        hits.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "decayed", "rank")
+    )

@@ -792,3 +792,48 @@ def bm25_topk_synonyms(corpus: DataFrame, qterms: DataFrame,
         stats=stats.join(F.broadcast(terms_only), "term"),
     )
     return bm25_topk(scores, qf, k, id_col)
+
+
+# ---------------------------------------------------------------------------
+# Significant-terms aggregation (ES significant_terms, JLH heuristic).
+# The more_like_this relevance-feedback operator lives in operators/bm25.py.
+# ---------------------------------------------------------------------------
+
+
+def significant_terms(dt: DataFrame, fg_col: str = "fg", k: int = 10,
+                      id_col: str = "doc_id") -> DataFrame:
+    """ES significant_terms with the JLH heuristic: terms whose foreground
+    document frequency is anomalously high vs the whole corpus.
+    ``dt``: doc-distinct (id_col, term, fg_col boolean). Returns the top-k
+    (term, df_fg, df_all, score, rank) where score =
+    (fg_pct - bg_pct) * (fg_pct / bg_pct), keeping only fg_pct > bg_pct
+    (the ES positive-signal constraint).
+
+    Plan: ONE groupBy(term) with conditional aggregation — the foreground
+    df rides the same shuffle as the background df (no second scan, no
+    join of two per-term relations); the two scalar doc totals broadcast
+    via a literal-free cross join of a 1-row agg. Final top-k is a window
+    over the vocabulary-sized relation.
+    """
+    tot = (dt.agg(
+        F.count_distinct(id_col).alias("n_all"),
+        F.count_distinct(F.when(F.col(fg_col), F.col(id_col))).alias("n_fg"),
+    ))
+    per = (dt.groupBy("term").agg(
+        F.count_distinct(F.when(F.col(fg_col), F.col(id_col)))
+        .cast("long").alias("df_fg"),
+        F.count_distinct(id_col).cast("long").alias("df_all"),
+    ))
+    sc = (per.crossJoin(F.broadcast(tot))
+          .withColumn("fg_pct", F.col("df_fg") / F.col("n_fg"))
+          .withColumn("bg_pct", F.col("df_all") / F.col("n_all"))
+          .filter((F.col("df_fg") > 0) & (F.col("fg_pct") > F.col("bg_pct")))
+          .withColumn("score", (F.col("fg_pct") - F.col("bg_pct"))
+                      * (F.col("fg_pct") / F.col("bg_pct"))))
+    # global top-k as sort+limit → TakeOrderedAndProject (per-partition
+    # heaps, no single-partition window over the vocabulary); the rank
+    # window then runs on k rows only.
+    top = sc.orderBy(F.desc("score"), F.asc("term")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("term"))
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("term", "df_fg", "df_all", "score", "rank"))

@@ -383,3 +383,29 @@ def test_prune_index_single_term_identity_and_shrink(spark, corpus_df):
                  for r in bm25_topk(pruned, qt, k=7).collect())
     assert got == full and got
     scores.unpersist(); pruned.unpersist()
+
+
+def test_decay_topk_reorders_by_freshness(spark):
+    """A stale high-relevance doc must lose to a fresh lower-relevance one
+    once the gauss multiplier is applied, and the multiplier must be exactly
+    0.5 at age == scale."""
+    from bertopic_spark.operators.bm25 import decay_topk
+
+    scores = spark.createDataFrame(
+        [(1, "q", 1, 1.0), (2, "q", 1, 0.6)],
+        "doc_id long, term string, tf long, score double")
+    q = spark.createDataFrame([(0, "q")], "query_id long, term string")
+    times = spark.createDataFrame(
+        [(1, "2025-12-01"), (2, "2026-02-28")],  # ages 90 and 1 days
+        "doc_id long, mtime string")
+    out = {r["doc_id"]: r for r in decay_topk(
+        scores, q, times, now="2026-03-01", scale_days=30, k=10).collect()}
+    assert out[2]["rank"] == 1 and out[1]["rank"] == 2
+    assert out[1]["score"] == 1.0  # raw relevance is preserved alongside
+    assert out[1]["decayed"] == 1.0 * 0.5 ** 9  # (90/30)^2 = 9, exact
+    # age == scale → exactly half
+    t30 = spark.createDataFrame([(1, "2026-01-30")],
+                                "doc_id long, mtime string")
+    one = decay_topk(scores, q, t30, now="2026-03-01",
+                     scale_days=30, k=10).collect()
+    assert one[0]["decayed"] == 0.5

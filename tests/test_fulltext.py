@@ -540,3 +540,31 @@ def test_min_should_fraction_and_absolute(spark):
     b = [(r["query_id"], r["doc_id"], r["rank"])
          for r in bm25_topk_minshould(scores, q, 10, 1).collect()]
     assert sorted(a) == sorted(b)
+
+
+# --------------------------- significant terms -----------------------------
+
+
+def test_significant_terms_jlh(spark):
+    from bertopic_spark.operators.fulltext import significant_terms
+    # fg docs: 1,2 (both contain "hot"); bg-only docs: 3,4 ("cold")
+    rows = [(1, True, "hot"), (1, True, "common"),
+            (2, True, "hot"), (2, True, "common"),
+            (3, False, "cold"), (3, False, "common"),
+            (4, False, "common")]
+    dt = spark.createDataFrame(rows, "doc_id long, fg boolean, term string")
+    out = {r["term"]: r for r in significant_terms(dt, k=10).collect()}
+    # "hot": fg_pct 1.0 vs bg_pct 0.5 → JLH (1-.5)*(1/.5)=1.0, the top term
+    assert set(out) == {"hot"}  # "common" has fg_pct == bg_pct, "cold" fg 0
+    assert out["hot"]["df_fg"] == 2 and out["hot"]["df_all"] == 2
+    assert abs(out["hot"]["score"] - 1.0) < 1e-12
+    assert out["hot"]["rank"] == 1
+
+
+def test_significant_terms_topk_cut(spark):
+    from bertopic_spark.operators.fulltext import significant_terms
+    rows = [(d, d < 3, f"t{d}") for d in range(1, 7)]
+    dt = spark.createDataFrame(rows, "doc_id long, fg boolean, term string")
+    out = significant_terms(dt, k=1).collect()
+    assert len(out) == 1 and out[0]["rank"] == 1
+    assert out[0]["term"] == "t1"  # tie on score → term asc
