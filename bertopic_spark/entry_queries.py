@@ -674,6 +674,44 @@ SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, round(score, 6) AS score,
 FROM ranked WHERE rn <= 10"""
 
 
+def q_lm_jm_topk(spark, sf_dir):
+    """Query-likelihood retrieval, Jelinek-Mercer smoothing λ=0.1
+    (operators/bm25.lm_jm_topk — Lucene LMJelinekMercerSimilarity):
+    a pure matched-term ln-sum, no per-doc constant, over the same
+    pruned inverted-index probe as the Dirichlet path."""
+    from bertopic_spark.operators.bm25 import lm_jm_topk
+
+    qt = query_terms(queries_df(spark, DRIVER_QUERIES), MODE)
+    t = lm_jm_topk(_docs(spark, sf_dir), qt, k=10, lam=0.1,
+                   text_col="text", mode=MODE)
+    return t.select(
+        "query_id", "doc_id", _r6(F.col("score")).alias("score"),
+        F.col("rank").cast("long").alias("rn"),
+    )
+
+
+SQL_LM_JM_TOPK = f"""WITH {_TOKS}, {_XDOC},
+cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM xdoc GROUP BY term),
+tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM xdoc),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM xdoc GROUP BY doc_id),
+q(query_id, term) AS (VALUES {_query_term_values()}),
+hits AS (
+  SELECT q.query_id, x.doc_id,
+         sum(ln(1.0 + (0.9 / 0.1) * (x.tf / dl.dl)
+                / (cf.cf / tot.total))) AS score
+  FROM q JOIN xdoc x USING (term) JOIN cf USING (term)
+         JOIN dl ON dl.doc_id = x.doc_id CROSS JOIN tot
+  GROUP BY q.query_id, x.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rn
+  FROM hits)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, round(score, 6) AS score,
+       CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 10"""
+
+
 def q_ltr_features(spark, sf_dir):
     """Learning-to-rank feature extraction (operators/bm25.ltr_features):
     per-(query, candidate) bm25 + Dirichlet-LM + coverage + length +
@@ -4647,4 +4685,5 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "synonym_bm25_topk": (q_synonym_bm25_topk, SQL_SYNONYM_BM25),
     "significant_terms": (q_significant_terms, SQL_SIGNIFICANT_TERMS),
     "decay_topk": (q_decay_topk, SQL_DECAY_TOPK),
+    "lm_jm_topk": (q_lm_jm_topk, SQL_LM_JM_TOPK),
 }

@@ -265,6 +265,60 @@ def lm_topk(
     )
 
 
+def lm_jm_topk(
+    corpus: DataFrame,
+    qterms: DataFrame,
+    k: int = 10,
+    lam: float = 0.1,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    mode: str = "ascii_code",
+    persist_counts: bool = True,
+    _persisted_out: list | None = None,
+) -> DataFrame:
+    """Query-likelihood retrieval with Jelinek-Mercer smoothing (Zhai &
+    Lafferty, SIGIR 2001; Lucene LMJelinekMercerSimilarity) — completes
+    the LM family next to ``lm_topk``'s Dirichlet prior:
+
+        score(q,d) = Σ_{t∈q∩d} ln(1 + ((1-λ)/λ) · (tf/dl) / (cf_t/|C|))
+
+    λ≈0.1 suits short (title-like) queries, λ≈0.7 verbose ones (the
+    published guidance). Unlike Dirichlet there is no per-doc constant —
+    the score is a pure matched-term sum, so the plan is exactly the
+    pruned inverted-index probe: postings semi-joined to the query terms
+    before any arithmetic, collection stats one partial-agg pass, one
+    groupBy (query, doc) shuffle, WindowGroupLimit top-k. OOV terms
+    (cf=0) drop out and zero-match docs are never candidates, as in
+    ``lm_topk``.
+    """
+    if not 0 < lam < 1:
+        raise ValueError("lam must be in (0, 1)")
+    x = doc_term_counts(corpus, text_col, [id_col], mode, with_len=True)
+    if persist_counts:
+        x = x.persist()
+        if _persisted_out is not None:
+            _persisted_out.append(x)
+    cf = x.groupBy("term").agg(F.sum("tf").alias("cf"))
+    tot = x.agg(F.sum("tf").alias("total"))
+    terms_only = qterms.select("term").distinct()
+    cfq = cf.join(F.broadcast(terms_only), "term").crossJoin(F.broadcast(tot))
+    ratio = F.lit((1.0 - lam) / lam)
+    scored = (
+        x.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(cfq), "term")
+        .groupBy("query_id", id_col)
+        .agg(F.sum(F.log(
+            F.lit(1.0) + ratio * (F.col("tf") / F.col("doc_len"))
+            / (F.col("cf") / F.col("total")))).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "rank")
+    )
+
+
 def okapi_doc_scores(
     corpus: DataFrame,
     k1: float = 1.2,

@@ -409,3 +409,25 @@ def test_decay_topk_reorders_by_freshness(spark):
     one = decay_topk(scores, q, t30, now="2026-03-01",
                      scale_days=30, k=10).collect()
     assert one[0]["decayed"] == 0.5
+
+
+def test_lm_jm_topk_hand_value(spark):
+    """Exact Jelinek-Mercer score on a 2-doc corpus, plus candidate pruning
+    (zero-match docs absent) and OOV-term dropout."""
+    import math
+
+    from bertopic_spark.operators.bm25 import lm_jm_topk
+
+    docs = spark.createDataFrame(
+        [(1, "aa aa bb"), (2, "bb cc dd")],
+        "doc_id long, content string")
+    q = spark.createDataFrame([(0, "aa"), (0, "zz")],
+                              "query_id long, term string")
+    out = lm_jm_topk(docs, q, k=10, lam=0.1).collect()
+    # only doc 1 matches; zz is OOV and contributes nothing
+    assert [(r["query_id"], r["doc_id"], r["rank"]) for r in out] == [(0, 1, 1)]
+    lam, tf, dl, cf, total = 0.1, 2, 3, 2, 6
+    want = math.log(1.0 + ((1 - lam) / lam) * (tf / dl) / (cf / total))
+    assert abs(out[0]["score"] - want) < 1e-12
+    with pytest.raises(ValueError):
+        lm_jm_topk(docs, q, lam=1.0)
