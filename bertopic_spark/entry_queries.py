@@ -712,6 +712,116 @@ SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, round(score, 6) AS score,
 FROM ranked WHERE rn <= 10"""
 
 
+def q_common_terms_topk(spark, sf_dir):
+    """Lucene CommonTermsQuery (operators/bm25.common_terms_topk):
+    candidates admitted only by rare terms (df ≤ 0.78·N — chosen so the
+    fixture exercises rare-only, mixed AND no-rare-fallback queries);
+    common terms score but never admit. The candidate set broadcasts
+    onto the common postings, pruning them before the scoring shuffle."""
+    from bertopic_spark.operators.bm25 import common_terms_topk
+
+    qt = query_terms(queries_df(spark, DRIVER_QUERIES), MODE)
+    handles: list = []
+    scores = doc_scores(_docs(spark, sf_dir), text_col="text",
+                        id_col="doc_id", mode=MODE, _persisted_out=handles)
+    t = common_terms_topk(scores, qt, k=10, max_df=0.78)
+    return t.select(
+        "query_id", "doc_id", _r6(F.col("score")).alias("score"),
+        F.col("rank").cast("long").alias("rn"),
+    )
+
+
+SQL_COMMON_TERMS = f"""WITH {_TOKS}, {_XDOC}, {_scores_sql('xdoc', 'doc_id', True, False)},
+dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM scores GROUP BY term),
+nd AS (SELECT CAST(ceil(0.78 * count(DISTINCT doc_id)) AS BIGINT) AS cutoff
+       FROM scores),
+q(query_id, term) AS (VALUES {_query_term_values()}),
+qd AS (SELECT q.query_id, q.term,
+              coalesce(dfr.df, 0) <= nd.cutoff AS is_rare
+       FROM (SELECT DISTINCT query_id, term FROM q) q
+       LEFT JOIN dfr USING (term) CROSS JOIN nd),
+hr AS (SELECT query_id, max(CAST(is_rare AS INTEGER)) AS hr
+       FROM qd GROUP BY query_id),
+qg AS (SELECT qd.query_id, qd.term, (qd.is_rare OR hr.hr = 0) AS gen
+       FROM qd JOIN hr USING (query_id)),
+gen_hits AS (
+  SELECT g.query_id, s.doc_id, s.score
+  FROM qg g JOIN scores s USING (term) WHERE g.gen),
+cand AS (SELECT DISTINCT query_id, doc_id FROM gen_hits),
+common_hits AS (
+  SELECT g.query_id, s.doc_id, s.score
+  FROM qg g JOIN scores s USING (term)
+  JOIN cand c ON c.query_id = g.query_id AND c.doc_id = s.doc_id
+  WHERE NOT g.gen),
+hits AS (
+  SELECT query_id, doc_id, sum(score) AS score
+  FROM (SELECT * FROM gen_hits UNION ALL SELECT * FROM common_hits)
+  GROUP BY query_id, doc_id),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rn
+  FROM hits)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, round(score, 6) AS score,
+       CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 10"""
+
+
+def q_phrase_boost_topk(spark, sf_dir):
+    """Solr edismax pf (operators/fulltext.phrase_boost_topk): BM25
+    disjunction recall + boost × consecutive-phrase occurrences; one
+    shared positional sliver pruned to the query vocabularies serves
+    every query's adjacency check."""
+    from bertopic_spark.operators.fulltext import phrase_boost_topk
+
+    handles: list = []
+    t = phrase_boost_topk(_docs(spark, sf_dir), DRIVER_QUERIES, k=10,
+                          boost=0.01, text_col="text", mode=MODE,
+                          _persisted_out=handles)
+    return t.select(
+        "query_id", "doc_id", _r6(F.col("score")).alias("score"),
+        _r6(F.col("boosted")).alias("boosted"),
+        F.col("rank").cast("long").alias("rn"),
+    )
+
+
+def _sql_phrase_boost() -> str:
+    from bertopic_spark.tokenizer import tokenize_one as _tok
+
+    parts = []
+    for qid, text in sorted(DRIVER_QUERIES.items()):
+        ts = _tok(text, MODE)
+        if not ts:
+            continue
+        conds = " AND ".join(
+            f"ts[i+{j + 1}] = '{t}'" for j, t in enumerate(ts))
+        parts.append(
+            f"SELECT {qid} AS query_id, doc_id, CAST(len(list_filter("
+            f"range(greatest(len(ts) - {len(ts) - 1}, 0)), "
+            f"i -> {conds})) AS BIGINT) AS n FROM tk")
+    pm = " UNION ALL ".join(parts)
+    return f"""WITH {_TOKS}, {_XDOC}, {_scores_sql('xdoc', 'doc_id', True, False)},
+tk AS (SELECT doc_id, {duckdb_tokens_sql('text', MODE)} AS ts FROM documents),
+q(query_id, term) AS (VALUES {_query_term_values()}),
+hits AS (
+  SELECT q.query_id, s.doc_id, sum(s.score) AS score
+  FROM q JOIN scores s USING (term) GROUP BY 1, 2),
+pm AS ({pm}),
+boosted AS (
+  SELECT h.query_id, h.doc_id, h.score,
+         h.score + 0.01 * coalesce(p.n, 0) AS boosted
+  FROM hits h LEFT JOIN pm p
+    ON p.query_id = h.query_id AND p.doc_id = h.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, score, boosted,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY boosted DESC, doc_id ASC) AS rn
+  FROM boosted)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, round(score, 6) AS score,
+       round(boosted, 6) AS boosted, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 10"""
+
+
 def q_ltr_features(spark, sf_dir):
     """Learning-to-rank feature extraction (operators/bm25.ltr_features):
     per-(query, candidate) bm25 + Dirichlet-LM + coverage + length +
@@ -4686,4 +4796,6 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "significant_terms": (q_significant_terms, SQL_SIGNIFICANT_TERMS),
     "decay_topk": (q_decay_topk, SQL_DECAY_TOPK),
     "lm_jm_topk": (q_lm_jm_topk, SQL_LM_JM_TOPK),
+    "common_terms_topk": (q_common_terms_topk, SQL_COMMON_TERMS),
+    "phrase_boost_topk": (q_phrase_boost_topk, _sql_phrase_boost()),
 }

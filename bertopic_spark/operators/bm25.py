@@ -1248,3 +1248,54 @@ def decay_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "score", "decayed", "rank")
     )
+
+
+def common_terms_topk(
+    scores: DataFrame,
+    qterms: DataFrame,
+    k: int = 10,
+    max_df: float = 0.05,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Lucene CommonTermsQuery: candidates are generated ONLY from the
+    query's rare terms (df ≤ ``max_df``, a fraction of the corpus when
+    < 1, absolute when ≥ 1); common (stop-ish) terms still contribute
+    score but never admit new documents. Returns
+    (query_id, doc_id, score, rank) — the score sums ALL matched query
+    terms for admitted docs, so ranking matches the full disjunction on
+    the candidate set.
+
+    The 100-TB point: a disjunction containing ``the``/``license``/
+    ``import`` must not aggregate those terms' postings corpus-wide. Here
+    the candidate set is bounded by the rare terms' summed df — small by
+    construction — so it BROADCASTS onto the common-term postings and
+    prunes them map-side, before the scoring shuffle ever sees them. A
+    query with no rare terms degrades to the plain disjunction (Lucene's
+    own fallback: every clause becomes candidate-generating).
+    """
+    dfr = scores.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    nd = scores.agg(F.count_distinct(id_col).alias("n_docs"))
+    cutoff = (F.ceil(F.lit(float(max_df)) * F.col("n_docs")).cast("long")
+              if 0 < max_df < 1 else F.lit(int(max_df)).cast("long"))
+    qd = (qterms.select("query_id", "term").distinct()
+          .join(dfr, "term", "left").crossJoin(F.broadcast(nd))
+          .withColumn("is_rare",
+                      F.coalesce(F.col("df"), F.lit(0)) <= cutoff))
+    has_rare = (qd.groupBy("query_id")
+                .agg(F.max(F.col("is_rare").cast("int")).alias("hr")))
+    qd = (qd.join(F.broadcast(has_rare), "query_id")
+          .withColumn("gen", F.col("is_rare") | (F.col("hr") == 0))
+          .select("query_id", "term", "gen"))
+    gen_hits = (scores.join(F.broadcast(qd.filter("gen")), "term")
+                .select("query_id", id_col, "score"))
+    cand = gen_hits.select("query_id", id_col).distinct()
+    common_hits = (
+        scores.join(F.broadcast(qd.filter(~F.col("gen"))), "term")
+        .join(F.broadcast(cand), ["query_id", id_col])
+        .select("query_id", id_col, "score"))
+    hits = (gen_hits.unionByName(common_hits)
+            .groupBy("query_id", id_col).agg(F.sum("score").alias("score")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (hits.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", id_col, "score", "rank"))

@@ -837,3 +837,59 @@ def significant_terms(dt: DataFrame, fg_col: str = "fg", k: int = 10,
     w = Window.orderBy(F.desc("score"), F.asc("term"))
     return (top.withColumn("rank", F.row_number().over(w))
             .select("term", "df_fg", "df_all", "score", "rank"))
+
+
+def phrase_boost_topk(corpus: DataFrame, queries, k: int = 10,
+                      boost: float = 1.0, text_col: str = "content",
+                      id_col: str = "doc_id", mode: str = "ascii_code",
+                      _persisted_out: list | None = None) -> DataFrame:
+    """Solr edismax ``pf`` (phrase-field boost): recall from the BM25
+    disjunction, precision from proximity — docs where the query's tokens
+    appear as a consecutive phrase gain ``boost × n_occurrences`` on top
+    of their disjunction score. ``queries``: {query_id: text}. Returns
+    (query_id, doc_id, score, boosted, rank) ranked by the boosted score
+    (a 1-token query's "phrase count" is its tf, as in Solr).
+
+    Plan: the base ranking is the standard inverted-index probe; the
+    phrase side prunes ONE positional relation to the union of all query
+    vocabularies (pushed to the scan on a materialized positions table),
+    persists it, and runs each query's adjacency intersection as a cheap
+    branch over that shared sliver — never |queries| corpus scans. The
+    boost joins hits-to-phrase-counts on (query, doc), both already
+    aggregated relations.
+    """
+    from bertopic_spark.operators.bm25 import doc_scores, queries_df, query_terms
+
+    spark = corpus.sparkSession
+    qmap = {int(q): str(t) for q, t in dict(queries).items()}
+    qt = query_terms(queries_df(spark, qmap), mode)
+    scores = doc_scores(corpus, text_col=text_col, id_col=id_col, mode=mode,
+                        _persisted_out=_persisted_out)
+    hits = (scores.join(F.broadcast(qt), "term")
+            .groupBy("query_id", id_col).agg(F.sum("score").alias("score")))
+
+    toks_by_q = {q: tokenize_one(t, mode) for q, t in qmap.items()}
+    vocab = sorted({t for ts in toks_by_q.values() for t in ts})
+    pos = doc_term_positions(corpus, text_col, id_col, mode, terms=vocab)
+    pos = pos.persist()
+    if _persisted_out is not None:
+        _persisted_out.append(pos)
+    parts = [
+        phrase_match_postings(pos, ts, id_col)
+        .select(F.lit(q).cast("long").alias("query_id"), id_col, "n_matches")
+        for q, ts in sorted(toks_by_q.items()) if ts
+    ]
+    if not parts:
+        raise ValueError("no query tokenizes to anything")
+    pm = parts[0]
+    for p in parts[1:]:
+        pm = pm.unionByName(p)
+    out = (hits.join(pm, ["query_id", id_col], "left")
+           .withColumn("boosted",
+                       F.col("score") + F.lit(float(boost))
+                       * F.coalesce(F.col("n_matches"), F.lit(0))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("boosted"),
+                                               F.asc(id_col))
+    return (out.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", id_col, "score", "boosted", "rank"))

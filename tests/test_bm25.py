@@ -431,3 +431,28 @@ def test_lm_jm_topk_hand_value(spark):
     assert abs(out[0]["score"] - want) < 1e-12
     with pytest.raises(ValueError):
         lm_jm_topk(docs, q, lam=1.0)
+
+
+def test_common_terms_candidates_and_fallback(spark):
+    from bertopic_spark.operators.bm25 import bm25_topk, common_terms_topk
+
+    # "stop" is in 4/5 docs (common at max_df=0.5); "rare" in one.
+    docs = spark.createDataFrame(
+        [(1, "stop rare x"), (2, "stop y"), (3, "stop z"),
+         (4, "stop w"), (5, "other v")],
+        "doc_id long, content string")
+    scores = doc_scores(docs)
+    q = spark.createDataFrame([(0, "stop"), (0, "rare")],
+                              "query_id long, term string")
+    out = common_terms_topk(scores, q, k=10, max_df=0.5).collect()
+    # only doc 1 admitted (via "rare"); its score still includes "stop"
+    assert [r["doc_id"] for r in out] == [1]
+    both = {r["doc_id"]: r["score"]
+            for r in bm25_topk(scores, q, 10).collect()}
+    assert abs(out[0]["score"] - both[1]) < 1e-12
+    # all-common query falls back to the plain disjunction
+    q2 = spark.createDataFrame([(1, "stop")], "query_id long, term string")
+    fb = common_terms_topk(scores, q2, k=10, max_df=0.5)
+    plain = bm25_topk(scores, q2, 10)
+    assert sorted((r["doc_id"], r["rank"]) for r in fb.collect()) == \
+        sorted((r["doc_id"], r["rank"]) for r in plain.collect())

@@ -568,3 +568,22 @@ def test_significant_terms_topk_cut(spark):
     out = significant_terms(dt, k=1).collect()
     assert len(out) == 1 and out[0]["rank"] == 1
     assert out[0]["term"] == "t1"  # tie on score → term asc
+
+
+def test_phrase_boost_reorders(spark):
+    from bertopic_spark.operators.fulltext import phrase_boost_topk
+
+    # doc 1 has both terms scattered; doc 2 has them adjacent (twice)
+    docs = spark.createDataFrame(
+        [(1, "alpha pad pad pad pad beta alpha pad beta pad"),
+         (2, "alpha beta pad alpha beta")],
+        "doc_id long, content string")
+    h = []
+    out = {r["doc_id"]: r for r in phrase_boost_topk(
+        docs, {0: "alpha beta"}, k=10, boost=10.0,
+        _persisted_out=h).collect()}
+    for x in h:
+        x.unpersist()
+    assert out[2]["rank"] == 1  # phrase boost dominates at boost=10
+    assert out[2]["boosted"] == pytest.approx(out[2]["score"] + 20.0)
+    assert out[1]["boosted"] == pytest.approx(out[1]["score"])  # no phrase
