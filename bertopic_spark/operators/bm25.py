@@ -1273,12 +1273,20 @@ def common_terms_topk(
     query with no rare terms degrades to the plain disjunction (Lucene's
     own fallback: every clause becomes candidate-generating).
     """
-    dfr = scores.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # df is needed ONLY for the query's own terms: push the term semi-join
+    # BELOW the df aggregation so the agg sees |query-term postings| rows,
+    # not the whole vocabulary, and the later left join is broadcast-able
+    # (a vocabulary-sized dfr forces a SortMergeJoin — observed in the plan
+    # before this rewrite).
+    qset = qterms.select("term").distinct()
+    dfq = (scores.join(F.broadcast(qset), "term")
+           .groupBy("term").agg(F.count(F.lit(1)).alias("df")))
     nd = scores.agg(F.count_distinct(id_col).alias("n_docs"))
     cutoff = (F.ceil(F.lit(float(max_df)) * F.col("n_docs")).cast("long")
               if 0 < max_df < 1 else F.lit(int(max_df)).cast("long"))
     qd = (qterms.select("query_id", "term").distinct()
-          .join(dfr, "term", "left").crossJoin(F.broadcast(nd))
+          .join(F.broadcast(dfq), "term", "left")
+          .crossJoin(F.broadcast(nd))
           .withColumn("is_rare",
                       F.coalesce(F.col("df"), F.lit(0)) <= cutoff))
     has_rare = (qd.groupBy("query_id")
