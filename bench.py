@@ -95,6 +95,12 @@ BENCH_QUERIES = [
     "range_click_purchase",
     "events_rollup_day",
     "textrank_per_class",
+    # round-3 analyzer + retrieval-semantics additions (synonym folding,
+    # minimum_should_match, stop-term-robust candidates, phrase boost)
+    "synonym_bm25_topk",
+    "min_should_topk",
+    "common_terms_topk",
+    "phrase_boost_topk",
 ]
 
 
