@@ -4666,6 +4666,200 @@ SELECT lang, term, score, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {GRAPHG_K}"""
 
 
+# ---------------------------------------------------------------------------
+# Rescore window / dis_max / boosting (Lucene-ES second-pass ranking family)
+# ---------------------------------------------------------------------------
+
+RESCORE_W, RESCORE_QW, RESCORE_RW = 30, 1.0, 2.0
+
+
+def q_rescore_topk(spark, sf_dir):
+    """Elasticsearch rescore window (operators/bm25.rescore_topk): cheap
+    Okapi BM25 first pass, top-30 window per query rescored with Dirichlet
+    query likelihood, final = 1.0·bm25 + 2.0·lm re-ranked inside the
+    window. The second pass touches only |queries|·window docs."""
+    from bertopic_spark.operators.bm25 import rescore_topk
+
+    qt = query_terms(queries_df(spark, DRIVER_QUERIES), MODE)
+    t = rescore_topk(_docs(spark, sf_dir), qt, k=10, window_size=RESCORE_W,
+                     query_weight=RESCORE_QW, rescore_weight=RESCORE_RW,
+                     mu=LM_MU, k1=OKAPI_K1, b=OKAPI_B,
+                     text_col="text", mode=MODE)
+    return t.select(
+        "query_id", "doc_id", _r6(F.col("score")).alias("score"),
+        F.col("rank").cast("long").alias("rn"),
+    )
+
+
+SQL_RESCORE = f"""WITH {_TOKS}, {_XDOC},
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM xdoc GROUP BY doc_id),
+nstats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM xdoc GROUP BY term),
+q(query_id, term) AS (VALUES {_query_term_values()}),
+hits AS (
+  SELECT q.query_id, x.doc_id,
+         sum(ln(1.0 + (ns.n - dfs.df + 0.5) / (dfs.df + 0.5)) *
+             x.tf * {OKAPI_K1 + 1.0} /
+             (x.tf + {OKAPI_K1} * (1.0 - {OKAPI_B} +
+                                   {OKAPI_B} * dl.dl / ns.avgdl))) AS bm25
+  FROM q JOIN xdoc x USING (term) JOIN dfs USING (term)
+       JOIN dl ON dl.doc_id = x.doc_id CROSS JOIN nstats ns
+  GROUP BY q.query_id, x.doc_id),
+wnd AS (
+  SELECT query_id, doc_id, bm25,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY bm25 DESC, doc_id ASC) AS wrn
+  FROM hits),
+w2 AS (SELECT query_id, doc_id, bm25 FROM wnd WHERE wrn <= {RESCORE_W}),
+cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM xdoc GROUP BY term),
+tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM xdoc),
+qv AS (SELECT q.query_id, q.term FROM q JOIN cf USING (term)),
+nq AS (SELECT query_id, count(*) AS n_q FROM qv GROUP BY query_id),
+lmh AS (
+  SELECT qv.query_id, x.doc_id,
+         sum(ln(1.0 + x.tf * tot.total / ({LM_MU} * cf.cf))) AS ql
+  FROM qv JOIN xdoc x USING (term) JOIN cf USING (term) CROSS JOIN tot
+       JOIN w2 ON w2.query_id = qv.query_id AND w2.doc_id = x.doc_id
+  GROUP BY qv.query_id, x.doc_id),
+lms AS (
+  SELECT l.query_id, l.doc_id,
+         l.ql + nq.n_q * ln({LM_MU} / (dl.dl + {LM_MU})) AS lm
+  FROM lmh l JOIN dl USING (doc_id) JOIN nq USING (query_id)),
+fin AS (
+  SELECT w2.query_id, w2.doc_id,
+         {RESCORE_QW} * w2.bm25 + {RESCORE_RW} * lms.lm AS score
+  FROM w2 JOIN lms ON lms.query_id = w2.query_id
+                  AND lms.doc_id = w2.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rn
+  FROM fin)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, round(score, 6) AS score,
+       CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 10"""
+
+
+DISMAX_TIE = 0.3
+
+
+def q_dismax_topk(spark, sf_dir):
+    """Lucene DisjunctionMaxQuery / ES dis_max over (text, title) fields
+    (operators/bm25.dismax_topk): per-field Okapi BM25 with per-field
+    stats (the short title field has its own dl/avgdl/df), score =
+    max + 0.3·(sum − max). title = first 80 chars of text — the usual
+    short-vs-body field asymmetry dis_max exists for."""
+    from bertopic_spark.operators.bm25 import dismax_topk
+
+    qt = query_terms(queries_df(spark, DRIVER_QUERIES), MODE)
+    d = _docs(spark, sf_dir).withColumn("title", F.substring("text", 1, 80))
+    t = dismax_topk(d, qt, ["text", "title"],
+                    tie_breaker=DISMAX_TIE, k=10, k1=OKAPI_K1, b=OKAPI_B,
+                    mode=MODE)
+    return t.select(
+        "query_id", "doc_id", _r6(F.col("score")).alias("score"),
+        F.col("rank").cast("long").alias("rn"),
+    )
+
+
+SQL_DISMAX = f"""WITH {_TOKS}, {_XDOC},
+dl1 AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM xdoc GROUP BY doc_id),
+ns1 AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl1),
+df1 AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM xdoc GROUP BY term),
+tk2 AS (SELECT doc_id,
+               unnest({duckdb_tokens_sql('substr(text, 1, 80)', MODE)}) AS term
+        FROM documents),
+x2 AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM tk2 GROUP BY doc_id, term),
+dl2 AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM x2 GROUP BY doc_id),
+ns2 AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl2),
+df2 AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM x2 GROUP BY term),
+q(query_id, term) AS (VALUES {_query_term_values()}),
+h1 AS (
+  SELECT q.query_id, x.doc_id,
+         sum(ln(1.0 + (ns.n - f.df + 0.5) / (f.df + 0.5)) *
+             x.tf * {OKAPI_K1 + 1.0} /
+             (x.tf + {OKAPI_K1} * (1.0 - {OKAPI_B} +
+                                   {OKAPI_B} * d.dl / ns.avgdl))) AS s
+  FROM q JOIN xdoc x USING (term) JOIN df1 f USING (term)
+       JOIN dl1 d ON d.doc_id = x.doc_id CROSS JOIN ns1 ns
+  GROUP BY q.query_id, x.doc_id),
+h2 AS (
+  SELECT q.query_id, x.doc_id,
+         sum(ln(1.0 + (ns.n - f.df + 0.5) / (f.df + 0.5)) *
+             x.tf * {OKAPI_K1 + 1.0} /
+             (x.tf + {OKAPI_K1} * (1.0 - {OKAPI_B} +
+                                   {OKAPI_B} * d.dl / ns.avgdl))) AS s
+  FROM q JOIN x2 x USING (term) JOIN df2 f USING (term)
+       JOIN dl2 d ON d.doc_id = x.doc_id CROSS JOIN ns2 ns
+  GROUP BY q.query_id, x.doc_id),
+u AS (SELECT * FROM h1 UNION ALL SELECT * FROM h2),
+dm AS (SELECT query_id, doc_id,
+              max(s) + {DISMAX_TIE} * (sum(s) - max(s)) AS score
+       FROM u GROUP BY query_id, doc_id),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rn
+  FROM dm)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, round(score, 6) AS score,
+       CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 10"""
+
+
+BOOST_NEG_TERMS, BOOST_NEG = ["slow", "filter"], 0.5
+
+
+def q_boosting_topk(spark, sf_dir):
+    """Lucene BoostingQuery / ES boosting query (operators/bm25.
+    boosting_topk): Okapi BM25 positive disjunction; docs containing a
+    negative term are demoted ×0.5 instead of filtered."""
+    from bertopic_spark.operators.bm25 import boosting_topk
+
+    qt = query_terms(queries_df(spark, DRIVER_QUERIES), MODE)
+    t = boosting_topk(_docs(spark, sf_dir), qt, BOOST_NEG_TERMS,
+                      negative_boost=BOOST_NEG, k=10, k1=OKAPI_K1,
+                      b=OKAPI_B, text_col="text", mode=MODE)
+    return t.select(
+        "query_id", "doc_id", _r6(F.col("score")).alias("score"),
+        F.col("demoted").cast("long").alias("demoted"),
+        F.col("rank").cast("long").alias("rn"),
+    )
+
+
+def _sql_boosting() -> str:
+    neg = ", ".join(f"'{t}'" for t in BOOST_NEG_TERMS)
+    return f"""WITH {_TOKS}, {_XDOC},
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM xdoc GROUP BY doc_id),
+nstats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM xdoc GROUP BY term),
+q(query_id, term) AS (VALUES {_query_term_values()}),
+hits AS (
+  SELECT q.query_id, x.doc_id,
+         sum(ln(1.0 + (ns.n - dfs.df + 0.5) / (dfs.df + 0.5)) *
+             x.tf * {OKAPI_K1 + 1.0} /
+             (x.tf + {OKAPI_K1} * (1.0 - {OKAPI_B} +
+                                   {OKAPI_B} * dl.dl / ns.avgdl))) AS pos
+  FROM q JOIN xdoc x USING (term) JOIN dfs USING (term)
+       JOIN dl ON dl.doc_id = x.doc_id CROSS JOIN nstats ns
+  GROUP BY q.query_id, x.doc_id),
+neg AS (SELECT DISTINCT doc_id FROM xdoc WHERE term IN ({neg})),
+dem AS (
+  SELECT h.query_id, h.doc_id,
+         CASE WHEN n.doc_id IS NULL THEN h.pos
+              ELSE h.pos * {BOOST_NEG} END AS score,
+         CASE WHEN n.doc_id IS NULL THEN 0 ELSE 1 END AS demoted
+  FROM hits h LEFT JOIN neg n ON n.doc_id = h.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, score, demoted,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rn
+  FROM dem)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, round(score, 6) AS score,
+       CAST(demoted AS BIGINT) AS demoted, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 10"""
+
+
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "approx_distribution": (q_approx_distribution, SQL_APPROX_DISTRIBUTION),
     "approx_distribution_tokens": (q_approx_distribution_tokens,
@@ -4798,4 +4992,7 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "lm_jm_topk": (q_lm_jm_topk, SQL_LM_JM_TOPK),
     "common_terms_topk": (q_common_terms_topk, SQL_COMMON_TERMS),
     "phrase_boost_topk": (q_phrase_boost_topk, _sql_phrase_boost()),
+    "rescore_topk": (q_rescore_topk, SQL_RESCORE),
+    "dismax_topk": (q_dismax_topk, SQL_DISMAX),
+    "boosting_topk": (q_boosting_topk, _sql_boosting()),
 }

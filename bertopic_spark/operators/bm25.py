@@ -16,7 +16,7 @@ top-k. No cross join, no dense matrix. The block-max WAND path
 
 from __future__ import annotations
 
-from typing import Mapping
+from typing import Mapping, Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -1307,3 +1307,260 @@ def common_terms_topk(
     return (hits.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", id_col, "score", "rank"))
+
+
+def rescore_topk(
+    corpus: DataFrame,
+    qterms: DataFrame,
+    k: int = 10,
+    window_size: int = 50,
+    query_weight: float = 1.0,
+    rescore_weight: float = 2.0,
+    mu: float = 2000.0,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    mode: str = "ascii_code",
+    persist_counts: bool = True,
+    _persisted_out: list | None = None,
+) -> DataFrame:
+    """Elasticsearch-style rescore window: a cheap first-pass Okapi BM25
+    disjunction ranks everything, then ONLY the top ``window_size`` docs
+    per query are rescored with a more expensive model (Dirichlet query
+    likelihood, the same math as ``lm_topk``) and re-ranked by
+
+        final = query_weight·bm25 + rescore_weight·lm
+
+    Returns (query_id, doc_id, score, rank), rank over the blended score
+    within the window (docs outside the window can never re-enter —
+    Elasticsearch semantics).
+
+    The 100-TB shape: the second-pass scorer touches |queries|·window_size
+    (doc, query) pairs — a BROADCAST onto the postings probe — so its cost
+    is independent of corpus size; only the corpus-wide collection stats
+    (cf, |C|: one partial-agg pass, shared with the first pass's counts
+    relation) scale with the data. One tokenize pass feeds both rounds.
+    """
+    if window_size < k:
+        raise ValueError("window_size must be >= k")
+    if mu <= 0 or k1 < 0 or not 0.0 <= b <= 1.0:
+        raise ValueError("bad mu/k1/b")
+    x = doc_term_counts(corpus, text_col, [id_col], mode, with_len=True)
+    if persist_counts:
+        x = x.persist()
+        if _persisted_out is not None:
+            _persisted_out.append(x)
+    row = (x.groupBy(id_col).agg(F.max("doc_len").alias("dl"))
+           .agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+           .collect()[0])
+    n_docs, avgdl = int(row["n"]), row["avgdl"]
+    if n_docs == 0:
+        return _empty_topk(corpus.sparkSession, id_col)
+
+    # first pass: classical Okapi disjunction, window_size kept per query
+    terms_only = qterms.select("term").distinct()
+    dfs = (x.join(F.broadcast(terms_only), "term")
+           .groupBy("term").agg(F.countDistinct(id_col).alias("df")))
+    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) /
+                (F.col("df") + 0.5))
+    denom = (F.col("tf") + F.lit(k1) *
+             (F.lit(1.0 - b) + F.lit(b) * F.col("doc_len") / F.lit(avgdl)))
+    hits1 = (
+        x.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfs.select("term", idf.alias("idf"))), "term")
+        .groupBy("query_id", id_col)
+        .agg(F.sum(F.col("idf") * F.col("tf") * F.lit(k1 + 1.0) / denom)
+             .alias("bm25")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc(id_col))
+    wnd = (hits1.withColumn("_rn", F.row_number().over(w))
+           .filter(F.col("_rn") <= window_size)
+           .select("query_id", id_col, "bm25"))
+
+    # second pass: Dirichlet LM, postings pruned to the window's docs
+    cf = x.groupBy("term").agg(F.sum("tf").alias("cf"))
+    tot = x.agg(F.sum("tf").alias("total"))
+    cfq = cf.join(F.broadcast(terms_only), "term").crossJoin(F.broadcast(tot))
+    n_q = (qterms.join(F.broadcast(cfq.select("term")), "term")
+           .groupBy("query_id").agg(F.count(F.lit(1)).alias("n_q")))
+    lm = (
+        x.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(wnd.select("query_id", id_col)),
+              ["query_id", id_col])
+        .join(F.broadcast(cfq), "term")
+        .groupBy("query_id", id_col)
+        .agg(F.sum(F.log(F.lit(1.0) + F.col("tf") * F.col("total") /
+                         (F.lit(mu) * F.col("cf")))).alias("ql"),
+             F.max("doc_len").alias("dl"))
+        .join(F.broadcast(n_q), "query_id")
+        .select("query_id", id_col,
+                (F.col("ql") + F.col("n_q") *
+                 F.log(F.lit(mu) / (F.col("dl") + F.lit(mu)))).alias("lm")))
+
+    blended = (wnd.join(lm, ["query_id", id_col])
+               .select("query_id", id_col,
+                       (F.lit(float(query_weight)) * F.col("bm25") +
+                        F.lit(float(rescore_weight)) * F.col("lm"))
+                       .alias("score")))
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                                F.asc(id_col))
+    return (blended.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select("query_id", id_col, "score", "rank"))
+
+
+def dismax_topk(
+    corpus: DataFrame,
+    qterms: DataFrame,
+    fields: "Sequence[str] | Mapping[str, float]",
+    tie_breaker: float = 0.3,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    mode: str = "ascii_code",
+    persist_counts: bool = True,
+    _persisted_out: list | None = None,
+) -> DataFrame:
+    """Lucene DisjunctionMaxQuery over per-field Okapi BM25 scores
+    (Elasticsearch ``dis_max`` / ``multi_match best_fields``):
+
+        score(q,d) = max_f s_f(q,d) + tie_breaker · Σ_{f≠argmax} s_f(q,d)
+
+    Each field is scored with ITS OWN statistics (df, dl, avgdl over docs
+    non-empty in that field — Lucene's per-field docCount), unlike BM25F
+    which blends tf/length before a single saturation. ``fields`` maps
+    field → query-time boost (a plain sequence means boost 1.0).
+
+    Plan: one tokenize pass per field (irreducible — distinct columns),
+    each semi-joined to the query's terms before its idf/length joins,
+    one union of the per-field (query, doc, score) hit relations, one
+    groupBy(query, doc) computing max+sum in the same agg — the dis_max
+    combination never materializes a per-field dense matrix.
+    """
+    if isinstance(fields, Mapping):
+        flds = sorted((str(c), float(wt)) for c, wt in fields.items())
+    else:
+        flds = sorted((str(c), 1.0) for c in fields)
+    if not flds:
+        raise ValueError("need at least one field")
+    if not 0.0 <= tie_breaker <= 1.0:
+        raise ValueError("tie_breaker must be in [0, 1]")
+    if k1 < 0 or not 0.0 <= b <= 1.0:
+        raise ValueError("bad k1/b")
+
+    terms_only = qterms.select("term").distinct()
+    branches = []
+    for fcol, boost in flds:
+        x = doc_term_counts(corpus, fcol, [id_col], mode, with_len=True)
+        if persist_counts:
+            x = x.persist()
+            if _persisted_out is not None:
+                _persisted_out.append(x)
+        row = (x.groupBy(id_col).agg(F.max("doc_len").alias("dl"))
+               .agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+               .collect()[0])
+        n_docs, avgdl = int(row["n"]), row["avgdl"]
+        if n_docs == 0:
+            continue
+        dfs = (x.join(F.broadcast(terms_only), "term")
+               .groupBy("term").agg(F.countDistinct(id_col).alias("df")))
+        idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5))
+        denom = (F.col("tf") + F.lit(k1) *
+                 (F.lit(1.0 - b) +
+                  F.lit(b) * F.col("doc_len") / F.lit(avgdl)))
+        branches.append(
+            x.join(F.broadcast(qterms), "term")
+            .join(F.broadcast(dfs.select("term", idf.alias("idf"))), "term")
+            .groupBy("query_id", id_col)
+            .agg((F.lit(boost) *
+                  F.sum(F.col("idf") * F.col("tf") * F.lit(k1 + 1.0) / denom)
+                  ).alias("s")))
+    if not branches:
+        return _empty_topk(corpus.sparkSession, id_col)
+    from functools import reduce as _reduce
+
+    u = _reduce(DataFrame.unionByName, branches)
+    hits = (u.groupBy("query_id", id_col)
+            .agg((F.max("s") + F.lit(float(tie_breaker)) *
+                  (F.sum("s") - F.max("s"))).alias("score")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (hits.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", id_col, "score", "rank"))
+
+
+def boosting_topk(
+    corpus: DataFrame,
+    qterms: DataFrame,
+    negative_terms: "Sequence[str]",
+    negative_boost: float = 0.2,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    mode: str = "ascii_code",
+    persist_counts: bool = True,
+    _persisted_out: list | None = None,
+) -> DataFrame:
+    """Lucene BoostingQuery (Elasticsearch ``boosting`` query): documents
+    matching the positive disjunction keep their Okapi BM25 score, but any
+    doc containing one of ``negative_terms`` has it DEMOTED by
+    ``negative_boost`` (multiplied, not filtered — the doc can still rank
+    if its positive score dominates). Returns (query_id, doc_id, score,
+    demoted, rank).
+
+    Plan: the positive pass is the standard pruned inverted-index probe;
+    the negative match is a distinct-doc projection of the SAME persisted
+    counts relation filtered to the (few) negative terms, LEFT-joined onto
+    the candidate hits — candidates are bounded by the query's postings,
+    so the join never sees the corpus. Negative terms should be selective;
+    a stop-word negative degrades to |corpus| rows on the build side and
+    belongs in ``common_terms_topk``'s territory instead.
+    """
+    neg = sorted({str(t) for t in negative_terms})
+    if not neg:
+        raise ValueError("need at least one negative term")
+    if not 0.0 <= negative_boost <= 1.0:
+        raise ValueError("negative_boost must be in [0, 1]")
+    if k1 < 0 or not 0.0 <= b <= 1.0:
+        raise ValueError("bad k1/b")
+    x = doc_term_counts(corpus, text_col, [id_col], mode, with_len=True)
+    if persist_counts:
+        x = x.persist()
+        if _persisted_out is not None:
+            _persisted_out.append(x)
+    row = (x.groupBy(id_col).agg(F.max("doc_len").alias("dl"))
+           .agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+           .collect()[0])
+    n_docs, avgdl = int(row["n"]), row["avgdl"]
+    if n_docs == 0:
+        return _empty_topk(corpus.sparkSession, id_col)
+    terms_only = qterms.select("term").distinct()
+    dfs = (x.join(F.broadcast(terms_only), "term")
+           .groupBy("term").agg(F.countDistinct(id_col).alias("df")))
+    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) /
+                (F.col("df") + 0.5))
+    denom = (F.col("tf") + F.lit(k1) *
+             (F.lit(1.0 - b) + F.lit(b) * F.col("doc_len") / F.lit(avgdl)))
+    hits = (
+        x.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfs.select("term", idf.alias("idf"))), "term")
+        .groupBy("query_id", id_col)
+        .agg(F.sum(F.col("idf") * F.col("tf") * F.lit(k1 + 1.0) / denom)
+             .alias("pos")))
+    negdocs = (x.filter(F.col("term").isin(neg))
+               .select(id_col).distinct()
+               .withColumn("_neg", F.lit(1)))
+    demoted = (hits.join(negdocs, id_col, "left")
+               .select("query_id", id_col,
+                       F.when(F.col("_neg").isNotNull(),
+                              F.col("pos") * F.lit(float(negative_boost)))
+                       .otherwise(F.col("pos")).alias("score"),
+                       F.col("_neg").isNotNull().alias("demoted")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (demoted.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", id_col, "score", "demoted", "rank"))
