@@ -4860,6 +4860,42 @@ SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, round(score, 6) AS score,
 FROM ranked WHERE rn <= 10"""
 
 
+SPAN_TERMS, SPAN_SLOP = ("hash", "join", "order"), 6
+
+
+def q_span_near_match(spark, sf_dir):
+    """Ordered span-near (Lucene SpanNearQuery in_order=true, operators/
+    fulltext.span_near_match): docs containing "hash … join … order" in
+    that order within slop 6 — (doc_id, min_span), min_span the smallest
+    ordered-occurrence span, via one linear in-array sweep (no UDF, no
+    per-term position cross product). Postings-path parity is pytest-
+    asserted."""
+    from bertopic_spark.operators.fulltext import span_near_match
+
+    return span_near_match(_docs(spark, sf_dir), SPAN_TERMS, SPAN_SLOP,
+                           text_col="text", mode=MODE)
+
+
+def _sql_span_near() -> str:
+    # brute-force exact oracle: ordered n-way positional self-join, min span
+    joins = []
+    for j in range(1, len(SPAN_TERMS)):
+        joins.append(f"JOIN p p{j} ON p{j}.doc_id = p{j - 1}.doc_id "
+                     f"AND p{j}.pos > p{j - 1}.pos "
+                     f"AND p{j}.term = '{SPAN_TERMS[j]}'")
+    last = len(SPAN_TERMS) - 1
+    return f"""WITH
+tk AS (SELECT doc_id, {duckdb_tokens_sql('text', MODE)} AS ts FROM documents),
+p AS (SELECT doc_id, unnest(ts) AS term, unnest(range(len(ts))) AS pos FROM tk),
+sp AS (SELECT p0.doc_id, p{last}.pos - p0.pos + 1 AS span
+       FROM p p0 {' '.join(joins)}
+       WHERE p0.term = '{SPAN_TERMS[0]}'),
+m AS (SELECT doc_id, CAST(min(span) AS BIGINT) AS min_span
+      FROM sp GROUP BY doc_id)
+SELECT doc_id, min_span FROM m
+WHERE min_span <= {len(SPAN_TERMS) + SPAN_SLOP}"""
+
+
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "approx_distribution": (q_approx_distribution, SQL_APPROX_DISTRIBUTION),
     "approx_distribution_tokens": (q_approx_distribution_tokens,
@@ -4995,4 +5031,5 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "rescore_topk": (q_rescore_topk, SQL_RESCORE),
     "dismax_topk": (q_dismax_topk, SQL_DISMAX),
     "boosting_topk": (q_boosting_topk, _sql_boosting()),
+    "span_near_match": (q_span_near_match, _sql_span_near()),
 }

@@ -893,3 +893,112 @@ def phrase_boost_topk(corpus: DataFrame, queries, k: int = 10,
     return (out.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", id_col, "score", "boosted", "rank"))
+
+
+def _ordered_span(events: Column, seq_tids: Sequence[int]) -> Column:
+    """Minimal token span covering the term sequence IN ORDER.
+
+    ``events`` is array<struct<pos:int,tid:int>> sorted by pos (tid indexes
+    the query's distinct terms); ``seq_tids`` is the query as tid sequence
+    (duplicates allowed). One linear sweep (Lucene's ordered
+    SpansNearQuery shape): the accumulator carries, per prefix length j,
+    the LATEST start position of an ordered chain matching seq[0..j] that
+    ends at an already-seen event. All reads come from the pre-event
+    accumulator, so one token can never serve two consecutive sequence
+    slots; starts are monotone non-decreasing, so plain max-assignment is
+    exact. Same CollapseProject discipline as ``_min_span``: everything
+    lives inside one F.aggregate HOF, never as withColumn intermediates.
+    """
+    n = len(seq_tids)
+    seqarr = F.array(*[F.lit(int(t)) for t in seq_tids])
+    init = F.struct(
+        F.array_repeat(F.lit(-1), n).alias("starts"),
+        F.lit(_SPAN_INF).alias("best"))
+
+    def step(acc, ev):
+        starts = F.transform(
+            acc["starts"],
+            lambda v, j: F.when(
+                F.get(seqarr, j) == ev["tid"],
+                F.greatest(v, F.when(j == F.lit(0), ev["pos"])
+                           .otherwise(F.get(acc["starts"], j - 1)))
+            ).otherwise(v))
+        chain = (F.get(seqarr, F.lit(n - 1)) == ev["tid"]) & \
+                (F.get(acc["starts"], F.lit(n - 2)) >= 0)
+        best = F.when(
+            chain,
+            F.least(acc["best"],
+                    ev["pos"] - F.get(acc["starts"], F.lit(n - 2)) + 1)
+        ).otherwise(acc["best"])
+        return F.struct(starts.alias("starts"), best.alias("best"))
+
+    return F.aggregate(events, init, step)["best"]
+
+
+def span_near_match(df: DataFrame, terms: Sequence[str], slop: int = 0,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    mode: str = "ascii_code") -> DataFrame:
+    """Ordered span-near query (Lucene SpanNearQuery ``in_order=true`` /
+    ES ``span_near``): docs where ``terms`` occur IN THAT ORDER with at
+    most ``slop`` interleaving tokens — (id, min_span), min_span = the
+    smallest token span containing an ordered occurrence, kept when
+    min_span − len(terms) ≤ slop. slop=0 degrades to an exact phrase
+    with possible gaps of zero — i.e. adjacency.
+
+    Scan path: one corpus pass, the ordered sweep runs inside
+    WholeStageCodegen over the token array — no shuffle, no UDF; the
+    unordered variant is ``proximity_match``, the postings variant
+    ``span_near_match_postings``.
+    """
+    seq = [str(t) for t in terms]
+    if len(seq) < 2:
+        raise ValueError("span_near needs >= 2 terms")
+    if slop < 0:
+        raise ValueError("slop must be >= 0")
+    distinct = sorted(set(seq))
+    seq_tids = [distinct.index(t) for t in seq]
+    n = len(seq)
+
+    def span(tk):
+        idx = F.when(F.size(tk) > 0, F.sequence(F.lit(0), F.size(tk) - 1)
+                     ).otherwise(F.array().cast("array<int>"))
+        evs = F.filter(
+            F.transform(idx, lambda i: F.struct(
+                i.alias("pos"), _tid_expr(F.get(tk, i), distinct).alias("tid"))),
+            lambda e: e["tid"] >= 0)
+        return _ordered_span(evs, seq_tids)
+
+    out = with_tokens(df.select(id_col, text_col), text_col, mode)
+    return (out.select(F.col(id_col),
+                       _bound(F.col("tokens"), span)
+                       .cast("long").alias("min_span"))
+            .filter(F.col("min_span") <= n + slop))
+
+
+def span_near_match_postings(positions: DataFrame, terms: Sequence[str],
+                             slop: int = 0,
+                             id_col: str = "doc_id") -> DataFrame:
+    """Indexed ordered span-near over a (id, term, pos) relation:
+    (id, min_span). Postings pruned to the query's terms (pushed to the
+    scan on a materialized source), one groupBy(id) collecting events,
+    one sort per doc, the same linear ordered sweep as the scan path.
+    """
+    seq = [str(t) for t in terms]
+    if len(seq) < 2:
+        raise ValueError("span_near needs >= 2 terms")
+    if slop < 0:
+        raise ValueError("slop must be >= 0")
+    distinct = sorted(set(seq))
+    seq_tids = [distinct.index(t) for t in seq]
+    n = len(seq)
+    pruned = positions.filter(F.col("term").isin(distinct))
+    per_doc = pruned.groupBy(id_col).agg(
+        F.sort_array(F.collect_list(F.struct(
+            F.col("pos").cast("int").alias("pos"),
+            _tid_expr(F.col("term"), distinct).cast("int").alias("tid")
+        ))).alias("evs"))
+    return (per_doc.select(F.col(id_col),
+                           _bound(F.col("evs"),
+                                  lambda e: _ordered_span(e, seq_tids))
+                           .cast("long").alias("min_span"))
+            .filter(F.col("min_span") <= n + slop))

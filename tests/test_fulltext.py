@@ -587,3 +587,54 @@ def test_phrase_boost_reorders(spark):
     assert out[2]["rank"] == 1  # phrase boost dominates at boost=10
     assert out[2]["boosted"] == pytest.approx(out[2]["score"] + 20.0)
     assert out[1]["boosted"] == pytest.approx(out[1]["score"])  # no phrase
+
+
+@pytest.mark.parametrize("terms,slop", [
+    (("hash", "join", "order"), 6),
+    (("table", "scan"), 4),
+    (("data", "data"), 5),          # repeated-term sequence
+])
+def test_span_near_scan_equals_postings(spark, docs, terms, slop):
+    from bertopic_spark.operators.fulltext import (
+        span_near_match, span_near_match_postings)
+
+    scan = span_near_match(docs, terms, slop, "text", "doc_id")
+    pos = doc_term_positions(docs, "text", "doc_id")
+    idx = span_near_match_postings(pos, terms, slop)
+    assert _pairs(scan) == _pairs(idx)
+    assert scan.count() > 0  # corpus-vocab terms chosen to hit the fixture
+
+
+def test_span_near_is_ordered(spark):
+    from bertopic_spark.operators.fulltext import span_near_match
+
+    df = spark.createDataFrame(
+        [(0, "alpha pad beta"), (1, "beta pad alpha")],
+        "doc_id long, text string")
+    fwd = _pairs(span_near_match(df, ["alpha", "beta"], slop=3))
+    rev = _pairs(span_near_match(df, ["beta", "alpha"], slop=3))
+    assert fwd == {(0, 3)}
+    assert rev == {(1, 3)}
+
+
+def test_span_near_no_token_reuse(spark):
+    from bertopic_spark.operators.fulltext import span_near_match
+
+    # a single "beta" must not satisfy the ["beta", "beta"] sequence
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "beta alpha beta")],
+        "doc_id long, text string")
+    got = _pairs(span_near_match(df, ["beta", "beta"], slop=4))
+    assert got == {(1, 3)}
+
+
+def test_span_near_slop_zero_is_adjacency(spark, docs):
+    from bertopic_spark.operators.fulltext import span_near_match
+
+    # slop=0 ordered span == exact phrase adjacency (doc sets match)
+    ph = {r["doc_id"] for r in
+          phrase_match(docs, "part filter", "text", "doc_id").collect()}
+    sp = {r["doc_id"] for r in
+          span_near_match(docs, ["part", "filter"], 0, "text",
+                          "doc_id").collect()}
+    assert sp == ph and sp
