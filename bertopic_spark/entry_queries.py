@@ -4860,6 +4860,43 @@ SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, round(score, 6) AS score,
 FROM ranked WHERE rn <= 10"""
 
 
+def q_dedup_keep_canonical(spark, sf_dir):
+    """Canonical-doc selection per duplicate cluster (operators/dedup.
+    dedup_canonical): LSH star edges → connected components → keep the
+    highest-quality member (quality = n_chars, tie → lowest doc_id) —
+    (component, keep_id, keep_quality, n_members). The keep/drop decision
+    ending a near-dup pipeline, argmax riding the component agg."""
+    from bertopic_spark.operators.dedup import (
+        dedup_canonical, dedup_components, minhash_lsh_pairs)
+
+    d = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.when(F.col("doc_id") < DUP_CLUSTER_N, F.lit(DUP_TEXT)).otherwise(F.col("text")),
+    )
+    edges = minhash_lsh_pairs(d, "text", "doc_id", num_perm=8, bands=4,
+                              edge_mode="star")
+    comp = dedup_components(edges)
+    quality = _docs(spark, sf_dir).select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+    return dedup_canonical(comp, quality, "n_chars").select(
+        "component", "keep_id", F.col("keep_quality").cast("long")
+        .alias("keep_quality"), "n_members")
+
+
+def _sql_keep_canonical() -> str:
+    return f"""WITH comp AS ({_sql_dedup_components()}),
+jq AS (SELECT c.component, c.doc_id, CAST(d.n_chars AS BIGINT) AS q
+       FROM comp c JOIN documents d USING (doc_id)),
+ranked AS (SELECT component, doc_id, q,
+                  row_number() OVER (PARTITION BY component
+                                     ORDER BY q DESC, doc_id ASC) AS rn,
+                  count(*) OVER (PARTITION BY component) AS n_members
+           FROM jq)
+SELECT component, doc_id AS keep_id, q AS keep_quality,
+       CAST(n_members AS BIGINT) AS n_members
+FROM ranked WHERE rn = 1"""
+
+
 SPAN_TERMS, SPAN_SLOP = ("hash", "join", "order"), 6
 
 
@@ -5032,4 +5069,5 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "dismax_topk": (q_dismax_topk, SQL_DISMAX),
     "boosting_topk": (q_boosting_topk, _sql_boosting()),
     "span_near_match": (q_span_near_match, _sql_span_near()),
+    "dedup_keep_canonical": (q_dedup_keep_canonical, _sql_keep_canonical()),
 }

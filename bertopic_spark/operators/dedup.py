@@ -496,3 +496,42 @@ def duplicate_spans(df: DataFrame, text_col: str = "text",
                  F.count(F.lit(1)).alias("n_occurrences"),
                  F.min(id_col).alias("first_doc_id"))
             .filter(F.col("n_docs") >= F.lit(min_docs)))
+
+
+def dedup_canonical(components: DataFrame, quality: DataFrame,
+                    quality_col: str, id_col: str = "doc_id",
+                    keep_singletons: bool = False) -> DataFrame:
+    """Canonical-document selection per duplicate cluster — the keep/drop
+    decision that ends a near-dup pipeline: from (doc_id, component) and a
+    per-doc quality relation, return one row per cluster
+    (component, keep_id, keep_quality, n_members) where keep_id is the
+    member with the HIGHEST quality (tie → lowest doc_id, so the choice is
+    deterministic and stable across reruns / cluster sizes). Docs never
+    entering ``components`` (no candidate edge) are implicit singletons and
+    are kept by definition; ``keep_singletons`` adds them as 1-member rows
+    (component = own id) when the caller wants the full keep-list.
+
+    Plan: one equi-join components⋈quality on the doc id (co-partitioned,
+    no broadcast needed — both sides can be corpus-sized), one
+    groupBy(component) whose argmax rides the agg as max(struct(quality,
+    −id)) — no window over the full relation, no per-cluster collect, so a
+    10⁷-member boilerplate cluster costs its member count, nothing more.
+    """
+    q = quality.select(F.col(id_col), F.col(quality_col).alias("_q"))
+    joined = components.join(q, id_col)
+    out = (joined.groupBy("component")
+           .agg(F.max(F.struct(F.col("_q").alias("q"),
+                               (-F.col(id_col)).alias("nid"))).alias("_b"),
+                F.count(F.lit(1)).alias("n_members"))
+           .select("component",
+                   (-F.col("_b.nid")).alias("keep_id"),
+                   F.col("_b.q").alias("keep_quality"),
+                   "n_members"))
+    if keep_singletons:
+        singles = (q.join(components.select(id_col), id_col, "left_anti")
+                   .select(F.col(id_col).alias("component"),
+                           F.col(id_col).alias("keep_id"),
+                           F.col("_q").alias("keep_quality"),
+                           F.lit(1).cast("long").alias("n_members")))
+        out = out.unionByName(singles)
+    return out

@@ -378,3 +378,24 @@ def test_duplicate_spans_brute(documents_df):
     assert got == want and got  # non-empty by construction of the fixture
     # k longer than every document: no windows, empty relation, no crash
     assert duplicate_spans(documents_df, k=10_000).count() == 0
+
+
+def test_dedup_canonical_argmax_and_singletons(spark):
+    from bertopic_spark.operators.dedup import dedup_canonical
+
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)],
+        "doc_id long, component long")
+    quality = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (7, 5), (8, 5), (9, 99)],
+        "doc_id long, q long")
+    got = {r["component"]: (r["keep_id"], r["keep_quality"], r["n_members"])
+           for r in dedup_canonical(comp, quality, "q").collect()}
+    # argmax on quality; tie (2 vs 3 at q=30, 7 vs 8 at q=5) → lowest id
+    assert got == {1: (2, 30, 3), 7: (7, 5, 2)}
+
+    withs = {r["component"]: (r["keep_id"], r["n_members"])
+             for r in dedup_canonical(comp, quality, "q",
+                                      keep_singletons=True).collect()}
+    assert withs[9] == (9, 1)  # doc 9 never entered a cluster → kept
+    assert set(withs) == {1, 7, 9}
