@@ -101,6 +101,10 @@ BENCH_QUERIES = [
     "min_should_topk",
     "common_terms_topk",
     "phrase_boost_topk",
+    # second-pass ranking + ordered spans (round-3 batch 2)
+    "rescore_topk",
+    "dismax_topk",
+    "span_near_match",
 ]
 
 
