@@ -4860,6 +4860,101 @@ SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, round(score, 6) AS score,
 FROM ranked WHERE rn <= 10"""
 
 
+MIX_TEMP, MIX_FRAC, MIX_SEED = 0.7, 0.4, 42
+
+
+def q_domain_mix_sample(spark, sf_dir):
+    """Temperature-reweighted training-mix sampling (operators/pipeline.
+    domain_mix_plan + domain_mix_sample): per-lang token budgets from
+    share^0.7 renormalized against 40% of the corpus, realized by the
+    engine's deterministic md5-ordered inclusive-cumsum selection —
+    (doc_id, lang, n_tokens) keep list, reproducible across partitionings
+    and cluster sizes."""
+    from bertopic_spark.operators.pipeline import (domain_mix_plan,
+                                                   domain_mix_sample)
+
+    d = _docs(spark, sf_dir)
+    total = d.agg(F.sum(F.col("n_chars").cast("long"))).collect()[0][0]
+    plan = domain_mix_plan(d, "lang", "n_chars",
+                           budget=MIX_FRAC * total, temperature=MIX_TEMP)
+    return domain_mix_sample(d, plan, "lang", "n_chars", "doc_id",
+                             seed=MIX_SEED)
+
+
+def _sql_domain_mix() -> str:
+    return f"""WITH
+per AS (SELECT lang AS domain, CAST(sum(n_chars) AS BIGINT) AS t
+        FROM documents GROUP BY lang),
+tot AS (SELECT sum(t) AS t_all FROM per),
+sh AS (SELECT domain, t, t / t_all AS share FROM per CROSS JOIN tot),
+pw AS (SELECT domain, t, power(share, {MIX_TEMP}) AS pw FROM sh),
+z AS (SELECT sum(pw) AS z FROM pw),
+plan AS (SELECT domain,
+                least(pw / z * ({MIX_FRAC} * (SELECT t_all FROM tot)),
+                      CAST(t AS DOUBLE)) AS target
+         FROM pw CROSS JOIN z),
+ordered AS (
+  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_tokens,
+         sum(CAST(n_chars AS BIGINT)) OVER (
+           PARTITION BY lang
+           ORDER BY md5(concat('{MIX_SEED}_', CAST(doc_id AS VARCHAR))),
+                    doc_id) AS cum
+  FROM documents)
+SELECT o.doc_id, o.lang, o.n_tokens
+FROM ordered o JOIN plan p ON p.domain = o.lang
+WHERE o.cum <= p.target"""
+
+
+HIST_LO, HIST_HI, HIST_BINS, HIST_QS = 0.0, 250.0, 50, (0.5, 0.95, 0.99)
+
+
+def q_quantile_sketch(spark, sf_dir):
+    """Mergeable fixed-grid histogram quantiles (operators/sketch.
+    histogram_sketch + histogram_quantiles): per event_type p50/p95/p99
+    of events.value from a 50-bin [0,250) grid — bit-identical across
+    partitionings/merges, the deterministic t-digest stand-in completing
+    the CMS/Bloom/HLL sketch family."""
+    from bertopic_spark.operators.sketch import (histogram_quantiles,
+                                                 histogram_sketch)
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sk = histogram_sketch(ev, "value", HIST_LO, HIST_HI, HIST_BINS,
+                          ["event_type"])
+    out = histogram_quantiles(sk, HIST_QS, HIST_LO, HIST_HI, HIST_BINS,
+                              ["event_type"])
+    return out.select("event_type", "q", _r6(F.col("est")).alias("est"))
+
+
+def _sql_quantile_sketch() -> str:
+    w = (HIST_HI - HIST_LO) / HIST_BINS
+    qvals = ", ".join(f"({q})" for q in sorted(HIST_QS))
+    return f"""WITH
+b AS (SELECT event_type,
+             CAST(least({HIST_BINS - 1},
+                        greatest(0, CAST(floor((CAST(value AS DOUBLE) - {HIST_LO}) / {w}) AS INT)))
+                  AS INT) AS bin
+      FROM events WHERE value IS NOT NULL),
+sk AS (SELECT event_type, bin, CAST(count(*) AS BIGINT) AS cnt
+       FROM b GROUP BY event_type, bin),
+cum AS (SELECT event_type, bin, cnt,
+               sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+        FROM sk),
+tot AS (SELECT event_type, sum(cnt) AS n FROM sk GROUP BY event_type),
+q(q) AS (VALUES {qvals}),
+probe AS (
+  SELECT c.event_type, q.q, c.bin, c.cnt, c.cum, c.cum - c.cnt AS cumb,
+         q.q * t.n AS target,
+         row_number() OVER (PARTITION BY c.event_type, q.q
+                            ORDER BY c.bin) AS rn
+  FROM cum c JOIN tot t USING (event_type) CROSS JOIN q
+  WHERE c.cum >= q.q * t.n)
+SELECT event_type, q,
+       round({HIST_LO} + {w} * (bin + CASE WHEN q = 0.0 THEN 0.0
+                                      ELSE (target - cumb) / cnt END), 6)
+       AS est
+FROM probe WHERE rn = 1"""
+
+
 def q_dedup_keep_canonical(spark, sf_dir):
     """Canonical-doc selection per duplicate cluster (operators/dedup.
     dedup_canonical): LSH star edges → connected components → keep the
@@ -5070,4 +5165,6 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "boosting_topk": (q_boosting_topk, _sql_boosting()),
     "span_near_match": (q_span_near_match, _sql_span_near()),
     "dedup_keep_canonical": (q_dedup_keep_canonical, _sql_keep_canonical()),
+    "quantile_sketch": (q_quantile_sketch, _sql_quantile_sketch()),
+    "domain_mix_sample": (q_domain_mix_sample, _sql_domain_mix()),
 }

@@ -196,3 +196,88 @@ def hll_estimate(registers: DataFrame, p: int = 12) -> DataFrame:
         F.when((F.col("raw") <= 2.5 * m) & (F.col("zeros") > 0),
                F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("zeros"))
                ).otherwise(F.col("raw")).alias("est"))
+
+
+def histogram_sketch(df: DataFrame, value_col: str,
+                     lo: float, hi: float, n_bins: int = 64,
+                     group_cols: Sequence[str] = ()) -> DataFrame:
+    """Fixed-grid equi-width histogram sketch — the engine's mergeable
+    quantile structure (the t-digest role, with the determinism the
+    CMS/Bloom/HLL family already guarantees): (group…, bin, cnt) with
+    bin = clamp(floor((v − lo)/w), 0, n_bins−1), w = (hi − lo)/n_bins.
+
+    Counters are linear, so merging sketches from different partitions,
+    days or clusters is ``histogram_merge`` (union + re-sum) and the
+    result is BIT-IDENTICAL regardless of data order, partitioning or
+    cluster size — the property approximate quantile sketches with
+    data-dependent centroids (t-digest, GK) give up. Accuracy is a fixed
+    ±w/2; choose the grid from the column's contract, not the data.
+
+    Build = one narrow projection + one groupBy whose cardinality is
+    |groups|·n_bins regardless of row count — the shuffle never carries
+    values. NULLs are dropped (they have no quantile).
+    """
+    if not n_bins >= 1:
+        raise ValueError("n_bins must be >= 1")
+    if not hi > lo:
+        raise ValueError("need hi > lo")
+    w = (float(hi) - float(lo)) / n_bins
+    v = F.col(value_col).cast("double")
+    b = F.least(F.lit(n_bins - 1),
+                F.greatest(F.lit(0),
+                           F.floor((v - F.lit(float(lo))) / F.lit(w))
+                           .cast("int"))).cast("int")
+    return (df.where(v.isNotNull())
+            .groupBy(*group_cols, b.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def histogram_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge histogram sketches built on the SAME grid: union + re-sum."""
+    from functools import reduce as _reduce
+
+    u = _reduce(DataFrame.unionByName, sketches)
+    keys = [c for c in u.columns if c not in ("cnt",)]
+    return u.groupBy(*keys).agg(F.sum("cnt").alias("cnt"))
+
+
+def histogram_quantiles(sketch: DataFrame, qs: Sequence[float],
+                        lo: float, hi: float, n_bins: int = 64,
+                        group_cols: Sequence[str] = ()) -> DataFrame:
+    """Quantile estimates from a histogram sketch: (group…, q, est) with
+    est = lo + w·(bin + (target − cum_before)/cnt), target = q·N — linear
+    interpolation inside the first bin whose cumulative count reaches the
+    target (q=0 → the left edge of the first occupied bin). Closed-form
+    arithmetic over integer counts, so Spark and the SQL oracle agree to
+    the last ulp.
+
+    Plan: the cumulative window runs over ≤ n_bins rows per group (the
+    sketch is grid-sized, not data-sized); the quantile probe is a
+    broadcast of |qs| literals. Nothing here scales with the raw data.
+    """
+    if not all(0.0 <= float(q) <= 1.0 for q in qs):
+        raise ValueError("quantiles must be in [0, 1]")
+    from pyspark.sql import Window
+
+    w = (float(hi) - float(lo)) / n_bins
+    gb = list(group_cols)
+    win = Window.partitionBy(*gb).orderBy("bin") if gb else \
+        Window.partitionBy().orderBy("bin")
+    cum = (sketch
+           .withColumn("cum", F.sum("cnt").over(win))
+           .withColumn("cumb", F.col("cum") - F.col("cnt")))
+    tot = sketch.groupBy(*gb).agg(F.sum("cnt").alias("n"))
+    qdf = sketch.sparkSession.createDataFrame(
+        [(float(q),) for q in sorted(qs)], "q double")
+    probe = (cum.join(tot, gb) if gb else cum.crossJoin(F.broadcast(tot))) \
+        .crossJoin(F.broadcast(qdf)) \
+        .withColumn("target", F.col("q") * F.col("n")) \
+        .filter(F.col("cum") >= F.col("target"))
+    rw = Window.partitionBy(*gb, "q").orderBy("bin")
+    est = (F.lit(float(lo)) + F.lit(w) *
+           (F.col("bin") +
+            F.when(F.col("q") == 0.0, F.lit(0.0))
+            .otherwise((F.col("target") - F.col("cumb")) / F.col("cnt"))))
+    return (probe.withColumn("_rn", F.row_number().over(rw))
+            .filter(F.col("_rn") == 1)
+            .select(*gb, "q", est.alias("est")))

@@ -118,3 +118,46 @@ def test_hll_accuracy_merge_and_determinism(spark):
     assert rep == full
     with pytest.raises(ValueError):
         hll_registers(vals, "v", p=3)
+
+
+def test_histogram_merge_equals_oneshot(spark):
+    from bertopic_spark.operators.sketch import (
+        histogram_merge, histogram_quantiles, histogram_sketch)
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").cache()
+    half_a = ev.filter("event_id % 2 = 0")
+    half_b = ev.filter("event_id % 2 = 1")
+    one = histogram_sketch(ev, "value", 0.0, 250.0, 50, ["event_type"])
+    merged = histogram_merge(
+        histogram_sketch(half_a, "value", 0.0, 250.0, 50, ["event_type"]),
+        histogram_sketch(half_b, "value", 0.0, 250.0, 50, ["event_type"]))
+    key = lambda df: {(r["event_type"], r["bin"]): r["cnt"]
+                      for r in df.collect()}
+    assert key(one) == key(merged) and key(one)
+
+    # quantile estimate is within one bin width of the exact quantile
+    import math
+    w = 250.0 / 50
+    est = {(r["event_type"], r["q"]): r["est"] for r in histogram_quantiles(
+        one, [0.5, 0.99], 0.0, 250.0, 50, ["event_type"]).collect()}
+    rows = ev.select("event_type", "value").collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r["value"])
+    for et, vals in by_type.items():
+        vals.sort()
+        for q in (0.5, 0.99):
+            exact = vals[min(len(vals) - 1, int(math.ceil(q * len(vals))) - 1)]
+            assert abs(est[(et, q)] - min(max(exact, 0.0), 250.0)) <= w, (et, q)
+
+
+def test_histogram_clamps_out_of_range(spark):
+    from bertopic_spark.operators.sketch import histogram_sketch
+
+    df = spark.createDataFrame(
+        [(1, -5.0), (2, 0.0), (3, 9.99), (4, 10.0), (5, 99.0), (6, None)],
+        "id long, v double")
+    got = {r["bin"]: r["cnt"]
+           for r in histogram_sketch(df, "v", 0.0, 10.0, 10).collect()}
+    # -5 clamps to bin 0; 10.0 and 99 clamp to bin 9; NULL dropped
+    assert got == {0: 2, 9: 3}

@@ -248,3 +248,52 @@ def test_langid_ngram_brute_and_frozen_train(documents_df):
     preds = {r.pred_lang
              for r in langid_ngram(documents_df, train=tr).collect()}
     assert preds and "zh" not in preds
+
+
+def test_domain_mix_plan_temperature(spark):
+    from bertopic_spark.operators.pipeline import domain_mix_plan
+
+    df = spark.createDataFrame(
+        [(i, "big", 100) for i in range(9)] + [(100, "small", 100)],
+        "doc_id long, lang string, n_chars long")
+    # T=1: natural proportions (big 0.9 / small 0.1)
+    p1 = {r["domain"]: r for r in
+          domain_mix_plan(df, "lang", "n_chars", budget=500.0,
+                          temperature=1.0).collect()}
+    assert p1["big"]["p"] == pytest.approx(0.9)
+    assert p1["big"]["target_tokens"] == pytest.approx(450.0)
+    # T=0: uniform p, but target capped at the domain's own size
+    p0 = {r["domain"]: r for r in
+          domain_mix_plan(df, "lang", "n_chars", budget=500.0,
+                          temperature=0.0).collect()}
+    assert p0["big"]["p"] == pytest.approx(0.5)
+    assert p0["small"]["target_tokens"] == pytest.approx(100.0)  # cap: 250→100
+    # T<1 upweights the small domain vs natural share
+    p7 = {r["domain"]: r["p"] for r in
+          domain_mix_plan(df, "lang", "n_chars", budget=500.0,
+                          temperature=0.7).collect()}
+    assert p7["small"] > 0.1 and p7["big"] < 0.9
+
+
+def test_domain_mix_sample_budget_and_determinism(spark):
+    from pyspark.sql import functions as F
+    from bertopic_spark.operators.pipeline import (domain_mix_plan,
+                                                   domain_mix_sample)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    total = docs.agg(F.sum("n_chars")).collect()[0][0]
+    plan = domain_mix_plan(docs, "lang", "n_chars", budget=0.4 * total,
+                           temperature=0.7)
+    kept = domain_mix_sample(docs, plan, "lang", "n_chars", "doc_id")
+    targets = {r["domain"]: r["target_tokens"] for r in plan.collect()}
+    got = {r["lang"]: r for r in
+           kept.groupBy("lang").agg(F.sum("n_tokens").alias("t"),
+                                    F.count("*").alias("n")).collect()}
+    assert got  # corpus-backed fixture must select something
+    for lang, r in got.items():
+        assert r["t"] <= targets[lang] + 1e-9
+    # deterministic under repartitioning
+    kept2 = domain_mix_sample(docs.repartition(7), plan, "lang",
+                              "n_chars", "doc_id")
+    assert {tuple(r) for r in kept.collect()} == \
+           {tuple(r) for r in kept2.collect()}
