@@ -1373,9 +1373,14 @@ def rescore_topk(
         .agg(F.sum(F.col("idf") * F.col("tf") * F.lit(k1 + 1.0) / denom)
              .alias("bm25")))
     w = Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc(id_col))
+    # wnd feeds BOTH the LM probe's doc filter and the final blend; persist
+    # the (|queries|·window)-row relation so the first-pass scoring shuffle
+    # runs once, not once per consumer
     wnd = (hits1.withColumn("_rn", F.row_number().over(w))
            .filter(F.col("_rn") <= window_size)
-           .select("query_id", id_col, "bm25"))
+           .select("query_id", id_col, "bm25")).persist()
+    if _persisted_out is not None:
+        _persisted_out.append(wnd)
 
     # second pass: Dirichlet LM, postings pruned to the window's docs
     cf = x.groupBy("term").agg(F.sum("tf").alias("cf"))
