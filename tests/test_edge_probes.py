@@ -210,3 +210,48 @@ def test_graph_edge_probes(spark):
     nulls = spark.createDataFrame([(0, "alpha beta"), (1, None)],
                                   "doc_id long, text string")
     assert cooccurrence_edges(nulls, "text", "doc_id").count() == 1
+
+
+def test_round3_batch_edge_probes(spark, edge_docs):
+    from bertopic_spark.operators.bm25 import (boosting_topk, dismax_topk,
+                                               queries_df, query_terms,
+                                               rescore_topk)
+    from bertopic_spark.operators.fulltext import span_near_match
+    from bertopic_spark.operators.pipeline import (domain_mix_plan,
+                                                   domain_mix_sample)
+    from bertopic_spark.operators.sketch import (histogram_quantiles,
+                                                 histogram_sketch)
+
+    qt = query_terms(queries_df(spark, {0: "customer order"}), "ascii_code")
+    empty = edge_docs.limit(0)
+
+    # NULL/empty text never matches; empty corpus yields empty top-k
+    assert span_near_match(edge_docs, ["customer", "order"], 5,
+                           "text").count() == 1
+    assert span_near_match(empty, ["customer", "order"], 5,
+                           "text").count() == 0
+    got = rescore_topk(edge_docs, qt, k=2, window_size=2, text_col="text")
+    assert {r.doc_id for r in got.collect()} <= {0, 3} and got.count() > 0
+    assert rescore_topk(empty, qt, k=2, window_size=2,
+                        text_col="text").count() == 0
+    dm = dismax_topk(edge_docs, qt, ["text", "source"], k=5)
+    assert {r.doc_id for r in dm.collect()} == {0, 3}
+    assert dismax_topk(empty, qt, ["text"], k=5).count() == 0
+    bq = boosting_topk(edge_docs, qt, ["table"], negative_boost=0.1,
+                       k=5, text_col="text")
+    flags = {r.doc_id: r.demoted for r in bq.collect()}
+    assert flags.get(0) is True and flags.get(3) is False
+    assert boosting_topk(empty, qt, ["table"], text_col="text").count() == 0
+
+    # histogram: empty input → empty sketch → empty quantiles (no crash)
+    sk = histogram_sketch(empty, "doc_id", 0.0, 10.0, 5)
+    assert sk.count() == 0
+    assert histogram_quantiles(sk, [0.5], 0.0, 10.0, 5).count() == 0
+
+    # domain mix: NULL domain rows group under NULL and stay consistent;
+    # empty corpus → empty plan and sample
+    plan = domain_mix_plan(edge_docs, "lang", "doc_id", budget=10.0)
+    assert plan.count() == 2
+    assert domain_mix_plan(empty, "lang", "doc_id", budget=1.0).count() == 0
+    assert domain_mix_sample(
+        empty, plan, "lang", "doc_id").count() == 0
