@@ -4955,6 +4955,62 @@ SELECT event_type, q,
 FROM probe WHERE rn = 1"""
 
 
+PCTR_VALUES = (10.0, 100.0, 180.0)
+
+
+def q_percentile_ranks(spark, sf_dir):
+    """Inverse quantile from the histogram sketch (operators/sketch.
+    histogram_percentile_rank — ES percentile_ranks agg): per event_type,
+    estimated fraction of events.value ≤ {10, 100, 180} under the
+    within-bin-uniform assumption; values below the first occupied bin
+    report 0 instead of vanishing."""
+    from bertopic_spark.operators.sketch import (histogram_percentile_rank,
+                                                 histogram_sketch)
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sk = histogram_sketch(ev, "value", HIST_LO, HIST_HI, HIST_BINS,
+                          ["event_type"])
+    out = histogram_percentile_rank(sk, PCTR_VALUES, HIST_LO, HIST_HI,
+                                    HIST_BINS, ["event_type"])
+    return out.select("event_type", "v", _r6(F.col("pct")).alias("pct"))
+
+
+def _sql_percentile_ranks() -> str:
+    w = (HIST_HI - HIST_LO) / HIST_BINS
+    vvals = ", ".join(f"({v})" for v in sorted(PCTR_VALUES))
+    return f"""WITH
+b AS (SELECT event_type,
+             CAST(least({HIST_BINS - 1},
+                        greatest(0, CAST(floor((CAST(value AS DOUBLE) - {HIST_LO}) / {w}) AS INT)))
+                  AS INT) AS bin
+      FROM events WHERE value IS NOT NULL),
+sk AS (SELECT event_type, bin, CAST(count(*) AS BIGINT) AS cnt
+       FROM b GROUP BY event_type, bin),
+cum AS (SELECT event_type, bin, cnt,
+               sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+        FROM sk),
+tot AS (SELECT event_type, sum(cnt) AS n FROM sk GROUP BY event_type),
+v(v) AS (VALUES {vvals}),
+vb AS (SELECT v, CAST(least({HIST_BINS - 1},
+                            greatest(0, CAST(floor((v - {HIST_LO}) / {w}) AS INT)))
+                     AS INT) AS vbin FROM v),
+probe AS (
+  SELECT c.event_type, vb.v, vb.vbin, c.bin, c.cnt, c.cum - c.cnt AS cumb,
+         row_number() OVER (PARTITION BY c.event_type, vb.v
+                            ORDER BY c.bin DESC) AS rn
+  FROM cum c CROSS JOIN vb WHERE c.bin <= vb.vbin),
+mass AS (
+  SELECT event_type, v,
+         cumb + CASE WHEN bin = vbin
+                     THEN least(1.0, greatest(0.0,
+                          (v - ({HIST_LO} + bin * {w})) / {w}))
+                     ELSE 1.0 END * cnt AS m
+  FROM probe WHERE rn = 1),
+grid AS (SELECT t.event_type, t.n, v.v FROM tot t CROSS JOIN v)
+SELECT g.event_type, g.v, round(coalesce(m.m, 0) / g.n, 6) AS pct
+FROM grid g LEFT JOIN mass m ON m.event_type = g.event_type AND m.v = g.v"""
+
+
 def q_dedup_keep_canonical(spark, sf_dir):
     """Canonical-doc selection per duplicate cluster (operators/dedup.
     dedup_canonical): LSH star edges → connected components → keep the
@@ -5167,4 +5223,5 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "dedup_keep_canonical": (q_dedup_keep_canonical, _sql_keep_canonical()),
     "quantile_sketch": (q_quantile_sketch, _sql_quantile_sketch()),
     "domain_mix_sample": (q_domain_mix_sample, _sql_domain_mix()),
+    "percentile_ranks": (q_percentile_ranks, _sql_percentile_ranks()),
 }

@@ -281,3 +281,52 @@ def histogram_quantiles(sketch: DataFrame, qs: Sequence[float],
     return (probe.withColumn("_rn", F.row_number().over(rw))
             .filter(F.col("_rn") == 1)
             .select(*gb, "q", est.alias("est")))
+
+
+def histogram_percentile_rank(sketch: DataFrame, values: Sequence[float],
+                              lo: float, hi: float, n_bins: int = 64,
+                              group_cols: Sequence[str] = ()) -> DataFrame:
+    """Inverse quantile from a histogram sketch: (group…, v, pct) with
+    pct = (cum_before(bin(v)) + frac(v)·cnt(bin(v))) / N — the estimated
+    fraction of mass ≤ v under the within-bin-uniform assumption (the ES
+    percentile_ranks aggregation). Probes are |values| literals broadcast
+    onto the grid-sized sketch; closed-form over integer counts, so the
+    SQL oracle reproduces it exactly. Values outside [lo, hi) clamp to
+    0/1 mass via the same bin clamping as the build.
+    """
+    from pyspark.sql import Window
+
+    w = (float(hi) - float(lo)) / n_bins
+    gb = list(group_cols)
+    win = Window.partitionBy(*gb).orderBy("bin") if gb else \
+        Window.partitionBy().orderBy("bin")
+    cum = (sketch
+           .withColumn("cum", F.sum("cnt").over(win))
+           .withColumn("cumb", F.col("cum") - F.col("cnt")))
+    tot = sketch.groupBy(*gb).agg(F.sum("cnt").alias("n"))
+    vdf = sketch.sparkSession.createDataFrame(
+        [(float(v),) for v in sorted(values)], "v double")
+    vb = F.least(F.lit(n_bins - 1),
+                 F.greatest(F.lit(0),
+                            F.floor((F.col("v") - F.lit(float(lo)))
+                                    / F.lit(w)).cast("int"))).cast("int")
+    frac = F.least(F.lit(1.0), F.greatest(
+        F.lit(0.0),
+        (F.col("v") - (F.lit(float(lo)) + F.col("bin") * F.lit(w)))
+        / F.lit(w)))
+    probe = (cum.crossJoin(F.broadcast(vdf.withColumn("vbin", vb)))
+             .filter(F.col("bin") <= F.col("vbin")))
+    rw = Window.partitionBy(*gb, "v").orderBy(F.desc("bin"))
+    last = (probe.withColumn("_rn", F.row_number().over(rw))
+            .filter(F.col("_rn") == 1))
+    mass = (F.col("cumb") +
+            F.when(F.col("bin") == F.col("vbin"), frac)
+            .otherwise(F.lit(1.0)) * F.col("cnt"))
+    last = last.select(*gb, "v", mass.alias("_mass"))
+    # a value below the group's first occupied bin has zero mass ≤ v: keep
+    # the (group, v) row with pct 0 instead of dropping it
+    grid = tot.crossJoin(F.broadcast(vdf.select("v")))
+    return (grid.join(last, [*gb, "v"], "left")
+            .select(*gb, "v",
+                    (F.coalesce(F.col("_mass"), F.lit(0.0)) / F.col("n"))
+                    .alias("pct")))

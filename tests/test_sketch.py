@@ -161,3 +161,37 @@ def test_histogram_clamps_out_of_range(spark):
            for r in histogram_sketch(df, "v", 0.0, 10.0, 10).collect()}
     # -5 clamps to bin 0; 10.0 and 99 clamp to bin 9; NULL dropped
     assert got == {0: 2, 9: 3}
+
+
+def test_percentile_rank_inverts_quantiles(spark):
+    from bertopic_spark.operators.sketch import (histogram_percentile_rank,
+                                                 histogram_quantiles,
+                                                 histogram_sketch)
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    sk = histogram_sketch(ev, "value", 0.0, 250.0, 50, ["event_type"]).cache()
+    qs = histogram_quantiles(sk, [0.5, 0.95], 0.0, 250.0, 50,
+                             ["event_type"]).collect()
+    # pct(quantile(q)) == q under the shared within-bin-uniform model
+    vals = sorted({round(r["est"], 9) for r in qs})
+    pr = {(r["event_type"], round(r["v"], 9)): r["pct"]
+          for r in histogram_percentile_rank(
+              sk, vals, 0.0, 250.0, 50, ["event_type"]).collect()}
+    for r in qs:
+        got = pr[(r["event_type"], round(r["est"], 9))]
+        assert got == pytest.approx(r["q"], abs=1e-9), r
+
+
+def test_percentile_rank_out_of_range(spark):
+    from bertopic_spark.operators.sketch import (histogram_percentile_rank,
+                                                 histogram_sketch)
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(1, 11)],
+                               "id long, v double")
+    sk = histogram_sketch(df, "v", 0.0, 10.0, 10)
+    got = {r["v"]: r["pct"] for r in histogram_percentile_rank(
+        sk, [-5.0, 1.5, 999.0], 0.0, 10.0, 10).collect()}
+    assert got[-5.0] == 0.0          # below all mass → 0, row kept
+    assert got[999.0] == 1.0         # above all mass → 1
+    # v=1.5 sits halfway into bin 1 (one item) → 0.5/10 of the mass
+    assert got[1.5] == pytest.approx(0.05, abs=1e-9)
