@@ -4955,6 +4955,50 @@ SELECT event_type, q,
 FROM probe WHERE rn = 1"""
 
 
+FACET_K, FACET_SHARDS, FACET_SHARD_K = 5, 4, 3
+
+
+def q_facet_topn_approx(spark, sf_dir):
+    """ES terms-agg distributed approximation (operators/fulltext.
+    facet_topn_approx): per-shard top-3 source facets (deterministic
+    pmod(doc_id, 4) shards), coordinator merge with
+    doc_count_error_upper_bound — (value, doc_count, error_bound, rank)
+    top-5."""
+    from bertopic_spark.operators.fulltext import facet_topn_approx
+
+    return facet_topn_approx(_docs(spark, sf_dir), "source", k=FACET_K,
+                             n_shards=FACET_SHARDS, shard_k=FACET_SHARD_K)
+
+
+def _sql_facet_topn() -> str:
+    return f"""WITH
+per AS (SELECT doc_id % {FACET_SHARDS} AS shard,
+               CAST(source AS VARCHAR) AS value, count(*) AS cnt
+        FROM documents GROUP BY shard, value),
+top AS (SELECT * FROM (
+          SELECT shard, value, cnt,
+                 row_number() OVER (PARTITION BY shard
+                                    ORDER BY cnt DESC, value ASC) AS rn
+          FROM per) WHERE rn <= {FACET_SHARD_K}),
+cut AS (SELECT shard,
+               CASE WHEN count(*) >= {FACET_SHARD_K} THEN min(cnt)
+                    ELSE 0 END AS cutoff
+        FROM top GROUP BY shard),
+allcut AS (SELECT sum(cutoff) AS all_cut FROM cut),
+merged AS (SELECT t.value, CAST(sum(t.cnt) AS BIGINT) AS doc_count,
+                  sum(c.cutoff) AS seen_cut
+           FROM top t JOIN cut c USING (shard) GROUP BY t.value),
+bounded AS (SELECT value, doc_count,
+                   CAST(a.all_cut - seen_cut AS BIGINT) AS error_bound
+            FROM merged CROSS JOIN allcut a),
+ranked AS (SELECT value, doc_count, error_bound,
+                  row_number() OVER (ORDER BY doc_count DESC, value ASC)
+                  AS rank
+           FROM bounded)
+SELECT value, doc_count, error_bound, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {FACET_K}"""
+
+
 PCTR_VALUES = (10.0, 100.0, 180.0)
 
 
@@ -5224,4 +5268,5 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "quantile_sketch": (q_quantile_sketch, _sql_quantile_sketch()),
     "domain_mix_sample": (q_domain_mix_sample, _sql_domain_mix()),
     "percentile_ranks": (q_percentile_ranks, _sql_percentile_ranks()),
+    "facet_topn_approx": (q_facet_topn_approx, _sql_facet_topn()),
 }

@@ -1002,3 +1002,61 @@ def span_near_match_postings(positions: DataFrame, terms: Sequence[str],
                                   lambda e: _ordered_span(e, seq_tids))
                            .cast("long").alias("min_span"))
             .filter(F.col("min_span") <= n + slop))
+
+
+def facet_topn_approx(df: DataFrame, facet_col: str, k: int = 5,
+                      n_shards: int = 4, shard_k: int = 3,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Elasticsearch terms-aggregation semantics at cluster scale: each
+    shard reports only its local top ``shard_k`` facet values, the
+    coordinator sums what it received and bounds what it may have missed —
+    (value, doc_count, error_bound, rank) for the merged top ``k``, where
+
+        doc_count   = Σ counts from shards that reported the value
+        error_bound = Σ over NON-reporting shards of that shard's
+                      shard_k-th count (its largest possible hidden
+                      contribution) — ES's doc_count_error_upper_bound.
+
+    Sharding is DETERMINISTIC (pmod(id, n_shards)) so the result — unlike
+    a real cluster's placement-dependent answer — is reproducible across
+    engines and partitionings, which is what makes the gate oracle-able;
+    on a real deployment the shard key is whatever partitioned the index.
+    The exactness contract: doc_count ≤ true ≤ doc_count + error_bound,
+    with equality (error 0) whenever shard_k covers every shard's
+    vocabulary (pytest-asserted both ways).
+
+    Plan: one (shard, value) count agg, one shard-local WindowGroupLimit
+    (n_shards·shard_k survivors), the cutoff join and the merge are over
+    that survivor relation — coordinator work is O(n_shards·shard_k),
+    never vocabulary-sized, exactly the property that lets a 1000-shard
+    terms agg answer interactively at 100 TB.
+    """
+    if k < 1 or n_shards < 1 or shard_k < 1:
+        raise ValueError("k, n_shards, shard_k must all be >= 1")
+    per = (df.select(F.pmod(F.col(id_col), F.lit(n_shards)).alias("shard"),
+                     F.col(facet_col).cast("string").alias("value"))
+           .groupBy("shard", "value")
+           .agg(F.count(F.lit(1)).alias("cnt")))
+    w = Window.partitionBy("shard").orderBy(F.desc("cnt"), F.asc("value"))
+    top = (per.withColumn("_rn", F.row_number().over(w))
+           .filter(F.col("_rn") <= shard_k))
+    # a shard's worst-case hidden count: its shard_k-th reported count if
+    # it filled the budget, else 0 (it reported everything it had)
+    cut = (top.groupBy("shard")
+           .agg(F.count(F.lit(1)).alias("_m"), F.min("cnt").alias("_kth"))
+           .select("shard",
+                   F.when(F.col("_m") >= shard_k, F.col("_kth"))
+                   .otherwise(F.lit(0)).cast("long").alias("cutoff")))
+    tot_cut = cut.agg(F.sum("cutoff").alias("all_cut"))
+    merged = (top.join(F.broadcast(cut), "shard")
+              .groupBy("value")
+              .agg(F.sum("cnt").cast("long").alias("doc_count"),
+                   F.sum("cutoff").cast("long").alias("_seen_cut")))
+    out = (merged.crossJoin(F.broadcast(tot_cut))
+           .select("value", "doc_count",
+                   (F.col("all_cut") - F.col("_seen_cut")).cast("long")
+                   .alias("error_bound")))
+    rw = Window.partitionBy().orderBy(F.desc("doc_count"), F.asc("value"))
+    return (out.withColumn("rank", F.row_number().over(rw))
+            .filter(F.col("rank") <= k)
+            .select("value", "doc_count", "error_bound", "rank"))

@@ -638,3 +638,26 @@ def test_span_near_slop_zero_is_adjacency(spark, docs):
           span_near_match(docs, ["part", "filter"], 0, "text",
                           "doc_id").collect()}
     assert sp == ph and sp
+
+
+def test_facet_topn_approx_bounds_and_exactness(spark, docs):
+    from bertopic_spark.operators.fulltext import facet_topn_approx
+
+    exact = {r["value"]: r["n"] for r in
+             docs.groupBy(F.col("source").cast("string").alias("value"))
+             .agg(F.count("*").alias("n")).collect()}
+    approx = facet_topn_approx(docs, "source", k=5, n_shards=4,
+                               shard_k=3).collect()
+    assert len(approx) == 5
+    for r in approx:
+        true = exact[r["value"]]
+        # ES contract: reported ≤ true ≤ reported + error bound
+        assert r["doc_count"] <= true <= r["doc_count"] + r["error_bound"]
+
+    # shard_k covering every shard's vocabulary → exact, zero error
+    wide = {r["value"]: r for r in
+            facet_topn_approx(docs, "source", k=5, n_shards=4,
+                              shard_k=10 ** 6).collect()}
+    for v, r in wide.items():
+        assert r["doc_count"] == exact[v]
+        assert r["error_bound"] == 0
