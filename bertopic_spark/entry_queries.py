@@ -4955,6 +4955,31 @@ SELECT event_type, q,
 FROM probe WHERE rn = 1"""
 
 
+PHRASE_PREFIX = "hash jo"
+
+
+def q_phrase_prefix_match(spark, sf_dir):
+    """ES match_phrase_prefix (operators/fulltext.phrase_prefix_match):
+    docs where "hash" is immediately followed by a token starting with
+    "jo" — (doc_id, n_matches), one scan-path HOF pass, overlapping
+    occurrences counted."""
+    from bertopic_spark.operators.fulltext import phrase_prefix_match
+
+    return phrase_prefix_match(_docs(spark, sf_dir), PHRASE_PREFIX,
+                               text_col="text", mode=MODE)
+
+
+def _sql_phrase_prefix() -> str:
+    head, pre = PHRASE_PREFIX.split()
+    return f"""WITH
+tk AS (SELECT doc_id, {duckdb_tokens_sql('text', MODE)} AS ts FROM documents),
+p AS (SELECT doc_id, unnest(ts) AS term, unnest(range(len(ts))) AS pos FROM tk)
+SELECT p0.doc_id, CAST(count(*) AS BIGINT) AS n_matches
+FROM p p0 JOIN p p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+WHERE p0.term = '{head}' AND p1.term LIKE '{pre}%'
+GROUP BY p0.doc_id"""
+
+
 FACET_K, FACET_SHARDS, FACET_SHARD_K = 5, 4, 3
 
 
@@ -5269,4 +5294,5 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "domain_mix_sample": (q_domain_mix_sample, _sql_domain_mix()),
     "percentile_ranks": (q_percentile_ranks, _sql_percentile_ranks()),
     "facet_topn_approx": (q_facet_topn_approx, _sql_facet_topn()),
+    "phrase_prefix_match": (q_phrase_prefix_match, _sql_phrase_prefix()),
 }

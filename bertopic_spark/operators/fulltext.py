@@ -1060,3 +1060,42 @@ def facet_topn_approx(df: DataFrame, facet_col: str, k: int = 5,
     return (out.withColumn("rank", F.row_number().over(rw))
             .filter(F.col("rank") <= k)
             .select("value", "doc_count", "error_bound", "rank"))
+
+
+def phrase_prefix_match(df: DataFrame, phrase: str, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        mode: str = "ascii_code") -> DataFrame:
+    """Elasticsearch ``match_phrase_prefix`` (search-as-you-type over
+    bodies, not the suggest index): the phrase's last analyzed token is a
+    PREFIX — docs where the leading tokens occur consecutively and the
+    next token starts with that prefix, (id, n_matches) counting start
+    positions (overlapping occurrences count, same contract as
+    ``phrase_match``).
+
+    Scan path: the adjacency test plus one ``startswith`` on the final
+    slot, all inside the same filter-over-sequence HOF — one corpus pass
+    in WholeStageCodegen, no shuffle, no term-dictionary expansion (the
+    expansion-based alternative is ``prefix_terms`` + per-completion
+    phrase runs — O(|completions|) passes; this is the one-pass form).
+    The prefix must survive the analyzer (mode's minimum token length);
+    a single-token phrase degrades to a counted prefix term query.
+    """
+    toks = tokenize_one(phrase, mode)
+    if not toks:
+        raise ValueError(f"phrase {phrase!r} has no tokens in mode {mode}")
+    n, head, pre = len(toks), toks[:-1], toks[-1]
+
+    def starts(tk):
+        seq = F.when(F.size(tk) >= n,
+                     F.sequence(F.lit(0), F.size(tk) - n)
+                     ).otherwise(F.array().cast("array<int>"))
+        return F.filter(seq, lambda i: reduce(
+            lambda acc, j: acc & (F.get(tk, i + j) == F.lit(head[j])),
+            range(len(head)),
+            F.get(tk, i + n - 1).startswith(F.lit(pre))))
+
+    out = with_tokens(df.select(id_col, text_col), text_col, mode)
+    return (out.select(F.col(id_col),
+                       F.size(_bound(F.col("tokens"), starts))
+                       .cast("long").alias("n_matches"))
+            .filter(F.col("n_matches") > 0))

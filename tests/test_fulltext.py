@@ -661,3 +661,28 @@ def test_facet_topn_approx_bounds_and_exactness(spark, docs):
     for v, r in wide.items():
         assert r["doc_count"] == exact[v]
         assert r["error_bound"] == 0
+
+
+def test_phrase_prefix_semantics(spark):
+    from bertopic_spark.operators.fulltext import phrase_prefix_match
+
+    df = spark.createDataFrame([
+        (0, "alpha beta gamma"),     # alpha be* → match
+        (1, "alpha bx"),             # bx doesn't start with be
+        (2, "beta alpha"),           # wrong order
+        (3, "alpha beta alpha bexx"),  # two starts → n_matches 2
+        (4, "alpha"),                # phrase longer than doc
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: r["n_matches"]
+           for r in phrase_prefix_match(df, "alpha be").collect()}
+    assert got == {0: 1, 3: 2}
+    # full-phrase degeneration: prefix equal to a whole token behaves like
+    # phrase_match plus any longer completions
+    ph = {r["doc_id"] for r in phrase_match(df, "alpha beta").collect()}
+    pp = {r["doc_id"] for r in
+          phrase_prefix_match(df, "alpha beta").collect()}
+    assert ph <= pp
+    # single-token phrase = counted prefix term query
+    single = {r["doc_id"]: r["n_matches"]
+              for r in phrase_prefix_match(df, "be").collect()}
+    assert single == {0: 1, 2: 1, 3: 2}
