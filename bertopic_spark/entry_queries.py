@@ -4955,6 +4955,23 @@ SELECT event_type, q,
 FROM probe WHERE rn = 1"""
 
 
+def q_okapi_maxscore_topk(spark, sf_dir):
+    """MaxScore dynamic pruning (operators/bm25.maxscore_topk) serving the
+    Okapi index — term-granular essential/non-essential split against a
+    seeded θ; rank-identical to exhaustive Okapi BM25, so the oracle is
+    the exhaustive SQL (same contract as okapi_wand_topk)."""
+    from bertopic_spark.operators.bm25 import maxscore_topk, okapi_doc_scores
+
+    qt = query_terms(queries_df(spark, DRIVER_QUERIES), MODE)
+    sc = okapi_doc_scores(_docs(spark, sf_dir), k1=OKAPI_K1, b=OKAPI_B,
+                          text_col="text", mode=MODE)
+    t = maxscore_topk(sc, qt, k=10)
+    return t.select(
+        "query_id", "doc_id", _r6(F.col("score")).alias("score"),
+        F.col("rank").cast("long").alias("rn"),
+    )
+
+
 PHRASE_PREFIX = "hash jo"
 
 
@@ -5295,4 +5312,5 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "percentile_ranks": (q_percentile_ranks, _sql_percentile_ranks()),
     "facet_topn_approx": (q_facet_topn_approx, _sql_facet_topn()),
     "phrase_prefix_match": (q_phrase_prefix_match, _sql_phrase_prefix()),
+    "okapi_maxscore_topk": (q_okapi_maxscore_topk, SQL_OKAPI_BM25),
 }

@@ -1569,3 +1569,87 @@ def boosting_topk(
     return (demoted.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", id_col, "score", "demoted", "rank"))
+
+
+def maxscore_topk(
+    scores: DataFrame,
+    qterms: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    persist_probe: bool = True,
+    _persisted_out: list | None = None,
+) -> DataFrame:
+    """MaxScore dynamic pruning (Turtle & Flood 1995) — the term-granular
+    sibling of block-max WAND (index/wand.py), over ANY scored index
+    relation (doc_id, term, score): rank-identical (query_id, doc_id,
+    score, rank) to ``bm25_topk(scores, qterms, k)``.
+
+    Batch adaptation of the classic cursor walk:
+      1. θ seed — the best-impact term's own top-k postings are scored
+         FULLY (all query terms); θ = kth best full score (a lower bound
+         on the true kth-best, so pruning with it is safe; NULL when
+         fewer than k docs seen → no pruning).
+      2. term split — terms sorted by max-impact ascending; the maximal
+         prefix whose cumulative Σ max(score,0)⁺ stays < θ is
+         NON-ESSENTIAL: a doc containing only those terms scores < θ and
+         can never enter the top-k. Positive-part bounds keep the split
+         safe for scoring models with negative weights (the degenerate
+         c-TF-IDF index); for Okapi scores they are the plain maxima.
+      3. candidates — docs holding ≥1 essential term; full-score ONLY
+         those (one (query, doc) shuffle over the candidate postings).
+
+    The 100-TB win mirrors Lucene's: broad disjunctions dominated by
+    low-impact (stop-ish) terms stop generating candidates from those
+    terms' corpus-sized postings; the scoring shuffle shrinks to the
+    essential postings plus candidate rows. All split bookkeeping is
+    |query|·|terms|-sized and broadcast.
+
+    The probe relation feeds four consumers (impact maxima, θ seed,
+    candidate generation, full scoring) — persisted by default; serving
+    loops should reap handles via ``_persisted_out`` (same contract as
+    ``bm25_topk_adhoc``).
+    """
+    qd = qterms.select("query_id", "term").distinct()
+    sq = scores.join(F.broadcast(qd), "term")
+    if persist_probe:
+        sq = sq.persist()
+        if _persisted_out is not None:
+            _persisted_out.append(sq)
+
+    qmax = (sq.groupBy("query_id", "term")
+            .agg(F.max("score").alias("qmax")))
+    w_best = Window.partitionBy("query_id").orderBy(F.desc("qmax"),
+                                                    F.asc("term"))
+    best = (qmax.withColumn("_rn", F.row_number().over(w_best))
+            .filter(F.col("_rn") == 1).select("query_id", "term"))
+    w_seed = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                                    F.asc(id_col))
+    seed_docs = (sq.join(F.broadcast(best), ["query_id", "term"])
+                 .withColumn("_rn", F.row_number().over(w_seed))
+                 .filter(F.col("_rn") <= k)
+                 .select("query_id", id_col))
+    seed_full = (sq.join(F.broadcast(seed_docs), ["query_id", id_col])
+                 .groupBy("query_id", id_col)
+                 .agg(F.sum("score").alias("score")))
+    theta = (seed_full.withColumn("_rn", F.row_number().over(w_seed))
+             .filter(F.col("_rn") == k)
+             .select("query_id", F.col("score").alias("theta")))
+
+    w_cum = Window.partitionBy("query_id").orderBy(
+        F.asc("qmax"), F.asc("term")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    ess = (qmax
+           .withColumn("_cum", F.sum(F.greatest(F.col("qmax"), F.lit(0.0)))
+                       .over(w_cum))
+           .join(F.broadcast(theta), "query_id", "left")
+           .filter(F.col("theta").isNull() |
+                   (F.col("_cum") >= F.col("theta")))
+           .select("query_id", "term"))
+    cands = (sq.join(F.broadcast(ess), ["query_id", "term"])
+             .select("query_id", id_col).distinct())
+    hits = (sq.join(cands, ["query_id", id_col], "left_semi")
+            .groupBy("query_id", id_col)
+            .agg(F.sum("score").alias("score")))
+    return (hits.withColumn("rank", F.row_number().over(w_seed))
+            .filter(F.col("rank") <= k)
+            .select("query_id", id_col, "score", "rank"))

@@ -69,3 +69,49 @@ def test_serve_loop_does_not_leak_cached_relations(spark, setup):
         for h in handles:
             h.unpersist(blocking=True)
     assert n_cached() == base
+
+
+def test_maxscore_rank_identical_both_models(spark, corpus_df):
+    from bertopic_spark.corpus import fixture_queries
+    from bertopic_spark.operators.bm25 import (bm25_topk, doc_scores,
+                                               maxscore_topk,
+                                               okapi_doc_scores, queries_df,
+                                               query_terms)
+
+    qt = query_terms(queries_df(spark, fixture_queries(40)), "ascii_code")
+    for sc in (doc_scores(corpus_df, mode="ascii_code"),          # ±scores
+               okapi_doc_scores(corpus_df, text_col="content",
+                                mode="ascii_code")):              # ≥0 scores
+        sc = sc.cache()
+        exact = {(r.query_id, r.rank): (r.doc_id, r.score)
+                 for r in bm25_topk(sc, qt, k=10).collect()}
+        ms = {(r.query_id, r.rank): (r.doc_id, r.score)
+              for r in maxscore_topk(sc, qt, k=10).collect()}
+        assert exact.keys() == ms.keys() and exact
+        for key, (d, s) in exact.items():
+            md, mscore = ms[key]
+            assert md == d, key
+            assert mscore == pytest.approx(s, abs=1e-9)
+        sc.unpersist()
+
+
+def test_maxscore_prunes_nonessential_terms(spark):
+    from bertopic_spark.operators.bm25 import bm25_topk, maxscore_topk
+
+    # 1 high-impact term + 1 ubiquitous low-impact term: the stop term's
+    # postings must not generate candidates, yet its contribution to
+    # candidate docs' scores must survive
+    rows = [(i, "stop", 0.01) for i in range(1000)]
+    rows += [(i, "rare", 5.0 + i * 0.001) for i in range(20)]
+    sc = spark.createDataFrame(rows, "doc_id long, term string, score double")
+    qt = spark.createDataFrame([(0, "stop"), (0, "rare")],
+                               "query_id long, term string")
+    exact = sorted((r.rank, r.doc_id) for r in
+                   bm25_topk(sc, qt, k=5).collect())
+    got = sorted((r.rank, r.doc_id) for r in
+                 maxscore_topk(sc, qt, k=5).collect())
+    assert got == exact
+    # every top doc carries BOTH contributions (score > rare alone)
+    scores = {r.doc_id: r.score for r in maxscore_topk(sc, qt, k=5).collect()}
+    for d, s in scores.items():
+        assert s == pytest.approx(5.0 + d * 0.001 + 0.01, abs=1e-12)
