@@ -105,6 +105,14 @@ BENCH_QUERIES = [
     "rescore_topk",
     "dismax_topk",
     "span_near_match",
+    # round-3 batch 3: sketches, pipeline, distributed aggs, pruning
+    "quantile_sketch",
+    "percentile_ranks",
+    "domain_mix_sample",
+    "dedup_keep_canonical",
+    "facet_topn_approx",
+    "phrase_prefix_match",
+    "okapi_maxscore_topk",
 ]
 
 
