@@ -3871,6 +3871,44 @@ SELECT doc_id, round(score, 6) AS score, CAST(rn AS BIGINT) AS rn
 FROM ranked WHERE rn <= 10"""
 
 
+QL_BOOSTED = 'customer^2 order +value^0.5 -spark'
+
+
+def q_search_query_boosted(spark, sf_dir):
+    """Query-time term boosts in the query language (operators/querylang
+    `^` clauses): customer ×2, value ×0.5 (required), order ×1 — each
+    term's BM25 contribution multiplied before the per-doc sum, the
+    Lucene boost semantics."""
+    from bertopic_spark.operators.querylang import search_query
+
+    out = search_query(_docs(spark, sf_dir), QL_BOOSTED, k=10,
+                       text_col="text", mode=MODE)
+    return out.select("doc_id", _r6(F.col("score")).alias("score"),
+                      F.col("rank").cast("long").alias("rn"))
+
+
+def _sql_search_query_boosted() -> str:
+    return f"""WITH
+tkq AS (SELECT doc_id, {duckdb_tokens_sql('text', MODE)} AS ts
+        FROM documents),
+t2 AS (SELECT doc_id, unnest(ts) AS term FROM tkq),
+xdoc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         FROM t2 GROUP BY doc_id, term),
+{_scores_sql('xdoc', 'doc_id', True, False).lstrip(',').strip()},
+pos(term, boost) AS (VALUES ('customer', 2.0), ('order', 1.0),
+                            ('value', 0.5)),
+cand AS (SELECT doc_id FROM tkq
+         WHERE list_contains(ts, 'value')
+           AND NOT list_contains(ts, 'spark')),
+hits AS (SELECT s.doc_id, sum(s.score * pos.boost) AS score
+         FROM scores s JOIN pos USING (term) JOIN cand USING (doc_id)
+         GROUP BY s.doc_id),
+ranked AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                      AS rn FROM hits)
+SELECT doc_id, round(score, 6) AS score, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 10"""
+
+
 MIX_FRACTIONS, MIX_DEFAULT, MIX_SEED = {"en": 0.5, "de": 0.1}, 0.02, 42
 
 
@@ -4860,7 +4898,7 @@ SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, round(score, 6) AS score,
 FROM ranked WHERE rn <= 10"""
 
 
-MIX_TEMP, MIX_FRAC, MIX_SEED = 0.7, 0.4, 42
+DMIX_TEMP, DMIX_FRAC, DMIX_SEED = 0.7, 0.4, 42
 
 
 def q_domain_mix_sample(spark, sf_dir):
@@ -4876,9 +4914,9 @@ def q_domain_mix_sample(spark, sf_dir):
     d = _docs(spark, sf_dir)
     total = d.agg(F.sum(F.col("n_chars").cast("long"))).collect()[0][0]
     plan = domain_mix_plan(d, "lang", "n_chars",
-                           budget=MIX_FRAC * total, temperature=MIX_TEMP)
+                           budget=DMIX_FRAC * total, temperature=DMIX_TEMP)
     return domain_mix_sample(d, plan, "lang", "n_chars", "doc_id",
-                             seed=MIX_SEED)
+                             seed=DMIX_SEED)
 
 
 def _sql_domain_mix() -> str:
@@ -4887,17 +4925,17 @@ per AS (SELECT lang AS domain, CAST(sum(n_chars) AS BIGINT) AS t
         FROM documents GROUP BY lang),
 tot AS (SELECT sum(t) AS t_all FROM per),
 sh AS (SELECT domain, t, t / t_all AS share FROM per CROSS JOIN tot),
-pw AS (SELECT domain, t, power(share, {MIX_TEMP}) AS pw FROM sh),
+pw AS (SELECT domain, t, power(share, {DMIX_TEMP}) AS pw FROM sh),
 z AS (SELECT sum(pw) AS z FROM pw),
 plan AS (SELECT domain,
-                least(pw / z * ({MIX_FRAC} * (SELECT t_all FROM tot)),
+                least(pw / z * ({DMIX_FRAC} * (SELECT t_all FROM tot)),
                       CAST(t AS DOUBLE)) AS target
          FROM pw CROSS JOIN z),
 ordered AS (
   SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_tokens,
          sum(CAST(n_chars AS BIGINT)) OVER (
            PARTITION BY lang
-           ORDER BY md5(concat('{MIX_SEED}_', CAST(doc_id AS VARCHAR))),
+           ORDER BY md5(concat('{DMIX_SEED}_', CAST(doc_id AS VARCHAR))),
                     doc_id) AS cum
   FROM documents)
 SELECT o.doc_id, o.lang, o.n_tokens
@@ -5313,4 +5351,6 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "facet_topn_approx": (q_facet_topn_approx, _sql_facet_topn()),
     "phrase_prefix_match": (q_phrase_prefix_match, _sql_phrase_prefix()),
     "okapi_maxscore_topk": (q_okapi_maxscore_topk, SQL_OKAPI_BM25),
+    "search_query_boosted": (q_search_query_boosted,
+                             _sql_search_query_boosted()),
 }

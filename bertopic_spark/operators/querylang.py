@@ -8,6 +8,9 @@ Grammar (whitespace-separated clauses):
 - ``"a b c"``         positional phrase, required (``-"a b c"`` excludes)
 - ``pre*`` / ``w?ld`` wildcard, dictionary-expanded (bounded) disjunction
 - ``term~`` ``term~2`` fuzzy (Levenshtein ≤ 1 / ≤ n) disjunction
+- ``term^2.5``        query-time boost (plain/+ terms only; the term's
+                      score contribution is multiplied — Lucene ``^``;
+                      repeating a term re-boosted last-wins)
 - ``field:value``     metadata equality on a non-text column
 
 Execution = parse → bounded dictionary expansion (``expand_terms`` raises
@@ -38,12 +41,14 @@ from bertopic_spark.tokenizer import tokenize_one
 
 _CLAUSE = re.compile(r'([+-]?)(?:"([^"]*)"|(\S+))')
 _FUZZY = re.compile(r"^(.+?)~(\d?)$")
+_BOOST = re.compile(r"^(.+)\^(\d+(?:\.\d+)?)$")
 
 
 def parse_query(q: str, mode: str = "ascii_code") -> dict:
     """Parse a query string into clause lists (terms already tokenized)."""
     spec = {"must": [], "must_not": [], "should": [], "phrases": [],
-            "not_phrases": [], "wildcards": [], "fuzzies": [], "fields": []}
+            "not_phrases": [], "wildcards": [], "fuzzies": [], "fields": [],
+            "boosts": {}}
     for sign, phrase, word in _CLAUSE.findall(q or ""):
         if phrase is not None and phrase != "" or (phrase == "" and word == ""):
             toks = tokenize_one(phrase, mode)
@@ -51,6 +56,14 @@ def parse_query(q: str, mode: str = "ascii_code") -> dict:
                 continue
             spec["not_phrases" if sign == "-" else "phrases"].append(toks)
             continue
+        boost = None
+        bm = _BOOST.match(word)
+        if bm:
+            word = bm.group(1)
+            boost = float(bm.group(2))
+            if sign == "-" or any(c in word for c in "*?~:"):
+                raise ValueError(
+                    f"boost only applies to plain/+ terms, got {word!r}")
         if ":" in word:
             col, _, val = word.partition(":")
             if sign:
@@ -76,7 +89,22 @@ def parse_query(q: str, mode: str = "ascii_code") -> dict:
         toks = tokenize_one(word, mode)
         key = {"+": "must", "-": "must_not"}.get(sign, "should")
         spec[key].extend(toks)
+        if boost is not None:
+            for t in toks:
+                spec["boosts"][t] = boost
     return spec
+
+
+def _apply_boosts(scores: DataFrame, boosts: dict) -> DataFrame:
+    """Multiply each term's score by its query-time boost (no-op column
+    rewrite when the query has no ``^`` clauses — the common path pays
+    nothing). The when-chain is bounded by the query's own width."""
+    if not boosts:
+        return scores
+    mul = F.lit(1.0)
+    for t, b in sorted(boosts.items()):
+        mul = F.when(F.col("term") == F.lit(t), F.lit(float(b))).otherwise(mul)
+    return scores.withColumn("score", F.col("score") * mul)
 
 
 def _phrase_starts(tk: Column, toks: Sequence[str]) -> Column:
@@ -138,8 +166,10 @@ def search_query(corpus: DataFrame, q: str, k: int = 10,
     x = x.withColumnRenamed("doc_len", "class_len").persist()
     stats = term_stats(x, [id_col], bm25_weighting=True)
     xq = x.filter(F.col("term").isin(positive))
-    scores = ctfidf(xq, [id_col], bm25_weighting=True,
-                    stats=stats.filter(F.col("term").isin(positive)))
+    scores = _apply_boosts(
+        ctfidf(xq, [id_col], bm25_weighting=True,
+               stats=stats.filter(F.col("term").isin(positive))),
+        spec["boosts"])
     hits = (scores.join(cand, id_col, "leftsemi")
             .groupBy(id_col).agg(F.sum("score").alias("score")))
     # global top-k via TakeOrderedAndProject (distributed partial limits),
@@ -219,8 +249,9 @@ def search_query_indexed(spark, seg_path: str, pos_path: str, q: str,
         cand = cand.join(meta.filter(F.col(col) == val).select(id_col),
                          id_col, "leftsemi")
 
-    scores = decode_blocks(
-        pruned_block_scan(spark, seg_path, positive, nb), sp)
+    scores = _apply_boosts(
+        decode_blocks(pruned_block_scan(spark, seg_path, positive, nb), sp),
+        spec["boosts"])
     hits = (scores.join(cand, id_col, "leftsemi")
             .groupBy(id_col).agg(F.sum("score").alias("score")))
     top = hits.orderBy(F.desc("score"), F.asc(id_col)).limit(k)

@@ -112,7 +112,8 @@ def test_indexed_search_equals_scan_path(spark, docs, tmp_path_factory):
     held.append(d)
     for q in ['+customer -spark "customer stream" ord* valu~ lang:en',
               'customer stream -"batch vector"',
-              '+order w?ndow']:
+              '+order w?ndow',
+              'customer^2 +stream^0.5 order -spark']:
         got = [(r.doc_id, round(r.score, 9), r["rank"])
                for r in search_query_indexed(
                    spark, seg, posp, q, dictionary=d,
@@ -194,3 +195,39 @@ class TestFuzzIndexedParity:
             nonempty += bool(got)
         assert checked == 12
         assert nonempty >= 8  # vocabulary-drawn queries must mostly hit
+
+
+def test_boost_semantics(spark, docs):
+    from bertopic_spark.operators.querylang import parse_query, search_query
+
+    spec = parse_query("customer^2 +value^0.5 order")
+    assert spec["boosts"] == {"customer": 2.0, "value": 0.5}
+    assert "customer" in spec["should"] and "value" in spec["must"]
+    for bad in ("-spark^2", "ord*^2", "valu~^2", "lang:en^2"):
+        with pytest.raises(ValueError):
+            parse_query(bad)
+
+    # boost ^1 everywhere ≡ unboosted query, score for score
+    a = [(r.doc_id, round(r.score, 9)) for r in
+         search_query(docs, "customer order", k=10,
+                      text_col="text").collect()]
+    b = [(r.doc_id, round(r.score, 9)) for r in
+         search_query(docs, "customer^1 order^1.0", k=10,
+                      text_col="text").collect()]
+    assert a == b and a
+
+    # doubling one term doubles exactly its contribution: score(2x) =
+    # score(base) + score(term alone)
+    base = {r.doc_id: r.score for r in
+            search_query(docs, "customer order", k=10 ** 6,
+                         text_col="text").collect()}
+    alone = {r.doc_id: r.score for r in
+             search_query(docs, "customer", k=10 ** 6,
+                          text_col="text").collect()}
+    boosted = {r.doc_id: r.score for r in
+               search_query(docs, "customer^2 order", k=10 ** 6,
+                            text_col="text").collect()}
+    assert boosted.keys() == base.keys()
+    for d, s in boosted.items():
+        want = base[d] + alone.get(d, 0.0)
+        assert s == pytest.approx(want, abs=1e-9), d
