@@ -686,3 +686,51 @@ def test_phrase_prefix_semantics(spark):
     single = {r["doc_id"]: r["n_matches"]
               for r in phrase_prefix_match(df, "be").collect()}
     assert single == {0: 1, 2: 1, 3: 2}
+
+
+def test_span_near_random_corpora_property(spark):
+    """Randomized scan-vs-postings parity plus a brute-force local oracle
+    for the ordered sweep (small alphabets force dense repeats — the
+    regime where ordered-chain bookkeeping can go wrong)."""
+    import random
+
+    from bertopic_spark.operators.fulltext import (span_near_match,
+                                                   span_near_match_postings)
+
+    rng = random.Random(99)
+    alphabet = ["aa", "bb", "cc", "dd"]
+    for trial in range(3):
+        docs = [(i, " ".join(rng.choices(alphabet, k=rng.randint(0, 14))))
+                for i in range(120)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        terms = rng.choices(alphabet, k=rng.randint(2, 3))
+        slop = rng.randint(0, 3)
+        scan = {(r.doc_id, r.min_span) for r in
+                span_near_match(df, terms, slop).collect()}
+        pos = doc_term_positions(df, "text", "doc_id")
+        idx = {(r.doc_id, r.min_span) for r in
+               span_near_match_postings(pos, terms, slop).collect()}
+        assert scan == idx, (trial, terms, slop)
+
+        # brute force: minimal ordered occurrence via index chains
+        def brute(tokens):
+            best = None
+            n = len(terms)
+            def rec(j, start_at, first):
+                nonlocal best
+                if j == n:
+                    span = start_at - first  # start_at = last pos + 1
+                    best = span if best is None else min(best, span)
+                    return
+                for p in range(start_at, len(tokens)):
+                    if tokens[p] == terms[j]:
+                        rec(j + 1, p + 1, p if j == 0 else first)
+            rec(0, 0, -1)
+            return best
+        want = set()
+        for d, text in docs:
+            toks = text.split()
+            b = brute(toks)
+            if b is not None and b <= len(terms) + slop:
+                want.add((d, b))
+        assert scan == want, (trial, terms, slop)

@@ -115,3 +115,33 @@ def test_maxscore_prunes_nonessential_terms(spark):
     scores = {r.doc_id: r.score for r in maxscore_topk(sc, qt, k=5).collect()}
     for d, s in scores.items():
         assert s == pytest.approx(5.0 + d * 0.001 + 0.01, abs=1e-12)
+
+
+def test_maxscore_random_relations_property(spark):
+    """Randomized safety net for the positive-part bound logic: random
+    sparse score relations with NEGATIVE weights and random multi-term
+    queries must stay rank-identical to the exhaustive scorer."""
+    import random
+
+    from bertopic_spark.operators.bm25 import bm25_topk, maxscore_topk
+
+    rng = random.Random(4242)
+    for trial in range(4):
+        n_docs, n_terms = 300, 12
+        terms = [f"t{i}" for i in range(n_terms)]
+        rows = []
+        for d in range(n_docs):
+            for t in rng.sample(terms, rng.randint(1, 6)):
+                rows.append((d, t, round(rng.uniform(-1.0, 4.0), 3)))
+        sc = spark.createDataFrame(rows,
+                                   "doc_id long, term string, score double")
+        qrows = []
+        for q in range(5):
+            for t in rng.sample(terms, rng.randint(2, 5)):
+                qrows.append((q, t))
+        qt = spark.createDataFrame(qrows, "query_id long, term string")
+        exact = sorted((r.query_id, r.rank, r.doc_id) for r in
+                       bm25_topk(sc, qt, k=7).collect())
+        ms = sorted((r.query_id, r.rank, r.doc_id) for r in
+                    maxscore_topk(sc, qt, k=7).collect())
+        assert ms == exact and exact, trial
