@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "facet_topn_approx",
     "phrase_prefix_match",
     "okapi_maxscore_topk",
+    "phrase_suggest",
 ]
 
 

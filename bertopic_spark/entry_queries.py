@@ -5208,6 +5208,71 @@ SELECT doc_id, min_span FROM m
 WHERE min_span <= {len(SPAN_TERMS) + SPAN_SLOP}"""
 
 
+PS_PHRASE = "slow part querry"
+PS_DIST, PS_NCAND, PS_K, PS_DISCOUNT = 2, 3, 5, 0.4
+
+
+def q_phrase_suggest(spark, sf_dir):
+    """Whole-phrase correction (ES phrase suggester): per-position
+    candidates within levenshtein 1, Stupid-Backoff bigram LM scoring over
+    the corpus token stream, top-k corrected phrases. Unigram/bigram stats
+    are one two-phase agg each; every serving join broadcasts."""
+    from bertopic_spark.operators.fulltext import phrase_suggest
+
+    return phrase_suggest(_docs(spark, sf_dir), PS_PHRASE, PS_DIST,
+                          PS_NCAND, PS_K, PS_DISCOUNT, "text", "doc_id",
+                          MODE)
+
+
+def _sql_phrase_suggest() -> str:
+    from bertopic_spark.tokenizer import tokenize_one
+    pts = tokenize_one(PS_PHRASE, MODE)
+    n = len(pts)
+    vals = ", ".join(f"({i}, '{t}')" for i, t in enumerate(pts))
+    lat_from = " CROSS JOIN ".join(
+        f"(SELECT term AS w{i}, c AS k{i} FROM cand WHERE pos = {i}) c{i}"
+        for i in range(n))
+    big_joins = "\n".join(
+        f"  LEFT JOIN big b{i} ON b{i}.w1 = lat.w{i-1} AND b{i}.w2 = lat.w{i}"
+        for i in range(1, n))
+    score = "ln(lat.k0 / tot.t)" + "".join(
+        f" + coalesce(ln(b{i}.cb / lat.k{i-1}), "
+        f"ln({PS_DISCOUNT} * lat.k{i} / tot.t))" for i in range(1, n))
+    sugg = " || ' ' || ".join(f"lat.w{i}" for i in range(n))
+    return f"""WITH
+tk AS (SELECT {duckdb_tokens_sql('text', MODE)} AS ts FROM documents),
+uni AS (SELECT unnest(ts) AS term FROM tk),
+unic AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY term),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM unic),
+bgr AS (SELECT unnest(list_transform(range(1, len(ts)),
+                                     i -> [ts[i], ts[i + 1]])) AS bg
+        FROM tk),
+big AS (SELECT bg[1] AS w1, bg[2] AS w2, CAST(count(*) AS BIGINT) AS cb
+        FROM bgr GROUP BY 1, 2),
+qs(pos, q_term) AS (VALUES {vals}),
+cand0 AS (
+  SELECT pos, term, c, levenshtein(term, q_term) AS dist
+  FROM qs CROSS JOIN unic
+  WHERE abs(length(term) - length(q_term)) <= {PS_DIST}
+    AND levenshtein(term, q_term) <= {PS_DIST}),
+cand AS (
+  SELECT pos, term, c FROM (
+    SELECT *, row_number() OVER (PARTITION BY pos
+        ORDER BY dist ASC, c DESC, term ASC) AS rk FROM cand0)
+  WHERE rk <= {PS_NCAND}),
+lat AS (SELECT * FROM {lat_from}),
+scored AS (
+  SELECT {sugg} AS suggestion, round({score}, 6) AS logp
+  FROM lat CROSS JOIN tot
+{big_joins}),
+ranked AS (
+  SELECT suggestion, logp,
+         row_number() OVER (ORDER BY logp DESC, suggestion ASC) AS rank
+  FROM scored)
+SELECT suggestion, logp, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {PS_K}"""
+
+
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "approx_distribution": (q_approx_distribution, SQL_APPROX_DISTRIBUTION),
     "approx_distribution_tokens": (q_approx_distribution_tokens,
@@ -5353,4 +5418,5 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "okapi_maxscore_topk": (q_okapi_maxscore_topk, SQL_OKAPI_BM25),
     "search_query_boosted": (q_search_query_boosted,
                              _sql_search_query_boosted()),
+    "phrase_suggest": (q_phrase_suggest, _sql_phrase_suggest()),
 }

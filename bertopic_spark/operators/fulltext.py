@@ -712,6 +712,119 @@ def suggest(index: DataFrame, typed: str, k: int = 8,
     return out.orderBy("rank")
 
 
+def phrase_suggest(corpus: DataFrame, phrase: str, max_dist: int = 1,
+                   n_cand: int = 3, k: int = 5, discount: float = 0.4,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   mode: str = "ascii_code") -> DataFrame:
+    """Whole-phrase correction (ES phrase suggester shape): (suggestion,
+    logp, rank) — the top-``k`` corrected phrases for a possibly-misspelled
+    multi-term query, scored by a Stupid-Backoff bigram language model over
+    the corpus token stream.
+
+    Candidate generation per phrase position: the top-``n_cand`` vocabulary
+    terms within levenshtein ``max_dist`` of the typed term, ranked
+    (dist asc, collection count desc, term asc) — DirectSpellChecker order
+    over collection frequency, so a correctly-typed in-vocabulary term is
+    its own dist-0 first candidate. Scoring (Stupid Backoff, Brants et al.
+    2007): the first word contributes ln(c(w0)/T); each later word
+    contributes ln(c(w_{i-1} w_i)/c(w_{i-1})) when the bigram was observed,
+    else ln(discount * c(w_i)/T). Ties on the 6-dp score break by phrase
+    text. A position with no candidate within ``max_dist`` yields an empty
+    result (nothing correctable), mirroring the reference's empty-options
+    response rather than guessing.
+
+    Scale shape: unigram and bigram counts are each ONE two-phase agg over
+    the corpus (partial map-side combine; bigrams never cross document
+    boundaries). The lattice is ≤ n_cand^len(phrase) rows and every serving
+    join broadcasts the tiny side — the observed-bigram lookup first
+    LEFT-SEMI prunes the corpus-sized bigram relation by the broadcast
+    candidate pairs, then broadcasts the (≤ |pairs|) survivors back, so the
+    big relation is scanned once and never shuffled on a serving key.
+    """
+    pts = tokenize_one(phrase, mode)
+    if not pts:
+        raise ValueError("phrase tokenizes to no terms")
+    if max_dist < 0 or n_cand < 1 or k < 1 or not 0.0 < discount <= 1.0:
+        raise ValueError("bad max_dist/n_cand/k/discount")
+    toks = (with_tokens(corpus.select(id_col, text_col), text_col, mode)
+            .select("tokens"))
+    uni = (toks.select(F.explode("tokens").alias("term"))
+           .groupBy("term").agg(F.count("*").cast("long").alias("c")))
+    uni = uni.persist()
+    try:
+        total = float(uni.agg(F.sum("c")).collect()[0][0] or 0)
+        if total == 0:
+            raise ValueError("empty corpus")
+        big = (toks.filter(F.size("tokens") >= 2)
+               .select(F.explode(F.expr(
+                   "transform(sequence(0, size(tokens) - 2), "
+                   "i -> struct(tokens[i] AS w1, tokens[i + 1] AS w2))"))
+                   .alias("bg"))
+               .select("bg.w1", "bg.w2")
+               .groupBy("w1", "w2")
+               .agg(F.count("*").cast("long").alias("cb")))
+
+        q = F.explode(F.array(*[
+            F.struct(F.lit(i).alias("pos"), F.lit(t).alias("q_term"))
+            for i, t in enumerate(pts)])).alias("q")
+        cand = (uni.select(q, "term", "c")
+                .select("q.pos", "q.q_term", "term", "c")
+                .filter(F.abs(F.length("term") - F.length("q_term"))
+                        <= max_dist)
+                .withColumn("dist",
+                            F.levenshtein(F.col("term"), F.col("q_term")))
+                .filter(F.col("dist") <= max_dist))
+        w = Window.partitionBy("pos").orderBy(
+            F.asc("dist"), F.desc("c"), F.asc("term"))
+        cand = (cand.withColumn("rk", F.row_number().over(w))
+                .filter(F.col("rk") <= n_cand)
+                .select("pos", "term", "c"))
+        cand = cand.persist()
+        try:
+            lat = (cand.filter(F.col("pos") == 0)
+                   .select(F.col("term").alias("w0"), F.col("c").alias("k0")))
+            for i in range(1, len(pts)):
+                ci = (cand.filter(F.col("pos") == i)
+                      .select(F.col("term").alias(f"w{i}"),
+                              F.col("c").alias(f"k{i}")))
+                lat = lat.crossJoin(F.broadcast(ci))
+
+            pairs = None
+            for i in range(1, len(pts)):
+                p = lat.select(F.col(f"w{i-1}").alias("w1"),
+                               F.col(f"w{i}").alias("w2"))
+                pairs = p if pairs is None else pairs.unionByName(p)
+            score = F.log(F.col("k0") / F.lit(total))
+            if pairs is not None:
+                seen = big.join(F.broadcast(pairs.distinct()),
+                                ["w1", "w2"], "left_semi")
+                for i in range(1, len(pts)):
+                    bi = seen.select(F.col("w1").alias(f"w{i-1}"),
+                                     F.col("w2").alias(f"w{i}"),
+                                     F.col("cb").alias(f"cb{i}"))
+                    lat = lat.join(F.broadcast(bi), [f"w{i-1}", f"w{i}"],
+                                   "left")
+                    score = score + F.coalesce(
+                        F.log(F.col(f"cb{i}") / F.col(f"k{i-1}")),
+                        F.log(F.lit(float(discount)) * F.col(f"k{i}")
+                              / F.lit(total)))
+            out = lat.select(
+                F.concat_ws(" ", *[F.col(f"w{i}") for i in range(len(pts))])
+                .alias("suggestion"),
+                F.round(score, 6).alias("logp"))
+            rw = Window.orderBy(F.desc("logp"), F.asc("suggestion"))
+            rows = (out.withColumn("rank",
+                                   F.row_number().over(rw).cast("long"))
+                    .filter(F.col("rank") <= k)
+                    .collect())
+        finally:
+            cand.unpersist()
+    finally:
+        uni.unpersist()
+    return corpus.sparkSession.createDataFrame(
+        rows, "suggestion string, logp double, rank long")
+
+
 # ---------------------------------------------------------------------------
 # Index-time synonym folding (Lucene SynonymGraphFilter at index time /
 # SynonymQuery semantics). A synonym map is a tiny (term, syn_key) relation —

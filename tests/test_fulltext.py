@@ -14,6 +14,7 @@ from bertopic_spark.operators.fulltext import (
     doc_term_positions,
     phrase_match,
     phrase_match_postings,
+    phrase_suggest,
 )
 from bertopic_spark.tokenizer import tokenize_one
 
@@ -734,3 +735,63 @@ def test_span_near_random_corpora_property(spark):
             if b is not None and b <= len(terms) + slop:
                 want.add((d, b))
         assert scan == want, (trial, terms, slop)
+
+
+# ---------------------------------------------------------------------------
+# phrase_suggest: ES phrase suggester (Stupid-Backoff bigram LM)
+# ---------------------------------------------------------------------------
+
+
+def _suggest_rows(df):
+    return [(r.suggestion, r.logp, r.rank) for r in
+            df.orderBy("rank").collect()]
+
+
+def test_phrase_suggest_hand_scored(spark):
+    import math
+    t = spark.createDataFrame(
+        [(1, "aa bb aa bb"), (2, "aa bb"), (3, "cc bb")],
+        "doc_id long, text string")
+    # unigrams: aa=3 bb=4 cc=1, T=8; bigrams: (aa,bb)=3 (bb,aa)=1 (cc,bb)=1
+    out = _suggest_rows(phrase_suggest(t, "aa bb", max_dist=0, n_cand=3,
+                                       k=5, discount=0.4))
+    assert out == [("aa bb", round(math.log(3 / 8) + math.log(3 / 3), 6), 1)]
+    # unobserved bigram backs off: ln(c(bb)/T) + ln(0.4*c(bb)/T)
+    out = _suggest_rows(phrase_suggest(t, "bb bb", max_dist=0, n_cand=3,
+                                       k=5, discount=0.4))
+    assert out == [("bb bb",
+                    round(math.log(4 / 8) + math.log(0.4 * 4 / 8), 6), 1)]
+
+
+def test_phrase_suggest_corrects_misspelling(spark):
+    t = spark.createDataFrame(
+        [(1, "aa bb aa bb"), (2, "aa bb"), (3, "ab cc")],
+        "doc_id long, text string")
+    # "ax bb": candidates within dist 1 are {aa, ab} for "ax" and {bb, ab}
+    # for "bb" -> a 4-phrase lattice; the observed bigram (aa,bb) beats
+    # every backoff chain, so the corrected phrase ranks first.
+    out = _suggest_rows(phrase_suggest(t, "ax bb", max_dist=1, n_cand=3,
+                                       k=5, discount=0.4))
+    assert {s for s, _, _ in out} == {"aa bb", "aa ab", "ab bb", "ab ab"}
+    assert out[0][0] == "aa bb"
+    assert out[0][1] > max(lp for _, lp, _ in out[1:])
+
+
+def test_phrase_suggest_empty_position_and_validation(spark):
+    t = spark.createDataFrame([(1, "aa bb")], "doc_id long, text string")
+    # no candidate within dist 0 of an out-of-vocab term -> empty lattice
+    assert phrase_suggest(t, "zz bb", max_dist=0).count() == 0
+    with pytest.raises(ValueError):
+        phrase_suggest(t, "??", max_dist=1)  # tokenizes to nothing
+    with pytest.raises(ValueError):
+        phrase_suggest(t, "aa bb", discount=0.0)
+
+
+def test_phrase_suggest_fixture_nonempty(spark, docs):
+    # gate-shaped invocation over the fixture corpus: full top-k comes back
+    # and the dist-0 in-vocab head word survives in every suggestion slot.
+    out = _suggest_rows(phrase_suggest(docs, "slow part querry", max_dist=2,
+                                       n_cand=3, k=5))
+    assert len(out) == 5
+    assert [r for _, _, r in out] == [1, 2, 3, 4, 5]
+    assert all(s.split()[2] == "query" for s, _, _ in out)
