@@ -114,6 +114,8 @@ BENCH_QUERIES = [
     "phrase_prefix_match",
     "okapi_maxscore_topk",
     "phrase_suggest",
+    "term_vectors",
+    "composite_agg_page2",
 ]
 
 

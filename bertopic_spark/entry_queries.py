@@ -17,6 +17,7 @@ index layer.
 
 from __future__ import annotations
 
+from datetime import datetime
 from typing import Callable, Dict, Optional, Tuple
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -5273,6 +5274,71 @@ SELECT suggestion, logp, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {PS_K}"""
 
 
+TV_IDS = (1, 2, 3, 5, 8)
+
+
+def q_term_vectors(spark, sf_dir):
+    """ES _termvectors with term_statistics: per requested doc the (term,
+    tf, positions) vector plus corpus-wide df/ttf — the stats half is
+    semi-joined to the requested docs' term set before its agg."""
+    from bertopic_spark.operators.fulltext import term_vectors
+
+    return term_vectors(_docs(spark, sf_dir), list(TV_IDS), "text",
+                        "doc_id", MODE)
+
+
+def _sql_term_vectors() -> str:
+    ids = ", ".join(str(i) for i in TV_IDS)
+    return f"""WITH
+tk AS (SELECT doc_id, {duckdb_tokens_sql('text', MODE)} AS ts FROM documents),
+sel AS (SELECT doc_id, ts FROM tk WHERE doc_id IN ({ids})),
+p AS (SELECT doc_id, unnest(ts) AS term, unnest(range(len(ts))) AS pos
+      FROM sel),
+dv AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+              string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos)
+                AS positions
+       FROM p GROUP BY doc_id, term),
+ap AS (SELECT doc_id, unnest(ts) AS term FROM tk),
+st AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+              CAST(count(*) AS BIGINT) AS ttf
+       FROM ap WHERE term IN (SELECT term FROM dv) GROUP BY term)
+SELECT dv.doc_id, dv.term, tf, positions, df, ttf
+FROM dv JOIN st USING (term)"""
+
+
+CA_AFTER = ("click", datetime(2024, 1, 25))
+CA_SIZE = 10
+
+
+def q_composite_agg(spark, sf_dir):
+    """ES composite aggregation, page 2: buckets of (event_type, day)
+    after the cursor — the keyset predicate is applied BELOW the agg on
+    the raw scan, so deep pages only aggregate remaining data."""
+    from bertopic_spark.operators.rollup import composite_agg
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return composite_agg(
+        ev,
+        [("event_type", F.col("event_type")),
+         ("day", F.date_trunc("day", F.col("ts")))],
+        [("n_events", F.count(F.lit(1)).cast("long")),
+         ("sum_value", _r6(F.sum("value")))],
+        size=CA_SIZE, after=CA_AFTER)
+
+
+SQL_COMPOSITE_AGG = f"""WITH keyed AS (
+  SELECT event_type, date_trunc('day', ts) AS day, value
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    AND (event_type, date_trunc('day', ts))
+        > ('click', TIMESTAMP '2024-01-25 00:00:00')),
+agg AS (
+  SELECT event_type, day, CAST(count(*) AS BIGINT) AS n_events,
+         round(sum(value), 6) AS sum_value
+  FROM keyed GROUP BY event_type, day)
+SELECT * FROM agg ORDER BY event_type, day LIMIT {CA_SIZE}"""
+
+
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "approx_distribution": (q_approx_distribution, SQL_APPROX_DISTRIBUTION),
     "approx_distribution_tokens": (q_approx_distribution_tokens,
@@ -5419,4 +5485,6 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "search_query_boosted": (q_search_query_boosted,
                              _sql_search_query_boosted()),
     "phrase_suggest": (q_phrase_suggest, _sql_phrase_suggest()),
+    "term_vectors": (q_term_vectors, _sql_term_vectors()),
+    "composite_agg_page2": (q_composite_agg, SQL_COMPOSITE_AGG),
 }

@@ -825,6 +825,51 @@ def phrase_suggest(corpus: DataFrame, phrase: str, max_dist: int = 1,
         rows, "suggestion string, logp double, rank long")
 
 
+def term_vectors(corpus: DataFrame, doc_ids: Sequence, text_col: str = "text",
+                 id_col: str = "doc_id", mode: str = "ascii_code",
+                 term_statistics: bool = True) -> DataFrame:
+    """ES ``_termvectors`` (terms + positions + term_statistics=true):
+    (doc_id, term, tf, positions, df, ttf) for the requested documents —
+    ``positions`` as a comma-joined ascending list (cross-engine-stable
+    rendering), ``df``/``ttf`` the CORPUS-WIDE document and total term
+    frequencies of that term (NULL columns when ``term_statistics`` off,
+    matching the cheap default).
+
+    Scale shape: the per-doc half touches only the requested docs (an
+    isin filter pushed to the scan). The corpus-wide statistics half is
+    one tokenize + two-phase agg over the corpus, but FIRST semi-joined
+    (broadcast) to the requested docs' term set, so the shuffle carries
+    only the few hundred terms those docs contain — at serving time the
+    stats side is a point lookup against the index dictionary instead
+    (same relation shape; this operator is the from-scratch oracle path).
+    """
+    ids = list(doc_ids)
+    if not ids:
+        raise ValueError("need at least one doc id")
+    sel = corpus.filter(F.col(id_col).isin(ids)).select(id_col, text_col)
+    pos = (with_tokens(sel, text_col, mode)
+           .select(F.col(id_col), F.posexplode("tokens")
+                   .alias("pos", "term")))
+    dv = (pos.groupBy(id_col, "term")
+          .agg(F.count("*").cast("long").alias("tf"),
+               F.array_join(F.transform(
+                   F.array_sort(F.collect_list(F.col("pos").cast("long"))),
+                   lambda x: x.cast("string")), ",").alias("positions")))
+    if not term_statistics:
+        return dv.select(id_col, "term", "tf", "positions",
+                         F.lit(None).cast("long").alias("df"),
+                         F.lit(None).cast("long").alias("ttf"))
+    terms = dv.select("term").distinct()
+    allp = (with_tokens(corpus.select(id_col, text_col), text_col, mode)
+            .select(F.col(id_col), F.explode("tokens").alias("term"))
+            .join(F.broadcast(terms), "term"))
+    stats = (allp.groupBy("term")
+             .agg(F.count_distinct(id_col).cast("long").alias("df"),
+                  F.count("*").cast("long").alias("ttf")))
+    return (dv.join(F.broadcast(stats), "term")
+            .select(id_col, "term", "tf", "positions", "df", "ttf"))
+
+
 # ---------------------------------------------------------------------------
 # Index-time synonym folding (Lucene SynonymGraphFilter at index time /
 # SynonymQuery semantics). A synonym map is a tiny (term, syn_key) relation —

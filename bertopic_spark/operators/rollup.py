@@ -79,3 +79,47 @@ def with_avg(level_df: DataFrame, dp: int = 6) -> DataFrame:
     is — the standard continuous-aggregate trick)."""
     return level_df.withColumn(
         "avg_v", F.round(F.col("sum_v") / F.col("n"), dp))
+
+
+def composite_agg(df: DataFrame, keys, measures, size: int = 10,
+                  after: Sequence | None = None) -> DataFrame:
+    """ES composite aggregation: deterministic multi-key bucket pagination.
+
+    ``keys``: ordered (name, Column) pairs defining the bucket key;
+    buckets sort ascending by the full key tuple (ES ``composite``
+    sources order, ``missing_bucket=false`` — NULL-keyed rows are
+    excluded). ``measures``: (name, aggregate Column) pairs. ``after``:
+    the last bucket key tuple of the previous page, or None for page 1.
+
+    The after-key is a KEYSET predicate on the grouping keys, so it is
+    applied BELOW the aggregation — page N+1 re-aggregates only rows
+    whose key tuple sorts after the cursor (predicate on the raw scan,
+    partition-prunable when the table is laid out by the leading key),
+    never "compute all buckets then OFFSET". That is what makes deep
+    pagination over a 100-TB event table O(remaining data), and why ES
+    recommends composite over terms+partitions for full enumeration.
+    The final global sort runs on ONE page of ``size`` bucket rows.
+    """
+    ks = list(keys)
+    ms = list(measures)
+    if not ks or not ms or size < 1:
+        raise ValueError("need keys, measures and size >= 1")
+    names = [n for n, _ in ks]
+    keyed = df
+    for n, c in ks:  # withColumn so a key may shadow its source column
+        keyed = keyed.withColumn(n, c)
+    for n in names:
+        keyed = keyed.filter(F.col(n).isNotNull())
+    if after is not None:
+        if len(after) != len(ks):
+            raise ValueError("after must have one value per key")
+        # lexicographic (k1..kn) > (a1..an) as an OR-of-ANDs chain
+        pred = None
+        for i in range(len(ks)):
+            clause = F.col(names[i]) > F.lit(after[i])
+            for j in range(i):
+                clause = clause & (F.col(names[j]) == F.lit(after[j]))
+            pred = clause if pred is None else pred | clause
+        keyed = keyed.filter(pred)
+    out = keyed.groupBy(*names).agg(*[c.alias(n) for n, c in ms])
+    return out.orderBy(*[F.asc(n) for n in names]).limit(size)

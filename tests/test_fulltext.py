@@ -15,6 +15,7 @@ from bertopic_spark.operators.fulltext import (
     phrase_match,
     phrase_match_postings,
     phrase_suggest,
+    term_vectors,
 )
 from bertopic_spark.tokenizer import tokenize_one
 
@@ -795,3 +796,39 @@ def test_phrase_suggest_fixture_nonempty(spark, docs):
     assert len(out) == 5
     assert [r for _, _, r in out] == [1, 2, 3, 4, 5]
     assert all(s.split()[2] == "query" for s, _, _ in out)
+
+
+# ---------------------------------------------------------------------------
+# term_vectors: ES _termvectors with corpus-wide term statistics
+# ---------------------------------------------------------------------------
+
+
+def test_term_vectors_hand_checked(spark):
+    t = spark.createDataFrame(
+        [(1, "aa bb aa"), (2, "bb cc"), (3, "aa")],
+        "doc_id long, text string")
+    out = {(r.doc_id, r.term): (r.tf, r.positions, r.df, r.ttf)
+           for r in term_vectors(t, [1, 2]).collect()}
+    assert out == {
+        (1, "aa"): (2, "0,2", 2, 3),   # df counts doc 3 too, ttf all occurrences
+        (1, "bb"): (1, "1", 2, 2),
+        (2, "bb"): (1, "0", 2, 2),
+        (2, "cc"): (1, "1", 1, 1),
+    }
+    # stats off: df/ttf come back NULL, per-doc half identical
+    cheap = {(r.doc_id, r.term): (r.tf, r.positions, r.df, r.ttf)
+             for r in term_vectors(t, [2], term_statistics=False).collect()}
+    assert cheap == {(2, "bb"): (1, "0", None, None),
+                     (2, "cc"): (1, "1", None, None)}
+    with pytest.raises(ValueError):
+        term_vectors(t, [])
+
+
+def test_term_vectors_fixture_nonempty(spark, docs):
+    out = term_vectors(docs, [1, 2, 3, 5, 8])
+    rows = out.collect()
+    assert len(rows) > 0
+    assert {r.doc_id for r in rows} == {1, 2, 3, 5, 8}
+    # tf equals the number of listed positions on every row
+    assert all(r.tf == len(r.positions.split(",")) for r in rows)
+    assert all(r.ttf >= r.tf and r.df >= 1 for r in rows)

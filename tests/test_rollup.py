@@ -69,3 +69,47 @@ def test_week_only_terminal(events):
     got = {(r["bucket"], r["k"]): r["n"] for r in levels["month"].collect()}
     want = {k: v[0] for k, v in _direct(events, "month").items()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# composite_agg: ES composite aggregation with after-key pagination
+# ---------------------------------------------------------------------------
+
+
+def test_composite_agg_pages_cover_all_buckets(spark):
+    from bertopic_spark.operators.rollup import composite_agg
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    keys = [("event_type", F.col("event_type")),
+            ("day", F.date_trunc("day", F.col("ts")))]
+    ms = [("n", F.count(F.lit(1)).cast("long"))]
+    # walk pages until exhausted; union must equal the one-shot groupBy
+    pages, after = [], None
+    while True:
+        page = composite_agg(ev, keys, ms, size=37, after=after).collect()
+        pages.extend(page)
+        if len(page) < 37:
+            break
+        after = (page[-1].event_type, page[-1].day)
+    whole = (ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n")).collect())
+    assert sorted(map(tuple, pages)) == sorted(map(tuple, whole))
+    # pages are disjoint (keyset, not offset: no bucket repeats)
+    assert len({(r.event_type, r.day) for r in pages}) == len(pages)
+
+
+def test_composite_agg_after_is_strict_and_validated(spark):
+    from bertopic_spark.operators.rollup import composite_agg
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    keys = [("event_type", F.col("event_type")),
+            ("day", F.date_trunc("day", F.col("ts")))]
+    ms = [("n", F.count(F.lit(1)).cast("long"))]
+    first = composite_agg(ev, keys, ms, size=5).collect()
+    nxt = composite_agg(ev, keys, ms, size=5,
+                        after=(first[-1].event_type, first[-1].day)).collect()
+    # strictly after the cursor, ordering continuous across the boundary
+    assert (nxt[0].event_type, nxt[0].day) > (first[-1].event_type,
+                                              first[-1].day)
+    with pytest.raises(ValueError):
+        composite_agg(ev, keys, ms, size=5, after=("click",))
+    with pytest.raises(ValueError):
+        composite_agg(ev, [], ms)
