@@ -120,6 +120,10 @@ def composite_agg(df: DataFrame, keys, measures, size: int = 10,
             for j in range(i):
                 clause = clause & (F.col(names[j]) == F.lit(after[j]))
             pred = clause if pred is None else pred | clause
-        keyed = keyed.filter(pred)
+        # redundant leading-key bound: implied by the OR chain but, unlike
+        # it, parquet-pushable (a simple >= on one column) — this is what
+        # prunes row groups / partitions when the table is laid out by the
+        # leading key, instead of scanning everything below the cursor.
+        keyed = keyed.filter((F.col(names[0]) >= F.lit(after[0])) & pred)
     out = keyed.groupBy(*names).agg(*[c.alias(n) for n, c in ms])
     return out.orderBy(*[F.asc(n) for n in names]).limit(size)
