@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "phrase_suggest",
     "term_vectors",
     "composite_agg_page2",
+    "pipeline_aggs_hourly",
 ]
 
 

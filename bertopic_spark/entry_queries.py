@@ -5339,6 +5339,32 @@ agg AS (
 SELECT * FROM agg ORDER BY event_type, day LIMIT {CA_SIZE}"""
 
 
+def q_pipeline_aggs(spark, sf_dir):
+    """ES pipeline aggregations over the hourly date_histogram: running
+    sum, derivative and trailing-3 moving average per event_type series —
+    all three metrics ride ONE window exchange over the bucket relation
+    (never the raw events)."""
+    from bertopic_spark.operators.rollup import pipeline_aggs
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    b = (ev.groupBy("event_type",
+                    F.date_trunc("hour", F.col("ts")).alias("h"))
+         .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    return pipeline_aggs(b, "h", "n", keys=("event_type",), window=3)
+
+
+SQL_PIPELINE_AGGS = """WITH b AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2)
+SELECT event_type, h, n,
+  CAST(sum(n) OVER (PARTITION BY event_type ORDER BY h) AS BIGINT) AS cum_n,
+  n - lag(n) OVER (PARTITION BY event_type ORDER BY h) AS deriv_n,
+  round(avg(n) OVER (PARTITION BY event_type ORDER BY h
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mavg_n
+FROM b"""
+
+
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "approx_distribution": (q_approx_distribution, SQL_APPROX_DISTRIBUTION),
     "approx_distribution_tokens": (q_approx_distribution_tokens,
@@ -5487,4 +5513,5 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "phrase_suggest": (q_phrase_suggest, _sql_phrase_suggest()),
     "term_vectors": (q_term_vectors, _sql_term_vectors()),
     "composite_agg_page2": (q_composite_agg, SQL_COMPOSITE_AGG),
+    "pipeline_aggs_hourly": (q_pipeline_aggs, SQL_PIPELINE_AGGS),
 }

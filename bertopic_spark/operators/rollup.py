@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # coarse-to-fine ordering for validation
@@ -127,3 +127,38 @@ def composite_agg(df: DataFrame, keys, measures, size: int = 10,
         keyed = keyed.filter((F.col(names[0]) >= F.lit(after[0])) & pred)
     out = keyed.groupBy(*names).agg(*[c.alias(n) for n, c in ms])
     return out.orderBy(*[F.asc(n) for n in names]).limit(size)
+
+
+def pipeline_aggs(buckets: DataFrame, order_col: str, value_col: str,
+                  keys: Sequence[str] = (), window: int = 3,
+                  dp: int = 6) -> DataFrame:
+    """ES pipeline aggregations (cumulative_sum, derivative, moving_fn
+    average) over an ALREADY-AGGREGATED bucket relation — e.g. a
+    date_histogram / continuous-aggregate level, one row per (keys,
+    order_col) bucket.
+
+    Adds ``cum_<v>`` (running sum), ``deriv_<v>`` (bucket minus previous
+    bucket; NULL on each series' first bucket, like ES derivative), and
+    ``mavg_<v>`` (trailing ``window``-bucket mean incl. current, rounded
+    to ``dp``). All three share ONE window spec (same partitioning and
+    sort), so the plan pays a single exchange+sort regardless of how many
+    pipeline metrics ride it.
+
+    Scale note: this consumes BUCKETS, not raw rows — exactly like ES,
+    whose pipeline aggs run on the coordinator over the returned
+    histogram. Partitioned by ``keys`` the window never concentrates more
+    than one series on a task; with no keys the relation is a single
+    global time series (already orders of magnitude smaller than raw —
+    hours-in-a-decade sized), which is the one case a single-partition
+    sort is the honest plan.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    v = F.col(value_col)
+    return buckets.select(
+        *keys, order_col, value_col,
+        F.sum(value_col).over(w).alias(f"cum_{value_col}"),
+        (v - F.lag(value_col).over(w)).alias(f"deriv_{value_col}"),
+        F.round(F.avg(value_col).over(
+            w.rowsBetween(-(window - 1), 0)), dp).alias(f"mavg_{value_col}"))

@@ -113,3 +113,41 @@ def test_composite_agg_after_is_strict_and_validated(spark):
         composite_agg(ev, keys, ms, size=5, after=("click",))
     with pytest.raises(ValueError):
         composite_agg(ev, [], ms)
+
+
+def test_pipeline_aggs_hand_checked(spark):
+    from bertopic_spark.operators.rollup import pipeline_aggs
+    b = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 30), ("a", 3, 20), ("b", 1, 5)],
+        "k string, t int, n long")
+    out = {(r.k, r.t): (r.cum_n, r.deriv_n, r.mavg_n) for r in
+           pipeline_aggs(b, "t", "n", keys=("k",), window=2).collect()}
+    assert out == {
+        ("a", 1): (10, None, 10.0),       # first bucket: no derivative
+        ("a", 2): (40, 20, 20.0),         # mavg over trailing 2
+        ("a", 3): (60, -10, 25.0),
+        ("b", 1): (5, None, 5.0),         # series are independent
+    }
+    with pytest.raises(ValueError):
+        pipeline_aggs(b, "t", "n", window=0)
+
+
+def test_pipeline_aggs_matches_python_brute(spark):
+    from bertopic_spark.operators.rollup import pipeline_aggs
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    b = (ev.groupBy("event_type", F.date_trunc("day", "ts").alias("d"))
+         .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    got = {(r.event_type, r.d): (r.cum_n, r.deriv_n, r.mavg_n) for r in
+           pipeline_aggs(b, "d", "n", keys=("event_type",),
+                         window=3).collect()}
+    assert len(got) > 0
+    series = {}
+    for r in sorted(b.collect(), key=lambda r: (r.event_type, r.d)):
+        series.setdefault(r.event_type, []).append((r.d, r.n))
+    for k, pts in series.items():
+        cum = 0
+        for i, (d, n) in enumerate(pts):
+            cum += n
+            deriv = None if i == 0 else n - pts[i - 1][1]
+            win = [v for _, v in pts[max(0, i - 2):i + 1]]
+            assert got[(k, d)] == (cum, deriv, round(sum(win) / len(win), 6))
