@@ -117,6 +117,8 @@ BENCH_QUERIES = [
     "term_vectors",
     "composite_agg_page2",
     "pipeline_aggs_hourly",
+    "ann_filtered_topk",
+    "range_agg_values",
 ]
 
 

@@ -1402,6 +1402,45 @@ SELECT query_vec_id, vec_id, round(cos, 6) AS cos, CAST(rn AS BIGINT) AS rn
 FROM ranked WHERE rn <= {topk}"""
 
 
+ANN_FILTER_LABELS = (3, 7)
+
+
+def q_ann_filtered_topk(spark, sf_dir):
+    """ES knn PRE-filtering: metadata predicate restricts the corpus side
+    BEFORE any distance math (pushed to the scan), so top-k always returns
+    k qualifying hits — never post-filter-starved."""
+    from bertopic_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk(emb, ANN_QUERY_IDS, k=10,
+                       where=F.col("label").isin(*ANN_FILTER_LABELS))
+
+
+def _sql_ann_filtered(topk: int = 10) -> str:
+    ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    labels = ", ".join(str(x) for x in ANN_FILTER_LABELS)
+    return f"""WITH {_SQL_COS_CORE},
+keep AS (SELECT vec_id FROM embeddings WHERE label IN ({labels})),
+dots AS (
+  SELECT q.vec_id AS query_vec_id, d.vec_id AS vec_id,
+         sum(q.val * d.val) AS dot
+  FROM v q JOIN v d ON q.dim = d.dim
+  JOIN keep ON keep.vec_id = d.vec_id
+  WHERE q.vec_id IN ({ids}) AND d.vec_id != q.vec_id
+  GROUP BY q.vec_id, d.vec_id),
+sims AS (
+  SELECT query_vec_id, dots.vec_id AS vec_id, dot / (nq.nrm * nd.nrm) AS cos
+  FROM dots JOIN norms nq ON nq.vec_id = query_vec_id
+            JOIN norms nd ON nd.vec_id = dots.vec_id),
+ranked AS (
+  SELECT query_vec_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_vec_id
+                            ORDER BY cos DESC, vec_id ASC) AS rn
+  FROM sims)
+SELECT query_vec_id, vec_id, round(cos, 6) AS cos, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= {topk}"""
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     """Sign-LSH bucketed approximate cosine top-10 (the scale path)."""
     from bertopic_spark.operators.similarity import lsh_cosine_topk
@@ -5365,6 +5404,43 @@ SELECT event_type, h, n,
 FROM b"""
 
 
+RANGE_BUCKETS = (("cheap", None, 25.0), ("mid", 25.0, 100.0),
+                 ("big", 100.0, None), ("band", 10.0, 60.0),
+                 ("none_above", 1000.0, None))
+
+
+def q_range_agg(spark, sf_dir):
+    """ES range aggregation over event values: explicit half-open buckets,
+    overlapping ranges double-count by design, empty ranges return 0 —
+    one scan regardless of bucket count."""
+    from bertopic_spark.operators.rollup import range_agg
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return range_agg(ev, "value", RANGE_BUCKETS)
+
+
+def _sql_range_agg() -> str:
+    vals = ", ".join(
+        "('{}', {}, {})".format(
+            k, "NULL" if lo is None else lo, "NULL" if hi is None else hi)
+        for k, lo, hi in RANGE_BUCKETS)
+    return f"""WITH r(range_key, from_v, to_v) AS (VALUES {vals}),
+hits AS (
+  SELECT r.range_key, e.value
+  FROM r JOIN events e
+    ON (r.from_v IS NULL OR e.value >= r.from_v)
+   AND (r.to_v IS NULL OR e.value < r.to_v)
+  WHERE e.value IS NOT NULL),
+agg AS (SELECT range_key, CAST(count(*) AS BIGINT) AS n_docs,
+               round(sum(value), 6) AS sum_value
+        FROM hits GROUP BY 1)
+SELECT r.range_key, CAST(r.from_v AS DOUBLE) AS from_v,
+       CAST(r.to_v AS DOUBLE) AS to_v,
+       coalesce(n_docs, 0) AS n_docs,
+       coalesce(sum_value, 0.0) AS sum_value
+FROM r LEFT JOIN agg USING (range_key)"""
+
+
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "approx_distribution": (q_approx_distribution, SQL_APPROX_DISTRIBUTION),
     "approx_distribution_tokens": (q_approx_distribution_tokens,
@@ -5514,4 +5590,6 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "term_vectors": (q_term_vectors, _sql_term_vectors()),
     "composite_agg_page2": (q_composite_agg, SQL_COMPOSITE_AGG),
     "pipeline_aggs_hourly": (q_pipeline_aggs, SQL_PIPELINE_AGGS),
+    "ann_filtered_topk": (q_ann_filtered_topk, _sql_ann_filtered()),
+    "range_agg_values": (q_range_agg, _sql_range_agg()),
 }

@@ -162,3 +162,39 @@ def pipeline_aggs(buckets: DataFrame, order_col: str, value_col: str,
         (v - F.lag(value_col).over(w)).alias(f"deriv_{value_col}"),
         F.round(F.avg(value_col).over(
             w.rowsBetween(-(window - 1), 0)), dp).alias(f"mavg_{value_col}"))
+
+
+def range_agg(df: DataFrame, value_col: str, ranges,
+              dp: int = 6) -> DataFrame:
+    """ES ``range`` aggregation: (range_key, from_v, to_v, n_docs,
+    sum_value) for explicit half-open buckets ``from <= v < to`` (a NULL
+    bound is unbounded, ES semantics). Ranges MAY overlap — a row lands in
+    EVERY bucket containing it, which is why this is not a CASE/width_bucket
+    binning: the tiny literal range list explodes against each row (≤
+    |ranges| copies, map-side, one scan) and empty buckets come back with
+    n_docs = 0 via a final broadcast left join from the literal ranges —
+    ES returns empty ranges rather than dropping them.
+    """
+    rs = [(str(k), lo, hi) for k, lo, hi in ranges]
+    if not rs or len({k for k, _, _ in rs}) != len(rs):
+        raise ValueError("need non-empty ranges with unique keys")
+    spark = df.sparkSession
+    rdf = spark.createDataFrame(
+        rs, "range_key string, from_v double, to_v double")
+    rlit = F.explode(F.array(*[
+        F.struct(F.lit(k).alias("range_key"),
+                 F.lit(lo).cast("double").alias("from_v"),
+                 F.lit(hi).cast("double").alias("to_v"))
+        for k, lo, hi in rs])).alias("r")
+    v = F.col(value_col)
+    hits = (df.filter(v.isNotNull()).select(v.alias("_v"), rlit)
+            .select("_v", "r.range_key", "r.from_v", "r.to_v")
+            .filter((F.col("from_v").isNull() | (F.col("_v") >= F.col("from_v")))
+                    & (F.col("to_v").isNull() | (F.col("_v") < F.col("to_v")))))
+    agg = (hits.groupBy("range_key")
+           .agg(F.count("*").cast("long").alias("n_docs"),
+                F.round(F.sum("_v"), dp).alias("sum_value")))
+    return (rdf.join(F.broadcast(agg), "range_key", "left")
+            .select("range_key", "from_v", "to_v",
+                    F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+                    F.coalesce("sum_value", F.lit(0.0)).alias("sum_value")))

@@ -37,16 +37,27 @@ def cosine_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    where: Column | None = None,
 ) -> DataFrame:
     """Exact brute-force cosine top-k: (query_vec_id, vec_id, cos, rn).
 
     The query side is a tiny broadcast; the corpus side streams — one pass,
     no shuffle except the per-query window top-k (W1 analog).
+
+    ``where`` is ES knn PRE-filtering: the predicate restricts the corpus
+    side BEFORE any distance is computed (pushed to the scan — metadata
+    predicates prune row groups/partitions, and the candidate set shrinks
+    ahead of the arithmetic), and the top-k window then always returns k
+    qualifying hits. Post-filtering a vector top-k would instead starve
+    k behind the filter. Query vectors are fetched from the UNFILTERED
+    relation, so a query may live outside the filtered slice.
     """
-    base = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
-    q = base.filter(F.col(id_col).isin(query_ids)).select(
+    proj = lambda df: df.select(  # noqa: E731
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    q = proj(emb.filter(F.col(id_col).isin(query_ids))).select(
         F.col(id_col).alias("query_vec_id"), F.col("v").alias("qv")
     )
+    base = proj(emb if where is None else emb.filter(where))
     pairs = base.crossJoin(F.broadcast(q)).filter(F.col(id_col) != F.col("query_vec_id"))
     scored = pairs.select(
         "query_vec_id", id_col, cosine_expr(F.col("qv"), F.col("v")).alias("cos")

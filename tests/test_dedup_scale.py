@@ -399,3 +399,34 @@ def test_dedup_canonical_argmax_and_singletons(spark):
                                       keep_singletons=True).collect()}
     assert withs[9] == (9, 1)  # doc 9 never entered a cluster → kept
     assert set(withs) == {1, 7, 9}
+
+
+def test_cosine_topk_prefilter_semantics(spark):
+    from bertopic_spark.operators.similarity import cosine_topk
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = [0, 1, 2]
+    filt = cosine_topk(emb, qids, k=5, where=F.col("label").isin(3, 7))
+    rows = filt.collect()
+    # every query returns a FULL k (pre-filter, never post-filter-starved)
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_vec_id, []).append(r.vec_id)
+    assert set(per_q) == set(qids) and all(len(v) == 5 for v in per_q.values())
+    # all hits satisfy the predicate
+    keep = {r.vec_id for r in
+            emb.filter(F.col("label").isin(3, 7)).select("vec_id").collect()}
+    assert all(r.vec_id in keep for r in rows)
+    # equivalent to brute-force top-k computed over the filtered corpus,
+    # with queries still resolved from the unfiltered relation
+    brute = cosine_topk(
+        emb.filter(F.col("label").isin(3, 7) | F.col("vec_id").isin(qids)),
+        qids, k=5, where=F.col("label").isin(3, 7)).collect()
+    assert {tuple(r) for r in rows} == {tuple(r) for r in brute}
+    # predicate reaches the parquet scan on the corpus side
+    import io
+    from contextlib import redirect_stdout
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        filt.explain("formatted")
+    assert "label" in [s for s in buf.getvalue().splitlines()
+                       if "PushedFilters" in s and "In(label" in s][0]

@@ -151,3 +151,23 @@ def test_pipeline_aggs_matches_python_brute(spark):
             deriv = None if i == 0 else n - pts[i - 1][1]
             win = [v for _, v in pts[max(0, i - 2):i + 1]]
             assert got[(k, d)] == (cum, deriv, round(sum(win) / len(win), 6))
+
+
+def test_range_agg_semantics(spark):
+    from bertopic_spark.operators.rollup import range_agg
+    t = spark.createDataFrame(
+        [(1, 5.0), (2, 10.0), (3, 25.0), (4, None), (5, 12.0)],
+        "id long, v double")
+    out = {r.range_key: (r.from_v, r.to_v, r.n_docs, r.sum_value) for r in
+           range_agg(t, "v", [("lo", None, 10.0), ("mid", 10.0, 20.0),
+                              ("all", None, None), ("band", 8.0, 26.0),
+                              ("empty", 100.0, None)]).collect()}
+    assert out["lo"] == (None, 10.0, 1, 5.0)          # half-open: 10 not in lo
+    assert out["mid"] == (10.0, 20.0, 2, 22.0)
+    assert out["all"] == (None, None, 4, 52.0)        # NULL value excluded
+    assert out["band"] == (8.0, 26.0, 3, 47.0)        # overlaps double-count
+    assert out["empty"] == (100.0, None, 0, 0.0)      # empty bucket returned
+    with pytest.raises(ValueError):
+        range_agg(t, "v", [("a", 0.0, 1.0), ("a", 1.0, 2.0)])  # dup keys
+    with pytest.raises(ValueError):
+        range_agg(t, "v", [])
