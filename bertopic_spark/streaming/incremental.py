@@ -271,3 +271,65 @@ def stateful_term_totals(stream: DataFrame, text_col: str = "text",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_dedup(spark: SparkSession, input_dir: str, out_root: str,
+                 text_col: str, id_col: str, schema: str,
+                 checkpoint_dir: str, trigger_once: bool = True):
+    """Streaming exact dedup: file-source stream → foreachBatch → keep the
+    first occurrence of each content digest, across ALL batches.
+
+    Per micro-batch: (1) sha2-256 digest of the content, (2) within-batch
+    dedup keeping the smallest ``id_col`` per digest (a window partitioned
+    by digest — never a global sort), (3) LEFT ANTI join against the
+    persistent seen-digest relation, (4) append survivors to
+    ``<out_root>/docs`` and their digests to ``<out_root>/seen``. Work per
+    batch is O(batch) plus one join against state keyed by digest — at
+    production scale the seen relation is bucketed/partitioned BY DIGEST
+    (e.g. digest-prefix partitions or an Iceberg bucket transform), making
+    the anti-join co-located so only the batch side shuffles; plain
+    parquet keeps the sandbox dependency-free with the identical job
+    shape.
+
+    Replay safety (same contract as ``stream_append_index``): foreachBatch
+    may re-run a batch after a crash; a ``dedup_batch_<id>.done`` marker is
+    dropped AFTER both appends commit and marked batches are skipped.
+    A crash between the docs append and the marker can replay survivors —
+    the downstream read therefore de-dups on digest (documented; the
+    batch-mode oracle in tests reads with a digest-distinct), which turns
+    exactly-once into at-least-once-with-idempotent-read rather than
+    silent duplication.
+    """
+    from pyspark.sql import Window
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    docs_dir = os.path.join(out_root, "docs")
+    seen_dir = os.path.join(out_root, "seen")
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(out_root, f"dedup_batch_{batch_id}.done")
+        if os.path.exists(marker) or batch_df.isEmpty():
+            return
+        b = batch_df.withColumn("digest", F.sha2(F.col(text_col), 256))
+        w = Window.partitionBy("digest").orderBy(F.asc(id_col))
+        b = (b.withColumn("_rn", F.row_number().over(w))
+             .filter(F.col("_rn") == 1).drop("_rn"))
+        if os.path.exists(seen_dir):
+            seen = spark.read.parquet(seen_dir).select("digest")
+            b = b.join(seen, "digest", "left_anti")
+        b = b.persist()
+        try:
+            b.write.mode("append").parquet(docs_dir)
+            b.select("digest").write.mode("append").parquet(seen_dir)
+        finally:
+            b.unpersist()
+        with open(marker, "w") as f:
+            f.write("done")
+
+    writer = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -3,6 +3,7 @@
 import os
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from bertopic_spark.streaming.incremental import (
@@ -228,3 +229,44 @@ def test_percolate_streaming_ingest(spark, tmp_path):
     got = {(r.doc_id, r.query_id) for r in
            spark.read.parquet(out_dir).collect()}
     assert got == {(0, 0), (2, 1)}  # doc 1 matched only alpha: below AND
+
+
+def test_stream_dedup_across_batches(spark, tmp_path):
+    from bertopic_spark.streaming.incremental import stream_dedup
+
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "ddsrc")
+    out = str(tmp_path / "ddout")
+    # batch 1: one internal duplicate (ids 1 and 2 share content)
+    spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha beta"), (3, "gamma")],
+        schema).write.mode("append").parquet(src)
+    q = stream_dedup(spark, src, out, "text", "doc_id", schema,
+                     str(tmp_path / "ddck"), trigger_once=True)
+    q.awaitTermination(120)
+    got1 = {(r.doc_id, r.text) for r in
+            spark.read.parquet(out + "/docs").collect()}
+    assert got1 == {(1, "alpha beta"), (3, "gamma")}  # min-id wins in-batch
+    # batch 2: cross-batch duplicate of batch 1 plus one fresh doc
+    spark.createDataFrame(
+        [(4, "alpha beta"), (5, "delta")],
+        schema).write.mode("append").parquet(src)
+    q = stream_dedup(spark, src, out, "text", "doc_id", schema,
+                     str(tmp_path / "ddck"), trigger_once=True)
+    q.awaitTermination(120)
+    got2 = {(r.doc_id, r.text) for r in
+            spark.read.parquet(out + "/docs").collect()}
+    assert got2 == got1 | {(5, "delta")}  # doc 4 suppressed by state
+    # equals the batch-mode oracle over the full input
+    whole = spark.read.parquet(src).withColumn(
+        "d", F.sha2(F.col("text"), 256))
+    w = Window.partitionBy("d").orderBy("doc_id")
+    oracle = {(r.doc_id, r.text) for r in
+              whole.withColumn("rn", F.row_number().over(w))
+              .filter("rn = 1").drop("rn", "d").collect()}
+    assert got2 == oracle
+    # replay with the same checkpoint: markers make it a no-op
+    q = stream_dedup(spark, src, out, "text", "doc_id", schema,
+                     str(tmp_path / "ddck"), trigger_once=True)
+    q.awaitTermination(120)
+    assert spark.read.parquet(out + "/docs").count() == len(got2)
