@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "pipeline_aggs_hourly",
     "ann_filtered_topk",
     "range_agg_values",
+    "matrix_stats_corr",
 ]
 
 

@@ -5441,6 +5441,32 @@ SELECT r.range_key, CAST(r.from_v AS DOUBLE) AS from_v,
 FROM r LEFT JOIN agg USING (range_key)"""
 
 
+MS_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def q_matrix_stats(spark, sf_dir):
+    """ES matrix_stats: the pairwise Pearson correlation matrix over
+    lineitem's numeric measures — every pair's moments ride ONE two-phase
+    agg pass (mergeable running moments, exactly ES's per-shard merge)."""
+    from bertopic_spark.operators.rollup import matrix_stats
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return matrix_stats(li, list(MS_COLS))
+
+
+def _sql_matrix_stats() -> str:
+    cs = list(MS_COLS)
+    parts = []
+    for i, a in enumerate(cs):
+        for b in cs[i:]:
+            parts.append(
+                f"SELECT '{a}' AS field_x, '{b}' AS field_y, "
+                f"CAST(count(*) FILTER (WHERE {a} IS NOT NULL AND {b} IS "
+                f"NOT NULL) AS BIGINT) AS n, "
+                f"round(corr({a}, {b}), 6) AS corr FROM lineitem")
+    return " UNION ALL ".join(parts)
+
+
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "approx_distribution": (q_approx_distribution, SQL_APPROX_DISTRIBUTION),
     "approx_distribution_tokens": (q_approx_distribution_tokens,
@@ -5592,4 +5618,5 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "pipeline_aggs_hourly": (q_pipeline_aggs, SQL_PIPELINE_AGGS),
     "ann_filtered_topk": (q_ann_filtered_topk, _sql_ann_filtered()),
     "range_agg_values": (q_range_agg, _sql_range_agg()),
+    "matrix_stats_corr": (q_matrix_stats, _sql_matrix_stats()),
 }

@@ -198,3 +198,31 @@ def range_agg(df: DataFrame, value_col: str, ranges,
             .select("range_key", "from_v", "to_v",
                     F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
                     F.coalesce("sum_value", F.lit(0.0)).alias("sum_value")))
+
+
+def matrix_stats(df: DataFrame, cols: Sequence[str], dp: int = 6) -> DataFrame:
+    """ES ``matrix_stats``: pairwise Pearson correlation over numeric
+    fields — (field_x, field_y, n, corr) for every unordered pair
+    including self (corr 1.0), ``n`` counting rows where BOTH fields are
+    non-null (ES's listwise pair count).
+
+    ONE scan computes every pair: the k(k+1)/2 moment aggregates ride a
+    single two-phase agg (partial moments merge associatively exactly as
+    ES merges per-shard running moments), and the result is a
+    pairs-squared-sized local relation — never a row-level self-join,
+    which is the naive unpivot formulation's O(n·k²) shuffle.
+    """
+    cs = list(cols)
+    if len(cs) < 2 or len(set(cs)) != len(cs):
+        raise ValueError("need >= 2 distinct columns")
+    pairs = [(a, b) for i, a in enumerate(cs) for b in cs[i:]]
+    aggs = []
+    for i, (a, b) in enumerate(pairs):
+        both = F.when(F.col(a).isNotNull() & F.col(b).isNotNull(), 1)
+        aggs.append(F.count(both).cast("long").alias(f"n_{i}"))
+        aggs.append(F.round(F.corr(a, b), dp).alias(f"c_{i}"))
+    row = df.agg(*aggs).collect()[0]
+    data = [(a, b, row[f"n_{i}"], row[f"c_{i}"])
+            for i, (a, b) in enumerate(pairs)]
+    return df.sparkSession.createDataFrame(
+        data, "field_x string, field_y string, n long, corr double")

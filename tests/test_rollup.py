@@ -171,3 +171,21 @@ def test_range_agg_semantics(spark):
         range_agg(t, "v", [("a", 0.0, 1.0), ("a", 1.0, 2.0)])  # dup keys
     with pytest.raises(ValueError):
         range_agg(t, "v", [])
+
+
+def test_matrix_stats_hand_checked(spark):
+    from bertopic_spark.operators.rollup import matrix_stats
+    t = spark.createDataFrame(
+        [(1.0, 2.0, 5.0), (2.0, 4.0, None), (3.0, 6.0, 1.0)],
+        "x double, y double, z double")
+    out = {(r.field_x, r.field_y): (r.n, r.corr)
+           for r in matrix_stats(t, ["x", "y", "z"]).collect()}
+    assert out[("x", "x")] == (3, 1.0)
+    assert out[("x", "y")] == (3, 1.0)        # y = 2x exactly
+    assert out[("x", "z")][0] == 2            # listwise: NULL z drops the row
+    assert out[("x", "z")][1] == -1.0         # (1,5),(3,1) -> perfectly anti
+    assert len(out) == 6                      # unordered pairs incl self
+    with pytest.raises(ValueError):
+        matrix_stats(t, ["x"])
+    with pytest.raises(ValueError):
+        matrix_stats(t, ["x", "x"])
