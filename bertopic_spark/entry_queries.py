@@ -5467,6 +5467,190 @@ def _sql_matrix_stats() -> str:
     return " UNION ALL ".join(parts)
 
 
+def q_minhash_incremental(spark, sf_dir):
+    """O(delta) incremental near-dup (operators/dedup.
+    minhash_incremental_pairs): docs with doc_id % 3 == 0 arrive as the
+    new batch against a persisted LSH-bucket generation of the rest;
+    output = exactly the full run's pairs that touch the new batch,
+    without recomparing old×old."""
+    from bertopic_spark.operators.dedup import (
+        minhash_band_keys, minhash_incremental_pairs, minhash_signatures)
+
+    d = _docs(spark, sf_dir)
+    old = d.filter(F.col("doc_id") % 3 != 0)
+    new = d.filter(F.col("doc_id") % 3 == 0)
+    ob = minhash_band_keys(
+        minhash_signatures(old, "text", "doc_id", 8, 42, 2, MODE),
+        "doc_id", 8, 4)
+    return minhash_incremental_pairs(ob, new, "text", "doc_id",
+                                     num_perm=8, bands=4)
+
+
+def _sql_minhash_incremental() -> str:
+    base = _sql_minhash(8)
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, concat(CAST(sig_{2*b} AS VARCHAR), '_', "
+        f"CAST(sig_{2*b+1} AS VARCHAR)) AS key FROM sigs"
+        for b in range(4)
+    )
+    return f"""WITH sigs AS ({base}),
+bands AS ({bands})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_bands
+FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+WHERE a.doc_id < b.doc_id AND (a.doc_id % 3 = 0 OR b.doc_id % 3 = 0)
+GROUP BY a.doc_id, b.doc_id"""
+
+
+def q_vocab_kl_drift(spark, sf_dir):
+    """Unigram-LM drift between two corpus snapshots
+    (operators/textstats.vocab_kl_drift): top-100 terms by smoothed
+    KL(P||Q) contribution; snapshots = even/odd doc_id halves of the
+    documents table (deterministic, oracle-reproducible)."""
+    from bertopic_spark.operators.textstats import vocab_kl_drift
+
+    d = _docs(spark, sf_dir)
+    out = vocab_kl_drift(d.filter(F.col("doc_id") % 2 == 0),
+                         d.filter(F.col("doc_id") % 2 == 1),
+                         text_col="text", mode=MODE, k=100)
+    return out.select("term", "cnt_a", "cnt_b",
+                      _r6(F.col("contribution")).alias("contribution"), "rn")
+
+
+def _sql_vocab_kl_drift() -> str:
+    toks = duckdb_tokens_sql("text", MODE)
+    return f"""WITH
+ca AS (SELECT term, count(*) AS cnt_a FROM (
+  SELECT unnest({toks}) AS term FROM documents WHERE doc_id % 2 = 0)
+  GROUP BY term),
+cb AS (SELECT term, count(*) AS cnt_b FROM (
+  SELECT unnest({toks}) AS term FROM documents WHERE doc_id % 2 = 1)
+  GROUP BY term),
+u AS (SELECT coalesce(ca.term, cb.term) AS term,
+             coalesce(cnt_a, 0) AS cnt_a, coalesce(cnt_b, 0) AS cnt_b
+      FROM ca FULL OUTER JOIN cb ON ca.term = cb.term),
+tot AS (SELECT sum(cnt_a) AS n_a, sum(cnt_b) AS n_b, count(*) AS v FROM u),
+s AS (SELECT term, cnt_a, cnt_b,
+             ((cnt_a + 1.0) / (n_a + v)) *
+             ln(((cnt_a + 1.0) / (n_a + v)) / ((cnt_b + 1.0) / (n_b + v)))
+             AS contribution
+      FROM u CROSS JOIN tot),
+r AS (SELECT term, cnt_a, cnt_b, contribution,
+             row_number() OVER (ORDER BY contribution DESC, term ASC) AS rn
+      FROM s)
+SELECT term, CAST(cnt_a AS BIGINT) AS cnt_a, CAST(cnt_b AS BIGINT) AS cnt_b,
+       round(contribution, 6) AS contribution, CAST(rn AS BIGINT) AS rn
+FROM r WHERE rn <= 100"""
+
+
+ADJ_FILTERS_SQL = {
+    "en": "lang = 'en'",
+    "long": "n_chars >= 300",
+    "src1x": "source LIKE 'src1%'",
+    "data": "text LIKE '%data%'",
+}
+
+
+def q_adjacency_matrix(spark, sf_dir):
+    """ES adjacency_matrix agg (operators/rollup.adjacency_matrix): counts
+    for every named filter and every pairwise intersection, one corpus
+    scan."""
+    from bertopic_spark.operators.rollup import adjacency_matrix
+
+    d = _docs(spark, sf_dir)
+    return adjacency_matrix(d, {
+        "en": F.col("lang") == "en",
+        "long": F.col("n_chars") >= 300,
+        "src1x": F.col("source").startswith("src1"),
+        "data": F.col("text").contains("data"),
+    })
+
+
+def _sql_adjacency() -> str:
+    ns = list(ADJ_FILTERS_SQL)
+    parts = []
+    for i, a in enumerate(ns):
+        for b in ns[i:]:
+            x, y = sorted((a, b))
+            parts.append(
+                f"SELECT '{x}' AS key_x, '{y}' AS key_y, "
+                f"CAST(count(*) AS BIGINT) AS doc_count FROM documents "
+                f"WHERE ({ADJ_FILTERS_SQL[a]}) AND ({ADJ_FILTERS_SQL[b]}) "
+                f"HAVING count(*) > 0")
+    return " UNION ALL ".join(parts)
+
+
+def q_rank_eval(spark, sf_dir):
+    """ES _rank_eval analog (operators/bm25.rank_eval): per-query
+    precision@10 / recall@10 / MRR / DCG / NDCG of the BM25 run against a
+    deterministic graded judgment set (grade = number of distinct query
+    terms a doc contains, judged relevant at >= 2 — derived from the
+    corpus itself, so the oracle reproduces it exactly)."""
+    from bertopic_spark.operators.bm25 import bm25_topk_adhoc, rank_eval
+
+    qt = query_terms(queries_df(spark, DRIVER_QUERIES), MODE)
+    hits = bm25_topk_adhoc(_docs(spark, sf_dir), qt, k=10,
+                           text_col="text", mode=MODE)
+    judg = (_doc_x(spark, sf_dir).join(F.broadcast(qt), "term")
+            .groupBy("query_id", "doc_id")
+            .agg(F.count_distinct("term").alias("grade"))
+            .filter(F.col("grade") >= 2)
+            .withColumn("grade", F.col("grade").cast("double")))
+    out = rank_eval(hits, judg, k=10)
+    return out.select(
+        "query_id", _r6(F.col("p_at_k")).alias("p_at_k"),
+        _r6(F.col("recall_at_k")).alias("recall_at_k"),
+        _r6(F.col("mrr")).alias("mrr"),
+        _r6(F.col("dcg_at_k")).alias("dcg_at_k"),
+        _r6(F.col("ndcg_at_k")).alias("ndcg_at_k"))
+
+
+SQL_RANK_EVAL = f"""WITH {_TOKS}, {_XDOC}, {_scores_sql('xdoc', 'doc_id', True, False)},
+q(query_id, term) AS (VALUES {_query_term_values()}),
+hits AS (
+  SELECT q.query_id, s.doc_id, sum(s.score) AS score
+  FROM q JOIN scores s USING (term) GROUP BY q.query_id, s.doc_id),
+win AS (
+  SELECT query_id, doc_id, rnk FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS rnk
+    FROM hits) WHERE rnk <= 10),
+judg AS (
+  SELECT q.query_id, x.doc_id, CAST(count(DISTINCT q.term) AS DOUBLE) AS grade
+  FROM q JOIN xdoc x USING (term)
+  GROUP BY q.query_id, x.doc_id HAVING count(DISTINCT q.term) >= 2),
+graded AS (
+  SELECT w.query_id, w.rnk, coalesce(j.grade, 0.0) AS grade
+  FROM win w LEFT JOIN judg j
+    ON w.query_id = j.query_id AND w.doc_id = j.doc_id),
+per AS (
+  SELECT query_id, count(*) AS n_ret,
+         sum(CASE WHEN grade > 0 THEN 1 ELSE 0 END) AS n_rel_ret,
+         min(CASE WHEN grade > 0 THEN rnk END) AS first_rel,
+         sum((pow(2.0, grade) - 1.0) / log2(rnk + 1.0)) AS dcg
+  FROM graded GROUP BY query_id),
+irk AS (
+  SELECT query_id, grade,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY grade DESC, doc_id ASC) AS irank
+  FROM judg WHERE grade > 0),
+ideal AS (
+  SELECT query_id, sum((pow(2.0, grade) - 1.0) / log2(irank + 1.0)) AS idcg
+  FROM irk WHERE irank <= 10 GROUP BY query_id),
+nrel AS (SELECT query_id, count(*) AS n_rel FROM judg WHERE grade > 0
+         GROUP BY query_id)
+SELECT CAST(p.query_id AS BIGINT) AS query_id,
+       round(n_rel_ret * 1.0 / n_ret, 6) AS p_at_k,
+       round(CASE WHEN coalesce(n_rel, 0) > 0
+                  THEN n_rel_ret * 1.0 / n_rel ELSE 0.0 END, 6) AS recall_at_k,
+       round(coalesce(1.0 / first_rel, 0.0), 6) AS mrr,
+       round(dcg, 6) AS dcg_at_k,
+       round(CASE WHEN coalesce(idcg, 0.0) > 0
+                  THEN dcg / idcg ELSE 0.0 END, 6) AS ndcg_at_k
+FROM per p LEFT JOIN ideal i ON p.query_id = i.query_id
+           LEFT JOIN nrel n ON p.query_id = n.query_id"""
+
+
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "approx_distribution": (q_approx_distribution, SQL_APPROX_DISTRIBUTION),
     "approx_distribution_tokens": (q_approx_distribution_tokens,
@@ -5619,4 +5803,8 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "ann_filtered_topk": (q_ann_filtered_topk, _sql_ann_filtered()),
     "range_agg_values": (q_range_agg, _sql_range_agg()),
     "matrix_stats_corr": (q_matrix_stats, _sql_matrix_stats()),
+    "rank_eval_bm25": (q_rank_eval, SQL_RANK_EVAL),
+    "adjacency_matrix": (q_adjacency_matrix, _sql_adjacency()),
+    "vocab_kl_drift": (q_vocab_kl_drift, _sql_vocab_kl_drift()),
+    "dedup_minhash_incremental": (q_minhash_incremental, _sql_minhash_incremental()),
 }

@@ -1653,3 +1653,72 @@ def maxscore_topk(
     return (hits.withColumn("rank", F.row_number().over(w_seed))
             .filter(F.col("rank") <= k)
             .select("query_id", id_col, "score", "rank"))
+
+
+def rank_eval(
+    hits: DataFrame,
+    judgments: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES ``_rank_eval`` analog: per-query ranking-quality metrics of a
+    ranked result list against a graded relevance-judgment relation —
+    precision@k, recall@k, MRR@k, DCG@k and NDCG@k in one pass. The
+    offline-evaluation surface every retrieval change is judged by.
+
+    ``hits``: (query_id, id_col, rank) from any retriever (``bm25_topk``,
+    WAND, a fusion). ``judgments``: (query_id, id_col, grade); grade > 0
+    means relevant, retrieved-but-unjudged docs count as grade 0 (ES
+    semantics). Definitions (ES RankEvalSpec / standard IR):
+
+      precision@k = relevant-retrieved / retrieved (within the window)
+      recall@k    = relevant-retrieved / total judged relevant
+      MRR@k       = 1 / rank of the first relevant hit (0 when none)
+      DCG@k       = sum (2^grade - 1) / log2(rank + 1) over the window
+      NDCG@k      = DCG@k / IDCG@k; IDCG from the judgment grades sorted
+                    descending (the ideal ordering), 0-guarded
+
+    Physical shape: the hit window is k x |queries| rows -> broadcast onto
+    the judgment relation; every aggregation is per-query (|queries|
+    groups), so the evaluation is one small shuffle regardless of corpus
+    size. The per-query IDCG window runs over judgments only (eval-set
+    sized, not corpus sized).
+    """
+    win = hits.filter(F.col("rank") <= k).select("query_id", id_col, "rank")
+    graded = (judgments.join(F.broadcast(win), ["query_id", id_col])
+              .select("query_id", "rank", "grade")
+              .unionByName(
+                  win.join(judgments.select("query_id", id_col),
+                           ["query_id", id_col], "left_anti")
+                  .select("query_id", "rank", F.lit(0.0).alias("grade"))))
+    per = graded.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_ret"),
+        F.sum(F.when(F.col("grade") > 0, 1).otherwise(0)).alias("n_rel_ret"),
+        F.min(F.when(F.col("grade") > 0, F.col("rank"))).alias("first_rel"),
+        F.sum((F.pow(F.lit(2.0), F.col("grade")) - 1.0) /
+              F.log2(F.col("rank") + F.lit(1.0))).alias("dcg"),
+    )
+    jw = Window.partitionBy("query_id").orderBy(F.desc("grade"), F.asc(id_col))
+    rel = judgments.filter(F.col("grade") > 0)
+    ideal = (rel.withColumn("irank", F.row_number().over(jw))
+             .filter(F.col("irank") <= k)
+             .groupBy("query_id")
+             .agg(F.sum((F.pow(F.lit(2.0), F.col("grade")) - 1.0) /
+                        F.log2(F.col("irank") + F.lit(1.0))).alias("idcg")))
+    nrel = rel.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_rel"))
+    return (per
+            .join(F.broadcast(ideal), "query_id", "left")
+            .join(F.broadcast(nrel), "query_id", "left")
+            .select(
+                "query_id",
+                (F.col("n_rel_ret") / F.col("n_ret")).alias("p_at_k"),
+                F.when(F.coalesce(F.col("n_rel"), F.lit(0)) > 0,
+                       F.col("n_rel_ret") / F.col("n_rel"))
+                .otherwise(F.lit(0.0)).alias("recall_at_k"),
+                F.coalesce(F.lit(1.0) / F.col("first_rel"),
+                           F.lit(0.0)).alias("mrr"),
+                F.col("dcg").alias("dcg_at_k"),
+                F.when(F.coalesce(F.col("idcg"), F.lit(0.0)) > 0,
+                       F.col("dcg") / F.col("idcg"))
+                .otherwise(F.lit(0.0)).alias("ndcg_at_k"),
+            ))

@@ -186,6 +186,16 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     caps bucket size in all-pairs mode. See ``_bucket_edges``.
     """
     sigs = minhash_signatures(df, text_col, id_col, num_perm, seed, n, mode)
+    exploded = minhash_band_keys(sigs, id_col, num_perm, bands)
+    return _bucket_edges(exploded, id_col, edge_mode, max_bucket)
+
+
+def minhash_band_keys(sigs: DataFrame, id_col: str, num_perm: int = 16,
+                      bands: int = 4) -> DataFrame:
+    """(id, band, key) LSH bucket membership from a signature relation —
+    the persistable generational state of incremental dedup (store THIS,
+    bucketed by (band, key), and new batches probe only the buckets they
+    hash into)."""
     rows_per_band = num_perm // bands
     band_cols = []
     for bnd in range(bands):
@@ -193,9 +203,63 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
         band_cols.append(
             F.struct(F.lit(bnd).alias("band"), F.concat_ws("_", *[c.cast("string") for c in cols]).alias("key"))
         )
-    exploded = sigs.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")) \
+    return sigs.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")) \
         .select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    return _bucket_edges(exploded, id_col, edge_mode, max_bucket)
+
+
+def minhash_incremental_pairs(old_banded: DataFrame, new_df: DataFrame,
+                              text_col: str, id_col: str,
+                              num_perm: int = 16, bands: int = 4,
+                              seed: int = 42, n: int = 2,
+                              mode: str = "ascii_code",
+                              edge_mode: str = "all",
+                              max_bucket: int | None = None) -> DataFrame:
+    """O(delta) near-dup maintenance: candidate pairs TOUCHING a new batch
+    — new×new plus new×old — against a persisted generation of LSH bucket
+    membership (``minhash_band_keys`` output), never recomparing old×old.
+    The incremental analog of ``minhash_lsh_pairs``: running it per batch
+    and unioning the edges yields the same connected components as a full
+    rebuild over the accumulated corpus.
+
+    Physical shape: only the NEW batch is shingled/hashed; the old state
+    is pruned to buckets the new batch hashes into (left_semi on
+    (band, key) — with the state bucketed/partitioned on that key this is
+    a co-located probe touching a delta-sized fraction of a 100-TB
+    index). ``edge_mode="star"`` collapses the new side to one min-id
+    representative per bucket before pairing, keeping old×new edges
+    LINEAR in bucket size on boilerplate mega-clusters; components are
+    unchanged (old members and the batch's members all link through the
+    representative).
+
+    Returns (id_a, id_b, n_bands), id_a < id_b, n_bands = shared bands
+    that generated the edge (new×new counts its band multiplicity the
+    same way the full run does).
+    """
+    sigs = minhash_signatures(new_df, text_col, id_col, num_perm, seed, n, mode)
+    new_banded = minhash_band_keys(sigs, id_col, num_perm, bands)
+    nn = _bucket_edges(new_banded, id_col, edge_mode, max_bucket)
+    new_side = new_banded
+    if edge_mode == "star":
+        new_side = new_banded.groupBy("band", "key").agg(
+            F.min(id_col).alias(id_col))
+    hit = new_side.select("band", "key").distinct()
+    old_hit = old_banded.join(hit, ["band", "key"], "left_semi")
+    if max_bucket is not None:
+        sizes = old_hit.groupBy("band", "key").agg(
+            F.count(F.lit(1)).alias("_m"))
+        old_hit = old_hit.join(
+            sizes.filter(F.col("_m") <= max_bucket).select("band", "key"),
+            ["band", "key"], "left_semi")
+    o = F.col(f"o.{id_col}")
+    nw = F.col(f"nw.{id_col}")
+    on_edges = (old_hit.alias("o")
+                .join(new_side.alias("nw"), ["band", "key"])
+                .filter(o != nw)
+                .select(F.least(o, nw).alias("id_a"),
+                        F.greatest(o, nw).alias("id_b"), "band")
+                .groupBy("id_a", "id_b")
+                .agg(F.count_distinct("band").cast("long").alias("n_bands")))
+    return nn.unionByName(on_edges)
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16,

@@ -226,3 +226,27 @@ def matrix_stats(df: DataFrame, cols: Sequence[str], dp: int = 6) -> DataFrame:
             for i, (a, b) in enumerate(pairs)]
     return df.sparkSession.createDataFrame(
         data, "field_x string, field_y string, n long, corr double")
+
+
+def adjacency_matrix(df: DataFrame, filters) -> DataFrame:
+    """ES ``adjacency_matrix`` agg: named filter intersections — one row
+    per unordered filter pair ``key_x <= key_y`` with the count of docs
+    matching BOTH (diagonal rows are the per-filter counts); empty
+    intersections are omitted, matching ES's bucket list.
+
+    ONE scan: each row maps to the array of filter names it matches, then
+    the pair expansion explodes only that matched subset — |matched|² rows
+    per doc, bounded by the filter count (ES caps at 100), never one scan
+    per pair and never a row-level self-join.
+    """
+    names = list(filters)
+    if not names or len(set(names)) != len(names):
+        raise ValueError("need distinct filter names")
+    matched = F.array_compact(F.array(
+        *[F.when(c, F.lit(n)) for n, c in filters.items()]))
+    return (df.select(matched.alias("ks"))
+            .select(F.explode("ks").alias("key_x"), "ks")
+            .select("key_x", F.explode("ks").alias("key_y"))
+            .filter(F.col("key_x") <= F.col("key_y"))
+            .groupBy("key_x", "key_y")
+            .agg(F.count(F.lit(1)).cast("long").alias("doc_count")))

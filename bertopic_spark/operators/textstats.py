@@ -512,3 +512,51 @@ def langid_ngram(df: DataFrame, text_col: str = "text",
             .filter(F.col("rn") == 1)
             .select(F.col(id_col), F.col("label").alias(f"pred_{label_col}"),
                     F.round("score", 6).alias("score")))
+
+
+def vocab_kl_drift(corpus_a: DataFrame, corpus_b: DataFrame,
+                   text_col: str = "text", mode: str = "ascii_code",
+                   k: int = 100) -> DataFrame:
+    """Unigram-distribution drift between two corpus snapshots — the
+    pipeline-monitoring relation that catches a crawl/source shift before
+    it reaches training: per-term KL(P||Q) contribution with add-one
+    (Laplace) smoothing over the UNION vocabulary, top-``k`` terms by
+    contribution (the terms that drifted most toward snapshot A).
+
+    P = smoothed unigram dist of ``corpus_a``, Q of ``corpus_b``:
+    p_t = (cnt_a(t) + 1) / (N_a + V); contribution_t = p_t * ln(p_t / q_t);
+    Σ over the union vocab = KL(P||Q) ≥ 0. Deterministic tie-break
+    (contribution desc, term asc).
+
+    Physical shape: one tokenize + term-level agg per snapshot (two-phase,
+    map-side partial), a term-keyed full outer join at VOCABULARY
+    cardinality (not corpus), two 1-row total aggs broadcast as literals
+    via a cross join of a 1-row relation — no driver collect of anything
+    row-count-sized, so 100 TB snapshots reduce to |vocab| rows before any
+    wide operation.
+    """
+    ta = (with_tokens(corpus_a.select(text_col), text_col, mode)
+          .select(F.explode("tokens").alias("term"))
+          .groupBy("term").agg(F.count(F.lit(1)).alias("cnt_a")))
+    tb = (with_tokens(corpus_b.select(text_col), text_col, mode)
+          .select(F.explode("tokens").alias("term"))
+          .groupBy("term").agg(F.count(F.lit(1)).alias("cnt_b")))
+    u = (ta.join(tb, "term", "full_outer")
+         .select("term",
+                 F.coalesce("cnt_a", F.lit(0)).alias("cnt_a"),
+                 F.coalesce("cnt_b", F.lit(0)).alias("cnt_b")))
+    tot = u.agg(F.sum("cnt_a").alias("n_a"), F.sum("cnt_b").alias("n_b"),
+                F.count(F.lit(1)).alias("v"))
+    p = (F.col("cnt_a") + 1.0) / (F.col("n_a") + F.col("v"))
+    q = (F.col("cnt_b") + 1.0) / (F.col("n_b") + F.col("v"))
+    scored = (u.crossJoin(F.broadcast(tot))
+              .select("term", "cnt_a", "cnt_b",
+                      (p * F.log(p / q)).alias("contribution")))
+    from pyspark.sql import Window
+    w = Window.orderBy(F.desc("contribution"), F.asc("term"))
+    # global top-k over vocab-sized input: Spark plans WindowGroupLimit /
+    # TakeOrderedAndProject here, a per-partition k-prune then k-merge.
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("term", "cnt_a", "cnt_b", "contribution",
+                    F.col("rn").cast("long").alias("rn")))

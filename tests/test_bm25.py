@@ -456,3 +456,39 @@ def test_common_terms_candidates_and_fallback(spark):
     plain = bm25_topk(scores, q2, 10)
     assert sorted((r["doc_id"], r["rank"]) for r in fb.collect()) == \
         sorted((r["doc_id"], r["rank"]) for r in plain.collect())
+
+
+def test_rank_eval_hand_values(spark):
+    from pyspark.sql import functions as F
+    from bertopic_spark.operators.bm25 import rank_eval
+
+    # q0: ranked [10, 11, 12]; 10 and 12 relevant (grades 2, 1), one judged
+    # relevant doc (13, grade 3) missed entirely. q1: nothing relevant.
+    hits = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3),
+         (1, 20, 1), (1, 21, 2)],
+        "query_id long, doc_id long, rank int")
+    judg = spark.createDataFrame(
+        [(0, 10, 2.0), (0, 12, 1.0), (0, 13, 3.0)],
+        "query_id long, doc_id long, grade double")
+    out = {r["query_id"]: r for r in rank_eval(hits, judg, k=3).collect()}
+    import math
+    r0 = out[0]
+    assert abs(r0["p_at_k"] - 2 / 3) < 1e-12
+    assert abs(r0["recall_at_k"] - 2 / 3) < 1e-12
+    assert abs(r0["mrr"] - 1.0) < 1e-12
+    dcg = (2**2 - 1) / math.log2(2) + 0.0 + (2**1 - 1) / math.log2(4)
+    idcg = (2**3 - 1) / math.log2(2) + (2**2 - 1) / math.log2(3) \
+        + (2**1 - 1) / math.log2(4)
+    assert abs(r0["dcg_at_k"] - dcg) < 1e-12
+    assert abs(r0["ndcg_at_k"] - dcg / idcg) < 1e-12
+    r1 = out[1]
+    assert r1["p_at_k"] == 0.0 and r1["recall_at_k"] == 0.0
+    assert r1["mrr"] == 0.0 and r1["ndcg_at_k"] == 0.0
+    # perfect ranking of the full judged set scores NDCG = 1
+    ph = spark.createDataFrame(
+        [(0, 13, 1), (0, 10, 2), (0, 12, 3)],
+        "query_id long, doc_id long, rank int")
+    perfect = rank_eval(ph, judg, k=3).collect()[0]
+    assert abs(perfect["ndcg_at_k"] - 1.0) < 1e-12
+    assert abs(perfect["recall_at_k"] - 1.0) < 1e-12

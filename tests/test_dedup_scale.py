@@ -430,3 +430,57 @@ def test_cosine_topk_prefilter_semantics(spark):
         filt.explain("formatted")
     assert "label" in [s for s in buf.getvalue().splitlines()
                        if "PushedFilters" in s and "In(label" in s][0]
+
+
+def test_minhash_incremental_equals_full_touching_new(dup_cluster_df):
+    """Incremental candidate generation (persisted band-key state + new
+    batch) emits EXACTLY the full rebuild's pairs that touch the new
+    batch — all-pairs mode, including n_bands multiplicities."""
+    from bertopic_spark.operators.dedup import (
+        minhash_band_keys, minhash_incremental_pairs, minhash_lsh_pairs,
+        minhash_signatures)
+
+    kw = dict(num_perm=8, bands=4)
+    old = dup_cluster_df.filter(F.col("doc_id") % 3 != 0)
+    new = dup_cluster_df.filter(F.col("doc_id") % 3 == 0)
+    ob = minhash_band_keys(
+        minhash_signatures(old, "text", "doc_id", 8, 42, 2), "doc_id", 8, 4)
+    inc = {(r["id_a"], r["id_b"], r["n_bands"]) for r in
+           minhash_incremental_pairs(ob, new, "text", "doc_id", **kw).collect()}
+    full = {(r["id_a"], r["id_b"], r["n_bands"]) for r in
+            minhash_lsh_pairs(dup_cluster_df, "text", "doc_id", **kw).collect()
+            if r["id_a"] % 3 == 0 or r["id_b"] % 3 == 0}
+    assert inc == full and inc
+
+
+def test_minhash_incremental_star_components_and_linearity(dup_cluster_df):
+    """Star mode: old×new edges go through one min-id representative per
+    bucket (linear in bucket size), and union(prior-generation edges,
+    incremental edges) has the same connected components as a full
+    rebuild over the whole corpus."""
+    from bertopic_spark.operators.dedup import (
+        minhash_band_keys, minhash_incremental_pairs, minhash_lsh_pairs,
+        minhash_signatures)
+
+    kw = dict(num_perm=8, bands=4)
+    old = dup_cluster_df.filter(F.col("doc_id") % 3 != 0)
+    new = dup_cluster_df.filter(F.col("doc_id") % 3 == 0)
+    ob = minhash_band_keys(
+        minhash_signatures(old, "text", "doc_id", 8, 42, 2), "doc_id", 8, 4)
+    inc = [(r["id_a"], r["id_b"]) for r in
+           minhash_incremental_pairs(ob, new, "text", "doc_id",
+                                     edge_mode="star", **kw).collect()]
+    # dup cluster: 14 new members (0,3..39 step 3), 26 old; old×new edges
+    # inside the cluster all route through the new rep (doc 0) — 26 edges,
+    # not 26×14
+    cl_on = [e for e in inc if e[0] < 40 and e[1] < 40 and
+             (e[0] % 3 != 0 or e[1] % 3 != 0)]
+    assert len([e for e in cl_on if e[0] == 0 or e[1] == 0]) == len(cl_on)
+    prior = [(r["id_a"], r["id_b"]) for r in
+             minhash_lsh_pairs(old, "text", "doc_id",
+                               edge_mode="star", **kw).collect()]
+    full = [(r["id_a"], r["id_b"]) for r in
+            minhash_lsh_pairs(dup_cluster_df, "text", "doc_id", **kw).collect()]
+    nodes = {n for e in full for n in e}
+    union_edges = [e for e in prior + inc if e[0] in nodes and e[1] in nodes]
+    assert _components(nodes, union_edges) == _components(nodes, full)
