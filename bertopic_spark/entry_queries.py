@@ -5467,6 +5467,57 @@ def _sql_matrix_stats() -> str:
     return " UNION ALL ".join(parts)
 
 
+def q_extended_stats(spark, sf_dir):
+    """ES extended_stats agg (operators/rollup.extended_stats): per
+    event_type moment stats from shard-mergeable sums, one two-phase
+    agg."""
+    from bertopic_spark.operators.rollup import extended_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return extended_stats(ev, "value", ["event_type"])
+
+
+SQL_EXTENDED_STATS = """SELECT event_type,
+  CAST(count(value) AS BIGINT) AS n,
+  round(min(value), 6) AS min_v, round(max(value), 6) AS max_v,
+  round(sum(value), 6) AS sum_v, round(sum(value) / count(value), 6) AS avg_v,
+  round(sum(value * value), 6) AS sum_sq,
+  round(sum(value * value) / count(value)
+        - (sum(value) / count(value)) * (sum(value) / count(value)), 6)
+        AS variance,
+  round(sqrt(sum(value * value) / count(value)
+        - (sum(value) / count(value)) * (sum(value) / count(value))), 6)
+        AS std_dev
+FROM events GROUP BY event_type"""
+
+
+SN_INC, SN_EXC, SN_PRE, SN_POST = "join", "hash", 2, 2
+
+
+def q_span_not_match(spark, sf_dir):
+    """Lucene SpanNot / ES span_not (operators/fulltext.span_not_match):
+    '{inc}' occurrences with no '{exc}' within {pre} tokens before or
+    {post} after; one scan, nested array HOFs, no positional self-join."""
+    from bertopic_spark.operators.fulltext import span_not_match
+
+    return span_not_match(_docs(spark, sf_dir), SN_INC, SN_EXC,
+                          SN_PRE, SN_POST, "text", "doc_id", MODE)
+
+
+def _sql_span_not() -> str:
+    return f"""WITH
+tk AS (SELECT doc_id, {duckdb_tokens_sql('text', MODE)} AS ts FROM documents),
+p AS (SELECT doc_id, unnest(ts) AS term, unnest(range(len(ts))) AS pos FROM tk),
+a AS (SELECT doc_id, pos FROM p WHERE term = '{SN_INC}'),
+b AS (SELECT doc_id, pos FROM p WHERE term = '{SN_EXC}'),
+kept AS (SELECT a.doc_id, a.pos FROM a
+         WHERE NOT EXISTS (SELECT 1 FROM b
+                           WHERE b.doc_id = a.doc_id
+                           AND b.pos BETWEEN a.pos - {SN_PRE}
+                                         AND a.pos + {SN_POST}))
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept FROM kept GROUP BY doc_id"""
+
+
 def q_minhash_incremental(spark, sf_dir):
     """O(delta) incremental near-dup (operators/dedup.
     minhash_incremental_pairs): docs with doc_id % 3 == 0 arrive as the
@@ -5807,4 +5858,6 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "adjacency_matrix": (q_adjacency_matrix, _sql_adjacency()),
     "vocab_kl_drift": (q_vocab_kl_drift, _sql_vocab_kl_drift()),
     "dedup_minhash_incremental": (q_minhash_incremental, _sql_minhash_incremental()),
+    "span_not_match": (q_span_not_match, _sql_span_not()),
+    "extended_stats_events": (q_extended_stats, SQL_EXTENDED_STATS),
 }

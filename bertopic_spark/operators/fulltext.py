@@ -1257,3 +1257,71 @@ def phrase_prefix_match(df: DataFrame, phrase: str, text_col: str = "text",
                        F.size(_bound(F.col("tokens"), starts))
                        .cast("long").alias("n_matches"))
             .filter(F.col("n_matches") > 0))
+
+
+def span_not_match(df: DataFrame, include: str, exclude: str,
+                   pre: int = 0, post: int = 0, text_col: str = "text",
+                   id_col: str = "doc_id", mode: str = "ascii_code") -> DataFrame:
+    """Lucene ``SpanNotQuery`` / ES ``span_not``: occurrences of
+    ``include`` that have NO occurrence of ``exclude`` within ``pre``
+    tokens before through ``post`` tokens after — (id, n_kept) for docs
+    with >= 1 surviving occurrence. The negative-context filter ("match
+    'virus' but not near 'computer'") that completes the span family
+    (span_near ordered, proximity unordered).
+
+    Scan path: one corpus pass; position extraction and the per-occurrence
+    veto run as nested array HOFs inside WholeStageCodegen — no shuffle,
+    no UDF, no positional self-join. Both position lists are bound once
+    per row (struct-bound lambda vars, not re-derived per check).
+    """
+    inc, exc = str(include), str(exclude)
+    if inc == exc:
+        raise ValueError("include and exclude must differ")
+    if pre < 0 or post < 0:
+        raise ValueError("pre/post must be >= 0")
+
+    def positions(tk):
+        idx = F.when(F.size(tk) > 0, F.sequence(F.lit(0), F.size(tk) - 1)
+                     ).otherwise(F.array().cast("array<int>"))
+        return F.struct(
+            F.filter(idx, lambda i: F.get(tk, i) == F.lit(inc)).alias("pa"),
+            F.filter(idx, lambda i: F.get(tk, i) == F.lit(exc)).alias("pb"))
+
+    def n_kept(s):
+        return F.size(F.filter(
+            s["pa"], lambda a: ~F.exists(
+                s["pb"], lambda b: (b >= a - F.lit(pre)) &
+                                   (b <= a + F.lit(post)))))
+
+    out = with_tokens(df.select(id_col, text_col), text_col, mode)
+    return (out.select(F.col(id_col),
+                       _bound(_bound(F.col("tokens"), positions), n_kept)
+                       .cast("long").alias("n_kept"))
+            .filter(F.col("n_kept") > 0))
+
+
+def span_not_match_postings(positions: DataFrame, include: str, exclude: str,
+                            pre: int = 0, post: int = 0,
+                            id_col: str = "doc_id") -> DataFrame:
+    """Indexed ``span_not`` over a (id, term, pos) relation: postings
+    pruned to the two terms (pushed to the scan on a materialized source),
+    one groupBy(id) collecting both position lists, then the same
+    per-occurrence veto as the scan path. Docs containing the include
+    term only never carry exclude rows — their veto list is empty."""
+    inc, exc = str(include), str(exclude)
+    if inc == exc:
+        raise ValueError("include and exclude must differ")
+    if pre < 0 or post < 0:
+        raise ValueError("pre/post must be >= 0")
+    pruned = positions.filter(F.col("term").isin([inc, exc]))
+    per = pruned.groupBy(id_col).agg(
+        F.sort_array(F.collect_list(
+            F.when(F.col("term") == inc, F.col("pos").cast("int")))).alias("pa"),
+        F.sort_array(F.collect_list(
+            F.when(F.col("term") == exc, F.col("pos").cast("int")))).alias("pb"))
+    kept = F.size(F.filter(
+        F.col("pa"), lambda a: ~F.exists(
+            F.col("pb"), lambda b: (b >= a - F.lit(pre)) &
+                                   (b <= a + F.lit(post)))))
+    return (per.select(F.col(id_col), kept.cast("long").alias("n_kept"))
+            .filter(F.col("n_kept") > 0))

@@ -250,3 +250,27 @@ def adjacency_matrix(df: DataFrame, filters) -> DataFrame:
             .filter(F.col("key_x") <= F.col("key_y"))
             .groupBy("key_x", "key_y")
             .agg(F.count(F.lit(1)).cast("long").alias("doc_count")))
+
+
+def extended_stats(df: DataFrame, value_col: str, keys: Sequence[str],
+                   dp: int = 6) -> DataFrame:
+    """ES ``extended_stats`` agg: per-bucket count / min / max / sum /
+    avg / sum_of_squares / variance / std_deviation (population, ES
+    default). Derived moments use the explicit shard-mergeable sums
+    (variance = sos/n − (sum/n)², exactly how ES merges per-shard
+    running sums) rather than engine-native var_pop — formula-identical
+    across engines, one two-phase hash agg, no window."""
+    n = F.count(value_col)
+    s = F.sum(value_col)
+    sos = F.sum(F.col(value_col) * F.col(value_col))
+    var = sos / n - (s / n) * (s / n)
+    return df.groupBy(*keys).agg(
+        n.cast("long").alias("n"),
+        F.round(F.min(value_col), dp).alias("min_v"),
+        F.round(F.max(value_col), dp).alias("max_v"),
+        F.round(s, dp).alias("sum_v"),
+        F.round(s / n, dp).alias("avg_v"),
+        F.round(sos, dp).alias("sum_sq"),
+        F.round(var, dp).alias("variance"),
+        F.round(F.sqrt(var), dp).alias("std_dev"),
+    )

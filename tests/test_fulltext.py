@@ -832,3 +832,29 @@ def test_term_vectors_fixture_nonempty(spark, docs):
     # tf equals the number of listed positions on every row
     assert all(r.tf == len(r.positions.split(",")) for r in rows)
     assert all(r.ttf >= r.tf and r.df >= 1 for r in rows)
+
+
+def test_span_not_scan_postings_parity_and_hand_case(spark):
+    from pyspark.sql import functions as F
+    from bertopic_spark.operators.fulltext import (
+        doc_term_positions, span_not_match, span_not_match_postings)
+
+    docs = spark.createDataFrame(
+        [(1, "alpha virus beta gamma"),          # no computer: kept
+         (2, "computer virus detected"),          # adjacent: vetoed
+         (3, "virus one two computer virus"),     # 1st kept (pre=1,post=1), 2nd vetoed
+         (4, "computer only here"),               # no include
+         (5, "virus xx computer yy virus")],      # both survive at pre=post=1
+        "doc_id long, text string")
+    scan = span_not_match(docs, "virus", "computer", pre=1, post=1)
+    got = {(r["doc_id"], r["n_kept"]) for r in scan.collect()}
+    assert got == {(1, 1), (3, 1), (5, 2)}
+    pos = doc_term_positions(docs, "text", "doc_id")
+    post = span_not_match_postings(pos, "virus", "computer", pre=1, post=1)
+    assert {(r["doc_id"], r["n_kept"]) for r in post.collect()} == got
+    # pre/post asymmetry: exclude 2 BEFORE kills only with pre >= 2
+    one = spark.createDataFrame([(9, "computer aa virus")],
+                                "doc_id long, text string")
+    assert span_not_match(one, "virus", "computer", pre=2, post=0).count() == 0
+    assert span_not_match(one, "virus", "computer", pre=1, post=0).count() == 1
+    assert span_not_match(one, "virus", "computer", pre=0, post=9).count() == 1
