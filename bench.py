@@ -120,6 +120,10 @@ BENCH_QUERIES = [
     "ann_filtered_topk",
     "range_agg_values",
     "matrix_stats_corr",
+    # round-3 batch 4: negative-context spans, moment aggs, E-S sampling
+    "span_not_match",
+    "extended_stats_events",
+    "weighted_sample_wor",
 ]
 
 

@@ -5518,6 +5518,31 @@ kept AS (SELECT a.doc_id, a.pos FROM a
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept FROM kept GROUP BY doc_id"""
 
 
+WSAMPLE_N, WSAMPLE_SEED = 200, 42
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Efraimidis-Spirakis weighted sampling without replacement
+    (operators/distribution.weighted_sample_wor): proportional-to-weight
+    doc sampling via key = ln(u)/w top-n; compiles to
+    TakeOrderedAndProject — per-partition top-n, no full sort."""
+    from bertopic_spark.operators.distribution import weighted_sample_wor
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return weighted_sample_wor(docs, "n_chars", WSAMPLE_N,
+                               seed=WSAMPLE_SEED).select(
+        "doc_id", "lang", "source", "n_chars")
+
+
+def _sql_weighted_sample() -> str:
+    return f"""SELECT doc_id, lang, source, n_chars FROM documents
+WHERE n_chars > 0
+ORDER BY ln((CAST(concat('0x', substr(md5('{WSAMPLE_SEED}_' || CAST(doc_id AS VARCHAR)),
+                          1, 15)) AS BIGINT) + 1) / CAST({16 ** 15 + 1} AS DOUBLE))
+         / CAST(n_chars AS DOUBLE) DESC, doc_id
+LIMIT {WSAMPLE_N}"""
+
+
 def q_minhash_incremental(spark, sf_dir):
     """O(delta) incremental near-dup (operators/dedup.
     minhash_incremental_pairs): docs with doc_id % 3 == 0 arrive as the
@@ -5860,4 +5885,5 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "dedup_minhash_incremental": (q_minhash_incremental, _sql_minhash_incremental()),
     "span_not_match": (q_span_not_match, _sql_span_not()),
     "extended_stats_events": (q_extended_stats, SQL_EXTENDED_STATS),
+    "weighted_sample_wor": (q_weighted_sample, _sql_weighted_sample()),
 }

@@ -203,3 +203,38 @@ def stratified_sample(df: DataFrame, strat_col: str,
     for s, f in sorted(fractions.items()):
         frac = F.when(F.col(strat_col) == s, F.lit(float(f))).otherwise(frac)
     return df.filter(u < frac)
+
+
+def weighted_sample_wor(df: DataFrame, weight_col: str, n: int,
+                        id_col: str = "doc_id", seed: int = 42,
+                        by: Sequence[str] | None = None) -> DataFrame:
+    """Efraimidis-Spirakis weighted sampling WITHOUT replacement: each row
+    draws key = ln(u)/w (monotone in the classic u^(1/w)); the n largest
+    keys are the sample. Inclusion probability is proportional-to-weight
+    without replacement in one pass — the training-data-pipeline primitive
+    for 'sample 1M docs biased toward high quality-score'.
+
+    u is the md5-derived uniform in (0, 1] (same convention as
+    ``stratified_sample``, +1 offset so ln never sees 0), reproducible
+    bit-for-bit in DuckDB. Rows with weight <= 0 are excluded (zero mass),
+    matching the algorithm's w > 0 domain.
+
+    Scale path: the global form compiles to TakeOrderedAndProject —
+    per-partition top-n then a driver merge of n rows per partition, no
+    full sort, no shuffle. With ``by`` the top-n runs per group under one
+    hash shuffle on the group keys (row_number window).
+    """
+    if n <= 0:
+        raise ValueError("n must be > 0")
+    u = ((F.conv(F.substring(
+            F.md5(F.concat_ws("_", F.lit(seed), F.col(id_col).cast("string"))),
+            1, 15), 16, 10).cast("double") + F.lit(1.0))
+         / F.lit(float(16 ** 15 + 1)))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    pos = df.filter(F.col(weight_col) > 0).withColumn("_es_key", key)
+    if by:
+        w = Window.partitionBy(*by).orderBy(F.desc("_es_key"), F.col(id_col))
+        return (pos.withColumn("_r", F.row_number().over(w))
+                .filter(F.col("_r") <= n).drop("_es_key", "_r"))
+    return (pos.orderBy(F.desc("_es_key"), F.col(id_col))
+            .limit(n).drop("_es_key"))

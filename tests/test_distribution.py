@@ -149,3 +149,44 @@ def test_stratified_sample_deterministic_and_nested(spark):
     assert a <= b and len(a) < len(b)
     with _pytest.raises(ValueError):
         stratified_sample(docs, "lang", {"en": 1.5})
+
+
+def test_weighted_sample_wor(spark):
+    """Efraimidis-Spirakis properties: determinism, weight-domination,
+    zero-weight exclusion, per-group cap, and a python oracle replay."""
+    import hashlib
+
+    from bertopic_spark.operators.distribution import weighted_sample_wor
+
+    rows = [(i, "g" + str(i % 3), float(1 + (i * 7) % 50)) for i in range(200)]
+    rows.append((900, "g0", 0.0))       # zero weight: excluded
+    rows.append((901, "g1", -3.0))      # negative: excluded
+    df = spark.createDataFrame(rows, "doc_id long, grp string, w double")
+
+    got = weighted_sample_wor(df, "w", 20, seed=7)
+    ids = [r.doc_id for r in got.collect()]
+    assert len(ids) == 20 and 900 not in ids and 901 not in ids
+    # deterministic: second run identical
+    assert [r.doc_id for r in weighted_sample_wor(df, "w", 20, seed=7)
+            .collect()] == ids
+
+    # python oracle: same key formula, top-20
+    def key(i, w):
+        h = int(hashlib.md5(f"7_{i}".encode()).hexdigest()[:15], 16)
+        u = (h + 1) / float(16 ** 15 + 1)
+        return math.log(u) / w
+
+    exp = sorted(((key(i, w), i) for i, _, w in rows if w > 0),
+                 key=lambda t: (-t[0], t[1]))[:20]
+    assert sorted(ids) == sorted(i for _, i in exp)
+
+    # a huge-weight row is (effectively) always included
+    df2 = df.union(spark.createDataFrame([(999, "g2", 1e12)], df.schema))
+    assert 999 in [r.doc_id for r in
+                   weighted_sample_wor(df2, "w", 5, seed=7).collect()]
+
+    # per-group: exactly n rows per group, subset of that group's ranking
+    per = weighted_sample_wor(df, "w", 4, seed=7, by=["grp"])
+    counts = {r.grp: r.n for r in
+              per.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"g0": 4, "g1": 4, "g2": 4}
