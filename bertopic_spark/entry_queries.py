@@ -5518,6 +5518,53 @@ kept AS (SELECT a.doc_id, a.pos FROM a
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept FROM kept GROUP BY doc_id"""
 
 
+def q_explain_score(spark, sf_dir):
+    """ES _explain / Lucene Explanation (operators/bm25.explain_score):
+    per-term BM25 breakdown of each query's top-5 hits; term rows sum to
+    the hit's doc_score (the auditable rank-identity form). Breakdown
+    re-probes scores with hits AND query terms broadcast."""
+    from bertopic_spark.operators.bm25 import explain_score
+    from bertopic_spark.operators.ctfidf import ctfidf, term_stats
+    from bertopic_spark.operators.postings import doc_term_counts
+
+    qt = query_terms(queries_df(spark, DRIVER_QUERIES), MODE)
+    x = doc_term_counts(_docs(spark, sf_dir), "text", ["doc_id"], MODE,
+                        with_len=True).withColumnRenamed(
+        "doc_len", "class_len").persist()
+    stats = term_stats(x, ["doc_id"], bm25_weighting=True)
+    scores = ctfidf(x, ["doc_id"], bm25_weighting=True, stats=stats)
+    out = explain_score(scores, stats, qt, k=5)
+    return out.select(
+        "query_id", "doc_id", "rn", _r6(F.col("doc_score")).alias("doc_score"),
+        "term", "tf", "df", _r6(F.col("idf")).alias("idf"),
+        _r6(F.col("term_score")).alias("term_score"),
+        _r6(F.col("contribution")).alias("contribution"))
+
+
+def _sql_explain_score() -> str:
+    return f"""WITH {_TOKS}, {_XDOC}, {_scores_sql('xdoc', 'doc_id', True, False)},
+q(query_id, term) AS (VALUES {_query_term_values()}),
+hits AS (
+  SELECT q.query_id, s.doc_id, sum(s.score) AS doc_score
+  FROM q JOIN scores s USING (term) GROUP BY q.query_id, s.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, doc_score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY doc_score DESC, doc_id ASC) AS rn
+  FROM hits),
+top AS (SELECT * FROM ranked WHERE rn <= 5)
+SELECT CAST(t.query_id AS BIGINT) AS query_id, t.doc_id,
+       CAST(t.rn AS BIGINT) AS rn, round(t.doc_score, 6) AS doc_score,
+       s.term, x.tf, i.df, round(i.idf, 6) AS idf,
+       round(s.score, 6) AS term_score,
+       round(s.score / nullif(t.doc_score, 0), 6) AS contribution
+FROM top t
+JOIN q ON q.query_id = t.query_id
+JOIN scores s ON s.doc_id = t.doc_id AND s.term = q.term
+JOIN xdoc x ON x.doc_id = s.doc_id AND x.term = s.term
+JOIN idf i ON i.term = s.term"""
+
+
 WSAMPLE_N, WSAMPLE_SEED = 200, 42
 
 
@@ -5886,4 +5933,5 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "span_not_match": (q_span_not_match, _sql_span_not()),
     "extended_stats_events": (q_extended_stats, SQL_EXTENDED_STATS),
     "weighted_sample_wor": (q_weighted_sample, _sql_weighted_sample()),
+    "explain_score": (q_explain_score, _sql_explain_score()),
 }

@@ -1722,3 +1722,30 @@ def rank_eval(
                        F.col("dcg") / F.col("idcg"))
                 .otherwise(F.lit(0.0)).alias("ndcg_at_k"),
             ))
+
+
+def explain_score(scores: DataFrame, stats: DataFrame, qterms: DataFrame,
+                  k: int = 10, id_col: str = "doc_id") -> DataFrame:
+    """ES ``_explain`` / Lucene ``Explanation``: per-term score breakdown
+    for each query's top-k hits — (query_id, doc_id, rn, doc_score, term,
+    tf, df, idf, term_score, contribution). A hit's term rows sum exactly
+    to its doc_score (contribution sums to 1), which is the auditable
+    form of the engine's rank-identity claim.
+
+    Plan: the hits come from the same scoring shuffle as ``bm25_topk``;
+    the breakdown then re-probes the scores relation with the (small)
+    k x |queries| hit set and the query terms both broadcast, so the
+    second pass touches only postings of query terms for ranked docs.
+    ``stats`` is the term_stats relation — broadcast, never shuffled.
+    """
+    hits = bm25_topk(scores, qterms, k, id_col).withColumnRenamed(
+        "score", "doc_score").withColumnRenamed("rank", "rn")
+    detail = (scores.join(F.broadcast(qterms), "term")
+              .join(F.broadcast(hits), ["query_id", id_col])
+              .join(F.broadcast(stats.select("term", "df", "idf")), "term"))
+    return detail.select(
+        "query_id", id_col, F.col("rn").cast("long").alias("rn"),
+        "doc_score", "term", "tf", "df", "idf",
+        F.col("score").alias("term_score"),
+        (F.col("score") / F.nullif(F.col("doc_score"), F.lit(0.0)))
+        .alias("contribution"))

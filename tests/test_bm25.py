@@ -492,3 +492,38 @@ def test_rank_eval_hand_values(spark):
     perfect = rank_eval(ph, judg, k=3).collect()[0]
     assert abs(perfect["ndcg_at_k"] - 1.0) < 1e-12
     assert abs(perfect["recall_at_k"] - 1.0) < 1e-12
+
+
+def test_explain_score_invariants(spark, corpus_df, queries):
+    """ES _explain analog: per-term rows of each ranked hit sum exactly to
+    the hit's doc_score; contributions sum to 1; the explained hit set is
+    exactly bm25_topk's."""
+    from pyspark.sql import functions as F
+
+    from bertopic_spark.operators.bm25 import explain_score
+    from bertopic_spark.operators.ctfidf import ctfidf, term_stats
+    from bertopic_spark.operators.postings import doc_term_counts
+
+    x = doc_term_counts(corpus_df, "content", ["doc_id"], MODE,
+                        with_len=True).withColumnRenamed(
+        "doc_len", "class_len").cache()
+    stats = term_stats(x, ["doc_id"], bm25_weighting=True)
+    scores = ctfidf(x, ["doc_id"], bm25_weighting=True, stats=stats).cache()
+    qt = query_terms(queries_df(spark, queries), MODE)
+
+    exp = explain_score(scores, stats, qt, k=5).cache()
+    agg = (exp.groupBy("query_id", "doc_id", "rn", "doc_score")
+           .agg(F.sum("term_score").alias("s"),
+                F.sum("contribution").alias("c")).collect())
+    assert agg, "explain returned nothing"
+    for r in agg:
+        assert abs(r.s - r.doc_score) < 1e-9
+        assert abs(r.c - 1.0) < 1e-9
+
+    want = {(r.query_id, r.doc_id, r.rank) for r in
+            bm25_topk(scores, qt, k=5).collect()}
+    got = {(r.query_id, r.doc_id, r.rn) for r in
+           exp.select("query_id", "doc_id", "rn").distinct().collect()}
+    assert got == want
+    for h in (exp, scores, x):
+        h.unpersist()
