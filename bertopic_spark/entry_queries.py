@@ -5518,6 +5518,86 @@ kept AS (SELECT a.doc_id, a.pos FROM a
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept FROM kept GROUP BY doc_id"""
 
 
+def q_t_test(spark, sf_dir):
+    """ES t_test agg (Welch, operators/rollup.t_test_agg): per source,
+    t-statistic of n_chars between lang='en' and the rest — both sides'
+    moments from ONE conditional two-phase agg, no self-join."""
+    from bertopic_spark.operators.rollup import t_test_agg
+
+    docs = _docs(spark, sf_dir).withColumn("is_en", F.col("lang") == "en")
+    return t_test_agg(docs, "n_chars", "is_en", ["source"])
+
+
+SQL_T_TEST = """WITH s AS (
+  SELECT source, CAST(n_chars AS DOUBLE) AS v, (lang = 'en') AS a
+  FROM documents),
+m AS (
+  SELECT source,
+    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS DOUBLE) AS na,
+    CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS DOUBLE) AS nb,
+    sum(CASE WHEN a THEN v ELSE 0 END) AS sa,
+    sum(CASE WHEN NOT a THEN v ELSE 0 END) AS sb,
+    sum(CASE WHEN a THEN v * v ELSE 0 END) AS qa,
+    sum(CASE WHEN NOT a THEN v * v ELSE 0 END) AS qb
+  FROM s GROUP BY source)
+SELECT source, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+  round(sa / na, 6) AS mean_a, round(sb / nb, 6) AS mean_b,
+  round((qa - sa * sa / na) / (na - 1), 6) AS var_a,
+  round((qb - sb * sb / nb) / (nb - 1), 6) AS var_b,
+  round(CASE WHEN na >= 2 AND nb >= 2 THEN
+    (sa / na - sb / nb)
+    / sqrt((qa - sa * sa / na) / (na - 1) / na
+           + (qb - sb * sb / nb) / (nb - 1) / nb) END, 6) AS t_stat
+FROM m"""
+
+
+def q_mad(spark, sf_dir):
+    """ES median_absolute_deviation, exact (operators/rollup.
+    median_absolute_deviation): two dependent percentile aggs with the
+    per-group median broadcast back; no window over the fact table."""
+    from bertopic_spark.operators.rollup import median_absolute_deviation
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return median_absolute_deviation(ev, "value", ["event_type"])
+
+
+SQL_MAD = """WITH med AS (
+  SELECT event_type, quantile_cont(CAST(value AS DOUBLE), 0.5) AS m,
+         CAST(count(value) AS BIGINT) AS n
+  FROM events GROUP BY event_type)
+SELECT e.event_type, any_value(med.n) AS n, round(any_value(med.m), 6) AS median,
+       round(quantile_cont(abs(CAST(e.value AS DOUBLE) - med.m), 0.5), 6) AS mad
+FROM events e JOIN med USING (event_type)
+GROUP BY e.event_type"""
+
+
+def q_string_stats(spark, sf_dir):
+    """ES string_stats with show_distribution entropy (operators/rollup.
+    string_stats): per-lang length stats + Shannon entropy of the char
+    distribution; char explode collapses map-side to |buckets|x|charset|
+    shuffle keys."""
+    from bertopic_spark.operators.rollup import string_stats
+
+    return string_stats(_docs(spark, sf_dir), "text", ["lang"])
+
+
+SQL_STRING_STATS = """WITH st AS (
+  SELECT lang, CAST(count(text) AS BIGINT) AS n,
+         CAST(min(length(text)) AS BIGINT) AS min_length,
+         CAST(max(length(text)) AS BIGINT) AS max_length,
+         round(avg(length(text)), 6) AS avg_length
+  FROM documents GROUP BY lang),
+ex AS (SELECT lang, unnest(range(1, length(text) + 1)) AS i, text
+       FROM documents WHERE length(text) > 0),
+cc AS (SELECT lang, substr(text, i, 1) AS ch, CAST(count(*) AS DOUBLE) AS c
+       FROM ex GROUP BY lang, substr(text, i, 1)),
+pp AS (SELECT lang, c / sum(c) OVER (PARTITION BY lang) AS p FROM cc),
+en AS (SELECT lang, round(sum(-p * log2(p)), 6) AS entropy
+       FROM pp GROUP BY lang)
+SELECT st.lang, st.n, st.min_length, st.max_length, st.avg_length, en.entropy
+FROM st JOIN en USING (lang)"""
+
+
 def q_explain_score(spark, sf_dir):
     """ES _explain / Lucene Explanation (operators/bm25.explain_score):
     per-term BM25 breakdown of each query's top-5 hits; term rows sum to
@@ -5934,4 +6014,7 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "extended_stats_events": (q_extended_stats, SQL_EXTENDED_STATS),
     "weighted_sample_wor": (q_weighted_sample, _sql_weighted_sample()),
     "explain_score": (q_explain_score, _sql_explain_score()),
+    "t_test_en_vs_rest": (q_t_test, SQL_T_TEST),
+    "mad_event_values": (q_mad, SQL_MAD),
+    "string_stats_lang": (q_string_stats, SQL_STRING_STATS),
 }

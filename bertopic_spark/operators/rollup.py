@@ -274,3 +274,104 @@ def extended_stats(df: DataFrame, value_col: str, keys: Sequence[str],
         F.round(var, dp).alias("variance"),
         F.round(F.sqrt(var), dp).alias("std_dev"),
     )
+
+
+def t_test_agg(df: DataFrame, value_col: str, side_col: str,
+               keys: Sequence[str] | None = None, dp: int = 6) -> DataFrame:
+    """ES ``t_test`` agg (unpaired heteroscedastic = Welch, the ES
+    default): per bucket, the t-statistic between the rows where
+    ``side_col`` is true (population a) and false (population b).
+
+    Both populations' moments ride ONE two-phase hash agg via conditional
+    sums (never two scans, never a self-join); variance is the unbiased
+    sample form ES uses, derived from the shard-mergeable (n, sum, sum_sq)
+    triple exactly as ES merges per-shard running sums. Buckets where
+    either side has < 2 values return NULL t (ES returns null there).
+    """
+    keys = list(keys or [])
+    v = F.col(value_col).cast("double")
+    a, b = F.col(side_col).cast("boolean"), ~F.col(side_col).cast("boolean")
+
+    def side(cond, expr):
+        return F.sum(F.when(cond, expr).otherwise(F.lit(0.0)))
+
+    na = F.sum(F.when(a & v.isNotNull(), 1).otherwise(0)).cast("double")
+    nb = F.sum(F.when(b & v.isNotNull(), 1).otherwise(0)).cast("double")
+    sa, sb = side(a, v), side(b, v)
+    qa, qb = side(a, v * v), side(b, v * v)
+    # try_divide: one-sided / n<2 buckets yield NULL (ES returns null),
+    # never an ANSI divide-by-zero
+    ma, mb = F.try_divide(sa, na), F.try_divide(sb, nb)
+    va = F.try_divide(qa - F.try_divide(sa * sa, na), na - 1)
+    vb = F.try_divide(qb - F.try_divide(sb * sb, nb), nb - 1)
+    t = F.try_divide(ma - mb,
+                     F.sqrt(F.try_divide(va, na) + F.try_divide(vb, nb)))
+    out = df.groupBy(*keys).agg(
+        na.cast("long").alias("n_a"), nb.cast("long").alias("n_b"),
+        F.round(ma, dp).alias("mean_a"), F.round(mb, dp).alias("mean_b"),
+        F.round(va, dp).alias("var_a"), F.round(vb, dp).alias("var_b"),
+        F.round(F.when((na >= 2) & (nb >= 2), t), dp).alias("t_stat"))
+    return out
+
+
+def median_absolute_deviation(df: DataFrame, value_col: str,
+                              keys: Sequence[str] | None = None,
+                              dp: int = 6) -> DataFrame:
+    """ES ``median_absolute_deviation`` agg, computed EXACTLY (ES
+    approximates with a TDigest; exactness is what makes this
+    cross-engine gateable): MAD = median(|x - median(x)|) per bucket.
+
+    Inherently two dependent aggregation passes (the second median needs
+    the first); both are group-keyed exact ``percentile(0.5)`` aggs, the
+    per-group median table is broadcast back onto the fact relation, so
+    the plan is scan -> agg -> broadcast-join -> agg with no window over
+    the fact table and no driver collect.
+    """
+    keys = list(keys or [])
+    v = F.col(value_col).cast("double")
+    med = df.groupBy(*keys).agg(
+        F.percentile(v, F.lit(0.5)).alias("_med"),
+        F.count(v).cast("long").alias("n"))
+    joined = (df.join(F.broadcast(med), keys) if keys
+              else df.crossJoin(F.broadcast(med)))
+    dev = F.abs(v - F.col("_med"))
+    return (joined.groupBy(*(keys + ["_med", "n"]))
+            .agg(F.round(F.percentile(dev, F.lit(0.5)), dp).alias("mad"))
+            .select(*keys, "n", F.round(F.col("_med"), dp).alias("median"),
+                    "mad"))
+
+
+def string_stats(df: DataFrame, text_col: str,
+                 keys: Sequence[str] | None = None, dp: int = 6) -> DataFrame:
+    """ES ``string_stats`` agg with ``show_distribution``'s entropy: per
+    bucket count / min_length / max_length / avg_length plus the Shannon
+    entropy (bits) of the bucket's character distribution.
+
+    Scale path: the char explode is pipelined into a partial hash agg
+    inside the same task (explode rows never materialize beyond the
+    operator pipeline), so the shuffle carries only the partially-summed
+    ~|buckets| x |charset| keys no matter how big the corpus is. Entropy
+    then folds over that tiny per-bucket char relation (the window runs
+    on |buckets| x |charset| rows, never the fact table). Length stats
+    ride a separate scan-level agg on the unexploded relation and join
+    back broadcast at |buckets| width.
+    """
+    keys = list(keys or [])
+    t = F.col(text_col)
+    lens = df.groupBy(*keys).agg(
+        F.count(t).cast("long").alias("n"),
+        F.min(F.length(t)).cast("long").alias("min_length"),
+        F.max(F.length(t)).cast("long").alias("max_length"),
+        F.round(F.avg(F.length(t)), dp).alias("avg_length"))
+    chars = (df.filter(F.length(t) > 0)
+             .select(*keys, F.explode(F.split(t, "(?!^)")).alias("ch"))
+             # split(limit=-1) keeps one trailing "" per row — not a char
+             .filter(F.col("ch") != "")
+             .groupBy(*(keys + ["ch"]))
+             .agg(F.count(F.lit(1)).cast("double").alias("c")))
+    tot = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+    p = F.col("c") / F.sum("c").over(tot)
+    ent = (chars.withColumn("_h", -p * F.log2(p))
+           .groupBy(*keys).agg(F.round(F.sum("_h"), dp).alias("entropy")))
+    return (lens.join(F.broadcast(ent), keys) if keys
+            else lens.crossJoin(F.broadcast(ent)))

@@ -189,3 +189,65 @@ def test_matrix_stats_hand_checked(spark):
         matrix_stats(t, ["x"])
     with pytest.raises(ValueError):
         matrix_stats(t, ["x", "x"])
+
+
+def test_t_test_agg_welch(spark):
+    """Welch t vs a direct python computation; one-sided-degenerate
+    buckets return NULL t."""
+    import math
+
+    from bertopic_spark.operators.rollup import t_test_agg
+
+    a = [3.0, 5.0, 7.0, 9.0]
+    b = [2.0, 4.0, 4.5]
+    rows = ([("g", True, v) for v in a] + [("g", False, v) for v in b]
+            + [("solo", True, 1.0), ("solo", False, 2.0)])
+    df = spark.createDataFrame(rows, "k string, side boolean, v double")
+    got = {r.k: r for r in t_test_agg(df, "v", "side", ["k"]).collect()}
+
+    def welch(xs, ys):
+        nx, ny = len(xs), len(ys)
+        mx, my = sum(xs) / nx, sum(ys) / ny
+        vx = sum((x - mx) ** 2 for x in xs) / (nx - 1)
+        vy = sum((y - my) ** 2 for y in ys) / (ny - 1)
+        return (mx - my) / math.sqrt(vx / nx + vy / ny)
+
+    g = got["g"]
+    assert (g.n_a, g.n_b) == (4, 3)
+    assert abs(g.t_stat - round(welch(a, b), 6)) < 1e-9
+    assert abs(g.mean_a - 6.0) < 1e-9
+    assert got["solo"].t_stat is None  # n < 2 on both sides
+
+
+def test_median_absolute_deviation_exact(spark):
+    import statistics
+
+    from bertopic_spark.operators.rollup import median_absolute_deviation
+
+    vals = [1.0, 1.0, 2.0, 2.0, 4.0, 6.0, 9.0]
+    rows = [("g", v) for v in vals] + [("one", 5.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    got = {r.k: r for r in
+           median_absolute_deviation(df, "v", ["k"]).collect()}
+    m = statistics.median(vals)
+    mad = statistics.median(sorted(abs(v - m) for v in vals))
+    assert got["g"].median == round(m, 6) and got["g"].mad == round(mad, 6)
+    assert got["g"].n == len(vals)
+    assert got["one"].mad == 0.0 and got["one"].median == 5.0
+
+
+def test_string_stats_entropy(spark):
+    import math
+
+    from bertopic_spark.operators.rollup import string_stats
+
+    # bucket g: chars a:3 b:1 over two docs; empty doc counts for n only
+    df = spark.createDataFrame(
+        [("g", "aab"), ("g", "a"), ("g", ""), ("u", "zzzz")],
+        "k string, text string")
+    got = {r.k: r for r in string_stats(df, "text", ["k"]).collect()}
+    g = got["g"]
+    assert (g.n, g.min_length, g.max_length) == (3, 0, 3)
+    want = -(0.75 * math.log2(0.75) + 0.25 * math.log2(0.25))
+    assert abs(g.entropy - round(want, 6)) < 1e-9
+    assert got["u"].entropy == 0.0  # single-char distribution
