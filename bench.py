@@ -124,6 +124,17 @@ BENCH_QUERIES = [
     "span_not_match",
     "extended_stats_events",
     "weighted_sample_wor",
+    # round-3 batch 5: score auditing + moment/dispersion/string aggs
+    "explain_score",
+    "t_test_en_vs_rest",
+    "mad_event_values",
+    "string_stats_lang",
+    # round-3 batch 6: ES agg-family completion (exact rare tail, exact
+    # boxplot, bucketed top hits, diversified sampling)
+    "rare_terms_tail",
+    "boxplot_events",
+    "top_hits_per_type",
+    "diversified_sample_docs",
 ]
 
 

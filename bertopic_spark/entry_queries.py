@@ -5854,6 +5854,141 @@ FROM per p LEFT JOIN ideal i ON p.query_id = i.query_id
            LEFT JOIN nrel n ON p.query_id = n.query_id"""
 
 
+def q_rare_terms(spark, sf_dir):
+    """ES rare_terms agg (operators/rollup.rare_terms_agg): the long-tail
+    of token 3-shingles appearing in <= 2 documents — exact (one distinct
+    + one count, both two-phase aggs) where ES approximates with a
+    CuckooFilter. Shingles (not unigrams) because the fixture's unigram
+    vocabulary is closed — the 3-gram space is where a real tail lives
+    (non-emptiness asserted in pytest at every fixture SF)."""
+    from bertopic_spark.operators.dedup import shingles
+    from bertopic_spark.operators.rollup import rare_terms_agg
+
+    sh = shingles(_docs(spark, sf_dir), "text", "doc_id", n=3, mode=MODE)
+    return rare_terms_agg(sh, "shingle", "doc_id", max_doc_count=2)
+
+
+SQL_RARE_TERMS = f"""WITH
+tk AS (SELECT doc_id, {duckdb_tokens_sql('text', MODE)} AS ts FROM documents),
+sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+       FROM tk, unnest(generate_series(1, greatest(len(ts)-2, 0))) AS u(i))
+SELECT shingle, CAST(count(*) AS BIGINT) AS doc_count
+FROM sh GROUP BY shingle HAVING count(*) <= 2"""
+
+
+def q_boxplot(spark, sf_dir):
+    """ES boxplot agg, exact quartiles + IQR whisker fences
+    (operators/rollup.boxplot_agg): one two-phase agg per event_type."""
+    from bertopic_spark.operators.rollup import boxplot_agg
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return boxplot_agg(ev, "value", ["event_type"])
+
+
+SQL_BOXPLOT = """WITH a AS (
+  SELECT event_type, CAST(count(v) AS BIGINT) AS n,
+         round(min(v), 6) AS min,
+         round(quantile_cont(v, 0.25), 6) AS q1,
+         round(quantile_cont(v, 0.5), 6) AS q2,
+         round(quantile_cont(v, 0.75), 6) AS q3,
+         round(max(v), 6) AS max
+  FROM (SELECT event_type, CAST(value AS DOUBLE) AS v FROM events)
+  GROUP BY event_type)
+SELECT event_type, n, min, q1, q2, q3, max,
+  round(greatest(min, q1 - 1.5 * (q3 - q1)), 6) AS lower_fence,
+  round(least(max, q3 + 1.5 * (q3 - q1)), 6) AS upper_fence
+FROM a"""
+
+
+def q_top_hits(spark, sf_dir):
+    """ES top_hits sub-agg (operators/rollup.top_hits_agg): top-3 whole
+    rows per event_type by value; WindowGroupLimit keeps 3 rows per
+    bucket per partition before the exchange."""
+    from bertopic_spark.operators.rollup import top_hits_agg
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return top_hits_agg(ev, ["event_type"], "value", n=3,
+                        id_col="event_id").select(
+        "event_type", "event_id", "value", "hit_rank")
+
+
+SQL_TOP_HITS = """SELECT event_type, event_id, value, hit_rank FROM (
+  SELECT event_type, event_id, value,
+         CAST(row_number() OVER (PARTITION BY event_type
+              ORDER BY value DESC, event_id) AS INT) AS hit_rank
+  FROM events) WHERE hit_rank <= 3"""
+
+
+def q_multi_terms(spark, sf_dir):
+    """ES multi_terms agg (operators/rollup.multi_terms_agg): top-8
+    (lang, source) composite buckets by doc count, ES tie-break (count
+    desc, then key tuple asc)."""
+    from bertopic_spark.operators.rollup import multi_terms_agg
+
+    return multi_terms_agg(_docs(spark, sf_dir), ["lang", "source"], size=8)
+
+
+SQL_MULTI_TERMS = """SELECT * FROM (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS doc_count,
+         CAST(row_number() OVER (ORDER BY count(*) DESC, lang, source)
+              AS INT) AS bucket_rank
+  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+  GROUP BY lang, source) WHERE bucket_rank <= 8"""
+
+
+def q_serial_diff_norm(spark, sf_dir):
+    """ES serial_diff (lag=2) + normalize (rescale_0_1) pipeline aggs
+    (operators/rollup.serial_diff_normalize) over the hourly
+    date_histogram buckets; diff and rescale share one partitioning."""
+    from bertopic_spark.operators.rollup import serial_diff_normalize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    b = (ev.groupBy("event_type",
+                    F.date_trunc("hour", F.col("ts")).alias("h"))
+         .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    return serial_diff_normalize(b, "h", "n", keys=("event_type",), lag=2)
+
+
+SQL_SERIAL_DIFF_NORM = """WITH b AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2)
+SELECT event_type, h, n,
+  CAST(n AS DOUBLE) - lag(CAST(n AS DOUBLE), 2)
+      OVER (PARTITION BY event_type ORDER BY h) AS sdiff_n,
+  round(CASE WHEN max(CAST(n AS DOUBLE)) OVER (PARTITION BY event_type)
+             = min(CAST(n AS DOUBLE)) OVER (PARTITION BY event_type)
+        THEN 0.0
+        ELSE (CAST(n AS DOUBLE)
+              - min(CAST(n AS DOUBLE)) OVER (PARTITION BY event_type))
+             / (max(CAST(n AS DOUBLE)) OVER (PARTITION BY event_type)
+                - min(CAST(n AS DOUBLE)) OVER (PARTITION BY event_type))
+        END, 6) AS norm_n
+FROM b"""
+
+
+def q_diversified_sample(spark, sf_dir):
+    """ES diversified_sampler agg (operators/distribution.
+    diversified_sampler): md5-ordered sample of 20 docs with at most 5
+    per lang — deterministic where ES is shard-order dependent."""
+    from bertopic_spark.operators.distribution import diversified_sampler
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "source", "n_chars")
+    return diversified_sampler(d, "lang", n=20, max_docs_per_value=5,
+                               id_col="doc_id", seed=42)
+
+
+SQL_DIVERSIFIED_SAMPLE = """WITH u AS (
+  SELECT doc_id, lang, source, n_chars,
+         md5('42_' || CAST(doc_id AS VARCHAR)) AS _u
+  FROM documents),
+capped AS (
+  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY _u, doc_id) AS _r
+  FROM u)
+SELECT doc_id, lang, source, n_chars FROM capped
+WHERE _r <= 5 ORDER BY _u, doc_id LIMIT 20"""
+
+
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "approx_distribution": (q_approx_distribution, SQL_APPROX_DISTRIBUTION),
     "approx_distribution_tokens": (q_approx_distribution_tokens,
@@ -6017,4 +6152,10 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "t_test_en_vs_rest": (q_t_test, SQL_T_TEST),
     "mad_event_values": (q_mad, SQL_MAD),
     "string_stats_lang": (q_string_stats, SQL_STRING_STATS),
+    "rare_terms_tail": (q_rare_terms, SQL_RARE_TERMS),
+    "boxplot_events": (q_boxplot, SQL_BOXPLOT),
+    "top_hits_per_type": (q_top_hits, SQL_TOP_HITS),
+    "multi_terms_lang_source": (q_multi_terms, SQL_MULTI_TERMS),
+    "serial_diff_norm_hourly": (q_serial_diff_norm, SQL_SERIAL_DIFF_NORM),
+    "diversified_sample_docs": (q_diversified_sample, SQL_DIVERSIFIED_SAMPLE),
 }

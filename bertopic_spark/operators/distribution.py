@@ -238,3 +238,30 @@ def weighted_sample_wor(df: DataFrame, weight_col: str, n: int,
                 .filter(F.col("_r") <= n).drop("_es_key", "_r"))
     return (pos.orderBy(F.desc("_es_key"), F.col(id_col))
             .limit(n).drop("_es_key"))
+
+
+def diversified_sampler(df: DataFrame, dedup_col: str, n: int = 100,
+                        max_docs_per_value: int = 1,
+                        id_col: str = "doc_id", seed: int = 42) -> DataFrame:
+    """ES ``diversified_sampler`` agg: a sample of at most ``n`` rows in
+    which no ``dedup_col`` value contributes more than
+    ``max_docs_per_value`` rows — the de-bias front-end ES puts before
+    significant_terms so one dominant source can't swamp the analysis.
+
+    Deterministic where ES is shard-order dependent: rows are ranked by
+    the md5-derived uniform (same convention as ``stratified_sample``;
+    bit-reproducible in DuckDB), capped per dedup value by one grouped
+    window, then the global top-``n`` of survivors compiles to
+    TakeOrderedAndProject (per-partition top-n + driver merge of n rows
+    per partition — no full sort). One hash shuffle on ``dedup_col``
+    total; the dedup cap is why this can't be a pure filter.
+    """
+    if n <= 0 or max_docs_per_value <= 0:
+        raise ValueError("n and max_docs_per_value must be > 0")
+    u = F.md5(F.concat_ws("_", F.lit(seed), F.col(id_col).cast("string")))
+    w = Window.partitionBy(dedup_col).orderBy(u, F.col(id_col))
+    return (df.withColumn("_u", u)
+            .withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= max_docs_per_value)
+            .orderBy("_u", id_col).limit(n)
+            .drop("_u", "_r"))

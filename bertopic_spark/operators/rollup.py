@@ -375,3 +375,121 @@ def string_stats(df: DataFrame, text_col: str,
            .groupBy(*keys).agg(F.round(F.sum("_h"), dp).alias("entropy")))
     return (lens.join(F.broadcast(ent), keys) if keys
             else lens.crossJoin(F.broadcast(ent)))
+
+
+def rare_terms_agg(df: DataFrame, term_col: str, id_col: str,
+                   max_doc_count: int = 1,
+                   keys: Sequence[str] | None = None) -> DataFrame:
+    """ES ``rare_terms`` agg: the long-tail terms whose DOCUMENT count is
+    <= ``max_doc_count`` (ES caps it at 100; the knob means "show me what
+    the terms agg's top-N ordering structurally hides").
+
+    One distinct + one count per (keys, term) — both two-phase hash aggs.
+    ES implements this with a CuckooFilter false-positive pass because a
+    coordinator can't hold the tail; a shuffle CAN, and the exact form is
+    what makes the result gateable cross-engine. Scale note: the output
+    itself is tail-sized (can approach vocabulary size) — it's a relation
+    to keep distributed or write out, never a driver list.
+    """
+    keys = list(keys or [])
+    return (df.select(*keys, term_col, id_col).distinct()
+            .groupBy(*keys, term_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+            .filter(F.col("doc_count") <= int(max_doc_count)))
+
+
+def boxplot_agg(df: DataFrame, value_col: str,
+                keys: Sequence[str] | None = None, dp: int = 6) -> DataFrame:
+    """ES ``boxplot`` agg, exact: min / q1 / q2 / q3 / max plus the IQR
+    whisker fences (q1 - 1.5*IQR, q3 + 1.5*IQR, clamped to observed
+    min/max, which is how ES draws them). ES approximates the quartiles
+    with a TDigest; exact linear-interpolation percentiles are mergeable
+    in Spark's percentile agg and cross-engine reproducible (DuckDB
+    quantile_cont), so the gate compares values, not sketch internals.
+
+    One group-keyed agg — every statistic rides the same two-phase pass.
+    """
+    keys = list(keys or [])
+    v = F.col(value_col).cast("double")
+    q = lambda p: F.percentile(v, F.lit(p))
+    agg = df.groupBy(*keys).agg(
+        F.count(v).cast("long").alias("n"),
+        F.round(F.min(v), dp).alias("min"),
+        F.round(q(0.25), dp).alias("q1"),
+        F.round(q(0.5), dp).alias("q2"),
+        F.round(q(0.75), dp).alias("q3"),
+        F.round(F.max(v), dp).alias("max"))
+    iqr = F.col("q3") - F.col("q1")
+    return agg.select(
+        *keys, "n", "min", "q1", "q2", "q3", "max",
+        F.round(F.greatest(F.col("min"), F.col("q1") - 1.5 * iqr), dp)
+         .alias("lower_fence"),
+        F.round(F.least(F.col("max"), F.col("q3") + 1.5 * iqr), dp)
+         .alias("upper_fence"))
+
+
+def top_hits_agg(df: DataFrame, keys: Sequence[str], sort_col: str, n: int = 3,
+                 id_col: str = "event_id", desc: bool = True) -> DataFrame:
+    """ES ``top_hits`` sub-agg: the top-``n`` whole source rows per
+    bucket, ordered by ``sort_col`` (``id_col`` ascending breaks ties so
+    the result is deterministic — ES uses _shard/_doc order, which isn't).
+
+    One ranking window per bucket; Catalyst rewrites rank<=n into
+    WindowGroupLimit, so each partition retains n rows per bucket before
+    the exchange — the agg never materializes whole buckets.
+    """
+    s = F.col(sort_col)
+    w = Window.partitionBy(*keys).orderBy(
+        s.desc() if desc else s.asc(), F.col(id_col).asc())
+    return (df.withColumn("hit_rank", F.row_number().over(w))
+            .filter(F.col("hit_rank") <= int(n)))
+
+
+def multi_terms_agg(df: DataFrame, keys: Sequence[str], size: int = 10,
+                    min_doc_count: int = 1) -> DataFrame:
+    """ES ``multi_terms`` agg: composite-key buckets ordered by doc count
+    (desc, then the key tuple asc as ES tie-breaks), top ``size``.
+
+    NULL in any key drops the row (ES emits no bucket for missing
+    values). The global top-size over bucket rows compiles to
+    TakeOrderedAndProject when consumed with a limit — bucket cardinality
+    is the product of the key cardinalities, already agg-sized.
+    """
+    keys = list(keys)
+    out = df
+    for k in keys:
+        out = out.filter(F.col(k).isNotNull())
+    out = (out.groupBy(*keys)
+           .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+           .filter(F.col("doc_count") >= int(min_doc_count)))
+    w = Window.orderBy(F.desc("doc_count"), *[F.asc(k) for k in keys])
+    return (out.withColumn("bucket_rank", F.row_number().over(w))
+            .filter(F.col("bucket_rank") <= int(size)))
+
+
+def serial_diff_normalize(buckets: DataFrame, order_col: str, value_col: str,
+                          keys: Sequence[str] = (), lag: int = 1,
+                          dp: int = 6) -> DataFrame:
+    """ES ``serial_diff`` + ``normalize`` pipeline aggs over a bucket
+    relation: ``sdiff_<v>`` = value minus the value ``lag`` buckets back
+    (NULL for each series' first ``lag`` buckets, like ES), and
+    ``norm_<v>`` = rescale_0_1 within the series (ES normalize's default
+    method; constant series → 0.0, matching ES's divide-guard).
+
+    The diff rides one ordered window; the min/max for the rescale ride
+    the SAME partitioning without an ordering (no second exchange — the
+    planner reuses the hash partitioning and adds only the unsorted agg).
+    Consumes buckets, never raw rows (coordinator-side shape).
+    """
+    if lag < 1:
+        raise ValueError("lag must be >= 1")
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    wall = Window.partitionBy(*keys)
+    v = F.col(value_col).cast("double")
+    rng = F.max(v).over(wall) - F.min(v).over(wall)
+    return buckets.select(
+        *keys, order_col, value_col,
+        (v - F.lag(v, lag).over(w)).alias(f"sdiff_{value_col}"),
+        F.round(F.when(rng == 0, F.lit(0.0))
+                 .otherwise((v - F.min(v).over(wall)) / rng), dp)
+         .alias(f"norm_{value_col}"))

@@ -190,3 +190,32 @@ def test_weighted_sample_wor(spark):
     counts = {r.grp: r.n for r in
               per.groupBy("grp").agg(F.count("*").alias("n")).collect()}
     assert counts == {"g0": 4, "g1": 4, "g2": 4}
+
+
+def test_diversified_sampler(spark):
+    import hashlib
+
+    from bertopic_spark.operators.distribution import diversified_sampler
+
+    rows = [(i, "heavy" if i < 40 else f"tail{i}") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id int, lang string")
+    got = diversified_sampler(df, "lang", n=12, max_docs_per_value=3,
+                              id_col="doc_id", seed=42).collect()
+    assert len(got) == 12
+    langs = [r.lang for r in got]
+    assert langs.count("heavy") == 3  # cap binds on the dominant value
+    # deterministic replay: python md5 with the same key convention
+    u = {i: hashlib.md5(f"42_{i}".encode()).hexdigest() for i in range(50)}
+    per = {}
+    survivors = []
+    for i in sorted(range(50), key=lambda i: (u[i], i)):
+        lang = rows[i][1]
+        per[lang] = per.get(lang, 0) + 1
+        if per[lang] <= 3:
+            survivors.append(i)
+    expect = sorted(sorted(survivors, key=lambda i: (u[i], i))[:12])
+    assert sorted(r.doc_id for r in got) == expect
+    # second run identical (no RNG state)
+    again = diversified_sampler(df, "lang", n=12, max_docs_per_value=3,
+                                id_col="doc_id", seed=42).collect()
+    assert sorted(r.doc_id for r in again) == expect

@@ -251,3 +251,82 @@ def test_string_stats_entropy(spark):
     want = -(0.75 * math.log2(0.75) + 0.25 * math.log2(0.25))
     assert abs(g.entropy - round(want, 6)) < 1e-9
     assert got["u"].entropy == 0.0  # single-char distribution
+
+
+def test_rare_terms_agg(spark):
+    from bertopic_spark.operators.rollup import rare_terms_agg
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a"), (3, "a"), (2, "b"), (3, "c"),
+         (3, "c")],  # duplicate (3, c) must count once
+        "doc_id int, term string")
+    got = {r.term: r.doc_count for r in
+           rare_terms_agg(df, "term", "doc_id", max_doc_count=2).collect()}
+    assert got == {"b": 2, "c": 1}  # 'a' is in 3 docs -> excluded
+
+
+def test_rare_terms_gate_not_trivially_empty(spark):
+    """The gate relation must have a real tail at fixture scale (a 0-row
+    oracle match proves nothing)."""
+    from bertopic_spark.entry_queries import q_rare_terms
+
+    assert q_rare_terms(spark, "/root/testdata/sf0.001").limit(1).count() == 1
+
+
+def test_boxplot_agg_quartiles(spark):
+    import numpy as np
+
+    from bertopic_spark.operators.rollup import boxplot_agg
+
+    vals = [1.0, 2.0, 4.0, 7.0, 11.0, 16.0, 22.0, 100.0]
+    df = spark.createDataFrame([("g", v) for v in vals], "k string, v double")
+    r = boxplot_agg(df, "v", ["k"]).collect()[0]
+    q1, q2, q3 = (float(np.percentile(vals, p)) for p in (25, 50, 75))
+    assert (r.q1, r.q2, r.q3) == (round(q1, 6), round(q2, 6), round(q3, 6))
+    assert r.n == 8 and r.min == 1.0 and r.max == 100.0
+    iqr = q3 - q1
+    assert r.lower_fence == round(max(1.0, q1 - 1.5 * iqr), 6)
+    assert r.upper_fence == round(min(100.0, q3 + 1.5 * iqr), 6)
+
+
+def test_top_hits_agg(spark):
+    from bertopic_spark.operators.rollup import top_hits_agg
+
+    rows = [("a", 1, 5.0), ("a", 2, 9.0), ("a", 3, 9.0), ("a", 4, 1.0),
+            ("b", 5, 2.0)]
+    df = spark.createDataFrame(rows, "k string, event_id int, value double")
+    got = top_hits_agg(df, ["k"], "value", n=2, id_col="event_id").collect()
+    by_k = {}
+    for r in sorted(got, key=lambda r: (r.k, r.hit_rank)):
+        by_k.setdefault(r.k, []).append(r.event_id)
+    # tie at 9.0 broken by ascending event_id
+    assert by_k == {"a": [2, 3], "b": [5]}
+
+
+def test_multi_terms_agg(spark):
+    from bertopic_spark.operators.rollup import multi_terms_agg
+
+    rows = [("x", "p"), ("x", "p"), ("y", "p"), ("y", "q"), ("y", "q"),
+            (None, "p"), ("x", None)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = multi_terms_agg(df, ["a", "b"], size=2).collect()
+    got = sorted(got, key=lambda r: r.bucket_rank)
+    # NULL-key rows dropped; count desc then key-tuple asc tie-break
+    assert [(r.a, r.b, r.doc_count, r.bucket_rank) for r in got] == [
+        ("x", "p", 2, 1), ("y", "q", 2, 2)]
+
+
+def test_serial_diff_normalize(spark):
+    from bertopic_spark.operators.rollup import serial_diff_normalize
+
+    rows = [("s", 1, 10.0), ("s", 2, 14.0), ("s", 3, 12.0), ("s", 4, 20.0),
+            ("flat", 1, 5.0), ("flat", 2, 5.0)]
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    got = {(r.k, r.t): r for r in
+           serial_diff_normalize(df, "t", "v", keys=("k",), lag=2).collect()}
+    assert got[("s", 1)].sdiff_v is None and got[("s", 2)].sdiff_v is None
+    assert got[("s", 3)].sdiff_v == 2.0 and got[("s", 4)].sdiff_v == 6.0
+    assert got[("s", 1)].norm_v == 0.0 and got[("s", 4)].norm_v == 1.0
+    assert got[("s", 2)].norm_v == 0.4  # (14-10)/(20-10)
+    # constant series: ES divide-guard -> 0.0, not NULL/NaN
+    assert got[("flat", 1)].norm_v == 0.0 and got[("flat", 2)].norm_v == 0.0
