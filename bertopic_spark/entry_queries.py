@@ -2047,11 +2047,29 @@ def q_hierarchical_topics(spark, sf_dir):
     return hierarchical_topics(ctfidf(x, ["topic"]), "topic")
 
 
-def _sql_hierarchical(n_leaves: int = N_LANG_TOPICS) -> str:
-    """Unrolled single-linkage agglomeration in DuckDB: n_leaves−1 merge
-    steps, each = argmin pair (ties (d, a, b) asc) + min-rule distance
-    update + membership relabel. Distances round to 6dp before any
-    comparison, mirroring ``class_pair_distances``."""
+def q_hierarchy_level_topics(spark, sf_dir):
+    """Leaf→cluster assignment at EVERY cut level of the linkage tree —
+    the per-level topic sets behind the reference's
+    ``visualize_hierarchical_documents`` (`_bertopic.py:3080-3240`)."""
+    from bertopic_spark.operators.topics import hierarchical_topics
+    from bertopic_spark.operators.viz import hierarchy_level_assignments
+
+    d = _docs_with_topic(spark, sf_dir)
+    dt = doc_term_counts(d, "text", ["topic", "doc_id"], MODE)
+    x = class_term_counts(dt, ["topic"])
+    hier = hierarchical_topics(ctfidf(x, ["topic"]), "topic")
+    return hierarchy_level_assignments(
+        hier, N_LANG_TOPICS, range(1, N_LANG_TOPICS))
+
+
+def _sql_hier_cte(n_leaves: int = N_LANG_TOPICS) -> str:
+    """The WITH-chain of the unrolled single-linkage agglomeration:
+    n_leaves−1 merge steps, each = argmin pair (ties (d, a, b) asc) +
+    min-rule distance update + membership relabel (``mem{i}``). Distances
+    round to 6dp before any comparison, mirroring
+    ``class_pair_distances``. Shared by the linkage-tree oracle
+    (`_sql_hierarchical`) and the per-level assignment oracle
+    (`_sql_hierarchy_levels`)."""
     parts = [f"""WITH
 docs2 AS (SELECT doc_id, {_SQL_TOPIC_CASE} AS topic, text FROM documents),
 toks AS (SELECT doc_id, topic, unnest({duckdb_tokens_sql('text', MODE)}) AS term FROM docs2),
@@ -2089,6 +2107,12 @@ mem{i} AS (
   SELECT CASE WHEN m.cluster IN (m{i}.a, m{i}.b) THEN {nid} ELSE m.cluster END AS cluster,
          m.leaf
   FROM mem{i - 1} m, m{i})""")
+    return "".join(parts)
+
+
+def _sql_hierarchical(n_leaves: int = N_LANG_TOPICS) -> str:
+    """Linkage-tree relation from the shared merge chain: one row per
+    internal node, scipy convention."""
     outs = []
     for i in range(1, n_leaves):
         nid = n_leaves + i - 1
@@ -2098,8 +2122,21 @@ SELECT CAST({nid} AS BIGINT) AS parent_id, CAST(m{i}.a AS BIGINT) AS child_left,
        (SELECT string_agg(CAST(leaf AS VARCHAR), ',' ORDER BY leaf)
         FROM mem{i} WHERE cluster = {nid}) AS topics
 FROM m{i}""")
-    parts.append(" UNION ALL ".join(outs))
-    return "".join(parts)
+    return _sql_hier_cte(n_leaves) + " UNION ALL ".join(outs)
+
+
+def _sql_hierarchy_levels(n_leaves: int = N_LANG_TOPICS) -> str:
+    """Per-level leaf→cluster assignment straight off the merge chain's
+    ``mem{m}`` memberships: after m merges, each leaf labels with the MIN
+    leaf of its cluster (the same rule as
+    ``viz.hierarchy_level_assignments``)."""
+    outs = []
+    for m in range(1, n_leaves):
+        outs.append(f"""
+SELECT CAST({m} AS INTEGER) AS level, CAST(leaf AS BIGINT) AS leaf,
+       CAST(min(leaf) OVER (PARTITION BY cluster) AS BIGINT) AS topic_at_level
+FROM mem{m}""")
+    return _sql_hier_cte(n_leaves) + " UNION ALL ".join(outs)
 
 
 KB_DIM = 16
@@ -6050,6 +6087,8 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "evolution_tuned_over_time": (q_evolution_tuned_over_time, SQL_EVOLUTION_TUNED),
     "mmr_topk": (q_mmr_topk, _sql_mmr_topk()),
     "hierarchical_topics": (q_hierarchical_topics, _sql_hierarchical()),
+    "hierarchy_level_topics": (q_hierarchy_level_topics,
+                               _sql_hierarchy_levels()),
     "reduce_outliers_ctfidf": (q_reduce_outliers, SQL_REDUCE_OUTLIERS),
     "reduce_outliers_distributions": (q_reduce_outliers_dist, SQL_REDUCE_OUTLIERS_DIST),
     "keybert_topk": (q_keybert_topk, SQL_KEYBERT),

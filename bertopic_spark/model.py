@@ -244,6 +244,188 @@ class BERTopicSpark:
 
         return document_map_2d(embeddings, id_col, vec_col, seed)
 
+    # -- visualize_* parity layer -------------------------------------------
+    # The reference's 13 visualize_* methods each compute a data relation
+    # and hand it to plotly (presentation code, out of scope — SURVEY §0;
+    # plotly is also absent from this container). These methods keep the
+    # reference's CALL SHAPES and return that relation: everything the
+    # figure draws, none of the drawing. A caller with plotly renders the
+    # collected result with a few lines; at cluster scale the relation
+    # stays distributed until then.
+
+    def visualize_topics(self) -> DataFrame:
+        """(class, x, y, count, label) — the intertopic-distance map
+        (reference `_bertopic.py:2541-2594`; ``plotting/_topics.py`` draws
+        circles at (x, y) sized by count). Coordinates are the
+        deterministic classical-MDS ``topic_map_data``."""
+        coords = self.topic_map_data()
+        info = self.get_topic_info()
+        return coords.join(F.broadcast(info), self.class_cols, "left")
+
+    def visualize_heatmap(self) -> DataFrame:
+        """(class_a, class_b, sim) upper triangle — the topic-similarity
+        matrix behind ``visualize_heatmap`` (reference
+        `_bertopic.py:3301-3360`). Pairs sharing no term are absent
+        (cosine 0); the diagonal is identically 1."""
+        self._check_fitted()
+        if len(self.class_cols) != 1:
+            raise ValueError("visualize_heatmap needs a single class column")
+        from bertopic_spark.operators.topics import class_pair_distances
+
+        c = self.class_cols[0]
+        return class_pair_distances(self.scores_, c).select(
+            F.col("_ca").alias(f"{c}_a"), F.col("_cb").alias(f"{c}_b"),
+            (F.lit(1.0) - F.col("dist")).alias("sim"))
+
+    def visualize_barchart(self, top_n_topics: int | None = None,
+                           n_words: int = 5) -> DataFrame:
+        """(class..., rank, term, score) — the per-topic top-word bars
+        (reference `_bertopic.py:3362-3414`; ``plotting/_barchart.py``).
+        ``top_n_topics`` keeps only the largest topics by size."""
+        self._check_fitted()
+        out = top_k_terms(self.scores_, self.class_cols, n_words)
+        if top_n_topics is not None:
+            top = (self.get_topic_freq()
+                   .orderBy(F.desc("count"),
+                            *[F.asc(c) for c in self.class_cols])
+                   .limit(top_n_topics))
+            out = out.join(F.broadcast(top.select(*self.class_cols)),
+                           self.class_cols, "left_semi")
+        return out.select(*self.class_cols, "rank", "term", "score")
+
+    def visualize_term_rank(self, log_scale: bool = False) -> DataFrame:
+        """Alias of ``term_rank_data`` under the reference's name
+        (`_bertopic.py:2925-2986`)."""
+        return self.term_rank_data(log_scale=log_scale)
+
+    def visualize_hierarchy(self) -> DataFrame:
+        """The linkage-tree relation behind ``visualize_hierarchy``
+        (reference `_bertopic.py:3012-3078`; ``plotting/_hierarchy.py``
+        draws the dendrogram from exactly these scipy-convention rows)."""
+        return self.hierarchical_topics()
+
+    def visualize_documents(self, embeddings: DataFrame | None = None) -> DataFrame:
+        """(id, x, y, class..., label) — the document scatter behind
+        ``visualize_documents`` (reference `_bertopic.py:2596-2745`).
+        Coordinates are the seeded linear projection of the embedding
+        column (``document_map_data``); ``embeddings`` defaults to the
+        relation passed to ``fit``."""
+        self._check_fitted()
+        from bertopic_spark.operators.topics import topic_labels
+
+        emb = embeddings if embeddings is not None else self.embeddings_
+        if emb is None:
+            raise ValueError(
+                "visualize_documents needs an (id, vector) relation — pass "
+                "embeddings= here or to fit()")
+        coords = self.document_map_data(emb, self._id_col, self._vec_col)
+        labels = topic_labels(self.get_topics(), self.class_cols)
+        docs = self.doc_table_.select(self._id_col, *self.class_cols)
+        return (coords.join(docs, self._id_col)
+                .join(F.broadcast(labels), self.class_cols, "left"))
+
+    def visualize_document_datamap(self, embeddings: DataFrame | None = None) -> DataFrame:
+        """Same relation as ``visualize_documents`` — the reference's
+        datamapplot variant (`_bertopic.py:2747-2843`) draws from the same
+        (coords, topic, label) inputs."""
+        return self.visualize_documents(embeddings)
+
+    def visualize_hierarchical_documents(
+            self, nr_levels: int = 10,
+            embeddings: DataFrame | None = None) -> DataFrame:
+        """(id, x, y, level, topic) — the per-level document scatter behind
+        ``visualize_hierarchical_documents`` (reference
+        `_bertopic.py:3080-3240`): at each of ``nr_levels`` cuts of the
+        linkage tree, every doc carries the merged topic its fitted class
+        belongs to (labelled by the cluster's smallest class, see
+        ``operators.viz.hierarchy_level_assignments``). Levels are evenly
+        spaced merge counts over 1..k−1, mirroring the reference's evenly
+        spaced distance cuts."""
+        self._check_fitted()
+        if len(self.class_cols) != 1:
+            raise ValueError(
+                "visualize_hierarchical_documents needs a single class column")
+        from bertopic_spark.operators.viz import hierarchy_level_assignments
+
+        c = self.class_cols[0]
+        hier = self.hierarchical_topics()
+        classes = sorted(
+            r[0] for r in self.scores_.select(c).distinct().collect())
+        k = len(classes)
+        if k < 2:
+            raise ValueError("need at least 2 topics for a hierarchy")
+        levels = sorted({max(1, round(i * (k - 1) / nr_levels))
+                         for i in range(1, nr_levels + 1)})
+        assign = hierarchy_level_assignments(hier, k, levels)
+        spark = self.scores_.sparkSession
+        # leaf i = i-th smallest class value (hierarchical_topics numbering)
+        leafmap = spark.createDataFrame(
+            [(i, cv) for i, cv in enumerate(classes)],
+            ["leaf", "_cls"]).withColumn(
+                "_cls", F.col("_cls").cast(
+                    self.scores_.schema[c].dataType))
+        topicmap = leafmap.select(F.col("leaf").alias("topic_at_level"),
+                                  F.col("_cls").alias("topic"))
+        per_level = (assign.join(F.broadcast(leafmap), "leaf")
+                     .join(F.broadcast(topicmap), "topic_at_level")
+                     .select("level", F.col("_cls").alias(c), "topic"))
+        docs = self.doc_table_.select(self._id_col, c)
+        out = docs.join(F.broadcast(per_level), c).select(
+            self._id_col, "level", "topic")
+        emb = embeddings if embeddings is not None else self.embeddings_
+        if emb is not None:
+            coords = self.document_map_data(emb, self._id_col, self._vec_col)
+            out = out.join(coords, self._id_col)
+        return out
+
+    def visualize_topics_over_time(self, topics_over_time: DataFrame,
+                                   topics: Sequence | None = None,
+                                   top_n_topics: int | None = None) -> DataFrame:
+        """Filter the ``topics_over_time`` relation the way the reference
+        plot does (`_bertopic.py:2845-2923`): an explicit topic list, or
+        the ``top_n_topics`` largest by fitted size."""
+        self._check_fitted()
+        c = self.class_cols[0]
+        if topics is not None:
+            return topics_over_time.filter(F.col(c).isin(list(topics)))
+        if top_n_topics is not None:
+            top = (self.get_topic_freq()
+                   .orderBy(F.desc("count"), F.asc(c)).limit(top_n_topics))
+            return topics_over_time.join(
+                F.broadcast(top.select(c)), [c], "left_semi")
+        return topics_over_time
+
+    def visualize_topics_per_class(self, topics_per_class: DataFrame,
+                                   topics: Sequence | None = None,
+                                   top_n_topics: int | None = None) -> DataFrame:
+        """Filter the ``topics_per_class`` relation the way the reference
+        plot does (`_bertopic.py:2988-3010`)."""
+        return self.visualize_topics_over_time(
+            topics_per_class, topics, top_n_topics)
+
+    def visualize_distribution(self, probabilities: DataFrame,
+                               min_probability: float = 0.015) -> DataFrame:
+        """(id, class..., prob, label) — the per-doc probability bars
+        behind ``visualize_distribution`` (reference
+        `_bertopic.py:3242-3299`): the soft-assignment relation
+        (``transform_distribution`` output) thresholded at
+        ``min_probability``, labelled."""
+        self._check_fitted()
+        from bertopic_spark.operators.topics import topic_labels
+
+        labels = topic_labels(self.get_topics(), self.class_cols)
+        return (probabilities.filter(F.col("prob") >= min_probability)
+                .join(F.broadcast(labels), self.class_cols, "left"))
+
+    def visualize_approximate_distribution(
+            self, df: DataFrame | None = None, window: int = 4,
+            stride: int = 1, padding: bool = False) -> DataFrame:
+        """Token-level topic weights — the relation behind the reference's
+        token-highlight table (`_bertopic.py:3416-3472`), i.e.
+        ``approximate_distribution(calculate_tokens=True)``."""
+        return self.approximate_distribution(
+            df, window, stride, padding, calculate_tokens=True)
+
     # -- query surface -------------------------------------------------------
 
     def transform(self, df: DataFrame, text_col: str | None = None,

@@ -207,3 +207,47 @@ def document_map_2d(emb: DataFrame, id_col: str = "vec_id",
         F.round(F.sum(F.when(F.col("axis") == 1, F.col("val") * F.col("c"))),
                 round_to).alias("y"),
     )
+
+def hierarchy_level_assignments(hier: DataFrame, n_leaves: int,
+                                levels: Sequence[int]) -> DataFrame:
+    """(level, leaf, topic_at_level) — which merged cluster each leaf topic
+    belongs to after the first ``level`` merges of a linkage tree (the
+    per-level topic sets behind the reference's
+    ``visualize_hierarchical_documents``,
+    ``plotting/_hierarchical_documents.py:107-143`` driven from
+    ``_bertopic.py:3080-3240``; the reference walks the scipy linkage at
+    ``nr_levels`` distance cuts — a cut after m merges is the same set).
+
+    The cluster label is the MINIMUM leaf id of the containing cluster
+    (deterministic; the reference relabels per level from the tree the
+    same way in ``_create_hierarchical_documents``). Pure DataFrame ops
+    over the (parent_id, topics) linkage relation: explode the member
+    csv, keep merges applied at the level (parents are numbered
+    ``n_leaves .. n_leaves+m-1`` in merge order, scipy convention), take
+    each leaf's LATEST applied parent (containment is nested, so the max
+    parent_id is the current cluster), label it with the parent's min
+    member. Leaves never merged at that level map to themselves.
+    Everything is k-scale (k = topic count): broadcast-tiny at any corpus
+    size.
+    """
+    spark = hier.sparkSession
+    lv = spark.createDataFrame([(int(m),) for m in levels], "level int")
+    mem = hier.select(
+        "parent_id",
+        F.explode(F.split("topics", ",").cast("array<long>")).alias("leaf"),
+        # member csv is sorted ascending (single_linkage_merge) — element 1
+        # is the min leaf, the cluster's deterministic label
+        F.element_at(F.split("topics", ",").cast("array<long>"), 1)
+        .alias("rep"))
+    assigned = (
+        lv.crossJoin(mem)
+        .filter(F.col("parent_id") < F.lit(int(n_leaves)) + F.col("level"))
+        .groupBy("level", "leaf")
+        .agg(F.max_by("rep", "parent_id").alias("topic_at_level")))
+    leaves = spark.range(int(n_leaves)).select(F.col("id").alias("leaf"))
+    return (
+        lv.crossJoin(leaves)
+        .join(assigned, ["level", "leaf"], "left")
+        .select("level", "leaf",
+                F.coalesce("topic_at_level", F.col("leaf"))
+                .alias("topic_at_level")))
