@@ -6026,6 +6026,91 @@ SELECT doc_id, lang, source, n_chars FROM capped
 WHERE _r <= 5 ORDER BY _u, doc_id LIMIT 20"""
 
 
+# -- topic-quality evaluation (u_mass / NPMI coherence, diversity) ----------
+
+def _eval_topk(spark, sf_dir):
+    return top_k_terms(ctfidf(_cls_x(spark, sf_dir), ["lang"]), ["lang"], 10)
+
+
+def q_umass_coherence(spark, sf_dir):
+    """u_mass topic coherence per topic (Mimno 2011; gensim c_uMass) over
+    the fitted top-10 words — doc-frequency joins, no driver loop."""
+    from bertopic_spark.operators.evaluation import umass_coherence
+
+    return umass_coherence(_eval_topk(spark, sf_dir), _doc_x(spark, sf_dir),
+                           ["lang"])
+
+
+def q_npmi_coherence(spark, sf_dir):
+    """NPMI topic coherence per topic (Röder 2015 c_npmi, Bouma 2009)."""
+    from bertopic_spark.operators.evaluation import npmi_coherence
+
+    return npmi_coherence(_eval_topk(spark, sf_dir), _doc_x(spark, sf_dir),
+                          ["lang"])
+
+
+def q_topic_diversity(spark, sf_dir):
+    """Dieng 2020 topic diversity: unique fraction of pooled top words."""
+    from bertopic_spark.operators.evaluation import topic_diversity
+
+    return topic_diversity(_eval_topk(spark, sf_dir), ["lang"])
+
+
+_EVAL_TOPK_SQL = f"""{_TOKS},
+{_XCLS},
+{_scores_sql('xcls', 'lang', False, False)},
+ranked AS (
+  SELECT lang, term, row_number() OVER (PARTITION BY lang ORDER BY score DESC, term ASC) AS rn
+  FROM scores),
+topk AS (SELECT lang, rn AS rank, term FROM ranked WHERE rn <= 10),
+vocab AS (SELECT DISTINCT term FROM topk),
+inc AS (SELECT DISTINCT t.doc_id, t.term FROM toks t JOIN vocab v USING (term)),
+dfreq AS (SELECT term, count(*) AS d FROM inc GROUP BY term),
+co AS (SELECT a.term AS term_a, b.term AS term_b, count(*) AS d_ab
+       FROM inc a JOIN inc b ON a.doc_id = b.doc_id AND a.term < b.term
+       GROUP BY a.term, b.term)"""
+
+SQL_UMASS = f"""WITH {_EVAL_TOPK_SQL},
+pairs AS (
+  SELECT p.lang, p.term AS wi, q.term AS wj
+  FROM topk p JOIN topk q ON p.lang = q.lang AND p.rank > q.rank),
+scoredp AS (
+  SELECT pr.lang, ln((coalesce(c.d_ab, 0) + 1.0) / dj.d) AS s
+  FROM pairs pr
+  JOIN dfreq dj ON dj.term = pr.wj
+  LEFT JOIN co c ON c.term_a = least(pr.wi, pr.wj)
+              AND c.term_b = greatest(pr.wi, pr.wj))
+SELECT lang, round(avg(s), 6) AS coherence FROM scoredp GROUP BY lang"""
+
+SQL_NPMI = f"""WITH {_EVAL_TOPK_SQL},
+n AS (SELECT count(DISTINCT doc_id) AS nd FROM toks),
+pairs AS (
+  SELECT p.lang, p.term AS wi, q.term AS wj
+  FROM topk p JOIN topk q ON p.lang = q.lang AND p.rank < q.rank),
+scoredp AS (
+  SELECT pr.lang,
+         CASE
+           WHEN coalesce(c.d_ab, 0) = 0 THEN -1.0
+           WHEN c.d_ab = n.nd THEN 1.0
+           ELSE ln((c.d_ab / CAST(n.nd AS DOUBLE))
+                   / ((di.d / CAST(n.nd AS DOUBLE)) * (dj.d / CAST(n.nd AS DOUBLE))))
+                / (-ln(c.d_ab / CAST(n.nd AS DOUBLE)))
+         END AS s
+  FROM pairs pr CROSS JOIN n
+  JOIN dfreq di ON di.term = pr.wi
+  JOIN dfreq dj ON dj.term = pr.wj
+  LEFT JOIN co c ON c.term_a = least(pr.wi, pr.wj)
+              AND c.term_b = greatest(pr.wi, pr.wj))
+SELECT lang, round(avg(s), 6) AS coherence FROM scoredp GROUP BY lang"""
+
+SQL_TOPIC_DIVERSITY = f"""WITH {_EVAL_TOPK_SQL}
+SELECT (SELECT CAST(count(DISTINCT lang) AS BIGINT) FROM topk) AS n_topics,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(count(DISTINCT term) AS BIGINT) AS n_unique,
+       round(count(DISTINCT term) * 1.0 / count(*), 6) AS diversity
+FROM topk"""
+
+
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "approx_distribution": (q_approx_distribution, SQL_APPROX_DISTRIBUTION),
     "approx_distribution_tokens": (q_approx_distribution_tokens,
@@ -6197,4 +6282,7 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "multi_terms_lang_source": (q_multi_terms, SQL_MULTI_TERMS),
     "serial_diff_norm_hourly": (q_serial_diff_norm, SQL_SERIAL_DIFF_NORM),
     "diversified_sample_docs": (q_diversified_sample, SQL_DIVERSIFIED_SAMPLE),
+    "umass_coherence": (q_umass_coherence, SQL_UMASS),
+    "npmi_coherence": (q_npmi_coherence, SQL_NPMI),
+    "topic_diversity": (q_topic_diversity, SQL_TOPIC_DIVERSITY),
 }

@@ -426,6 +426,37 @@ class BERTopicSpark:
         return self.approximate_distribution(
             df, window, stride, padding, calculate_tokens=True)
 
+    # -- topic-quality evaluation ---------------------------------------------
+    # Not reference methods — the reference's documented evaluation workflow
+    # scores a fitted model externally with gensim coherence / topic
+    # diversity; here they are relational operators over the fitted state.
+
+    def topic_coherence(self, measure: str = "u_mass",
+                        k: int | None = None) -> DataFrame:
+        """(class..., coherence) — u_mass (Mimno 2011) or c_npmi (Röder
+        2015) coherence of each topic's top-k words against the fitted
+        corpus. See ``operators.evaluation``."""
+        self._check_fitted()
+        from bertopic_spark.operators import evaluation as ev
+
+        topk = top_k_terms(self.scores_, self.class_cols,
+                           k or self.top_n_words)
+        dt = self.doc_terms_.select(self._id_col, "term")
+        if measure == "u_mass":
+            return ev.umass_coherence(topk, dt, self.class_cols, self._id_col)
+        if measure in ("npmi", "c_npmi"):
+            return ev.npmi_coherence(topk, dt, self.class_cols, self._id_col)
+        raise ValueError(f"unknown coherence measure {measure!r}")
+
+    def topic_diversity(self, k: int | None = None) -> DataFrame:
+        """One row — Dieng 2020 topic diversity of the fitted top-k words."""
+        self._check_fitted()
+        from bertopic_spark.operators.evaluation import topic_diversity
+
+        return topic_diversity(
+            top_k_terms(self.scores_, self.class_cols, k or self.top_n_words),
+            self.class_cols)
+
     # -- query surface -------------------------------------------------------
 
     def transform(self, df: DataFrame, text_col: str | None = None,

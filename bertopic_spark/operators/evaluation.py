@@ -1,0 +1,144 @@
+"""Topic-quality evaluation metrics over fitted topic representations.
+
+The reference itself computes no quality metrics, but its documented
+evaluation workflow (BERTopic FAQ / papers) scores the fitted model with
+gensim-style topic coherence (Röder, Both & Hinneburg, "Exploring the Space
+of Topic Coherence Measures", WSDM 2015) and topic diversity (Dieng et al.,
+"Topic Modeling in Embedding Spaces", TACL 2020). These are relational by
+nature — document frequencies and pair co-occurrence counts over the corpus
+— so at cluster scale they are three small joins, not a gensim driver loop:
+
+* the top-k vocabulary (k terms × #topics) is broadcast-tiny by definition;
+* the doc×term incidence is SEMI-JOINED down to that vocabulary before the
+  pair self-join, so the shuffle carries only postings of the few hundred
+  evaluated terms, never the full index;
+* the pair self-join key is ``doc_id`` over that filtered incidence —
+  bounded by (terms-per-doc choose 2) within the evaluated vocabulary.
+
+All outputs round to 6 dp; counts are exact integers, so the metrics are
+bit-comparable across engines (DuckDB oracles in entry_queries).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _incidence(doc_terms: DataFrame, vocab: DataFrame,
+               id_col: str = "doc_id") -> DataFrame:
+    """Distinct (doc, term) pairs restricted to the evaluated vocabulary."""
+    return (doc_terms.join(F.broadcast(vocab), "term", "left_semi")
+            .select(id_col, "term").distinct())
+
+
+def _pair_cooccurrence(inc: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(term_a, term_b, d_ab) with term_a < term_b: co-document counts over
+    the filtered incidence. One shuffle on the doc id."""
+    a = inc.select(F.col(id_col).alias("_d"), F.col("term").alias("term_a"))
+    b = inc.select(F.col(id_col).alias("_d"), F.col("term").alias("term_b"))
+    return (a.join(b, "_d")
+            .filter(F.col("term_a") < F.col("term_b"))
+            .groupBy("term_a", "term_b")
+            .agg(F.count(F.lit(1)).alias("d_ab")))
+
+
+def umass_coherence(topk: DataFrame, doc_terms: DataFrame,
+                    class_cols: Sequence[str], id_col: str = "doc_id",
+                    round_to: int = 6) -> DataFrame:
+    """(class..., coherence) — u_mass topic coherence (Mimno et al.,
+    "Optimizing Semantic Coherence in Topic Models", EMNLP 2011; the
+    ``c_uMass`` configuration of Röder et al. 2015, as in
+    ``gensim.models.CoherenceModel(coherence='u_mass')``):
+
+        mean over ordered pairs rank_i > rank_j of
+            ln( (D(w_i, w_j) + 1) / D(w_j) )
+
+    where D counts documents (of the evaluating corpus ``doc_terms``)
+    containing the word(s). ``topk`` is a ``top_k_terms`` relation
+    (class..., rank, term, score); the conditioning word w_j is the
+    HIGHER-ranked one, per the original formulation."""
+    cc = list(class_cols)
+    vocab = topk.select("term").distinct()
+    inc = _incidence(doc_terms, vocab, id_col)
+    dfreq = inc.groupBy("term").agg(F.count(F.lit(1)).alias("d"))
+    co = _pair_cooccurrence(inc, id_col)
+    a = topk.select(*cc, F.col("rank").alias("_ri"), F.col("term").alias("_wi"))
+    b = topk.select(*cc, F.col("rank").alias("_rj"), F.col("term").alias("_wj"))
+    pairs = a.join(b, cc).filter(F.col("_ri") > F.col("_rj"))
+    # co-occurrence keys are unordered (term_a < term_b)
+    key_a = F.least("_wi", "_wj")
+    key_b = F.greatest("_wi", "_wj")
+    scored = (
+        pairs
+        .join(F.broadcast(dfreq.select(F.col("term").alias("_wj"),
+                                       F.col("d").alias("_dj"))), "_wj")
+        .withColumn("term_a", key_a).withColumn("term_b", key_b)
+        .join(F.broadcast(co), ["term_a", "term_b"], "left")
+        .withColumn("_dab", F.coalesce("d_ab", F.lit(0)))
+        .withColumn("_s", F.log((F.col("_dab") + 1.0) / F.col("_dj"))))
+    return (scored.groupBy(*cc)
+            .agg(F.round(F.avg("_s"), round_to).alias("coherence")))
+
+
+def npmi_coherence(topk: DataFrame, doc_terms: DataFrame,
+                   class_cols: Sequence[str], id_col: str = "doc_id",
+                   round_to: int = 6) -> DataFrame:
+    """(class..., coherence) — NPMI coherence (``c_npmi`` of Röder et al.
+    2015, Bouma 2009 normalization): mean over unordered top-k pairs of
+
+        NPMI(w_i, w_j) = ln(P_ij / (P_i P_j)) / (−ln P_ij)
+
+    with probabilities = document frequencies / N over the evaluating
+    corpus. Never-co-occurring pairs take the limit value −1; pairs
+    co-occurring in EVERY document take +1 (both gensim conventions with
+    eps→0)."""
+    cc = list(class_cols)
+    vocab = topk.select("term").distinct()
+    inc = _incidence(doc_terms, vocab, id_col)
+    n_docs = doc_terms.select(id_col).distinct().count()
+    dfreq = inc.groupBy("term").agg(F.count(F.lit(1)).alias("d"))
+    co = _pair_cooccurrence(inc, id_col)
+    a = topk.select(*cc, F.col("rank").alias("_ri"), F.col("term").alias("_wi"))
+    b = topk.select(*cc, F.col("rank").alias("_rj"), F.col("term").alias("_wj"))
+    pairs = a.join(b, cc).filter(F.col("_ri") < F.col("_rj"))
+    scored = (
+        pairs
+        .join(F.broadcast(dfreq.select(F.col("term").alias("_wi"),
+                                       F.col("d").alias("_di"))), "_wi")
+        .join(F.broadcast(dfreq.select(F.col("term").alias("_wj"),
+                                       F.col("d").alias("_dj"))), "_wj")
+        .withColumn("term_a", F.least("_wi", "_wj"))
+        .withColumn("term_b", F.greatest("_wi", "_wj"))
+        .join(F.broadcast(co), ["term_a", "term_b"], "left")
+        .withColumn("_dab", F.coalesce("d_ab", F.lit(0)))
+        .withColumn(
+            "_s",
+            F.when(F.col("_dab") == 0, F.lit(-1.0))
+            .when(F.col("_dab") == n_docs, F.lit(1.0))
+            .otherwise(
+                F.log((F.col("_dab") / F.lit(float(n_docs)))
+                      / ((F.col("_di") / F.lit(float(n_docs)))
+                         * (F.col("_dj") / F.lit(float(n_docs)))))
+                / -F.log(F.col("_dab") / F.lit(float(n_docs))))))
+    return (scored.groupBy(*cc)
+            .agg(F.round(F.avg("_s"), round_to).alias("coherence")))
+
+
+def topic_diversity(topk: DataFrame, class_cols: Sequence[str],
+                    round_to: int = 6) -> DataFrame:
+    """One row (n_topics, n_words, n_unique, diversity) — Dieng et al.
+    2020 topic diversity: the fraction of the topics' pooled top-k words
+    that are unique. 1.0 = no word shared between topics."""
+    agg = topk.agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.countDistinct("term").alias("n_unique"))
+    n_topics = topk.select(*class_cols).distinct().count()
+    return agg.select(
+        F.lit(n_topics).cast("long").alias("n_topics"),
+        F.col("n_words").cast("long"),
+        F.col("n_unique").cast("long"),
+        F.round(F.col("n_unique") / F.col("n_words"), round_to)
+        .alias("diversity"))

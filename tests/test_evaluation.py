@@ -1,0 +1,78 @@
+"""Topic-quality metrics (operators/evaluation.py): u_mass / NPMI coherence
+and topic diversity — hand-computed values on a 4-doc corpus, plus facade
+wiring."""
+
+import math
+
+import pytest
+
+from bertopic_spark.model import BERTopicSpark
+from bertopic_spark.operators.evaluation import (
+    npmi_coherence, topic_diversity, umass_coherence)
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    # D(a)=3, D(b)=2, D(c)=1; D(a,b)=2, D(a,c)=0, D(b,c)=0; N=4
+    doc_terms = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (4, "c")],
+        "doc_id long, term string")
+    topk = spark.createDataFrame(
+        [("t1", 1, "a", 9.0), ("t1", 2, "b", 8.0),
+         ("t2", 1, "a", 9.0), ("t2", 2, "c", 7.0)],
+        "topic string, rank int, term string, score double")
+    return topk, doc_terms
+
+
+def test_umass_hand_values(tiny):
+    topk, dt = tiny
+    got = {r["topic"]: r["coherence"]
+           for r in umass_coherence(topk, dt, ["topic"]).collect()}
+    # t1: one ordered pair (b | a): ln((D(a,b)+1)/D(a)) = ln(3/3) = 0
+    assert abs(got["t1"] - 0.0) < 1e-9
+    # t2: (c | a): ln((0+1)/3)
+    assert abs(got["t2"] - round(math.log(1 / 3), 6)) < 1e-9
+
+
+def test_npmi_hand_values(tiny):
+    topk, dt = tiny
+    got = {r["topic"]: r["coherence"]
+           for r in npmi_coherence(topk, dt, ["topic"]).collect()}
+    # t1 pair (a,b): ln((2/4)/((3/4)*(2/4))) / -ln(2/4)
+    want = math.log((2 / 4) / ((3 / 4) * (2 / 4))) / -math.log(2 / 4)
+    assert abs(got["t1"] - round(want, 6)) < 1e-9
+    # t2 pair (a,c) never co-occurs → -1
+    assert got["t2"] == -1.0
+
+
+def test_npmi_perfect_cooccurrence(spark):
+    dt = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "x"), (2, "y")], "doc_id long, term string")
+    topk = spark.createDataFrame(
+        [("t", 1, "x", 2.0), ("t", 2, "y", 1.0)],
+        "topic string, rank int, term string, score double")
+    got = npmi_coherence(topk, dt, ["topic"]).collect()
+    assert got[0]["coherence"] == 1.0  # co-occur in EVERY doc
+
+
+def test_topic_diversity_fraction(tiny):
+    topk, _ = tiny
+    row = topic_diversity(topk, ["topic"]).collect()[0]
+    assert (row["n_topics"], row["n_words"], row["n_unique"]) == (2, 4, 3)
+    assert abs(row["diversity"] - 0.75) < 1e-9
+
+
+def test_facade_coherence_and_diversity(documents_df):
+    m = BERTopicSpark(class_cols=["lang"], top_n_words=5).fit(
+        documents_df, "text", "doc_id")
+    u = m.topic_coherence("u_mass").collect()
+    n = m.topic_coherence("npmi").collect()
+    k = m.scores_.select("lang").distinct().count()
+    assert len(u) == k and len(n) == k
+    # u_mass is ≤ 0 by construction only when pairs never beat the
+    # conditioning df; generally it is finite — just sanity-bound npmi
+    assert all(-1.0 - 1e-9 <= r["coherence"] <= 1.0 + 1e-9 for r in n)
+    d = m.topic_diversity().collect()[0]
+    assert 0.0 < d["diversity"] <= 1.0
+    with pytest.raises(ValueError, match="measure"):
+        m.topic_coherence("c_v")
