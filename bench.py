@@ -135,6 +135,10 @@ BENCH_QUERIES = [
     "boxplot_events",
     "top_hits_per_type",
     "diversified_sample_docs",
+    # round-3 batch 7: viz hierarchy levels + topic-quality evaluation
+    "hierarchy_level_topics",
+    "umass_coherence",
+    "npmi_coherence",
 ]
 
 
