@@ -675,6 +675,98 @@ SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, round(score, 6) AS score,
 FROM ranked WHERE rn <= 10"""
 
 
+RM3_R, RM3_M, RM3_LAM = 3, 5, 0.5
+
+
+def q_rm3_topk(spark, sf_dir):
+    """RM3 pseudo-relevance feedback over Dirichlet query likelihood
+    (operators/bm25.rm3_topk — Lavrenko & Croft 2001 relevance models,
+    RM3 interpolation): softmax doc posteriors over round-1 scores,
+    MLE doc models, top-m expansion renormalized and interpolated at λ."""
+    from bertopic_spark.operators.bm25 import rm3_topk
+
+    t = rm3_topk(_docs(spark, sf_dir), queries_df(spark, DRIVER_QUERIES),
+                 r=RM3_R, m=RM3_M, lam=RM3_LAM, k=10, mu=LM_MU,
+                 text_col="text", mode=MODE)
+    return t.select(
+        "query_id", "doc_id", _r6(F.col("score")).alias("score"),
+        F.col("rank").cast("long").alias("rn"),
+    )
+
+
+SQL_RM3_TOPK = f"""WITH {_TOKS}, {_XDOC},
+cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM xdoc GROUP BY term),
+tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM xdoc),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM xdoc GROUP BY doc_id),
+q(query_id, term) AS (VALUES {_query_term_values()}),
+qv AS (SELECT q.query_id, q.term FROM q JOIN cf USING (term)),
+nq AS (SELECT query_id, count(*) AS n_q FROM qv GROUP BY query_id),
+h1 AS (
+  SELECT qv.query_id, x.doc_id,
+         sum(ln(1.0 + x.tf * tot.total / ({LM_MU} * cf.cf))) AS ql
+  FROM qv JOIN xdoc x USING (term) JOIN cf USING (term) CROSS JOIN tot
+  GROUP BY qv.query_id, x.doc_id),
+s1 AS (
+  SELECT h.query_id, h.doc_id,
+         round(h.ql + nq.n_q * ln({LM_MU} / (dl.dl + {LM_MU})), 6) AS score
+  FROM h1 h JOIN dl USING (doc_id) JOIN nq USING (query_id)),
+fbd AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS fr
+  FROM s1),
+fbr AS (SELECT query_id, doc_id, score FROM fbd WHERE fr <= {RM3_R}),
+post0 AS (
+  SELECT query_id, doc_id,
+         exp(score - max(score) OVER (PARTITION BY query_id)) AS e
+  FROM fbr),
+post AS (
+  SELECT query_id, doc_id,
+         round(e / sum(e) OVER (PARTITION BY query_id), 9) AS p
+  FROM post0),
+xl AS (SELECT x.doc_id, x.term, x.tf, dl.dl FROM xdoc x JOIN dl USING (doc_id)),
+rm1 AS (
+  SELECT p.query_id, xl.term, round(sum(p.p * xl.tf / xl.dl), 9) AS rw
+  FROM post p JOIN xl ON xl.doc_id = p.doc_id
+  GROUP BY p.query_id, xl.term),
+topm AS (
+  SELECT query_id, term, rw,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rw DESC, term ASC) AS er
+  FROM rm1),
+kept AS (SELECT query_id, term, rw FROM topm WHERE er <= {RM3_M}),
+expn AS (
+  SELECT query_id, term,
+         (1.0 - {RM3_LAM}) * rw / sum(rw) OVER (PARTITION BY query_id) AS w
+  FROM kept),
+orig AS (
+  SELECT qv.query_id, qv.term, {RM3_LAM} / nq.n_q AS w
+  FROM qv JOIN nq USING (query_id)),
+wgt AS (
+  SELECT query_id, term, round(sum(w), 9) AS w
+  FROM (SELECT * FROM orig UNION ALL SELECT * FROM expn)
+  GROUP BY query_id, term
+  HAVING round(sum(w), 9) > 0),
+ws AS (SELECT query_id, sum(w) AS ws FROM wgt GROUP BY query_id),
+h2 AS (
+  SELECT g.query_id, x.doc_id,
+         sum(g.w * ln(1.0 + x.tf * tot.total / ({LM_MU} * cf.cf))) AS ql
+  FROM wgt g JOIN xdoc x USING (term) JOIN cf USING (term) CROSS JOIN tot
+  GROUP BY g.query_id, x.doc_id),
+s2 AS (
+  SELECT h.query_id, h.doc_id,
+         h.ql + ws.ws * ln({LM_MU} / (dl.dl + {LM_MU})) AS score
+  FROM h2 h JOIN dl USING (doc_id) JOIN ws USING (query_id)),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rn
+  FROM s2)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, round(score, 6) AS score,
+       CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 10"""
+
+
 def q_lm_jm_topk(spark, sf_dir):
     """Query-likelihood retrieval, Jelinek-Mercer smoothing λ=0.1
     (operators/bm25.lm_jm_topk — Lucene LMJelinekMercerSimilarity):
@@ -6282,6 +6374,7 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "multi_terms_lang_source": (q_multi_terms, SQL_MULTI_TERMS),
     "serial_diff_norm_hourly": (q_serial_diff_norm, SQL_SERIAL_DIFF_NORM),
     "diversified_sample_docs": (q_diversified_sample, SQL_DIVERSIFIED_SAMPLE),
+    "rm3_topk": (q_rm3_topk, SQL_RM3_TOPK),
     "umass_coherence": (q_umass_coherence, SQL_UMASS),
     "npmi_coherence": (q_npmi_coherence, SQL_NPMI),
     "topic_diversity": (q_topic_diversity, SQL_TOPIC_DIVERSITY),

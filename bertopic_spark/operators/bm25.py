@@ -265,6 +265,119 @@ def lm_topk(
     )
 
 
+def rm3_topk(corpus: DataFrame, qdf: DataFrame,
+             r: int = 3, m: int = 5, lam: float = 0.5, k: int = 10,
+             mu: float = 2000.0,
+             text_col: str = "content", id_col: str = "doc_id",
+             mode: str = "ascii_code", persist_counts: bool = True,
+             _persisted_out: list | None = None) -> DataFrame:
+    """RM3 pseudo-relevance feedback over query-likelihood retrieval
+    (relevance models, Lavrenko & Croft SIGIR 2001; RM3 interpolation per
+    Abdul-Jaleel et al., TREC 2004): (query_id, id, score, rank).
+
+    Round 1 retrieves the top ``r`` docs per query with Dirichlet QL
+    (same decomposition as ``lm_topk``). The relevance model RM1 weights
+    each feedback-doc term by the doc's softmax posterior over round-1
+    scores times its MLE doc-model probability tf/dl (the standard
+    toolkit formulation); the top ``m`` RM1 terms renormalize and
+    interpolate with the uniform original-query model at ``lam``:
+
+        w(t) = lam·1/|q∩V| + (1−lam)·RM1_m(t)
+
+    Round 2 scores with the weighted QL form — Σ_t w_t·ln(1 + tf·|C| /
+    (µ·cf_t)) + (Σ_t w_t)·ln(µ/(dl+µ)) — so both rounds touch only
+    postings of (expanded-)query terms.
+
+    Cross-engine determinism: round-1 scores round to 6 dp BEFORE top-r
+    selection and the softmax, and RM1/interpolated weights round to
+    9 dp before their (desc, term asc) ranking, so the DuckDB oracle
+    selects identical feedback docs and expansion terms.
+
+    Physical shape: ONE persisted ``doc_term_counts`` pass feeds both
+    rounds' probes, the collection stats and the doc models; every probe
+    join broadcasts the query-sized side; the feedback join broadcasts
+    the r·|queries| posterior rows. No cross join, two groupBy
+    (query, doc) shuffles (one per round).
+    """
+    if r < 1 or m < 1 or k < 1:
+        raise ValueError("r, m and k must be >= 1")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError("lam must be in [0, 1]")
+    if mu <= 0:
+        raise ValueError("mu must be > 0")
+    x = doc_term_counts(corpus, text_col, [id_col], mode, with_len=True)
+    if persist_counts:
+        x = x.persist()
+        if _persisted_out is not None:
+            _persisted_out.append(x)
+    cf = x.groupBy("term").agg(F.sum("tf").alias("cf"))
+    tot = x.agg(F.sum("tf").alias("total"))
+    qterms = query_terms(qdf, mode)
+    cfq = (cf.join(F.broadcast(qterms.select("term").distinct()), "term")
+           .crossJoin(F.broadcast(tot)))
+    n_q = (qterms.join(F.broadcast(cfq.select("term")), "term")
+           .groupBy("query_id").agg(F.count(F.lit(1)).alias("n_q")))
+
+    def ql_scores(wq: DataFrame, cfw: DataFrame, wsum: DataFrame,
+                  wcol) -> DataFrame:
+        """Weighted QL: wq (query_id, term, w) probe; wsum (query_id, ws)."""
+        hits = (x.join(F.broadcast(wq), "term")
+                .join(F.broadcast(cfw), "term")
+                .groupBy("query_id", id_col)
+                .agg(F.sum(wcol * F.log(
+                    F.lit(1.0) + F.col("tf") * F.col("total") /
+                    (F.lit(mu) * F.col("cf")))).alias("ql"),
+                    F.max("doc_len").alias("dl")))
+        return hits.join(F.broadcast(wsum), "query_id").select(
+            "query_id", id_col,
+            (F.col("ql") + F.col("ws") *
+             F.log(F.lit(mu) / (F.col("dl") + F.lit(mu)))).alias("score"))
+
+    # round 1: unweighted (w = 1, ws = n_q), rounded for the oracle
+    r1 = ql_scores(qterms.withColumn("w", F.lit(1.0)), cfq,
+                   n_q.select("query_id", F.col("n_q").cast("double")
+                              .alias("ws")), F.col("w"))
+    r1 = r1.withColumn("score", F.round("score", 6))
+    wr = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    fb_docs = (r1.withColumn("fr", F.row_number().over(wr))
+               .filter(F.col("fr") <= r))
+    wq_all = Window.partitionBy("query_id")
+    post = (fb_docs
+            .withColumn("_e", F.exp(F.col("score") - F.max("score").over(wq_all)))
+            .withColumn("p", F.round(F.col("_e") / F.sum("_e").over(wq_all), 9))
+            .select("query_id", id_col, "p"))
+
+    # RM1 over feedback-doc postings: Σ_d p_d · tf/dl, top-m, renormalized
+    fb = x.join(F.broadcast(post), id_col)
+    rm1 = (fb.groupBy("query_id", "term")
+           .agg(F.round(F.sum(F.col("p") * F.col("tf") / F.col("doc_len")),
+                        9).alias("rw")))
+    we = Window.partitionBy("query_id").orderBy(F.desc("rw"), F.asc("term"))
+    topm = rm1.withColumn("er", F.row_number().over(we)).filter(F.col("er") <= m)
+    expansion = topm.select(
+        "query_id", "term",
+        ((1.0 - lam) * F.col("rw") / F.sum("rw").over(wq_all)).alias("w"))
+    orig = (qterms.join(F.broadcast(cfq.select("term")), "term")
+            .join(F.broadcast(n_q), "query_id")
+            .select("query_id", "term", (F.lit(lam) / F.col("n_q")).alias("w")))
+    wgt = (orig.unionByName(expansion)
+           .groupBy("query_id", "term")
+           .agg(F.round(F.sum("w"), 9).alias("w"))
+           # λ=1 zeroes expansion weights (λ=0 the originals): a 0-weight
+           # term must not gate candidates — it adds no mass but would
+           # admit prior-only docs
+           .filter(F.col("w") > 0))
+    cfe = (cf.join(F.broadcast(wgt.select("term").distinct()), "term")
+           .crossJoin(F.broadcast(tot)))
+    wsum = wgt.groupBy("query_id").agg(F.sum("w").alias("ws"))
+
+    out = ql_scores(wgt, cfe, wsum, F.col("w"))
+    wk = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (out.withColumn("rank", F.row_number().over(wk))
+            .filter(F.col("rank") <= k)
+            .select("query_id", id_col, "score", "rank"))
+
+
 def lm_jm_topk(
     corpus: DataFrame,
     qterms: DataFrame,
