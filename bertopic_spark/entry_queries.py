@@ -3169,6 +3169,42 @@ def q_snippet_topk(spark, sf_dir):
             .filter(F.col("rn") <= SNIPPET_K))
 
 
+NFRAG = 3
+
+
+def q_top_snippets(spark, sf_dir):
+    """Multi-fragment highlighting (ES number_of_fragments analog): up to
+    3 fixed-tile fragments per matching doc ranked by query-hit count —
+    per-row HOF algebra, one posexplode, no shuffle."""
+    from bertopic_spark.operators.fulltext import top_snippets
+
+    return top_snippets(_docs(spark, sf_dir), list(SNIPPET_TERMS),
+                        NFRAG, SNIPPET_WINDOW, "text", "doc_id", MODE)
+
+
+def _sql_top_snippets() -> str:
+    qt = ", ".join(f"'{t}'" for t in SNIPPET_TERMS)
+    w = SNIPPET_WINDOW
+    return f"""WITH
+tk AS (SELECT doc_id, {duckdb_tokens_sql('text', MODE)} AS ts FROM documents),
+p AS (SELECT doc_id, unnest(ts) AS term, unnest(range(len(ts))) AS pos FROM tk),
+hits AS (
+  SELECT doc_id, CAST(pos // {w} AS BIGINT) AS tile,
+         CAST(count(*) AS BIGINT) AS n_hits
+  FROM p WHERE term IN ({qt}) GROUP BY doc_id, tile),
+ranked AS (
+  SELECT doc_id, tile, n_hits,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY n_hits DESC, tile ASC) AS fr
+  FROM hits),
+kept AS (SELECT * FROM ranked WHERE fr <= {NFRAG})
+SELECT k.doc_id, CAST(k.fr AS BIGINT) AS frag_rank,
+       CAST(k.tile * {w} AS BIGINT) AS start, k.n_hits,
+       array_to_string(t.ts[k.tile * {w} + 1 : k.tile * {w} + {w}], ' ')
+         AS snippet
+FROM kept k JOIN tk t USING (doc_id)"""
+
+
 def _sql_snippet_topk() -> str:
     qt = ", ".join(f"'{t}'" for t in SNIPPET_TERMS)
     w = SNIPPET_WINDOW
@@ -6225,6 +6261,7 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "fuzzy_match": (q_fuzzy_match, _sql_term_set_match(
         f"levenshtein(term, '{FUZZY_Q}') <= {FUZZY_DIST}")),
     "snippet_topk": (q_snippet_topk, _sql_snippet_topk()),
+    "top_snippets_frags": (q_top_snippets, _sql_top_snippets()),
     "facet_counts": (q_facet_counts, _sql_facet_counts()),
     "more_like_this": (q_more_like_this, SQL_MORE_LIKE_THIS),
     "redact_pii": (q_redact_pii, _sql_redact_pii()),

@@ -375,6 +375,63 @@ def best_snippet(df: DataFrame, query_terms: Sequence[str], window: int = 8,
             .select(id_col, "v.start", "v.n_hits", "v.snippet"))
 
 
+def top_snippets(df: DataFrame, query_terms: Sequence[str],
+                 n_fragments: int = 3, window: int = 8,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 mode: str = "ascii_code") -> DataFrame:
+    """Multi-fragment highlighting — the ES ``number_of_fragments`` analog
+    (fast-vector-highlighter fragmenting): (id, frag_rank, start, n_hits,
+    snippet), up to ``n_fragments`` per matching doc.
+
+    Fragments are FIXED TILES of ``window`` tokens (start = ⌊pos/window⌋ ×
+    window) ranked by query-hit count, ties to the earliest tile — fully
+    deterministic where ES fragment selection is analyzer/offset dependent,
+    and non-overlapping by construction (``best_snippet`` keeps the
+    hit-anchored single best window; this is the paginated variant).
+
+    Per-row JVM HOF algebra over the token list — hit positions → tile
+    ids → per-tile counts → comparator sort → top-n slice — then ONE
+    posexplode of ≤ n_fragments structs per doc. No shuffle, no UDF; the
+    corpus streams through once.
+    """
+    ts = sorted(set(str(t) for t in query_terms))
+    if not ts or window < 1 or n_fragments < 1:
+        raise ValueError("need query terms, window >= 1, n_fragments >= 1")
+    lit = F.array(*[F.lit(t) for t in ts])
+    w = int(window)
+
+    def pick(tk):
+        hitpos = F.filter(F.sequence(F.lit(0), F.size(tk) - 1),
+                          lambda i: F.array_contains(lit, F.get(tk, i)))
+        tiles = F.transform(hitpos, lambda p: (p / w).cast("long"))
+        uniq = F.array_distinct(tiles)
+        cand = F.transform(uniq, lambda t: F.struct(
+            t.alias("tile"),
+            F.size(F.filter(tiles, lambda x: x == t)).cast("long")
+            .alias("n_hits")))
+        ranked = F.array_sort(cand, lambda l, r: F.when(
+            l["n_hits"] > r["n_hits"], F.lit(-1)).when(
+            l["n_hits"] < r["n_hits"], F.lit(1)).otherwise(
+            F.when(l["tile"] < r["tile"], F.lit(-1)).when(
+                l["tile"] > r["tile"], F.lit(1)).otherwise(F.lit(0))))
+        return F.slice(ranked, 1, n_fragments)
+
+    out = with_tokens(df.select(id_col, text_col), text_col, mode)
+    v = out.select(F.col(id_col), F.col("tokens"),
+                   _bound(F.col("tokens"), pick).alias("v"))
+    ex = v.select(
+        id_col, "tokens",
+        F.posexplode("v").alias("_i", "frag"))
+    return ex.select(
+        id_col,
+        (F.col("_i") + 1).cast("long").alias("frag_rank"),
+        (F.col("frag.tile") * w).alias("start"),
+        F.col("frag.n_hits"),
+        F.array_join(
+            F.slice(F.col("tokens"), F.col("frag.tile").cast("int") * w + 1, w),
+            " ").alias("snippet"))
+
+
 def facet_counts(matches: DataFrame, docs: DataFrame,
                  facets: Sequence[str], id_col: str = "doc_id") -> DataFrame:
     """Facet histograms over a match relation: (facet, value, n_docs).
