@@ -931,10 +931,46 @@ class BERTopicSpark:
                               self.reduce_frequent_words, stats=self.stats_).persist()
         return self
 
-    def reduce_topics(self, nr_topics: int):
+    def reduce_topics(self, nr_topics: int | str,
+                      distance_threshold: float = 0.1):
+        """Merge topics down to ``nr_topics`` (reference `_bertopic.py:
+        4565-4627`). ``nr_topics="auto"`` is the reference's
+        `_auto_reduce_topics` (`_bertopic.py:4629-4672`, HDBSCAN over
+        normalized c-TF-IDF rows) recast deterministically: cut the
+        single-linkage tree at ``distance_threshold`` — every topic pair
+        closer than the threshold merges (single-linkage components ARE
+        the density-connected groups at that radius), each merged group
+        labelled by its smallest topic id. The outlier topic (−1) never
+        merges, matching the reference."""
         self._check_fitted()
         if len(self.class_cols) != 1:
             raise ValueError("reduce_topics needs a single class column")
+        if nr_topics == "auto":
+            c = self.class_cols[0]
+            classes = sorted(r[0] for r in
+                             self.scores_.select(c).distinct().collect())
+            # the outlier topic never participates (reference
+            # _auto_reduce_topics slices it off before clustering)
+            classes = [x for x in classes if x != -1]
+            if len(classes) < 2:
+                return self
+            from bertopic_spark.operators.topics import hierarchical_topics
+            from bertopic_spark.operators.viz import hierarchy_level_assignments
+
+            hier = hierarchical_topics(
+                self.scores_.filter(F.col(c).isin(classes)), c)
+            m = hier.filter(
+                F.col("distance") <= float(distance_threshold)).count()
+            if m == 0:
+                return self
+            assign = hierarchy_level_assignments(
+                hier, len(classes), [m]).collect()
+            mapping = {
+                classes[r["leaf"]]: classes[r["topic_at_level"]]
+                for r in assign if r["leaf"] != r["topic_at_level"]}
+            if not mapping:
+                return self
+            return self.merge_topics(mapping)
         from bertopic_spark.operators.topics import reduce_topics_agglomerative
 
         mapping, _ = reduce_topics_agglomerative(
