@@ -206,6 +206,53 @@ SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, round(score, 6) AS score,
 FROM ranked WHERE rn <= 10"""
 
 
+def q_impact_topk(spark, sf_dir):
+    """Impact-quantized serving (Anh-Moffat / score-at-a-time shape):
+    8-bit offset-quantized posting impacts, midpoint-reconstruction top-k
+    with a certified per-result error bound."""
+    from bertopic_spark.operators.bm25 import (doc_scores, impact_topk,
+                                               quantize_impacts)
+
+    s = doc_scores(_docs(spark, sf_dir), "text", "doc_id", MODE)
+    imp, meta = quantize_impacts(s, bits=8)
+    qt = query_terms(queries_df(spark, DRIVER_QUERIES), MODE)
+    t = impact_topk(imp, meta, qt, k=10)
+    return t.select(
+        "query_id", "doc_id", _r6(F.col("score")).alias("score"),
+        _r6(F.col("err_bound")).alias("err_bound"),
+        F.col("rank").cast("long").alias("rn"),
+    )
+
+
+SQL_IMPACT_TOPK = f"""WITH {_TOKS}, {_XDOC}, {_scores_sql('xdoc', 'doc_id', True, False)},
+meta AS (SELECT round(min(score), 6) AS mn, round(max(score), 6) AS mx
+         FROM scores),
+mi AS (SELECT mn, mx, CAST(round(mn * 1e6) AS BIGINT) AS lo,
+              CAST(round(mx * 1e6) AS BIGINT) AS hi FROM meta),
+imp AS (
+  SELECT s.doc_id, s.term,
+         CASE WHEN m.hi = m.lo THEN 0
+              ELSE least(255, ((CAST(round(s.score * 1e6) AS BIGINT) - m.lo)
+                               * 256) // (m.hi - m.lo))
+         END AS q
+  FROM scores s CROSS JOIN mi m),
+q(query_id, term) AS (VALUES {_query_term_values()}),
+hits AS (
+  SELECT q.query_id, i.doc_id,
+         sum(m.mn + (i.q + 0.5) * (m.mx - m.mn) / 256.0) AS score,
+         count(*) * (max(m.mx) - max(m.mn)) / 512.0 AS err_bound
+  FROM q JOIN imp i USING (term) CROSS JOIN mi m
+  GROUP BY q.query_id, i.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, score, err_bound,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rn
+  FROM hits)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, round(score, 6) AS score,
+       round(err_bound, 6) AS err_bound, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 10"""
+
+
 def q_min_should_topk(spark, sf_dir):
     """Lucene minimum_should_match on a scored disjunction
     (operators/bm25.bm25_topk_minshould): docs must match ≥ ceil(0.6 × the
@@ -6412,6 +6459,7 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "serial_diff_norm_hourly": (q_serial_diff_norm, SQL_SERIAL_DIFF_NORM),
     "diversified_sample_docs": (q_diversified_sample, SQL_DIVERSIFIED_SAMPLE),
     "rm3_topk": (q_rm3_topk, SQL_RM3_TOPK),
+    "impact_quantized_topk": (q_impact_topk, SQL_IMPACT_TOPK),
     "umass_coherence": (q_umass_coherence, SQL_UMASS),
     "npmi_coherence": (q_npmi_coherence, SQL_NPMI),
     "topic_diversity": (q_topic_diversity, SQL_TOPIC_DIVERSITY),
