@@ -255,3 +255,71 @@ def test_round3_batch_edge_probes(spark, edge_docs):
     assert domain_mix_plan(empty, "lang", "doc_id", budget=1.0).count() == 0
     assert domain_mix_sample(
         empty, plan, "lang", "doc_id").count() == 0
+
+
+# -- round-3 additions: RM3, impact serving, multi-fragment snippets, --------
+# -- coherence metrics --------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def mini_docs(spark):
+    rows = [(i, f"alpha beta gamma_{i % 2} delta") for i in range(6)]
+    return spark.createDataFrame(rows, "doc_id long, content string")
+
+
+def test_rm3_oov_only_query_is_empty(spark, mini_docs):
+    """Every query term OOV → no candidates in round 1, no feedback docs,
+    empty result — not a crash, not a prior-only ranking."""
+    from bertopic_spark.operators.bm25 import queries_df, rm3_topk
+
+    out = rm3_topk(mini_docs, queries_df(spark, {0: "zzz_never_seen"}), mu=50.0)
+    assert out.count() == 0
+
+
+def test_impact_empty_query_terms(spark, mini_docs):
+    from bertopic_spark.operators.bm25 import (doc_scores, impact_topk,
+                                               quantize_impacts)
+
+    imp, meta = quantize_impacts(doc_scores(mini_docs))
+    qt = spark.createDataFrame([], "query_id long, term string")
+    out = impact_topk(imp, meta, qt, k=5)
+    assert out.count() == 0
+    assert set(out.columns) == {"query_id", "doc_id", "score", "err_bound",
+                                "rank"}
+
+
+def test_top_snippets_null_and_empty_text(spark):
+    from bertopic_spark.operators.fulltext import top_snippets
+
+    d = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "alpha beta alpha")],
+        "doc_id long, text string")
+    out = top_snippets(d, ["alpha"], n_fragments=2, window=2).collect()
+    assert {r["doc_id"] for r in out} == {2}
+
+
+def test_coherence_single_doc_and_disjoint_vocab(spark):
+    """One doc: every top-k pair co-occurs everywhere → u_mass pairs are
+    ln((1+1)/1); a topic whose words never co-occur stays defined (NPMI
+    −1 per pair)."""
+    import math
+
+    from bertopic_spark.operators.evaluation import npmi_coherence, umass_coherence
+
+    dt = spark.createDataFrame([(1, "aa"), (1, "bb")], "doc_id long, term string")
+    topk = spark.createDataFrame(
+        [("t", 1, "aa", 2.0), ("t", 2, "bb", 1.0)],
+        "topic string, rank int, term string, score double")
+    u = umass_coherence(topk, dt, ["topic"]).collect()[0]["coherence"]
+    assert abs(u - round(math.log(2.0), 6)) < 1e-9
+    n = npmi_coherence(topk, dt, ["topic"]).collect()[0]["coherence"]
+    assert n == 1.0  # co-occur in every (the only) doc
+
+
+def test_auto_reduce_single_topic_noop(spark, mini_docs):
+    from bertopic_spark.model import BERTopicSpark
+
+    m = BERTopicSpark(class_cols=["topic"]).fit(
+        mini_docs.withColumn("topic", F.lit(0)), "content", "doc_id")
+    out = m.reduce_topics("auto", distance_threshold=1.0)
+    assert out is m and not m.mappings_
