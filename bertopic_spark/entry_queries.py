@@ -2183,7 +2183,11 @@ def q_hierarchical_topics(spark, sf_dir):
     d = _docs_with_topic(spark, sf_dir)
     dt = doc_term_counts(d, "text", ["topic", "doc_id"], MODE)
     x = class_term_counts(dt, ["topic"])
-    return hierarchical_topics(ctfidf(x, ["topic"]), "topic")
+    s = ctfidf(x, ["topic"]).persist()  # two internal scans → one pipeline run
+    try:
+        return hierarchical_topics(s, "topic")
+    finally:
+        s.unpersist()
 
 
 def q_hierarchy_level_topics(spark, sf_dir):
@@ -2196,7 +2200,14 @@ def q_hierarchy_level_topics(spark, sf_dir):
     d = _docs_with_topic(spark, sf_dir)
     dt = doc_term_counts(d, "text", ["topic", "doc_id"], MODE)
     x = class_term_counts(dt, ["topic"])
-    hier = hierarchical_topics(ctfidf(x, ["topic"]), "topic")
+    # hierarchical_topics scans its input twice (distinct classes + pair
+    # distances); persist so the tokenize+agg pipeline runs once. The
+    # returned tree is driver-local, so releasing immediately is safe.
+    s = ctfidf(x, ["topic"]).persist()
+    try:
+        hier = hierarchical_topics(s, "topic")
+    finally:
+        s.unpersist()
     return hierarchy_level_assignments(
         hier, N_LANG_TOPICS, range(1, N_LANG_TOPICS))
 

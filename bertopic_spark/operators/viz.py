@@ -231,7 +231,13 @@ def hierarchy_level_assignments(hier: DataFrame, n_leaves: int,
     size.
     """
     spark = hier.sparkSession
-    lv = spark.createDataFrame([(int(m),) for m in levels], "level int")
+    # 1 partition each: these are k-scale relations, and a plain crossJoin
+    # of two 32-partition sides would schedule a 1024-task CartesianProduct
+    # (measured 13s of pure task launch at the gate); broadcasting the
+    # levels side keeps every join a BroadcastNestedLoopJoin over the
+    # other side's partitioning
+    lv = spark.createDataFrame(
+        [(int(m),) for m in levels], "level int").coalesce(1)
     mem = hier.select(
         "parent_id",
         F.explode(F.split("topics", ",").cast("array<long>")).alias("leaf"),
@@ -240,14 +246,15 @@ def hierarchy_level_assignments(hier: DataFrame, n_leaves: int,
         F.element_at(F.split("topics", ",").cast("array<long>"), 1)
         .alias("rep"))
     assigned = (
-        lv.crossJoin(mem)
+        mem.crossJoin(F.broadcast(lv))
         .filter(F.col("parent_id") < F.lit(int(n_leaves)) + F.col("level"))
         .groupBy("level", "leaf")
         .agg(F.max_by("rep", "parent_id").alias("topic_at_level")))
-    leaves = spark.range(int(n_leaves)).select(F.col("id").alias("leaf"))
+    leaves = spark.range(int(n_leaves)).coalesce(1).select(
+        F.col("id").alias("leaf"))
     return (
-        lv.crossJoin(leaves)
-        .join(assigned, ["level", "leaf"], "left")
+        leaves.crossJoin(F.broadcast(lv))
+        .join(F.broadcast(assigned), ["level", "leaf"], "left")
         .select("level", "leaf",
                 F.coalesce("topic_at_level", F.col("leaf"))
                 .alias("topic_at_level")))
