@@ -2768,6 +2768,76 @@ SELECT query_vec_id, vec_id, round(cos, 6) AS cos, CAST(rn AS BIGINT) AS rn
 FROM ranked WHERE rn <= {topk}"""
 
 
+def q_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ ANN (FAISS IndexIVFPQ shape, raw-vector codes): probe the
+    nprobe nearest inverted lists, ADC-score only their PQ codes."""
+    from bertopic_spark.operators.similarity import ivfpq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivfpq_topk(emb, ANN_QUERY_IDS, k=10, nlist=IVF_NLIST,
+                      nprobe=IVF_NPROBE, m=PQ_M, ksub=PQ_KSUB, iters=0)
+
+
+def _sql_ivfpq(topk: int = 10) -> str:
+    ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    return f"""WITH {_SQL_COS_CORE},
+cent AS (SELECT vec_id AS cvid, row_number() OVER (ORDER BY vec_id) AS list_id
+         FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {IVF_NLIST})),
+cv AS (SELECT c.list_id, v.dim, v.val FROM cent c JOIN v ON v.vec_id = c.cvid),
+cnorm AS (SELECT list_id, sqrt(sum(val * val)) AS nrm FROM cv GROUP BY list_id),
+adots AS (SELECT v.vec_id, cv.list_id, sum(v.val * cv.val) AS dot
+          FROM v JOIN cv ON v.dim = cv.dim GROUP BY v.vec_id, cv.list_id),
+asims AS (SELECT a.vec_id, a.list_id, a.dot / (n.nrm * c.nrm) AS sim
+          FROM adots a JOIN norms n USING (vec_id) JOIN cnorm c USING (list_id)),
+assigned AS (SELECT vec_id, list_id FROM (
+  SELECT vec_id, list_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, list_id ASC) AS rn
+  FROM asims) WHERE rn = 1),
+probes AS (SELECT vec_id AS query_vec_id, list_id FROM (
+  SELECT vec_id, list_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, list_id ASC) AS rn
+  FROM asims WHERE vec_id IN ({ids})) WHERE rn <= {IVF_NPROBE}),
+sv AS (SELECT vec_id, dim // {PQ_DSUB} AS sub, dim % {PQ_DSUB} AS sd, val
+       FROM v),
+seeds AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS code
+  FROM (SELECT DISTINCT vec_id FROM v ORDER BY vec_id LIMIT {PQ_KSUB})),
+pcb AS (SELECT s.code, x.sub, x.sd, x.val AS cval
+        FROM seeds s JOIN sv x ON x.vec_id = s.vec_id),
+dist AS (
+  SELECT x.vec_id, x.sub, pcb.code,
+         sum((x.val - pcb.cval) * (x.val - pcb.cval)) AS d2
+  FROM sv x JOIN pcb ON pcb.sub = x.sub AND pcb.sd = x.sd
+  GROUP BY x.vec_id, x.sub, pcb.code),
+codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                 ORDER BY d2 ASC, code ASC) AS rnk
+    FROM dist) WHERE rnk = 1),
+lut AS (
+  SELECT q.vec_id AS query_vec_id, pcb.sub, pcb.code,
+         sum(q.val * pcb.cval) AS ip
+  FROM sv q JOIN pcb ON pcb.sub = q.sub AND pcb.sd = q.sd
+  WHERE q.vec_id IN ({ids})
+  GROUP BY q.vec_id, pcb.sub, pcb.code),
+adc AS (
+  SELECT l.query_vec_id, c.vec_id, sum(l.ip) AS score
+  FROM codes c
+  JOIN assigned ad ON ad.vec_id = c.vec_id
+  JOIN probes p ON p.list_id = ad.list_id
+  JOIN lut l ON l.sub = c.sub AND l.code = c.code
+            AND l.query_vec_id = p.query_vec_id
+  WHERE c.vec_id != p.query_vec_id
+  GROUP BY l.query_vec_id, c.vec_id),
+ranked AS (
+  SELECT query_vec_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_vec_id
+                            ORDER BY score DESC, vec_id ASC) AS rn
+  FROM adc)
+SELECT query_vec_id, vec_id, round(score, 6) AS score, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= {topk}"""
+
+
 def q_document_info(spark, sf_dir):
     """Facade get_document_info: doc-level enrichment join — every doc with
     class size, label, top-words string, representative flag. Runs through
@@ -6395,6 +6465,7 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "assign_nearest_class": (q_assign_nearest_class, SQL_ASSIGN_NEAREST),
     "transform_distribution": (q_transform_distribution, SQL_TRANSFORM_DISTRIBUTION),
     "ivf_ann_topk": (q_ivf_ann_topk, _sql_ivf_ann()),
+    "ivfpq_ann_topk": (q_ivfpq_topk, _sql_ivfpq()),
     "document_info": (q_document_info, SQL_DOCUMENT_INFO),
     "generated_labels": (q_generated_labels, SQL_GENERATED_LABELS),
     "topic_sim_matrix": (q_topic_sim_matrix, SQL_TOPIC_SIM_MATRIX),
