@@ -139,6 +139,12 @@ BENCH_QUERIES = [
     "hierarchy_level_topics",
     "umass_coherence",
     "npmi_coherence",
+    # round-3 batch 8: RM3 expansion, impact-quantized + IVF-PQ serving,
+    # multi-fragment highlighting
+    "rm3_topk",
+    "impact_quantized_topk",
+    "ivfpq_ann_topk",
+    "top_snippets_frags",
 ]
 
 
