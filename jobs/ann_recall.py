@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Measure recall@k of every ANN path against brute-force cosine.
+
+The operator docstrings claim "recall degrades gracefully" for the
+bucketed/quantized paths; this job puts numbers on it: recall@10 per
+method over the sf embeddings table, averaged across queries, plus the
+fraction of the corpus each method actually scores (the work saved).
+Appends one markdown table to BENCH/ANN_RECALL.md.
+
+Usage: python jobs/ann_recall.py [sf_dir] [n_queries]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+K = 10
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    nq = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+
+    from bertopic_spark.operators.similarity import (cosine_topk,
+                                                     ivf_cosine_topk,
+                                                     ivfpq_topk,
+                                                     lsh_cosine_topk,
+                                                     pq_topk_adc,
+                                                     rplsh_cosine_topk)
+    from bertopic_spark.session import get_spark
+
+    spark = get_spark("ann-recall", cpus=16, shuffle_partitions=16)
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").cache()
+    n = emb.count()
+    qids = [r["vec_id"] for r in
+            emb.select("vec_id").orderBy("vec_id").limit(nq).collect()]
+
+    def topsets(df, id_col="vec_id"):
+        out: dict[int, set] = {}
+        for r in df.collect():
+            out.setdefault(r["query_vec_id"], set()).add(r[id_col])
+        return out
+
+    truth = topsets(cosine_topk(emb, qids, k=K))
+
+    # (name, result relation, fraction of corpus scored per query)
+    methods = [
+        ("sign-LSH 8-bit", lsh_cosine_topk(emb, qids, k=K), 1 / 256),
+        ("rp-LSH 8 planes", rplsh_cosine_topk(emb, qids, k=K), 1 / 256),
+        ("IVF-flat nlist=16 nprobe=4",
+         ivf_cosine_topk(emb, qids, k=K, nlist=16, nprobe=4), 4 / 16),
+        ("PQ-ADC m=8 ksub=16 (full scan, 8-byte codes)",
+         pq_topk_adc(emb, qids, k=K, m=8, ksub=16), 1.0),
+        ("PQ-ADC + refine 5k",
+         pq_topk_adc(emb, qids, k=K, m=8, ksub=16, refine=5), 1.0),
+        ("IVF-PQ nlist=16 nprobe=4 m=8",
+         ivfpq_topk(emb, qids, k=K, nlist=16, nprobe=4, m=8, ksub=16),
+         4 / 16),
+        ("IVF-PQ + refine 5k",
+         ivfpq_topk(emb, qids, k=K, nlist=16, nprobe=4, m=8, ksub=16,
+                    refine=5), 4 / 16),
+    ]
+    rows = []
+    for name, df, frac in methods:
+        got = topsets(df)
+        rec = sum(len(got.get(q, set()) & truth[q]) / len(truth[q])
+                  for q in qids) / len(qids)
+        rows.append((name, rec, frac))
+        print(f"{name}: recall@{K} = {rec:.3f}")
+
+    with open(os.path.join(REPO, "BENCH", "ANN_RECALL.md"), "a") as f:
+        f.write(f"\n# ANN recall@{K} vs brute-force cosine — {sf} "
+                f"({n} vectors, {nq} queries)\n\n")
+        f.write("| method | recall@10 | corpus fraction scored |\n|---|---|---|\n")
+        for name, rec, frac in rows:
+            f.write(f"| {name} | {rec:.3f} | {frac:.3f} |\n")
+        f.write("\nBucketed/probed paths trade recall for touching a fixed "
+                "fraction of the corpus; PQ trades recall for 8-byte "
+                "candidates at full coverage; the refine stage recovers "
+                "exact ordering among its candidates (standard two-stage "
+                "serving). IVF-PQ composes both reductions.\n")
+    print("written BENCH/ANN_RECALL.md")
+
+
+if __name__ == "__main__":
+    main()
