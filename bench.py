@@ -145,6 +145,8 @@ BENCH_QUERIES = [
     "impact_quantized_topk",
     "ivfpq_ann_topk",
     "top_snippets_frags",
+    # round-3 batch 9: OR-amplified multi-table LSH ANN
+    "ann_rplsh_multitable",
 ]
 
 

@@ -1634,6 +1634,60 @@ SELECT query_vec_id, vec_id, round(cos, 6) AS cos, CAST(rn AS BIGINT) AS rn
 FROM ranked WHERE rn <= {topk}"""
 
 
+RPLSH_TABLES = 4
+
+
+def q_ann_rplsh_multitable(spark, sf_dir):
+    """OR-amplified rp-LSH cosine top-10: 4 independent 8-plane hash
+    tables; a candidate qualifies on a collision in ANY table and each
+    (query, candidate) pair is scored once."""
+    from bertopic_spark.operators.similarity import rplsh_cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return rplsh_cosine_topk(emb, ANN_QUERY_IDS, k=10,
+                             n_planes=RPLSH_PLANES, seed=RPLSH_SEED,
+                             n_tables=RPLSH_TABLES)
+
+
+def _sql_ann_rplsh_multi(topk: int = 10, n_planes: int = RPLSH_PLANES,
+                         n_tables: int = RPLSH_TABLES,
+                         seed: int = RPLSH_SEED) -> str:
+    ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    return f"""WITH {_SQL_COS_CORE},
+coeff AS (
+  SELECT p.plane, d.dim,
+         (CAST(concat('0x', substr(md5(concat('{seed}_', CAST(p.plane AS VARCHAR), '_', CAST(d.dim AS VARCHAR))), 1, 8)) AS BIGINT) % 1000)
+           / CAST(1000.0 AS DOUBLE) - 0.5 AS c
+  FROM range(0, {n_planes * n_tables}) p(plane), (SELECT DISTINCT dim FROM v) d),
+ps AS (SELECT v.vec_id, c.plane, sum(v.val * c.c) AS s
+       FROM v JOIN coeff c USING (dim) GROUP BY v.vec_id, c.plane),
+rbuckets AS (
+  SELECT vec_id, plane // {n_planes} AS tbl,
+         CAST(sum(CASE WHEN s > 0 THEN 1 << (plane % {n_planes}) ELSE 0 END) AS BIGINT) AS bucket
+  FROM ps GROUP BY vec_id, plane // {n_planes}),
+cand AS (
+  SELECT DISTINCT bq.vec_id AS query_vec_id, ba.vec_id AS vec_id
+  FROM rbuckets bq JOIN rbuckets ba
+    ON ba.tbl = bq.tbl AND ba.bucket = bq.bucket
+  WHERE bq.vec_id IN ({ids}) AND ba.vec_id != bq.vec_id),
+dots AS (
+  SELECT c.query_vec_id, c.vec_id, sum(q.val * d.val) AS dot
+  FROM cand c
+  JOIN v q ON q.vec_id = c.query_vec_id
+  JOIN v d ON d.vec_id = c.vec_id AND d.dim = q.dim
+  GROUP BY c.query_vec_id, c.vec_id),
+sims AS (
+  SELECT query_vec_id, dots.vec_id AS vec_id, dot / (nq.nrm * nd.nrm) AS cos
+  FROM dots JOIN norms nq ON nq.vec_id = query_vec_id
+            JOIN norms nd ON nd.vec_id = dots.vec_id),
+ranked AS (
+  SELECT query_vec_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_vec_id ORDER BY cos DESC, vec_id ASC) AS rn
+  FROM sims)
+SELECT query_vec_id, vec_id, round(cos, 6) AS cos, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= {topk}"""
+
+
 def q_class_centroids(spark, sf_dir):
     """A7: per-label mean embedding (topic vectors)."""
     from bertopic_spark.operators.similarity import class_centroids
@@ -6456,6 +6510,7 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "ann_cosine_topk": (q_ann_cosine_topk, _sql_ann(10, False)),
     "ann_lsh_topk": (q_ann_lsh_topk, _sql_ann(10, True)),
     "ann_rplsh_topk": (q_ann_rplsh_topk, _sql_ann_rplsh()),
+    "ann_rplsh_multitable": (q_ann_rplsh_multitable, _sql_ann_rplsh_multi()),
     "dedup_simhash_pairs": (q_simhash_pairs, _sql_simhash_pairs()),
     "class_centroids": (q_class_centroids, SQL_CLASS_CENTROIDS),
     "token_stats": (q_token_stats, _sql_token_stats()),

@@ -121,6 +121,50 @@ def random_hyperplane_buckets(emb: DataFrame, n_planes: int = 8, seed: int = 42,
     return plane_scores.groupBy(id_col).agg(F.sum(bit).cast("long").alias("bucket"))
 
 
+def random_hyperplane_buckets_multi(
+    emb: DataFrame, n_planes: int = 8, n_tables: int = 1, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, table, bucket): ``n_tables`` independent sign-LSH hash tables
+    over the same seeded coefficient stream. Global plane index ``p`` in
+    ``[0, n_planes*n_tables)`` maps to table ``p div n_planes`` and bit
+    ``p mod n_planes`` — table 0 is therefore bit-identical to
+    :func:`random_hyperplane_buckets` for the same seed, and the whole
+    relation stays cross-engine reproducible (md5-derived coefficients).
+
+    Same two narrow shuffles as the single-table helper; the coefficient
+    broadcast grows to ``n_planes*n_tables × dim`` rows (still tiny)."""
+    ex = emb.select(
+        F.col(id_col),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "val"))
+    spark = emb.sparkSession
+    planes = (
+        ex.select("dim").distinct()
+        .crossJoin(spark.range(n_planes * n_tables)
+                   .select(F.col("id").cast("int").alias("plane")))
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("_", F.lit(seed), F.col("plane"), F.col("dim"))), 1, 8),
+        16, 10,
+    ).cast("long")
+    coeff = planes.withColumn("c", (h % 1000) / F.lit(1000.0) - 0.5)
+    plane_scores = (
+        ex.join(F.broadcast(coeff), "dim")
+        .groupBy(id_col, "plane")
+        .agg(F.sum(F.col("val") * F.col("c")).alias("s"))
+    )
+    bit = F.expr(
+        f"CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), plane % {n_planes}) "
+        "ELSE CAST(0 AS BIGINT) END")
+    return (
+        plane_scores
+        .withColumn("table", (F.col("plane") / n_planes).cast("int"))
+        .groupBy(id_col, "table")
+        .agg(F.sum(bit).cast("long").alias("bucket"))
+    )
+
+
 def rplsh_cosine_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -129,12 +173,24 @@ def rplsh_cosine_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_tables: int = 1,
 ) -> DataFrame:
     """Approximate cosine top-k restricted to the query's random-hyperplane
     bucket — `lsh_cosine_topk` with real hyperplanes instead of the
     leading-dims stand-in. Same output shape; bucket is a partition key at
-    scale, so each probe touches one partition."""
-    buckets = random_hyperplane_buckets(emb, n_planes, seed, id_col, vec_col)
+    scale, so each probe touches one partition.
+
+    ``n_tables > 1`` is standard OR-amplification (Indyk-Motwani): a
+    candidate qualifies if it collides with the query in ANY of the
+    ``n_tables`` independent tables, so recall rises ~linearly in tables
+    while each probe still touches ``n_tables`` buckets instead of the
+    corpus. Candidates are deduplicated BEFORE scoring — a pair colliding
+    in several tables is scored once."""
+    if n_tables <= 1:
+        buckets = random_hyperplane_buckets(emb, n_planes, seed, id_col, vec_col)
+    else:
+        buckets = random_hyperplane_buckets_multi(
+            emb, n_planes, n_tables, seed, id_col, vec_col)
     base = emb.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     ).join(buckets, id_col)
@@ -142,10 +198,18 @@ def rplsh_cosine_topk(
         F.col(id_col).alias("query_vec_id"),
         F.col("v").alias("qv"),
         F.col("bucket").alias("qbucket"),
+        *([F.col("table").alias("qtable")] if n_tables > 1 else []),
     )
-    pairs = base.join(
-        F.broadcast(q), F.col("bucket") == F.col("qbucket")
-    ).filter(F.col(id_col) != F.col("query_vec_id"))
+    join_cond = F.col("bucket") == F.col("qbucket")
+    if n_tables > 1:
+        join_cond = join_cond & (F.col("table") == F.col("qtable"))
+    pairs = base.join(F.broadcast(q), join_cond).filter(
+        F.col(id_col) != F.col("query_vec_id"))
+    if n_tables > 1:
+        # collapse multi-table collisions to one row per (query, candidate)
+        # so each pair is scored exactly once
+        pairs = pairs.groupBy("query_vec_id", id_col).agg(
+            F.first("qv").alias("qv"), F.first("v").alias("v"))
     scored = pairs.select(
         "query_vec_id", id_col, cosine_expr(F.col("qv"), F.col("v")).alias("cos")
     )

@@ -484,3 +484,32 @@ def test_minhash_incremental_star_components_and_linearity(dup_cluster_df):
     nodes = {n for e in full for n in e}
     union_edges = [e for e in prior + inc if e[0] in nodes and e[1] in nodes]
     assert _components(nodes, union_edges) == _components(nodes, full)
+
+
+def test_rplsh_multitable_amplification(spark):
+    """OR-amplification invariants: table 0 of the multi-table hash equals
+    the single-table hash (same seed stream); every single-table result
+    pair is also a multi-table candidate (recall is monotone in tables);
+    no duplicate (query, candidate) rows despite multi-table collisions."""
+    from bertopic_spark.operators.similarity import (
+        random_hyperplane_buckets, random_hyperplane_buckets_multi,
+        rplsh_cosine_topk)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    single = {r["vec_id"]: r["bucket"] for r in
+              random_hyperplane_buckets(emb).collect()}
+    multi = random_hyperplane_buckets_multi(emb, n_planes=8, n_tables=3)
+    t0 = {r["vec_id"]: r["bucket"] for r in
+          multi.filter(F.col("table") == 0).collect()}
+    assert t0 == single
+    assert multi.count() == 3 * len(single)
+
+    qids = [0, 1, 2, 3, 4]
+    one = rplsh_cosine_topk(emb, qids, k=50)
+    three = rplsh_cosine_topk(emb, qids, k=50, n_tables=3)
+    got1 = {(r["query_vec_id"], r["vec_id"]) for r in one.collect()}
+    rows3 = three.collect()
+    got3 = {(r["query_vec_id"], r["vec_id"]) for r in rows3}
+    assert len(got3) == len(rows3)  # deduped before scoring
+    assert got1 <= got3  # k=50 > any bucket here, so supersets hold
+    assert len(got3) > len(got1)  # extra tables surface new candidates
