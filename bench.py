@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "top_snippets_frags",
     # round-3 batch 9: OR-amplified multi-table LSH ANN
     "ann_rplsh_multitable",
+    "dfs_shard_topk",
 ]
 
 

@@ -206,6 +206,22 @@ SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, round(score, 6) AS score,
 FROM ranked WHERE rn <= 10"""
 
 
+def q_dfs_shard_topk(spark, sf_dir):
+    """ES dfs_query_then_fetch scatter-gather: 8 hash shards, per-shard
+    local top-10 with globally-computed (DFS-phase) statistics, merged to
+    the global top-10 — rank-identical to the exhaustive path, so the
+    oracle IS the exhaustive BM25 SQL."""
+    from bertopic_spark.operators.bm25 import dfs_shard_topk, doc_scores
+
+    qt = query_terms(queries_df(spark, DRIVER_QUERIES), MODE)
+    sc = doc_scores(_docs(spark, sf_dir), text_col="text", mode=MODE)
+    t = dfs_shard_topk(sc, qt, k=10, n_shards=8)
+    return t.select(
+        "query_id", "doc_id", _r6(F.col("score")).alias("score"),
+        F.col("rank").cast("long").alias("rn"),
+    )
+
+
 def q_impact_topk(spark, sf_dir):
     """Impact-quantized serving (Anh-Moffat / score-at-a-time shape):
     8-bit offset-quantized posting impacts, midpoint-reconstruction top-k
@@ -6496,6 +6512,7 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "ctfidf_topk_default": (_q_ctfidf_topk(False, False), _sql_ctfidf_topk(False, False)),
     "ctfidf_topk_bm25_sqrt": (_q_ctfidf_topk(True, True), _sql_ctfidf_topk(True, True)),
     "bm25_doc_topk": (q_bm25_doc_topk, SQL_BM25_DOC_TOPK),
+    "dfs_shard_topk": (q_dfs_shard_topk, SQL_BM25_DOC_TOPK),
     "incremental_bm25_topk": (q_incremental_bm25_topk, SQL_INCREMENTAL_BM25),
     "topic_sizes": (q_topic_sizes, SQL_TOPIC_SIZES),
     "topics_per_class": (q_topics_per_class, SQL_TOPICS_PER_CLASS),

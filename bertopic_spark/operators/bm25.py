@@ -151,6 +151,55 @@ def bm25_topk(
     )
 
 
+def dfs_shard_topk(
+    scores: DataFrame,
+    qterms: DataFrame,
+    k: int = 10,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Two-phase scatter-gather top-k — ES ``dfs_query_then_fetch``
+    (elasticsearch docs: search_type; Lucene distributed search): docs are
+    hash-partitioned into ``n_shards`` shards, each shard computes a LOCAL
+    top-k over its own candidates, and the coordinator merges the
+    ``n_shards × k`` shard winners into the global top-k.
+
+    The "DFS" phase is the global-statistics broadcast: ``scores`` carries
+    corpus-wide idf / avgdl (doc_scores computes them over ALL shards), so
+    a document's score is shard-independent. That makes the two-phase plan
+    **rank-identical** to exhaustive :func:`bm25_topk`: every global top-k
+    doc is ≥ its shard's k-th candidate, hence survives phase 1. Without
+    the DFS phase (per-shard idf — ES's default ``query_then_fetch``),
+    shard-local df skew shifts scores and can reorder results; see
+    tests/test_shard_search.py for the demonstrated mis-ranking.
+
+    100-TB shape: phase 1 is the existing postings probe plus ONE window
+    pass partitioned by (query, shard) — same shuffle count as the
+    exhaustive path, but the final per-query merge sorts n_shards·k rows
+    instead of every matching doc, which is what a real scatter-gather
+    coordinator sees. Spark's WindowGroupLimit pushes the shard-local
+    top-k below the exchange (partial limit per map task).
+    """
+    hits = (
+        scores.join(F.broadcast(qterms), "term")
+        .groupBy("query_id", id_col)
+        .agg(F.sum("score").alias("score"))
+        .withColumn("shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)))
+    )
+    wl = Window.partitionBy("query_id", "shard").orderBy(
+        F.desc("score"), F.asc(id_col))
+    local = (
+        hits.withColumn("shard_rank", F.row_number().over(wl))
+        .filter(F.col("shard_rank") <= k)
+    )
+    wg = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        local.withColumn("rank", F.row_number().over(wg))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "rank")
+    )
+
+
 def bm25_topk_minshould(
     scores: DataFrame,
     qterms: DataFrame,
