@@ -148,6 +148,8 @@ BENCH_QUERIES = [
     # round-3 batch 9: OR-amplified multi-table LSH ANN
     "ann_rplsh_multitable",
     "dfs_shard_topk",
+    "bpe_merges",
+    "bpe_subword_counts",
 ]
 
 

@@ -206,6 +206,78 @@ SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, round(score, 6) AS score,
 FROM ranked WHERE rn <= 10"""
 
 
+BPE_MERGES = 6
+
+
+def q_bpe_merges(spark, sf_dir):
+    """Distributed BPE training: the first 6 learned merges (step, left,
+    right, freq) over the documents vocabulary — greedy pair-merge loop,
+    deterministic tie-break (freq desc, left, right)."""
+    from bertopic_spark.operators.bpe import bpe_train
+
+    return bpe_train(_docs(spark, sf_dir), "text", mode=MODE,
+                     n_merges=BPE_MERGES)
+
+
+def q_bpe_subword_counts(spark, sf_dir):
+    """Per-doc token-budget accounting under the learned BPE vocabulary:
+    (doc_id, n_tokens, n_subwords) after 6 merges."""
+    from bertopic_spark.operators.bpe import bpe_doc_subword_counts, bpe_train
+
+    docs = _docs(spark, sf_dir)
+    merges = [(r["left"], r["right"])
+              for r in bpe_train(docs, "text", mode=MODE,
+                                 n_merges=BPE_MERGES).collect()]
+    return bpe_doc_subword_counts(docs, merges, "text", mode=MODE)
+
+
+def _sql_bpe_ctes(n_merges: int) -> str:
+    """Unrolled BPE merge chain: w{i}(word, cnt, s) after i merges,
+    b{i}(l, r, c) the i-th merge decision. Mirrors operators/bpe.py —
+    same doubled-space greedy replace, same tie-break."""
+    parts = [f"""btoks AS MATERIALIZED (
+  SELECT unnest({duckdb_tokens_sql('text', MODE)}) AS word FROM documents),
+bwf AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM btoks GROUP BY word),
+w0 AS MATERIALIZED (SELECT word, cnt,
+              trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' </w>' AS s
+       FROM bwf)"""]
+    for i in range(n_merges):
+        parts.append(f"""p{i} AS MATERIALIZED (
+  SELECT z[1] AS l, z[2] AS r, CAST(sum(cnt) AS BIGINT) AS c
+  FROM (SELECT cnt, unnest(list_zip(a[1:len(a)-1], a[2:len(a)])) AS z
+        FROM (SELECT cnt, string_split(s, ' ') AS a FROM w{i})
+        WHERE len(a) >= 2)
+  GROUP BY 1, 2),
+b{i} AS MATERIALIZED (SELECT l, r, c FROM p{i} ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+w{i + 1} AS MATERIALIZED (
+  SELECT word, cnt, trim(replace(replace(' ' || replace(s, ' ', '  ') || ' ',
+    ' ' || (SELECT l FROM b{i}) || '  ' || (SELECT r FROM b{i}) || ' ',
+    ' ' || (SELECT l FROM b{i}) || (SELECT r FROM b{i}) || ' '), '  ', ' ')) AS s
+  FROM w{i})""")
+    return ",\n".join(parts)
+
+
+def _sql_bpe_merges(n_merges: int = BPE_MERGES) -> str:
+    steps = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT) AS step, l AS \"left\", r AS \"right\", "
+        f"c AS freq FROM b{i}"
+        for i in range(n_merges))
+    return f"WITH {_sql_bpe_ctes(n_merges)}\n{steps}"
+
+
+def _sql_bpe_subword_counts(n_merges: int = BPE_MERGES) -> str:
+    return f"""WITH {_sql_bpe_ctes(n_merges)},
+seg AS (SELECT word, CAST(len(string_split(s, ' ')) AS BIGINT) AS n_subwords
+        FROM w{n_merges}),
+dtoks AS (
+  SELECT doc_id, unnest({duckdb_tokens_sql('text', MODE)}) AS word
+  FROM documents)
+SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(seg.n_subwords) AS BIGINT) AS n_subwords
+FROM dtoks d JOIN seg USING (word)
+GROUP BY d.doc_id"""
+
+
 def q_dfs_shard_topk(spark, sf_dir):
     """ES dfs_query_then_fetch scatter-gather: 8 hash shards, per-shard
     local top-10 with globally-computed (DFS-phase) statistics, merged to
@@ -6513,6 +6585,8 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "ctfidf_topk_bm25_sqrt": (_q_ctfidf_topk(True, True), _sql_ctfidf_topk(True, True)),
     "bm25_doc_topk": (q_bm25_doc_topk, SQL_BM25_DOC_TOPK),
     "dfs_shard_topk": (q_dfs_shard_topk, SQL_BM25_DOC_TOPK),
+    "bpe_merges": (q_bpe_merges, _sql_bpe_merges()),
+    "bpe_subword_counts": (q_bpe_subword_counts, _sql_bpe_subword_counts()),
     "incremental_bm25_topk": (q_incremental_bm25_topk, SQL_INCREMENTAL_BM25),
     "topic_sizes": (q_topic_sizes, SQL_TOPIC_SIZES),
     "topics_per_class": (q_topics_per_class, SQL_TOPICS_PER_CLASS),
