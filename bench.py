@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "dfs_shard_topk",
     "bpe_merges",
     "bpe_subword_counts",
+    "bigram_lm_perplexity",
 ]
 
 

@@ -206,6 +206,68 @@ SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, round(score, 6) AS score,
 FROM ranked WHERE rn <= 10"""
 
 
+BLM_TRAIN_LANG = "en"
+BLM_ALPHA, BLM_KAPPA = 0.5, 0.4
+
+
+def q_bigram_lm_perplexity(spark, sf_dir):
+    """Stupid-backoff bigram LM quality signal: LM trained on the English
+    slice only, ALL docs scored — non-English docs exercise the backoff
+    and OOV paths (κ·p_uni with Lidstone unigram mass). Cross-entropy only
+    in the gate: exp() amplifies float jitter past 6dp for OOV-heavy docs."""
+    from bertopic_spark.operators.textstats import bigram_lm_perplexity
+
+    docs = _docs(spark, sf_dir)
+    out = bigram_lm_perplexity(
+        docs, "text", "doc_id", MODE, alpha=BLM_ALPHA, kappa=BLM_KAPPA,
+        train_df=docs.filter(F.col("lang") == BLM_TRAIN_LANG))
+    return out.select("doc_id", "n_tokens",
+                      _r6(F.col("cross_entropy")).alias("cross_entropy"))
+
+
+def _sql_bigram_lm_perplexity() -> str:
+    return f"""WITH dtoks AS MATERIALIZED (
+  SELECT doc_id, lang, {duckdb_tokens_sql('text', MODE)} AS a FROM documents),
+nz AS MATERIALIZED (SELECT doc_id, lang, a, len(a) AS n FROM dtoks WHERE len(a) >= 1),
+uni AS MATERIALIZED (
+  SELECT t AS term, CAST(count(*) AS BIGINT) AS ctf
+  FROM (SELECT unnest(a) AS t FROM nz WHERE lang = '{BLM_TRAIN_LANG}')
+  GROUP BY 1),
+tot AS MATERIALIZED (
+  SELECT CAST(sum(ctf) AS BIGINT) AS n_total, CAST(count(*) AS BIGINT) AS v
+  FROM uni),
+bg AS MATERIALIZED (
+  SELECT z[1] AS w1, z[2] AS w2, CAST(count(*) AS BIGINT) AS cbg
+  FROM (SELECT unnest(list_zip(a[1:len(a)-1], a[2:len(a)])) AS z
+        FROM nz WHERE lang = '{BLM_TRAIN_LANG}' AND n >= 2)
+  GROUP BY 1, 2),
+docbg AS MATERIALIZED (
+  SELECT doc_id, z[1] AS w1, z[2] AS w2, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(list_zip(a[1:len(a)-1], a[2:len(a)])) AS z
+        FROM nz WHERE n >= 2)
+  GROUP BY 1, 2, 3),
+lp1 AS (
+  SELECT f.doc_id, f.n,
+         ln((coalesce(u.ctf, 0) + {BLM_ALPHA}) / (t.n_total + {BLM_ALPHA} * t.v)) AS lp
+  FROM (SELECT doc_id, a[1] AS t1, n FROM nz) f
+  LEFT JOIN uni u ON u.term = f.t1 CROSS JOIN tot t),
+pair_lp AS (
+  SELECT d.doc_id,
+         sum(d.tf * CASE WHEN b.cbg IS NOT NULL
+               THEN ln(b.cbg / CAST(u1.ctf AS DOUBLE))
+               ELSE ln({BLM_KAPPA} * (coalesce(u2.ctf, 0) + {BLM_ALPHA})
+                       / (t.n_total + {BLM_ALPHA} * t.v)) END) AS lp
+  FROM docbg d
+  LEFT JOIN bg b ON b.w1 = d.w1 AND b.w2 = d.w2
+  LEFT JOIN uni u1 ON u1.term = d.w1
+  LEFT JOIN uni u2 ON u2.term = d.w2
+  CROSS JOIN tot t
+  GROUP BY d.doc_id)
+SELECT l.doc_id, CAST(l.n AS BIGINT) AS n_tokens,
+       round(-(l.lp + coalesce(p.lp, 0)) / l.n, 6) AS cross_entropy
+FROM lp1 l LEFT JOIN pair_lp p USING (doc_id)"""
+
+
 BPE_MERGES = 6
 
 
@@ -6586,6 +6648,8 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "bm25_doc_topk": (q_bm25_doc_topk, SQL_BM25_DOC_TOPK),
     "dfs_shard_topk": (q_dfs_shard_topk, SQL_BM25_DOC_TOPK),
     "bpe_merges": (q_bpe_merges, _sql_bpe_merges()),
+    "bigram_lm_perplexity": (q_bigram_lm_perplexity,
+                             _sql_bigram_lm_perplexity()),
     "bpe_subword_counts": (q_bpe_subword_counts, _sql_bpe_subword_counts()),
     "incremental_bm25_topk": (q_incremental_bm25_topk, SQL_INCREMENTAL_BM25),
     "topic_sizes": (q_topic_sizes, SQL_TOPIC_SIZES),

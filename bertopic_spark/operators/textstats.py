@@ -426,6 +426,94 @@ def lm_perplexity(df, text_col: str = "text", id_col: str = "doc_id",
                     F.exp("cross_entropy").alias("perplexity"))
 
 
+def bigram_lm_perplexity(df, text_col: str = "text", id_col: str = "doc_id",
+                         mode: str = "ascii_code", alpha: float = 0.5,
+                         kappa: float = 0.4, train_df=None):
+    """Per-doc cross-entropy / perplexity under a corpus bigram LM with
+    stupid backoff (Brants et al. 2007, "Large Language Models in Machine
+    Translation" — the smoothing designed FOR distributed web-scale LM
+    training: no normalization pass, counts compose under union):
+    (id, n_tokens, cross_entropy, perplexity).
+
+        S(wᵢ | wᵢ₋₁) = c(wᵢ₋₁wᵢ) / c(wᵢ₋₁)   if the bigram was seen
+                     = κ · p_uni(wᵢ)           otherwise (κ = 0.4, the
+                                               paper's constant)
+        p_uni(w)     = (c(w) + α) / (N + α·V)  Lidstone, same α convention
+                                               as ``lm_perplexity`` — gives
+                                               OOV words finite mass
+        ln p(doc)    = ln p_uni(t₁) + Σᵢ₌₂ ln S(tᵢ|tᵢ₋₁)
+        ce = −ln p(doc) / n;  ppl = exp(ce)
+
+    ``train_df`` freezes the LM on a different corpus (held-out snapshot,
+    single-language slice); default trains on the scored corpus itself (in
+    which case backoff never fires — every scored bigram was counted).
+
+    Physical shape: doc bigrams are pre-aggregated per (doc, w₁, w₂)
+    before any join (same shrink as doc_term_counts); the bigram-count
+    join keys on (w₁, w₂) — a shuffle join, the bigram table is NOT
+    broadcastable at scale — and the two unigram joins key on the
+    vocabulary-sized relation. One groupBy(id) finishes. No UDFs.
+    """
+    toks = (with_tokens(df, text_col, mode)
+            .select(id_col, "tokens")
+            .filter(F.size("tokens") >= 1))
+    tr = (toks if train_df is None
+          else with_tokens(train_df, text_col, mode)
+          .select("tokens").filter(F.size("tokens") >= 1))
+
+    uni = (tr.select(F.explode("tokens").alias("term"))
+           .groupBy("term").agg(F.count("*").cast("long").alias("ctf")))
+    tot = uni.agg(F.sum("ctf").alias("n_total"),
+                  F.count("*").alias("v"))
+    bigrams_expr = F.expr(
+        "CASE WHEN size(tokens) < 2 THEN array() "
+        "ELSE zip_with(slice(tokens, 1, size(tokens) - 1), "
+        "slice(tokens, 2, size(tokens) - 1), (l, r) -> struct(l, r)) END")
+    bg = (tr.select(F.explode(bigrams_expr).alias("p"))
+          .groupBy(F.col("p.l").alias("w1"), F.col("p.r").alias("w2"))
+          .agg(F.count("*").cast("long").alias("cbg")))
+
+    def _p_uni(ctf_col):
+        return ((F.coalesce(ctf_col, F.lit(0)) + F.lit(float(alpha)))
+                / (F.col("n_total") + F.lit(float(alpha)) * F.col("v")))
+
+    first = toks.select(id_col, F.size("tokens").alias("n_tokens"),
+                        F.element_at("tokens", 1).alias("t1"))
+    lp_first = (first
+                .join(uni.withColumnRenamed("term", "t1"), "t1", "left")
+                .crossJoin(F.broadcast(tot))
+                .select(id_col, "n_tokens",
+                        F.log(_p_uni(F.col("ctf"))).alias("lp")))
+
+    docbg = (toks.select(id_col, F.explode(bigrams_expr).alias("p"))
+             .groupBy(id_col, F.col("p.l").alias("w1"),
+                      F.col("p.r").alias("w2"))
+             .agg(F.count("*").cast("long").alias("tf")))
+    u1 = uni.select(F.col("term").alias("w1"), F.col("ctf").alias("c1"))
+    u2 = uni.select(F.col("term").alias("w2"), F.col("ctf").alias("c2"))
+    pair_lp = (docbg
+               .join(bg, ["w1", "w2"], "left")
+               .join(u1, "w1", "left")
+               .join(u2, "w2", "left")
+               .crossJoin(F.broadcast(tot))
+               .withColumn("s", F.when(
+                   F.col("cbg").isNotNull(),
+                   F.log(F.col("cbg") / F.col("c1").cast("double")))
+                   .otherwise(F.log(F.lit(float(kappa))
+                                    * _p_uni(F.col("c2")))))
+               .groupBy(id_col)
+               .agg(F.sum(F.col("tf") * F.col("s")).alias("lp_pairs")))
+
+    out = (lp_first.join(pair_lp, id_col, "left")
+           .withColumn("ce", -(F.col("lp")
+                               + F.coalesce("lp_pairs", F.lit(0.0)))
+                       / F.col("n_tokens")))
+    return out.select(id_col,
+                      F.col("n_tokens").cast("long").alias("n_tokens"),
+                      F.col("ce").alias("cross_entropy"),
+                      F.exp("ce").alias("perplexity"))
+
+
 def char_ngrams(text, n: int = 3):
     """Sliding character n-grams of ``text`` (a raw attribute column) as an
     array, lowercased per gram. ``text`` must be a plain column reference —

@@ -297,3 +297,69 @@ def test_domain_mix_sample_budget_and_determinism(spark):
                               "n_chars", "doc_id")
     assert {tuple(r) for r in kept.collect()} == \
            {tuple(r) for r in kept2.collect()}
+
+
+def _ref_bigram_ce(doc_tokens, train_docs, alpha=0.5, kappa=0.4):
+    """In-test stupid-backoff reference (Brants 2007 + Lidstone unigrams)."""
+    import math
+    from collections import Counter
+    uni, bg = Counter(), Counter()
+    for t in train_docs:
+        uni.update(t)
+        bg.update(zip(t, t[1:]))
+    n_total, v = sum(uni.values()), len(uni)
+
+    def p_uni(w):
+        return (uni.get(w, 0) + alpha) / (n_total + alpha * v)
+
+    lp = math.log(p_uni(doc_tokens[0]))
+    for a, b in zip(doc_tokens, doc_tokens[1:]):
+        if (a, b) in bg:
+            lp += math.log(bg[(a, b)] / uni[a])
+        else:
+            lp += math.log(kappa * p_uni(b))
+    return -lp / len(doc_tokens)
+
+
+def test_bigram_lm_perplexity_matches_reference(spark):
+    from bertopic_spark.operators.textstats import bigram_lm_perplexity
+    from bertopic_spark.tokenizer import tokenize_one
+
+    train_texts = ["alpha beta alpha beta gamma", "alpha beta delta",
+                   "gamma gamma alpha"]
+    score_texts = [
+        "alpha beta gamma",       # all bigrams seen
+        "beta alpha",             # unseen bigram, seen unigrams (backoff)
+        "alpha zulu beta",        # OOV unigram
+        "zulu",                   # single OOV token
+        "alpha",                  # single seen token
+    ]
+    train = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(train_texts)], "doc_id long, text string")
+    score = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(score_texts)], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           bigram_lm_perplexity(score, train_df=train).collect()}
+    train_toks = [tokenize_one(t, "ascii_code") for t in train_texts]
+    import math
+    for i, t in enumerate(score_texts):
+        toks = tokenize_one(t, "ascii_code")
+        want = _ref_bigram_ce(toks, train_toks)
+        assert got[i]["n_tokens"] == len(toks)
+        assert got[i]["cross_entropy"] == pytest.approx(want, abs=1e-12)
+        assert got[i]["perplexity"] == pytest.approx(math.exp(want), rel=1e-12)
+    # seen-bigram doc is more probable than the OOV doc under this LM
+    assert got[0]["cross_entropy"] < got[2]["cross_entropy"]
+
+
+def test_bigram_lm_self_trained_no_backoff(spark, documents_df):
+    """Self-trained LM: every scored bigram was counted, so every doc's
+    bigram term uses the MLE branch; cross-entropy is finite and the
+    relation covers every non-empty doc."""
+    from bertopic_spark.operators.textstats import bigram_lm_perplexity
+
+    out = bigram_lm_perplexity(documents_df).collect()
+    n_docs = documents_df.count()
+    assert len(out) == n_docs and out  # corpus-backed, non-empty
+    for r in out:
+        assert r["cross_entropy"] > 0 and r["perplexity"] > 1
