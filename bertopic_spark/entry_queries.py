@@ -4883,6 +4883,64 @@ def q_textrank_keywords(spark, sf_dir):
             .filter(F.col("rank") <= GRAPH_K))
 
 
+def q_hits_bigram(spark, sf_dir):
+    """Kleinberg HITS over the directed bigram precedence graph (top-50
+    vocabulary): (term, authority, hub), L2-normalized per half-step,
+    fixed 5 power iterations — cross-engine reproducible. All nodes
+    returned unranked (the compare is order-insensitive)."""
+    from bertopic_spark.operators.graph import bigram_edges, hits
+
+    e = bigram_edges(_docs(spark, sf_dir), "text", "doc_id",
+                     v=GRAPH_V, min_w=GRAPH_MINW, mode=MODE)
+    out = hits(e, iters=GRAPH_ITERS)
+    return out.select(F.col("node").alias("term"),
+                      _r6(F.col("authority")).alias("authority"),
+                      _r6(F.col("hub")).alias("hub"))
+
+
+def _sql_hits_bigram() -> str:
+    steps = []
+    for i in range(GRAPH_ITERS):
+        steps.append(f"""ra{i} AS MATERIALIZED (
+  SELECT e.dst AS node, sum(e.w * h.s) AS r
+  FROM e JOIN h{i} h ON h.node = e.src GROUP BY e.dst),
+an{i} AS MATERIALIZED (SELECT sqrt(sum(r * r)) AS nrm FROM ra{i}),
+a{i + 1} AS MATERIALIZED (
+  SELECT n.node,
+         CASE WHEN an.nrm > 0 THEN coalesce(ra.r, 0) / an.nrm ELSE 0 END AS s
+  FROM nodes n LEFT JOIN ra{i} ra USING (node) CROSS JOIN an{i} an),
+rh{i} AS MATERIALIZED (
+  SELECT e.src AS node, sum(e.w * a.s) AS r
+  FROM e JOIN a{i + 1} a ON a.node = e.dst GROUP BY e.src),
+hn{i} AS MATERIALIZED (SELECT sqrt(sum(r * r)) AS nrm FROM rh{i}),
+h{i + 1} AS MATERIALIZED (
+  SELECT n.node,
+         CASE WHEN hn.nrm > 0 THEN coalesce(rh.r, 0) / hn.nrm ELSE 0 END AS s
+  FROM nodes n LEFT JOIN rh{i} rh USING (node) CROSS JOIN hn{i} hn)""")
+    chain = ",\n".join(steps)
+    return f"""WITH tk AS MATERIALIZED (
+  SELECT doc_id, {duckdb_tokens_sql('text', MODE)} AS ts FROM documents),
+dt AS (SELECT doc_id, unnest(list_distinct(ts)) AS term FROM tk),
+dfs AS (SELECT term, count(*) AS df FROM dt GROUP BY term),
+vocab AS MATERIALIZED (
+  SELECT term FROM dfs ORDER BY df DESC, term ASC LIMIT {GRAPH_V}),
+bge AS (
+  SELECT z[1] AS src, z[2] AS dst, count(*) AS w
+  FROM (SELECT unnest(list_zip(ts[1:len(ts)-1], ts[2:len(ts)])) AS z
+        FROM tk WHERE len(ts) >= 2)
+  GROUP BY 1, 2),
+e AS MATERIALIZED (
+  SELECT b.src, b.dst, CAST(b.w AS DOUBLE) AS w
+  FROM bge b JOIN vocab v1 ON v1.term = b.src JOIN vocab v2 ON v2.term = b.dst
+  WHERE b.w >= {GRAPH_MINW}),
+nodes AS MATERIALIZED (
+  SELECT src AS node FROM e UNION SELECT dst FROM e),
+h0 AS (SELECT node, 1.0 AS s FROM nodes),
+{chain}
+SELECT n.node AS term, round(a.s, 6) AS authority, round(h.s, 6) AS hub
+FROM nodes n JOIN a{GRAPH_ITERS} a USING (node) JOIN h{GRAPH_ITERS} h USING (node)"""
+
+
 def _sql_textrank_keywords() -> str:
     steps = []
     prev = "r0"
@@ -6685,6 +6743,7 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "merge_models_sizes": (q_merge_models_sizes, _sql_merge_models()),
     "cooccurrence_edges": (q_cooccurrence_edges, _sql_cooccurrence_edges()),
     "textrank_keywords": (q_textrank_keywords, _sql_textrank_keywords()),
+    "hits_bigram": (q_hits_bigram, _sql_hits_bigram()),
     "lm_topk": (q_lm_topk, SQL_LM_TOPK),
     "ltr_features": (q_ltr_features, SQL_LTR_FEATURES),
     "tiered_bm25_topk": (q_tiered_bm25_topk, SQL_BM25_DOC_TOPK),

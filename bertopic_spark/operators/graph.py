@@ -276,3 +276,95 @@ def textrank_keywords(df: DataFrame, text_col: str, id_col: str,
     top = pr.orderBy(F.desc("score"), F.asc("node")).limit(k)
     return (top.withColumn("rank", F.row_number().over(w).cast("long"))
             .select(F.col("node").alias("term"), "score", "rank"))
+
+
+def bigram_edges(df: DataFrame, text_col: str, id_col: str,
+                 v: int = 100, min_w: int = 1,
+                 mode: str = "ascii_code") -> DataFrame:
+    """Directed precedence graph: (src, dst, w:long) — adjacent-token
+    bigram counts with BOTH endpoints restricted to the top-``v``
+    vocabulary (broadcast semi-joins before the count shuffle, same
+    pruning discipline as ``cooccurrence_edges``). Self-loops (repeated
+    tokens) are kept: HITS is well-defined on them and the oracle mirrors
+    the relation exactly."""
+    vocab = top_vocab(df, text_col, id_col, v, mode).select("term")
+    toks = with_tokens(df.select(id_col, text_col), text_col, mode)
+    pairs_expr = F.expr(
+        "CASE WHEN size(tokens) < 2 THEN array() "
+        "ELSE zip_with(slice(tokens, 1, size(tokens) - 1), "
+        "slice(tokens, 2, size(tokens) - 1), (l, r) -> struct(l, r)) END")
+    bg = toks.select(F.explode(pairs_expr).alias("p")).select(
+        F.col("p.l").alias("src"), F.col("p.r").alias("dst"))
+    return (bg.join(F.broadcast(vocab.withColumnRenamed("term", "src")), "src")
+            .join(F.broadcast(vocab.withColumnRenamed("term", "dst")), "dst")
+            .groupBy("src", "dst")
+            .agg(F.count("*").cast("long").alias("w"))
+            .filter(F.col("w") >= min_w))
+
+
+def hits(edges: DataFrame, iters: int = 5,
+         src: str = "src", dst: str = "dst", weight: str = "w") -> DataFrame:
+    """Weighted HITS (Kleinberg 1999, "Authoritative sources in a
+    hyperlinked environment"): (node, authority, hub), each vector
+    L2-normalized per half-step.
+
+        a_{i+1}(v) ∝ Σ_{u→v} w(u,v)·h_i(u)
+        h_{i+1}(u) ∝ Σ_{u→v} w(u,v)·a_{i+1}(v)
+
+    ``iters`` is fixed (not convergence-tested) so the result is exactly
+    reproducible cross-engine. Physical shape per half-step: one join of
+    the bounded score vector against the edge relation + one groupBy
+    shuffle; the L2 norm is folded in via a broadcast scalar crossJoin —
+    NO driver collect per iteration. Nodes with no in-edges (out-edges)
+    get authority (hub) exactly 0.
+
+    Unlike ``pagerank`` (one reference to the previous vector per
+    iteration), each HITS half-step references the previous vector
+    TWICE (the edge join and the norm aggregate over it), so an
+    unmaterialized loop replicates the upstream plan ~4^iters times —
+    Catalyst analysis alone goes combinatorial. Both score vectors are
+    therefore eagerly localCheckpoint-truncated every iteration, and the
+    edge relation once up front; each generation is released as the next
+    replaces it, so executor storage stays at O(1) relations."""
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"),
+                      F.col(weight).cast("double").alias("w"))
+         .localCheckpoint(eager=True))
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionAll(e.select(F.col("dst").alias("node"))).distinct()
+             .localCheckpoint(eager=True))
+    h = nodes.select("node", F.lit(1.0).alias("s"))
+    a = None
+    prev_a, prev_h = None, None
+    for i in range(iters):
+        raw_a = (e.join(h.withColumnRenamed("node", "src"), "src")
+                 .groupBy("dst")
+                 .agg(F.sum(F.col("w") * F.col("s")).alias("r")))
+        an = raw_a.agg(F.sqrt(F.sum(F.col("r") * F.col("r"))).alias("nrm"))
+        a = (nodes.join(raw_a.withColumnRenamed("dst", "node"), "node", "left")
+             .crossJoin(F.broadcast(an))
+             .select("node", F.when(F.col("nrm") > 0,
+                                    F.coalesce("r", F.lit(0.0)) / F.col("nrm"))
+                     .otherwise(F.lit(0.0)).alias("s"))
+             .localCheckpoint(eager=True))
+        raw_h = (e.join(a.withColumnRenamed("node", "dst"), "dst")
+                 .groupBy("src")
+                 .agg(F.sum(F.col("w") * F.col("s")).alias("r")))
+        hn = raw_h.agg(F.sqrt(F.sum(F.col("r") * F.col("r"))).alias("nrm"))
+        h = (nodes.join(raw_h.withColumnRenamed("src", "node"), "node", "left")
+             .crossJoin(F.broadcast(hn))
+             .select("node", F.when(F.col("nrm") > 0,
+                                    F.coalesce("r", F.lit(0.0)) / F.col("nrm"))
+                     .otherwise(F.lit(0.0)).alias("s"))
+             .localCheckpoint(eager=True))
+        if prev_a is not None:
+            _release_local_checkpoint(prev_a)
+        if prev_h is not None:
+            _release_local_checkpoint(prev_h)
+        prev_a, prev_h = a, h
+    out = (a.withColumnRenamed("s", "authority")
+           .join(h.withColumnRenamed("s", "hub"), "node"))
+    _release_local_checkpoint(nodes)
+    _release_local_checkpoint(e)
+    return out

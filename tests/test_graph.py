@@ -126,3 +126,66 @@ def test_grouped_pagerank_matches_per_group_scalar(spark):
                    if g == lang) == pytest.approx(1.0, abs=1e-9)
     with pytest.raises(ValueError, match="group_cols"):
         pagerank_grouped(ge, [], iters=2)
+
+
+def _numpy_hits(iters=4):
+    import math
+    h = {u: 1.0 for u in NODES}
+    a = {u: 0.0 for u in NODES}
+    for _ in range(iters):
+        a = {v: sum(h[s] * w for (s, d, w) in EDGES if d == v) for v in NODES}
+        nrm = math.sqrt(sum(x * x for x in a.values()))
+        a = {v: (x / nrm if nrm > 0 else 0.0) for v, x in a.items()}
+        h = {u: sum(a[d] * w for (s, d, w) in EDGES if s == u) for u in NODES}
+        nrm = math.sqrt(sum(x * x for x in h.values()))
+        h = {u: (x / nrm if nrm > 0 else 0.0) for u, x in h.items()}
+    return a, h
+
+
+def test_hits_matches_numpy_weighted(spark):
+    from bertopic_spark.operators.graph import hits
+
+    e = spark.createDataFrame(EDGES, "src long, dst long, w double")
+    rows = hits(e, iters=4).collect()
+    got_a = {r["node"]: r["authority"] for r in rows}
+    got_h = {r["node"]: r["hub"] for r in rows}
+    want_a, want_h = _numpy_hits(4)
+    assert set(got_a) == set(NODES)
+    for u in NODES:
+        assert got_a[u] == pytest.approx(want_a[u], abs=1e-12)
+        assert got_h[u] == pytest.approx(want_h[u], abs=1e-12)
+    # structural zero: node 4 has no out-edges, so hub exactly 0
+    assert got_h[4] == 0.0
+    # each vector is exactly unit L2 after its final half-step
+    assert sum(v * v for v in got_a.values()) == pytest.approx(1.0, abs=1e-9)
+    assert sum(v * v for v in got_h.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_hits_storage_bounded_and_validates(spark):
+    from bertopic_spark.operators.graph import hits
+
+    e = spark.createDataFrame(EDGES, "src long, dst long, w double")
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    hits(e, iters=6).collect()
+    after = len(spark.sparkContext._jsc.getPersistentRDDs())
+    assert after - before <= 2  # live authority+hub generation only
+    with pytest.raises(ValueError, match="iters"):
+        hits(e, iters=0)
+
+
+def test_bigram_edges_directed_counts(spark):
+    from bertopic_spark.operators.graph import bigram_edges
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha beta"), (2, "beta alpha beta"),
+         (3, "alpha alpha rare1 rare2")],
+        "doc_id long, text string")
+    e = {(r["src"], r["dst"]): r["w"] for r in
+         bigram_edges(docs, "text", "doc_id", v=2, min_w=1).collect()}
+    # direction preserved: alpha->beta 3 (doc1 x2, doc2 x1)... doc1 has
+    # [alpha beta alpha beta] -> ab, ba, ab; doc2 [beta alpha beta] -> ba, ab
+    assert e[("alpha", "beta")] == 3
+    assert e[("beta", "alpha")] == 2
+    # self-loop kept (doc3 alpha alpha); rare terms pruned by vocab
+    assert e[("alpha", "alpha")] == 1
+    assert all("rare" not in s and "rare" not in d for s, d in e)
