@@ -1002,6 +1002,93 @@ SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, round(score, 6) AS score,
 FROM ranked WHERE rn <= 10"""
 
 
+def q_dfr_pl2_topk(spark, sf_dir):
+    """Divergence-From-Randomness retrieval, PL2 (operators/bm25.
+    dfr_pl2_topk — Amati & van Rijsbergen 2002; Lucene DFRSimilarity
+    P/L/2, Terrier default): Poisson randomness + Laplace after-effect +
+    length normalization 2, natural-log formulation, c=1."""
+    from bertopic_spark.operators.bm25 import dfr_pl2_topk
+
+    qt = query_terms(queries_df(spark, DRIVER_QUERIES), MODE)
+    t = dfr_pl2_topk(_docs(spark, sf_dir), qt, k=10, c=1.0,
+                     text_col="text", mode=MODE)
+    return t.select(
+        "query_id", "doc_id", _r6(F.col("score")).alias("score"),
+        F.col("rank").cast("long").alias("rn"),
+    )
+
+
+SQL_DFR_PL2 = f"""WITH {_TOKS}, {_XDOC},
+cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM xdoc GROUP BY term),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM xdoc GROUP BY doc_id),
+coll AS (SELECT count(*) AS n_docs, avg(dl) AS avg_dl FROM dl),
+q(query_id, term) AS (VALUES {_query_term_values()}),
+hits AS (
+  SELECT q.query_id, x.doc_id,
+         sum((
+           (x.tf * ln(1.0 + coll.avg_dl / dl.dl))
+             * ln((x.tf * ln(1.0 + coll.avg_dl / dl.dl))
+                  / (cf.cf / CAST(coll.n_docs AS DOUBLE)))
+           + (cf.cf / CAST(coll.n_docs AS DOUBLE)
+              - x.tf * ln(1.0 + coll.avg_dl / dl.dl))
+           + 0.5 * ln(2.0 * pi() * x.tf * ln(1.0 + coll.avg_dl / dl.dl))
+         ) / (x.tf * ln(1.0 + coll.avg_dl / dl.dl) + 1.0)) AS score
+  FROM q JOIN xdoc x USING (term) JOIN cf USING (term)
+         JOIN dl ON dl.doc_id = x.doc_id CROSS JOIN coll
+  GROUP BY q.query_id, x.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rn
+  FROM hits)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, round(score, 6) AS score,
+       CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 10"""
+
+
+def q_dfi_topk(spark, sf_dir):
+    """Divergence-From-Independence retrieval (operators/bm25.dfi_topk —
+    Kocabaş et al. 2014; Lucene DFISimilarity, standardized measure):
+    parameter-free; a term scores only where observed tf exceeds the
+    independence expectation dl·cf/T, so stop-terms self-prune."""
+    from bertopic_spark.operators.bm25 import dfi_topk
+
+    qt = query_terms(queries_df(spark, DRIVER_QUERIES), MODE)
+    t = dfi_topk(_docs(spark, sf_dir), qt, k=10, text_col="text", mode=MODE)
+    return t.select(
+        "query_id", "doc_id", _r6(F.col("score")).alias("score"),
+        F.col("rank").cast("long").alias("rn"),
+    )
+
+
+SQL_DFI_TOPK = f"""WITH {_TOKS}, {_XDOC},
+cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM xdoc GROUP BY term),
+tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM xdoc),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM xdoc GROUP BY doc_id),
+q(query_id, term) AS (VALUES {_query_term_values()}),
+hits AS (
+  SELECT q.query_id, x.doc_id,
+         sum(CASE WHEN x.tf > dl.dl * cf.cf / CAST(tot.total AS DOUBLE)
+             THEN ln(1.0 + (x.tf - dl.dl * cf.cf / CAST(tot.total AS DOUBLE))
+                     / sqrt(dl.dl * cf.cf / CAST(tot.total AS DOUBLE)))
+             ELSE 0.0 END) AS score
+  FROM q JOIN xdoc x USING (term) JOIN cf USING (term)
+         JOIN dl ON dl.doc_id = x.doc_id CROSS JOIN tot
+  GROUP BY q.query_id, x.doc_id
+  HAVING sum(CASE WHEN x.tf > dl.dl * cf.cf / CAST(tot.total AS DOUBLE)
+             THEN ln(1.0 + (x.tf - dl.dl * cf.cf / CAST(tot.total AS DOUBLE))
+                     / sqrt(dl.dl * cf.cf / CAST(tot.total AS DOUBLE)))
+             ELSE 0.0 END) > 0),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rn
+  FROM hits)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, round(score, 6) AS score,
+       CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 10"""
+
+
 def q_common_terms_topk(spark, sf_dir):
     """Lucene CommonTermsQuery (operators/bm25.common_terms_topk):
     candidates admitted only by rare terms (df ≤ 0.78·N — chosen so the
@@ -6770,6 +6857,8 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "significant_terms": (q_significant_terms, SQL_SIGNIFICANT_TERMS),
     "decay_topk": (q_decay_topk, SQL_DECAY_TOPK),
     "lm_jm_topk": (q_lm_jm_topk, SQL_LM_JM_TOPK),
+    "dfr_pl2_topk": (q_dfr_pl2_topk, SQL_DFR_PL2),
+    "dfi_topk": (q_dfi_topk, SQL_DFI_TOPK),
     "common_terms_topk": (q_common_terms_topk, SQL_COMMON_TERMS),
     "phrase_boost_topk": (q_phrase_boost_topk, _sql_phrase_boost()),
     "rescore_topk": (q_rescore_topk, SQL_RESCORE),

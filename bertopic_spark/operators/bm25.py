@@ -16,6 +16,7 @@ top-k. No cross join, no dense matrix. The block-max WAND path
 
 from __future__ import annotations
 
+import math
 from typing import Mapping, Sequence
 
 from pyspark.sql import DataFrame, Window
@@ -544,6 +545,115 @@ def lm_jm_topk(
         .agg(F.sum(F.log(
             F.lit(1.0) + ratio * (F.col("tf") / F.col("doc_len"))
             / (F.col("cf") / F.col("total")))).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "rank")
+    )
+
+
+def dfr_pl2_topk(
+    corpus: DataFrame,
+    qterms: DataFrame,
+    k: int = 10,
+    c: float = 1.0,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    mode: str = "ascii_code",
+    persist_counts: bool = True,
+    _persisted_out: list | None = None,
+) -> DataFrame:
+    """Divergence-From-Randomness retrieval, PL2 model (Amati & van
+    Rijsbergen, TOIS 2002; Terrier's default, Lucene DFRSimilarity with
+    P/L/2): Poisson randomness model, Laplace after-effect, normalization
+    2. Completes the classical similarity family next to BM25/Okapi,
+    LM-Dirichlet and LM-JM over the SAME pruned inverted-index probe:
+
+        tfn      = tf · ln(1 + c · avg_dl / dl)
+        λ_t      = cf_t / N
+        score(d) = Σ_{t∈q∩d} (tfn·ln(tfn/λ_t) + (λ_t - tfn)
+                              + 0.5·ln(2π·tfn)) / (tfn + 1)
+
+    (natural-log formulation — identical ranking to the log2 one, and
+    byte-reproducible across engines). Collection stats (N, avg_dl, cf)
+    are one partial-agg pass; query terms broadcast onto the postings
+    before any arithmetic; one (query, doc) shuffle; WindowGroupLimit
+    top-k. OOV terms drop out via the cf inner join; zero-match docs are
+    never candidates."""
+    if c <= 0:
+        raise ValueError("c must be > 0")
+    x = doc_term_counts(corpus, text_col, [id_col], mode, with_len=True)
+    if persist_counts:
+        x = x.persist()
+        if _persisted_out is not None:
+            _persisted_out.append(x)
+    cf = x.groupBy("term").agg(F.sum("tf").alias("cf"))
+    coll = (x.groupBy(id_col).agg(F.first("doc_len").alias("dl"))
+            .agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avg_dl")))
+    terms_only = qterms.select("term").distinct()
+    cfq = cf.join(F.broadcast(terms_only), "term").crossJoin(F.broadcast(coll))
+    tfn = F.col("tf") * F.log(F.lit(1.0)
+                              + F.lit(c) * F.col("avg_dl") / F.col("doc_len"))
+    lam = F.col("cf") / F.col("n_docs")
+    gain = (tfn * F.log(tfn / lam) + (lam - tfn)
+            + F.lit(0.5) * F.log(F.lit(2.0 * math.pi) * tfn)) / (tfn + 1)
+    scored = (
+        x.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(cfq), "term")
+        .groupBy("query_id", id_col)
+        .agg(F.sum(gain).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "rank")
+    )
+
+
+def dfi_topk(
+    corpus: DataFrame,
+    qterms: DataFrame,
+    k: int = 10,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    mode: str = "ascii_code",
+    persist_counts: bool = True,
+    _persisted_out: list | None = None,
+) -> DataFrame:
+    """Divergence-From-Independence retrieval (Kocabaş, Dinçer &
+    Karaoğlan, IRJ 2014; Lucene DFISimilarity, standardized measure):
+    non-parametric — no tuning constants at all. Expected tf under
+    independence is e = dl·cf/T; a term contributes only when observed
+    tf exceeds it (Lucene's ``freq <= expected → 0`` rule, which also
+    makes stop-terms self-pruning):
+
+        score(d) = Σ_{t∈q∩d, tf>e} ln(1 + (tf - e)/√e)
+
+    Same physical plan as the other similarity operators: broadcast
+    query-term semi-join below all arithmetic, single (query, doc)
+    shuffle, WindowGroupLimit top-k."""
+    x = doc_term_counts(corpus, text_col, [id_col], mode, with_len=True)
+    if persist_counts:
+        x = x.persist()
+        if _persisted_out is not None:
+            _persisted_out.append(x)
+    cf = x.groupBy("term").agg(F.sum("tf").alias("cf"))
+    tot = x.agg(F.sum("tf").alias("total"))
+    terms_only = qterms.select("term").distinct()
+    cfq = cf.join(F.broadcast(terms_only), "term").crossJoin(F.broadcast(tot))
+    e = F.col("doc_len") * F.col("cf") / F.col("total")
+    gain = F.when(
+        F.col("tf") > e,
+        F.log(F.lit(1.0) + (F.col("tf") - e) / F.sqrt(e))).otherwise(F.lit(0.0))
+    scored = (
+        x.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(cfq), "term")
+        .groupBy("query_id", id_col)
+        .agg(F.sum(gain).alias("score"))
+        .filter(F.col("score") > 0)
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
     return (
