@@ -1089,6 +1089,104 @@ SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, round(score, 6) AS score,
 FROM ranked WHERE rn <= 10"""
 
 
+def q_ib_ll_topk(spark, sf_dir):
+    """Information-Based retrieval, log-logistic (operators/bm25.ib_topk
+    — Clinchant & Gaussier 2010; Lucene IBSimilarity LL/DF/H2):
+    gain = ln(1 + tfn/λ), tfn natural-log H2, λ = (df+1)/(N+1)."""
+    from bertopic_spark.operators.bm25 import ib_topk
+
+    qt = query_terms(queries_df(spark, DRIVER_QUERIES), MODE)
+    t = ib_topk(_docs(spark, sf_dir), qt, k=10, distribution="ll",
+                text_col="text", mode=MODE)
+    return t.select(
+        "query_id", "doc_id", _r6(F.col("score")).alias("score"),
+        F.col("rank").cast("long").alias("rn"),
+    )
+
+
+def q_ib_spl_topk(spark, sf_dir):
+    """Information-Based retrieval, smoothed power-law (operators/bm25.
+    ib_topk — Lucene IBSimilarity SPL/DF/H2): gain =
+    -ln((λ^(tfn/(tfn+1)) - λ)/(1-λ)), guarded to 0 at λ=1."""
+    from bertopic_spark.operators.bm25 import ib_topk
+
+    qt = query_terms(queries_df(spark, DRIVER_QUERIES), MODE)
+    t = ib_topk(_docs(spark, sf_dir), qt, k=10, distribution="spl",
+                text_col="text", mode=MODE)
+    return t.select(
+        "query_id", "doc_id", _r6(F.col("score")).alias("score"),
+        F.col("rank").cast("long").alias("rn"),
+    )
+
+
+def _sql_ib(gain: str) -> str:
+    return f"""WITH {_TOKS}, {_XDOC},
+dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM xdoc GROUP BY term),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM xdoc GROUP BY doc_id),
+coll AS (SELECT count(*) AS n_docs, avg(dl) AS avg_dl FROM dl),
+q(query_id, term) AS (VALUES {_query_term_values()}),
+parts AS (
+  SELECT q.query_id, x.doc_id,
+         x.tf * ln(1.0 + coll.avg_dl / dl.dl) AS tfn,
+         (dft.df + 1.0) / (coll.n_docs + 1.0) AS lam
+  FROM q JOIN xdoc x USING (term) JOIN dft USING (term)
+         JOIN dl ON dl.doc_id = x.doc_id CROSS JOIN coll),
+hits AS (
+  SELECT query_id, doc_id, sum({gain}) AS score
+  FROM parts GROUP BY query_id, doc_id),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rn
+  FROM hits)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, round(score, 6) AS score,
+       CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 10"""
+
+
+SQL_IB_LL = _sql_ib("ln(1.0 + tfn / lam)")
+SQL_IB_SPL = _sql_ib(
+    "CASE WHEN lam < 1.0 THEN -ln((pow(lam, tfn / (tfn + 1.0)) - lam)"
+    " / (1.0 - lam)) ELSE 0.0 END")
+
+
+def q_axiomatic_f2exp_topk(spark, sf_dir):
+    """Axiomatic retrieval F2EXP (operators/bm25.axiomatic_topk — Fang
+    & Zhai 2005; Lucene AxiomaticF2EXP): constraint-derived ranking,
+    ((N+1)/df)^0.35 · tf/(tf + 0.5 + 0.5·dl/avg_dl)."""
+    from bertopic_spark.operators.bm25 import axiomatic_topk
+
+    qt = query_terms(queries_df(spark, DRIVER_QUERIES), MODE)
+    t = axiomatic_topk(_docs(spark, sf_dir), qt, k=10, variant="f2exp",
+                       text_col="text", mode=MODE)
+    return t.select(
+        "query_id", "doc_id", _r6(F.col("score")).alias("score"),
+        F.col("rank").cast("long").alias("rn"),
+    )
+
+
+SQL_AXIOMATIC_F2EXP = f"""WITH {_TOKS}, {_XDOC},
+dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM xdoc GROUP BY term),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM xdoc GROUP BY doc_id),
+coll AS (SELECT count(*) AS n_docs, avg(dl) AS avg_dl FROM dl),
+q(query_id, term) AS (VALUES {_query_term_values()}),
+hits AS (
+  SELECT q.query_id, x.doc_id,
+         sum(pow((coll.n_docs + 1.0) / dft.df, 0.35)
+             * x.tf / (x.tf + 0.5 + 0.5 * dl.dl / coll.avg_dl)) AS score
+  FROM q JOIN xdoc x USING (term) JOIN dft USING (term)
+         JOIN dl ON dl.doc_id = x.doc_id CROSS JOIN coll
+  GROUP BY q.query_id, x.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rn
+  FROM hits)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, round(score, 6) AS score,
+       CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 10"""
+
+
 def q_common_terms_topk(spark, sf_dir):
     """Lucene CommonTermsQuery (operators/bm25.common_terms_topk):
     candidates admitted only by rare terms (df ≤ 0.78·N — chosen so the
@@ -6859,6 +6957,9 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "lm_jm_topk": (q_lm_jm_topk, SQL_LM_JM_TOPK),
     "dfr_pl2_topk": (q_dfr_pl2_topk, SQL_DFR_PL2),
     "dfi_topk": (q_dfi_topk, SQL_DFI_TOPK),
+    "ib_ll_topk": (q_ib_ll_topk, SQL_IB_LL),
+    "ib_spl_topk": (q_ib_spl_topk, SQL_IB_SPL),
+    "axiomatic_f2exp_topk": (q_axiomatic_f2exp_topk, SQL_AXIOMATIC_F2EXP),
     "common_terms_topk": (q_common_terms_topk, SQL_COMMON_TERMS),
     "phrase_boost_topk": (q_phrase_boost_topk, _sql_phrase_boost()),
     "rescore_topk": (q_rescore_topk, SQL_RESCORE),

@@ -663,6 +663,125 @@ def dfi_topk(
     )
 
 
+def ib_topk(
+    corpus: DataFrame,
+    qterms: DataFrame,
+    k: int = 10,
+    distribution: str = "ll",
+    c: float = 1.0,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    mode: str = "ascii_code",
+    persist_counts: bool = True,
+    _persisted_out: list | None = None,
+) -> DataFrame:
+    """Information-Based retrieval (Clinchant & Gaussier, SIGIR 2010;
+    Lucene IBSimilarity): the last classical family next to
+    BM25/DFR/DFI/LM — score is the information content -ln P(tfn) of the
+    observed normalized frequency under a fitted frequency distribution.
+    Natural-log H2 length normalization and the document-frequency
+    lambda (Lucene LambdaDF):
+
+        tfn = tf · ln(1 + c · avg_dl / dl)        λ_t = (df_t+1)/(N+1)
+        LL  (log-logistic):       gain = ln(1 + tfn/λ_t)
+        SPL (smoothed power-law): gain = -ln((λ_t^(tfn/(tfn+1)) - λ_t)
+                                             / (1 - λ_t))
+
+    Both are 0 at tfn=0; SPL is guarded at λ=1 (term in every doc scores
+    0 — the correct information-content limit). Physical plan identical
+    to the sibling operators: collection stats in one partial-agg pass,
+    broadcast query-term semi-join below all arithmetic, one
+    (query, doc) shuffle, WindowGroupLimit top-k."""
+    if distribution not in ("ll", "spl"):
+        raise ValueError(f"distribution must be 'll' or 'spl', got {distribution!r}")
+    if c <= 0:
+        raise ValueError("c must be > 0")
+    x = doc_term_counts(corpus, text_col, [id_col], mode, with_len=True)
+    if persist_counts:
+        x = x.persist()
+        if _persisted_out is not None:
+            _persisted_out.append(x)
+    dft = x.groupBy("term").agg(F.count("*").alias("df"))
+    coll = (x.groupBy(id_col).agg(F.first("doc_len").alias("dl"))
+            .agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avg_dl")))
+    terms_only = qterms.select("term").distinct()
+    dfq = dft.join(F.broadcast(terms_only), "term").crossJoin(F.broadcast(coll))
+    tfn = F.col("tf") * F.log(F.lit(1.0)
+                              + F.lit(c) * F.col("avg_dl") / F.col("doc_len"))
+    lam = (F.col("df") + 1) / (F.col("n_docs") + 1)
+    if distribution == "ll":
+        gain = F.log(F.lit(1.0) + tfn / lam)
+    else:
+        spl = -F.log((F.pow(lam, tfn / (tfn + 1)) - lam) / (F.lit(1.0) - lam))
+        gain = F.when(lam < 1.0, spl).otherwise(F.lit(0.0))
+    scored = (
+        x.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfq), "term")
+        .groupBy("query_id", id_col)
+        .agg(F.sum(gain).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "rank")
+    )
+
+
+def axiomatic_topk(
+    corpus: DataFrame,
+    qterms: DataFrame,
+    k: int = 10,
+    variant: str = "f2exp",
+    s: float = 0.5,
+    gamma: float = 0.35,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    mode: str = "ascii_code",
+    persist_counts: bool = True,
+    _persisted_out: list | None = None,
+) -> DataFrame:
+    """Axiomatic retrieval, F2EXP / F2LOG (Fang & Zhai, SIGIR 2005;
+    Lucene AxiomaticF2EXP/F2LOG): the function derived constructively
+    from the seven retrieval constraints rather than from a probability
+    model — TF saturation is a pure ratio (no k1 knob) and length
+    normalization is additive in the denominator:
+
+        F2EXP: score(d) = Σ_{t∈q∩d} ((N+1)/df_t)^γ · tf/(tf + s + s·dl/avg_dl)
+        F2LOG: idf part replaced by ln((N+1)/df_t)
+
+    γ=0.35, s=0.5 are the paper's (and Lucene's) defaults. Same
+    physical plan as the sibling similarity operators."""
+    if variant not in ("f2exp", "f2log"):
+        raise ValueError(f"variant must be 'f2exp' or 'f2log', got {variant!r}")
+    x = doc_term_counts(corpus, text_col, [id_col], mode, with_len=True)
+    if persist_counts:
+        x = x.persist()
+        if _persisted_out is not None:
+            _persisted_out.append(x)
+    dft = x.groupBy("term").agg(F.count("*").alias("df"))
+    coll = (x.groupBy(id_col).agg(F.first("doc_len").alias("dl"))
+            .agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avg_dl")))
+    terms_only = qterms.select("term").distinct()
+    dfq = dft.join(F.broadcast(terms_only), "term").crossJoin(F.broadcast(coll))
+    ratio = (F.col("n_docs") + 1) / F.col("df")
+    idf = (F.pow(ratio, F.lit(gamma)) if variant == "f2exp" else F.log(ratio))
+    tfpart = F.col("tf") / (F.col("tf") + F.lit(s)
+                            + F.lit(s) * F.col("doc_len") / F.col("avg_dl"))
+    scored = (
+        x.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfq), "term")
+        .groupBy("query_id", id_col)
+        .agg(F.sum(idf * tfpart).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "rank")
+    )
+
+
 def okapi_doc_scores(
     corpus: DataFrame,
     k1: float = 1.2,

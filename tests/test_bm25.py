@@ -433,6 +433,99 @@ def test_lm_jm_topk_hand_value(spark):
         lm_jm_topk(docs, q, lam=1.0)
 
 
+def test_dfr_pl2_hand_value(spark):
+    """Exact PL2 score on a tiny corpus (natural-log formulation) plus
+    OOV dropout and zero-match pruning."""
+    import math
+
+    from bertopic_spark.operators.bm25 import dfr_pl2_topk
+
+    docs = spark.createDataFrame(
+        [(1, "aa aa bb"), (2, "bb cc dd")],
+        "doc_id long, content string")
+    q = spark.createDataFrame([(0, "aa"), (0, "zz")],
+                              "query_id long, term string")
+    out = dfr_pl2_topk(docs, q, k=10, c=1.0).collect()
+    assert [(r["query_id"], r["doc_id"], r["rank"]) for r in out] == [(0, 1, 1)]
+    tf, dl, cf, n, avg = 2, 3, 2, 2, 3.0
+    tfn = tf * math.log(1.0 + avg / dl)
+    lam = cf / n
+    want = (tfn * math.log(tfn / lam) + (lam - tfn)
+            + 0.5 * math.log(2.0 * math.pi * tfn)) / (tfn + 1)
+    assert abs(out[0]["score"] - want) < 1e-12
+    with pytest.raises(ValueError):
+        dfr_pl2_topk(docs, q, c=0.0)
+
+
+def test_dfi_self_pruning_and_hand_value(spark):
+    """DFI scores only tf above the independence expectation dl*cf/T —
+    a term spread evenly over all docs contributes nothing anywhere."""
+    import math
+
+    from bertopic_spark.operators.bm25 import dfi_topk
+
+    docs = spark.createDataFrame(
+        [(1, "aa aa bb"), (2, "bb cc dd")],
+        "doc_id long, content string")
+    # 'bb' appears once in each doc: e = dl*cf/T = 3*2/6 = 1 = tf → 0
+    q_bb = spark.createDataFrame([(0, "bb")], "query_id long, term string")
+    assert dfi_topk(docs, q_bb, k=10).count() == 0
+    q_aa = spark.createDataFrame([(0, "aa")], "query_id long, term string")
+    out = dfi_topk(docs, q_aa, k=10).collect()
+    assert [(r["doc_id"], r["rank"]) for r in out] == [(1, 1)]
+    tf, e = 2, 3 * 2 / 6
+    want = math.log(1.0 + (tf - e) / math.sqrt(e))
+    assert abs(out[0]["score"] - want) < 1e-12
+
+
+def test_ib_hand_values_and_spl_guard(spark):
+    """Exact LL and SPL information-based scores; SPL guard: a term in
+    every doc (λ=1) scores 0 instead of dividing by zero."""
+    import math
+
+    from bertopic_spark.operators.bm25 import ib_topk
+
+    docs = spark.createDataFrame(
+        [(1, "aa aa bb"), (2, "bb cc dd")],
+        "doc_id long, content string")
+    q = spark.createDataFrame([(0, "aa")], "query_id long, term string")
+    tf, dl, df, n, avg = 2, 3, 1, 2, 3.0
+    tfn = tf * math.log(1.0 + avg / dl)
+    lam = (df + 1) / (n + 1)
+    out = ib_topk(docs, q, k=10, distribution="ll").collect()
+    assert [(r["doc_id"], r["rank"]) for r in out] == [(1, 1)]
+    assert abs(out[0]["score"] - math.log(1.0 + tfn / lam)) < 1e-12
+    out = ib_topk(docs, q, k=10, distribution="spl").collect()
+    want = -math.log((lam ** (tfn / (tfn + 1)) - lam) / (1.0 - lam))
+    assert abs(out[0]["score"] - want) < 1e-12
+    # 'bb' is in both docs → λ = (2+1)/(2+1) = 1 → SPL guard yields 0
+    q_bb = spark.createDataFrame([(0, "bb")], "query_id long, term string")
+    rows = ib_topk(docs, q_bb, k=10, distribution="spl").collect()
+    assert all(r["score"] == 0.0 for r in rows)
+    with pytest.raises(ValueError):
+        ib_topk(docs, q, distribution="pareto")
+
+
+def test_axiomatic_hand_values_and_variants(spark):
+    """Exact F2EXP score; F2LOG differs only in the idf factor."""
+    import math
+
+    from bertopic_spark.operators.bm25 import axiomatic_topk
+
+    docs = spark.createDataFrame(
+        [(1, "aa aa bb"), (2, "bb cc dd")],
+        "doc_id long, content string")
+    q = spark.createDataFrame([(0, "aa")], "query_id long, term string")
+    tf, dl, df, n, avg, s = 2, 3, 1, 2, 3.0, 0.5
+    tfpart = tf / (tf + s + s * dl / avg)
+    out = axiomatic_topk(docs, q, k=10, variant="f2exp").collect()
+    assert abs(out[0]["score"] - ((n + 1) / df) ** 0.35 * tfpart) < 1e-12
+    out = axiomatic_topk(docs, q, k=10, variant="f2log").collect()
+    assert abs(out[0]["score"] - math.log((n + 1) / df) * tfpart) < 1e-12
+    with pytest.raises(ValueError):
+        axiomatic_topk(docs, q, variant="f3exp")
+
+
 def test_common_terms_candidates_and_fallback(spark):
     from bertopic_spark.operators.bm25 import bm25_topk, common_terms_topk
 
