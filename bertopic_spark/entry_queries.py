@@ -1187,6 +1187,105 @@ SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, round(score, 6) AS score,
 FROM ranked WHERE rn <= 10"""
 
 
+def q_query_difficulty(spark, sf_dir):
+    """Pre-retrieval query-performance prediction (operators/evaluation.
+    query_difficulty — He & Ounis 2004 idf/SCS predictors; Zhao et al.
+    2008 SCQ): per-query difficulty signals computed from the term
+    statistics alone, before any retrieval."""
+    from bertopic_spark.operators.evaluation import query_difficulty
+
+    qt = query_terms(queries_df(spark, DRIVER_QUERIES), MODE)
+    t = query_difficulty(_docs(spark, sf_dir), qt, text_col="text", mode=MODE)
+    return t.select(
+        "query_id", F.col("n_terms").cast("long").alias("n_terms"),
+        F.col("n_vocab").cast("long").alias("n_vocab"),
+        "avg_idf", "max_idf", "sum_scq", "avg_scq", "max_scq", "scs")
+
+
+SQL_QUERY_DIFFICULTY = f"""WITH {_TOKS}, {_XDOC},
+stats AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+                 CAST(sum(tf) AS BIGINT) AS cf FROM xdoc GROUP BY term),
+coll AS (SELECT count(DISTINCT doc_id) AS n_docs,
+                CAST(sum(tf) AS BIGINT) AS total FROM xdoc),
+q(query_id, term) AS (VALUES {_query_term_values()}),
+nq AS (SELECT query_id, count(*) AS n_terms FROM q GROUP BY query_id),
+probe AS (
+  SELECT q.query_id,
+         ln((coll.n_docs + 1.0) / s.df) AS idf,
+         (1.0 + ln(s.cf)) * ln(1.0 + coll.n_docs / CAST(s.df AS DOUBLE)) AS scq,
+         ln(coll.total / CAST(s.cf AS DOUBLE)) AS lt
+  FROM q JOIN stats s USING (term) CROSS JOIN coll),
+perq AS (
+  SELECT query_id, count(*) AS n_vocab,
+         avg(idf) AS avg_idf, max(idf) AS max_idf,
+         sum(scq) AS sum_scq, avg(scq) AS avg_scq, max(scq) AS max_scq,
+         sum(lt) AS _lsum
+  FROM probe GROUP BY query_id)
+SELECT CAST(nq.query_id AS BIGINT) AS query_id,
+       CAST(nq.n_terms AS BIGINT) AS n_terms,
+       CAST(coalesce(p.n_vocab, 0) AS BIGINT) AS n_vocab,
+       round(p.avg_idf, 6) AS avg_idf, round(p.max_idf, 6) AS max_idf,
+       round(p.sum_scq, 6) AS sum_scq, round(p.avg_scq, 6) AS avg_scq,
+       round(p.max_scq, 6) AS max_scq,
+       round(-ln(CAST(p.n_vocab AS DOUBLE)) + p._lsum / p.n_vocab, 6) AS scs
+FROM nq LEFT JOIN perq p USING (query_id)"""
+
+
+def q_clarity_score(spark, sf_dir):
+    """Post-retrieval clarity score (operators/evaluation.clarity_score —
+    Cronen-Townsend, Zhou & Croft 2002): KL divergence between the
+    Dirichlet-QL top-10 feedback language model (uniform doc weights)
+    and the collection model."""
+    from bertopic_spark.operators.evaluation import clarity_score
+
+    qt = query_terms(queries_df(spark, DRIVER_QUERIES), MODE)
+    t = clarity_score(_docs(spark, sf_dir), qt, k=10, mu=LM_MU,
+                      text_col="text", mode=MODE)
+    return t.select("query_id", F.col("n_fb").cast("long").alias("n_fb"),
+                    "clarity")
+
+
+def _sql_clarity() -> str:
+    return f"""WITH {_TOKS}, {_XDOC},
+cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM xdoc GROUP BY term),
+tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM xdoc),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM xdoc GROUP BY doc_id),
+q(query_id, term) AS (VALUES {_query_term_values()}),
+qv AS (SELECT q.query_id, q.term FROM q JOIN cf USING (term)),
+nq AS (SELECT query_id, count(*) AS n_q FROM qv GROUP BY query_id),
+hits AS (
+  SELECT qv.query_id, x.doc_id,
+         sum(ln(1.0 + x.tf * tot.total / ({LM_MU} * cf.cf))) AS ql
+  FROM qv JOIN xdoc x USING (term) JOIN cf USING (term) CROSS JOIN tot
+  GROUP BY qv.query_id, x.doc_id),
+scored AS (
+  SELECT h.query_id, h.doc_id,
+         h.ql + nq.n_q * ln({LM_MU} / (dl.dl + {LM_MU})) AS score
+  FROM hits h JOIN dl USING (doc_id) JOIN nq USING (query_id)),
+fb AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS rn
+    FROM scored) WHERE rn <= 10),
+nfb AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_fb
+        FROM fb GROUP BY query_id),
+pr AS (
+  SELECT fb.query_id, x.term,
+         sum(x.tf / CAST(dl.dl AS DOUBLE)) / max(nfb.n_fb) AS pwr
+  FROM fb JOIN xdoc x USING (doc_id) JOIN dl USING (doc_id)
+          JOIN nfb ON nfb.query_id = fb.query_id
+  GROUP BY fb.query_id, x.term),
+cl AS (
+  SELECT pr.query_id,
+         round(sum(pr.pwr * ln(pr.pwr * tot.total
+                               / CAST(cf.cf AS DOUBLE))), 6) AS clarity
+  FROM pr JOIN cf USING (term) CROSS JOIN tot
+  GROUP BY pr.query_id)
+SELECT CAST(nfb.query_id AS BIGINT) AS query_id, nfb.n_fb, cl.clarity
+FROM nfb JOIN cl USING (query_id)"""
+
+
 def q_common_terms_topk(spark, sf_dir):
     """Lucene CommonTermsQuery (operators/bm25.common_terms_topk):
     candidates admitted only by rare terms (df ≤ 0.78·N — chosen so the
@@ -6960,6 +7059,8 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "ib_ll_topk": (q_ib_ll_topk, SQL_IB_LL),
     "ib_spl_topk": (q_ib_spl_topk, SQL_IB_SPL),
     "axiomatic_f2exp_topk": (q_axiomatic_f2exp_topk, SQL_AXIOMATIC_F2EXP),
+    "query_difficulty": (q_query_difficulty, SQL_QUERY_DIFFICULTY),
+    "clarity_score": (q_clarity_score, _sql_clarity()),
     "common_terms_topk": (q_common_terms_topk, SQL_COMMON_TERMS),
     "phrase_boost_topk": (q_phrase_boost_topk, _sql_phrase_boost()),
     "rescore_topk": (q_rescore_topk, SQL_RESCORE),

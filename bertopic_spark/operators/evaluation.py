@@ -142,3 +142,124 @@ def topic_diversity(topk: DataFrame, class_cols: Sequence[str],
         F.col("n_unique").cast("long"),
         F.round(F.col("n_unique") / F.col("n_words"), round_to)
         .alias("diversity"))
+
+
+# ---------------------------------------------------------------------------
+# Query performance prediction (QPP)
+# ---------------------------------------------------------------------------
+
+def query_difficulty(corpus: DataFrame, qterms: DataFrame,
+                     text_col: str = "content", id_col: str = "doc_id",
+                     mode: str = "ascii_code",
+                     round_to: int = 6) -> DataFrame:
+    """Pre-retrieval query-performance predictors — one row per query:
+
+        n_terms   query terms (distinct, tokenized)
+        n_vocab   of those, terms present in the collection
+        avg_idf / max_idf      idf = ln((N+1)/df)   (He & Ounis, SPIRE 2004)
+        sum_scq / avg_scq / max_scq
+                  SCQ_t = (1+ln cf_t)·ln(1+N/df_t)  (Zhao, Scholer & Tsegay,
+                  ECIR 2008 — collection-query similarity)
+        scs       simplified clarity score Σ_t (1/|q∩V|)·ln((1/|q∩V|)
+                  /(cf_t/T)) (He & Ounis 2004), OOV terms excluded (their
+                  collection probability is 0)
+
+    These run BEFORE any retrieval — one broadcast probe of the query
+    terms into the df/cf stats relations (both term-keyed partial aggs
+    the sibling similarity operators already compute), no (query, doc)
+    shuffle at all. Predicting which queries will be hard is how a
+    100-TB serving tier decides routing/expansion budget per query."""
+    from bertopic_spark.operators.postings import doc_term_counts
+
+    x = doc_term_counts(corpus, text_col, [id_col], mode)
+    stats = x.groupBy("term").agg(F.count(F.lit(1)).alias("df"),
+                                  F.sum("tf").alias("cf"))
+    coll = x.agg(F.countDistinct(id_col).alias("n_docs"),
+                 F.sum("tf").alias("total"))
+    nq = qterms.groupBy("query_id").agg(
+        F.countDistinct("term").alias("n_terms"))
+    probe = (stats.join(
+        F.broadcast(qterms.select("query_id", "term").distinct()), "term")
+        .crossJoin(F.broadcast(coll)))
+    idf = F.log((F.col("n_docs") + 1.0) / F.col("df"))
+    scq = (F.lit(1.0) + F.log(F.col("cf"))) \
+        * F.log(F.lit(1.0) + F.col("n_docs") / F.col("df"))
+    per_q = probe.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_vocab"),
+        F.avg(idf).alias("avg_idf"), F.max(idf).alias("max_idf"),
+        F.sum(scq).alias("sum_scq"), F.avg(scq).alias("avg_scq"),
+        F.max(scq).alias("max_scq"),
+        # Σ_t (1/n)·ln((1/n)/(cf/T)) = -ln(n) + (1/n)·Σ_t ln(T/cf)
+        F.sum(F.log(F.col("total") / F.col("cf"))).alias("_lsum"))
+    out = (nq.join(per_q, "query_id", "left")
+           .select(
+               "query_id", "n_terms",
+               F.coalesce("n_vocab", F.lit(0)).alias("n_vocab"),
+               F.round("avg_idf", round_to).alias("avg_idf"),
+               F.round("max_idf", round_to).alias("max_idf"),
+               F.round("sum_scq", round_to).alias("sum_scq"),
+               F.round("avg_scq", round_to).alias("avg_scq"),
+               F.round("max_scq", round_to).alias("max_scq"),
+               F.round(-F.log(F.col("n_vocab").cast("double"))
+                       + F.col("_lsum") / F.col("n_vocab"),
+                       round_to).alias("scs")))
+    return out
+
+
+def clarity_score(corpus: DataFrame, qterms: DataFrame, k: int = 10,
+                  mu: float = 2000.0, text_col: str = "content",
+                  id_col: str = "doc_id", mode: str = "ascii_code",
+                  round_to: int = 6,
+                  persist_counts: bool = True,
+                  _persisted_out: list | None = None) -> DataFrame:
+    """Post-retrieval clarity score (Cronen-Townsend, Zhou & Croft,
+    SIGIR 2002): KL divergence between the top-k feedback language model
+    and the collection model — high clarity = focused result list =
+    the query likely performed well. One row (query_id, n_fb, clarity).
+
+    Feedback model: uniform-weighted MLE doc models over the Dirichlet-QL
+    top-k (the paper's P(d|q) posterior replaced by the uniform variant —
+    deterministic and the common toolkit simplification):
+
+        P(w|R) = (1/k)·Σ_{d∈topk} tf_{w,d}/dl_d
+        clarity = Σ_{w∈R} P(w|R)·ln(P(w|R) / (cf_w/T))
+
+    Cross-engine determinism: feedback membership is ``lm_topk``'s
+    (exact-score ranking, doc-id tiebreak — the same contract its own
+    gate verifies). Physical shape: the
+    k·|queries| feedback set broadcasts back onto the persisted counts
+    relation, so the summation join touches only feedback-doc postings;
+    the collection stats reuse the same single tokenize pass."""
+    from pyspark.sql import Window
+
+    from bertopic_spark.operators.bm25 import lm_topk
+
+    from bertopic_spark.operators.postings import doc_term_counts
+
+    x = doc_term_counts(corpus, text_col, [id_col], mode, with_len=True)
+    if persist_counts:
+        x = x.persist()
+        if _persisted_out is not None:
+            _persisted_out.append(x)
+    topk = lm_topk(corpus, qterms, k=k, mu=mu, text_col=text_col,
+                   id_col=id_col, mode=mode, persist_counts=False)
+    fb = topk.select("query_id", id_col)
+    nfb = fb.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_fb"))
+    cf = x.groupBy("term").agg(F.sum("tf").alias("cf"))
+    tot = x.agg(F.sum("tf").alias("total"))
+    # P(w|R): only feedback-doc postings flow into this shuffle
+    pr = (x.join(F.broadcast(fb), id_col)
+          .groupBy("query_id", "term")
+          .agg(F.sum(F.col("tf") / F.col("doc_len")).alias("_s")))
+    pr = (pr.join(F.broadcast(nfb), "query_id")
+          .select("query_id", "term",
+                  (F.col("_s") / F.col("n_fb")).alias("pwr")))
+    # cf is vocabulary-sized: prune it to feedback terms before broadcasting
+    cfq = cf.join(F.broadcast(pr.select("term").distinct()), "term")
+    scored = (pr.join(F.broadcast(cfq), "term").crossJoin(F.broadcast(tot))
+              .groupBy("query_id")
+              .agg(F.round(F.sum(
+                  F.col("pwr") * F.log(F.col("pwr") * F.col("total")
+                                       / F.col("cf"))), round_to)
+                  .alias("clarity")))
+    return nfb.join(scored, "query_id").select("query_id", "n_fb", "clarity")

@@ -76,3 +76,49 @@ def test_facade_coherence_and_diversity(documents_df):
     assert 0.0 < d["diversity"] <= 1.0
     with pytest.raises(ValueError, match="measure"):
         m.topic_coherence("c_v")
+
+
+def test_query_difficulty_hand_values(spark):
+    """Exact pre-retrieval predictor values on a 2-doc corpus, including
+    OOV accounting (n_terms vs n_vocab) and the SCS identity."""
+    import math
+
+    from bertopic_spark.operators.evaluation import query_difficulty
+
+    docs = spark.createDataFrame(
+        [(1, "aa aa bb"), (2, "bb cc dd")],
+        "doc_id long, content string")
+    q = spark.createDataFrame([(0, "aa"), (0, "zz")],
+                              "query_id long, term string")
+    r = query_difficulty(docs, q).collect()[0]
+    assert (r["n_terms"], r["n_vocab"]) == (2, 1)
+    idf = math.log(3.0 / 1.0)            # ln((N+1)/df), N=2, df_aa=1
+    scq = (1 + math.log(2.0)) * math.log(1.0 + 2.0 / 1.0)
+    assert abs(r["avg_idf"] - round(idf, 6)) < 1e-9
+    assert r["max_idf"] == r["avg_idf"]
+    assert abs(r["sum_scq"] - round(scq, 6)) < 1e-9
+    assert r["avg_scq"] == r["max_scq"] == r["sum_scq"]
+    # SCS with one in-vocab term: -ln(1) + ln(T/cf) = ln(6/2)
+    assert abs(r["scs"] - round(math.log(3.0), 6)) < 1e-9
+
+
+def test_clarity_score_hand_value(spark):
+    """Exact clarity on a 2-doc corpus where only one doc matches: the
+    feedback model is that doc's MLE model, clarity = (2/3)·ln 2."""
+    import math
+
+    from bertopic_spark.operators.evaluation import clarity_score
+
+    docs = spark.createDataFrame(
+        [(1, "aa aa bb"), (2, "bb cc dd")],
+        "doc_id long, content string")
+    q = spark.createDataFrame([(0, "aa")], "query_id long, term string")
+    r = clarity_score(docs, q, k=10).collect()[0]
+    assert r["n_fb"] == 1
+    # P(aa|R)=2/3 (KL term (2/3)ln((2/3)/(2/6))), P(bb|R)=1/3 (KL term 0)
+    assert abs(r["clarity"] - round((2.0 / 3.0) * math.log(2.0), 6)) < 1e-9
+    # a query distributed like the collection has ~zero clarity relative
+    # to a focused one
+    q2 = spark.createDataFrame([(1, "bb")], "query_id long, term string")
+    r2 = clarity_score(docs, q2, k=10).collect()[0]
+    assert r2["n_fb"] == 2 and r2["clarity"] < r["clarity"]
