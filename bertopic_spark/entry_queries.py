@@ -1286,6 +1286,100 @@ SELECT CAST(nfb.query_id AS BIGINT) AS query_id, nfb.n_fb, cl.clarity
 FROM nfb JOIN cl USING (query_id)"""
 
 
+CORI_SHARDS, CORI_B, CORI_PROBE = 8, 0.4, 2
+
+
+def q_cori_shard_scores(spark, sf_dir):
+    """CORI resource selection (operators/bm25.cori_shard_scores —
+    Callan, Lu & Croft 1995): per-query shard beliefs from shard-level
+    df/cw statistics only; no document is scored."""
+    from bertopic_spark.operators.bm25 import cori_shard_scores
+
+    qt = query_terms(queries_df(spark, DRIVER_QUERIES), MODE)
+    t = cori_shard_scores(_docs(spark, sf_dir), qt, n_shards=CORI_SHARDS,
+                          b=CORI_B, text_col="text", mode=MODE)
+    return t.select(
+        "query_id", F.col("shard").cast("long").alias("shard"),
+        _r6(F.col("belief")).alias("belief"),
+        F.col("rank").cast("long").alias("rn"))
+
+
+def _sql_cori_ctes() -> str:
+    ns, b = CORI_SHARDS, CORI_B
+    return f"""xs AS (SELECT doc_id, term, tf, doc_id % {ns} AS shard FROM xdoc),
+q(query_id, term) AS (VALUES {_query_term_values()}),
+sdf AS (
+  SELECT shard, term, CAST(count(*) AS BIGINT) AS df FROM xs
+  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY shard, term),
+cw AS (SELECT shard, CAST(sum(tf) AS BIGINT) AS cw FROM xs GROUP BY shard),
+acw AS (SELECT avg(cw) AS avg_cw FROM cw),
+sfr AS (SELECT term, CAST(count(*) AS BIGINT) AS sf FROM sdf GROUP BY term),
+bel AS (
+  SELECT s.shard, s.term,
+         {b} + {1.0 - b} * (s.df / (s.df + 50.0 + 150.0 * cw.cw / acw.avg_cw))
+             * (ln(({ns} + 0.5) / sfr.sf) / ln({ns} + 1.0)) AS p
+  FROM sdf s JOIN sfr USING (term) JOIN cw USING (shard) CROSS JOIN acw),
+nv AS (SELECT q.query_id, count(*) AS nv
+       FROM q JOIN sfr USING (term) GROUP BY q.query_id),
+matched AS (
+  SELECT q.query_id, bl.shard, sum(bl.p) AS sp, count(*) AS nm
+  FROM q JOIN bel bl USING (term) GROUP BY q.query_id, bl.shard),
+grid AS (SELECT nv.query_id, nv.nv, cw.shard FROM nv CROSS JOIN cw),
+beliefs AS (
+  SELECT g.query_id, g.shard,
+         round((coalesce(m.sp, 0.0) + {b} * (g.nv - coalesce(m.nm, 0)))
+               / g.nv, 9) AS belief
+  FROM grid g LEFT JOIN matched m
+       ON m.query_id = g.query_id AND m.shard = g.shard)"""
+
+
+SQL_CORI_SHARDS = f"""WITH {_TOKS}, {_XDOC}, {_sql_cori_ctes()}
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(shard AS BIGINT) AS shard,
+       round(belief, 6) AS belief,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY belief DESC, shard ASC) AS BIGINT) AS rn
+FROM beliefs"""
+
+
+def q_selective_search_topk(spark, sf_dir):
+    """Selective search (operators/bm25.selective_search_topk — Kulkarni
+    & Callan 2010): BM25 over only the CORI top-2 of 8 shards per query,
+    global collection statistics."""
+    from bertopic_spark.operators.bm25 import selective_search_topk
+
+    qt = query_terms(queries_df(spark, DRIVER_QUERIES), MODE)
+    t = selective_search_topk(_docs(spark, sf_dir), qt, k=10,
+                              n_probe=CORI_PROBE, n_shards=CORI_SHARDS,
+                              b=CORI_B, text_col="text", mode=MODE)
+    return t.select(
+        "query_id", "doc_id", _r6(F.col("score")).alias("score"),
+        F.col("rank").cast("long").alias("rn"))
+
+
+SQL_SELECTIVE_SEARCH = f"""WITH {_TOKS}, {_XDOC},
+{_scores_sql('xdoc', 'doc_id', True, False)}, {_sql_cori_ctes()},
+sel AS (
+  SELECT query_id, shard FROM (
+    SELECT query_id, shard,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY belief DESC, shard ASC) AS r
+    FROM beliefs) WHERE r <= {CORI_PROBE}),
+hits AS (
+  SELECT q.query_id, s.doc_id, sum(s.score) AS score
+  FROM q JOIN scores s USING (term)
+         JOIN sel ON sel.query_id = q.query_id
+                 AND sel.shard = s.doc_id % {CORI_SHARDS}
+  GROUP BY q.query_id, s.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rn
+  FROM hits)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, round(score, 6) AS score,
+       CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 10"""
+
+
 def q_common_terms_topk(spark, sf_dir):
     """Lucene CommonTermsQuery (operators/bm25.common_terms_topk):
     candidates admitted only by rare terms (df ≤ 0.78·N — chosen so the
@@ -7061,6 +7155,8 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "axiomatic_f2exp_topk": (q_axiomatic_f2exp_topk, SQL_AXIOMATIC_F2EXP),
     "query_difficulty": (q_query_difficulty, SQL_QUERY_DIFFICULTY),
     "clarity_score": (q_clarity_score, _sql_clarity()),
+    "cori_shard_scores": (q_cori_shard_scores, SQL_CORI_SHARDS),
+    "selective_search_topk": (q_selective_search_topk, SQL_SELECTIVE_SEARCH),
     "common_terms_topk": (q_common_terms_topk, SQL_COMMON_TERMS),
     "phrase_boost_topk": (q_phrase_boost_topk, _sql_phrase_boost()),
     "rescore_topk": (q_rescore_topk, SQL_RESCORE),

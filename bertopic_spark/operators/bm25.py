@@ -201,6 +201,135 @@ def dfs_shard_topk(
     )
 
 
+def cori_shard_scores(
+    corpus: DataFrame,
+    qterms: DataFrame,
+    n_shards: int = 8,
+    b: float = 0.4,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    mode: str = "ascii_code",
+    persist_counts: bool = True,
+    _persisted_out: list | None = None,
+) -> DataFrame:
+    """CORI resource selection (Callan, Lu & Croft, SIGIR 1995): rank
+    index shards by how likely they are to hold relevant documents,
+    BEFORE searching any of them — the inference-network belief
+
+        T = df_{i,t} / (df_{i,t} + 50 + 150·cw_i/avg_cw)
+        I = ln((n_shards + 0.5)/sf_t) / ln(n_shards + 1)
+        p(t|S_i) = b + (1-b)·T·I
+
+    averaged over the query's in-vocab terms (a term absent from shard i
+    contributes the default belief ``b``; OOV-everywhere terms drop, as
+    in every sibling operator). Output: (query_id, shard, belief, rank),
+    every shard present per query, ranked belief-desc / shard-asc with
+    beliefs rounded to 9 dp so selection is cross-engine deterministic.
+
+    Shards are ``id mod n_shards`` (ids are non-negative by the corpus
+    contract) — deterministic and oracle-able; a production layout would
+    carry an explicit shard column, which callers can emulate by
+    pre-assigning ids. Physical shape: the per-(shard, term) df relation
+    is ONE extra partial agg over the same single tokenize pass; all
+    probe joins broadcast query-sized or n_shards-sized relations. No
+    (query, doc) shuffle — selection touches only shard-level stats
+    (this is the point: at 10^12 files the broker consults k·|q| numbers,
+    not the index)."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    if not 0.0 <= b < 1.0:
+        raise ValueError("b must be in [0, 1)")
+    x = doc_term_counts(corpus, text_col, [id_col], mode)
+    if persist_counts:
+        x = x.persist()
+        if _persisted_out is not None:
+            _persisted_out.append(x)
+    xs = x.withColumn("shard", F.pmod(F.col(id_col).cast("long"),
+                                      F.lit(n_shards)))
+    terms_only = qterms.select("term").distinct()
+    # per-(shard, term) document frequency, pruned to query terms early
+    sdf = (xs.join(F.broadcast(terms_only), "term", "left_semi")
+           .groupBy("shard", "term").agg(F.count(F.lit(1)).alias("df")))
+    cw = xs.groupBy("shard").agg(F.sum("tf").alias("cw"))
+    avg_cw = cw.agg(F.avg("cw").alias("avg_cw"))
+    sf = sdf.groupBy("term").agg(F.count(F.lit(1)).alias("sf"))
+    t_part = F.col("df") / (F.col("df") + 50.0
+                            + 150.0 * F.col("cw") / F.col("avg_cw"))
+    i_part = (F.log((n_shards + 0.5) / F.col("sf"))
+              / F.lit(math.log(n_shards + 1.0)))
+    p = F.lit(b) + F.lit(1.0 - b) * t_part * i_part
+    beliefs = (sdf.join(F.broadcast(sf), "term")
+               .join(F.broadcast(cw), "shard")
+               .crossJoin(F.broadcast(avg_cw))
+               .select("shard", "term", p.alias("p")))
+    # in-vocab query-term count (vocab = terms appearing in ANY shard)
+    nv = (qterms.join(F.broadcast(sf.select("term")), "term")
+          .groupBy("query_id").agg(F.count(F.lit(1)).alias("nv")))
+    matched = (beliefs.join(F.broadcast(qterms), "term")
+               .groupBy("query_id", "shard")
+               .agg(F.sum("p").alias("sp"), F.count(F.lit(1)).alias("nm")))
+    # every (query, shard) cell exists: unmatched shards get pure-default b
+    grid = nv.select("query_id", "nv").crossJoin(
+        F.broadcast(cw.select("shard")))
+    full = (grid.join(matched, ["query_id", "shard"], "left")
+            .select(
+                "query_id", "shard",
+                F.round((F.coalesce(F.col("sp"), F.lit(0.0))
+                         + F.lit(b) * (F.col("nv")
+                                       - F.coalesce(F.col("nm"), F.lit(0))))
+                        / F.col("nv"), 9).alias("belief")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("belief"),
+                                               F.asc("shard"))
+    return full.withColumn("rank", F.row_number().over(w))
+
+
+def selective_search_topk(
+    corpus: DataFrame,
+    qterms: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    n_shards: int = 8,
+    b: float = 0.4,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    mode: str = "ascii_code",
+    persist_counts: bool = True,
+    _persisted_out: list | None = None,
+) -> DataFrame:
+    """Selective search (Kulkarni & Callan, CIKM 2010 / TOIS 2015):
+    CORI-rank the shards per query, then run BM25 over only the top
+    ``n_probe`` shards — the federated-search architecture that serves
+    web-scale corpora by touching a fraction of the index per query.
+
+    Scoring uses GLOBAL collection statistics (the ``dfs_shard_topk``
+    lesson: shard-local idf mis-ranks), so with ``n_probe == n_shards``
+    the result is rank-identical to exhaustive :func:`bm25_topk_adhoc`
+    (tested). The shard pruning lands BEFORE the (query, doc) scoring
+    shuffle — candidates from unselected shards never enter it, so probe
+    cost scales with n_probe/n_shards of the matched postings."""
+    if not 1 <= n_probe <= n_shards:
+        raise ValueError("n_probe must be in [1, n_shards]")
+    sel = (cori_shard_scores(corpus, qterms, n_shards=n_shards, b=b,
+                             text_col=text_col, id_col=id_col, mode=mode,
+                             persist_counts=persist_counts,
+                             _persisted_out=_persisted_out)
+           .filter(F.col("rank") <= n_probe)
+           .select("query_id", "shard"))
+    scores = doc_scores(corpus, text_col=text_col, id_col=id_col, mode=mode,
+                        persist_counts=persist_counts,
+                        _persisted_out=_persisted_out)
+    hits = (scores.join(F.broadcast(qterms), "term")
+            .withColumn("shard", F.pmod(F.col(id_col).cast("long"),
+                                        F.lit(n_shards)))
+            .join(F.broadcast(sel), ["query_id", "shard"], "left_semi")
+            .groupBy("query_id", id_col)
+            .agg(F.sum("score").alias("score")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (hits.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", id_col, "score", "rank"))
+
+
 def bm25_topk_minshould(
     scores: DataFrame,
     qterms: DataFrame,
