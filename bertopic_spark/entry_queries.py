@@ -1187,6 +1187,46 @@ SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, round(score, 6) AS score,
 FROM ranked WHERE rn <= 10"""
 
 
+def q_classic_tfidf_topk(spark, sf_dir):
+    """Classic TF-IDF vector-space retrieval (operators/bm25.
+    classic_tfidf_topk — Salton VSM / Lucene ClassicSimilarity):
+    sqrt(tf) · (1 + ln((N+1)/(df+1)))² / sqrt(dl), the pre-BM25 default;
+    completes the classical similarity family."""
+    from bertopic_spark.operators.bm25 import classic_tfidf_topk
+
+    qt = query_terms(queries_df(spark, DRIVER_QUERIES), MODE)
+    t = classic_tfidf_topk(_docs(spark, sf_dir), qt, k=10,
+                           text_col="text", mode=MODE)
+    return t.select(
+        "query_id", "doc_id", _r6(F.col("score")).alias("score"),
+        F.col("rank").cast("long").alias("rn"),
+    )
+
+
+SQL_CLASSIC_TFIDF = f"""WITH {_TOKS}, {_XDOC},
+dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM xdoc GROUP BY term),
+nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM xdoc),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM xdoc GROUP BY doc_id),
+q(query_id, term) AS (VALUES {_query_term_values()}),
+idf AS (SELECT term,
+               1.0 + ln((nd.n_docs + 1.0) / (dft.df + 1.0)) AS idf
+        FROM dft CROSS JOIN nd),
+hits AS (
+  SELECT q.query_id, x.doc_id,
+         sum(sqrt(x.tf) * idf.idf * idf.idf / sqrt(dl.dl)) AS score
+  FROM q JOIN xdoc x USING (term) JOIN idf USING (term)
+         JOIN dl ON dl.doc_id = x.doc_id
+  GROUP BY q.query_id, x.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rn
+  FROM hits)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, round(score, 6) AS score,
+       CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 10"""
+
+
 def q_query_difficulty(spark, sf_dir):
     """Pre-retrieval query-performance prediction (operators/evaluation.
     query_difficulty — He & Ounis 2004 idf/SCS predictors; Zhao et al.
@@ -3860,6 +3900,23 @@ def q_fuzzy_match(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     terms = fuzzy_terms(term_dictionary(docs, "text", "doc_id", MODE),
                         FUZZY_Q, FUZZY_DIST)
+    return term_set_match(docs, terms, "text", "doc_id", MODE)
+
+
+REGEXP_Q = "[a-z]*or[a-z]*"   # {order, sort, vector} on the fixture vocab
+
+
+def q_regexp_match(spark, sf_dir):
+    """Lucene/ES regexp query: compile the (RE2∩Java-portable, anchored)
+    pattern against the term dictionary only, then run the expanded
+    disjunction as one scan pass. (doc_id, n_matches, n_terms)."""
+    from bertopic_spark.operators.fulltext import (regexp_terms,
+                                                   term_dictionary,
+                                                   term_set_match)
+
+    docs = _docs(spark, sf_dir)
+    terms = regexp_terms(term_dictionary(docs, "text", "doc_id", MODE),
+                         REGEXP_Q)
     return term_set_match(docs, terms, "text", "doc_id", MODE)
 
 
@@ -7153,6 +7210,9 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "ib_ll_topk": (q_ib_ll_topk, SQL_IB_LL),
     "ib_spl_topk": (q_ib_spl_topk, SQL_IB_SPL),
     "axiomatic_f2exp_topk": (q_axiomatic_f2exp_topk, SQL_AXIOMATIC_F2EXP),
+    "classic_tfidf_topk": (q_classic_tfidf_topk, SQL_CLASSIC_TFIDF),
+    "regexp_match": (q_regexp_match, _sql_term_set_match(
+        f"regexp_matches(term, '^(?:{REGEXP_Q})$')")),
     "query_difficulty": (q_query_difficulty, SQL_QUERY_DIFFICULTY),
     "clarity_score": (q_clarity_score, _sql_clarity()),
     "cori_shard_scores": (q_cori_shard_scores, SQL_CORI_SHARDS),

@@ -911,6 +911,58 @@ def axiomatic_topk(
     )
 
 
+def classic_tfidf_topk(
+    corpus: DataFrame,
+    qterms: DataFrame,
+    k: int = 10,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    mode: str = "ascii_code",
+    persist_counts: bool = True,
+    _persisted_out: list | None = None,
+) -> DataFrame:
+    """Classic TF-IDF vector-space retrieval (Salton's VSM as shipped by
+    Lucene ClassicSimilarity, the pre-BM25 default) — the last member of
+    the classical similarity family next to Okapi/LM/DFR/DFI/IB/Axiomatic:
+
+        score(d) = Σ_{t∈q∩d} sqrt(tf) · idf_t² · 1/sqrt(dl)
+        idf_t    = 1 + ln((N+1)/(df_t+1))
+
+    idf appears SQUARED because Lucene weights both the query term and the
+    document term by idf (query tf = 1 here). Exact float arithmetic — the
+    engine deliberately skips Lucene's lossy 1-byte norm quantization,
+    which is a memory-format artifact, not ranking semantics. Physical
+    plan identical to the sibling operators: collection stats in one
+    partial-agg pass, broadcast query-term semi-join below all arithmetic,
+    one (query, doc) shuffle, WindowGroupLimit top-k. OOV terms drop out
+    via the df inner join."""
+    x = doc_term_counts(corpus, text_col, [id_col], mode, with_len=True)
+    if persist_counts:
+        x = x.persist()
+        if _persisted_out is not None:
+            _persisted_out.append(x)
+    dft = x.groupBy("term").agg(F.count("*").alias("df"))
+    ndocs = x.groupBy(id_col).agg(F.lit(1).alias("_one")).agg(
+        F.count("*").alias("n_docs"))
+    terms_only = qterms.select("term").distinct()
+    dfq = dft.join(F.broadcast(terms_only), "term").crossJoin(
+        F.broadcast(ndocs))
+    idf = F.lit(1.0) + F.log((F.col("n_docs") + 1) / (F.col("df") + 1))
+    gain = F.sqrt(F.col("tf")) * idf * idf / F.sqrt(F.col("doc_len"))
+    scored = (
+        x.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfq), "term")
+        .groupBy("query_id", id_col)
+        .agg(F.sum(gain).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "rank")
+    )
+
+
 def okapi_doc_scores(
     corpus: DataFrame,
     k1: float = 1.2,

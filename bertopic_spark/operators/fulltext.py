@@ -291,6 +291,36 @@ def fuzzy_terms(dictionary: DataFrame, term: str, max_dist: int = 1,
     return expand_terms(dictionary, band & close, max_expand)
 
 
+#: Regex constructs shared by Java regex (Spark ``rlike``) and RE2
+#: (DuckDB / Lucene RegexpQuery): literals, char classes, ., *, +, ?,
+#: {m,n}, alternation, grouping. Backrefs and lookaround are Java-only
+#: (RE2 rejects them), so they are rejected here for portability — the
+#: same subset Lucene's own RegExp automaton supports.
+_REGEXP_FORBIDDEN = re.compile(r"\\[0-9]|\(\?<?[=!]")
+
+
+def regexp_terms(dictionary: DataFrame, pattern: str,
+                 max_expand: int = 1000) -> list[str]:
+    """Dictionary terms matching an (anchored) regular expression —
+    Lucene/ES ``regexp`` query. The pattern is compiled against the term
+    dictionary only (never the corpus), bounded by ``max_expand``; the
+    expanded set then runs as an ordinary disjunction over one corpus /
+    postings pass, exactly like prefix/wildcard/fuzzy.
+
+    Patterns are restricted to the Java-regex ∩ RE2 subset (no backrefs,
+    no lookaround) so the expansion is engine-portable; like Lucene, the
+    pattern is anchored — it must match the ENTIRE term."""
+    if not pattern:
+        raise ValueError("empty pattern")
+    if _REGEXP_FORBIDDEN.search(pattern):
+        raise ValueError(
+            "backreferences and lookaround are not in the portable "
+            f"RE2 subset: {pattern!r}")
+    re.compile(pattern)  # fail fast on syntax errors, driver-side
+    anchored = f"^(?:{pattern})$"
+    return expand_terms(dictionary, F.col("term").rlike(anchored), max_expand)
+
+
 def term_set_match(df: DataFrame, terms: Sequence[str],
                    text_col: str = "text", id_col: str = "doc_id",
                    mode: str = "ascii_code") -> DataFrame:

@@ -526,6 +526,35 @@ def test_axiomatic_hand_values_and_variants(spark):
         axiomatic_topk(docs, q, variant="f3exp")
 
 
+def test_classic_tfidf_hand_value(spark):
+    """Exact Lucene-ClassicSimilarity score on a tiny corpus: sqrt(tf) ·
+    (1+ln((N+1)/(df+1)))² / sqrt(dl); OOV dropout and zero-match pruning."""
+    import math
+
+    from bertopic_spark.operators.bm25 import classic_tfidf_topk
+
+    docs = spark.createDataFrame(
+        [(1, "aa aa bb"), (2, "bb cc dd")],
+        "doc_id long, content string")
+    q = spark.createDataFrame([(0, "aa"), (0, "zz")],
+                              "query_id long, term string")
+    out = classic_tfidf_topk(docs, q, k=10).collect()
+    assert [(r["query_id"], r["doc_id"], r["rank"]) for r in out] == [(0, 1, 1)]
+    tf, dl, df, n = 2, 3, 1, 2
+    idf = 1.0 + math.log((n + 1) / (df + 1))
+    want = math.sqrt(tf) * idf * idf / math.sqrt(dl)
+    assert abs(out[0]["score"] - want) < 1e-12
+    # multi-term: contributions sum per doc
+    q2 = spark.createDataFrame([(0, "aa"), (0, "bb")],
+                               "query_id long, term string")
+    out2 = {r["doc_id"]: r["score"]
+            for r in classic_tfidf_topk(docs, q2, k=10).collect()}
+    idf_bb = 1.0 + math.log((n + 1) / (2 + 1))
+    want1 = want + math.sqrt(1) * idf_bb * idf_bb / math.sqrt(3)
+    assert abs(out2[1] - want1) < 1e-12
+    assert abs(out2[2] - idf_bb * idf_bb / math.sqrt(3)) < 1e-12
+
+
 def test_common_terms_candidates_and_fallback(spark):
     from bertopic_spark.operators.bm25 import bm25_topk, common_terms_topk
 

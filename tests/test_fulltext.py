@@ -206,6 +206,30 @@ def test_wildcard_regex_escapes_metachars():
     assert rx.match("a.bxxcy") and not rx.match("axbxxcy")
 
 
+def test_regexp_terms_brute_and_guardrails(spark, docs):
+    from bertopic_spark.operators.fulltext import regexp_terms
+
+    vocab = set()
+    for r in docs.select("text").collect():
+        vocab.update(tokenize_one(r.text or "", "ascii_code"))
+    d = term_dictionary(docs, "text", "doc_id")
+    pat = "[a-z]*or[a-z]*"
+    assert regexp_terms(d, pat) == sorted(
+        t for t in vocab if _re.fullmatch(pat, t))
+    # anchored: a partial match is NOT a hit
+    assert regexp_terms(d, "rde") == []           # 'order' contains 'rde'
+    assert regexp_terms(d, "(scan|query)") == sorted(
+        t for t in vocab if t in ("scan", "query"))
+    with pytest.raises(ValueError):
+        regexp_terms(d, "")
+    with pytest.raises(ValueError):               # backref: Java-only
+        regexp_terms(d, r"(a)\1")
+    with pytest.raises(ValueError):               # lookahead: Java-only
+        regexp_terms(d, r"a(?=b)")
+    with pytest.raises(_re.error):                # syntax error fails fast
+        regexp_terms(d, "[unclosed")
+
+
 def test_term_set_match_scan_equals_postings(spark, docs):
     terms = ["query", "customer", "scan"]
     scan = term_set_match(docs, terms, "text", "doc_id")
