@@ -4102,6 +4102,51 @@ SELECT query_vec_id, vec_id, round(score, 6) AS score, CAST(rn AS BIGINT) AS rn
 FROM ranked WHERE rn <= 10"""
 
 
+def q_ann_sq8_topk(spark, sf_dir):
+    """SQ8 scalar-quantized ANN (operators/similarity.sq8_topk — FAISS
+    IndexScalarQuantizer QT_8bit shape): per-dimension 8-bit uniform
+    quantization in BIGINT micro-units, asymmetric midpoint-reconstruction
+    inner-product serving with a certified per-result error bound."""
+    from bertopic_spark.operators.similarity import sq8_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return sq8_topk(emb, ANN_QUERY_IDS, k=10)
+
+
+def _sql_ann_sq8() -> str:
+    ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    return f"""WITH {_SQL_COS_CORE.lstrip()},
+vu AS (SELECT vec_id, dim, CAST(round(val * 1000000) AS BIGINT) AS vu, val
+       FROM v),
+b AS (SELECT dim, min(vu) AS min_u, max(vu) AS max_u FROM vu GROUP BY dim),
+codes AS (
+  SELECT x.vec_id, x.dim,
+         CASE WHEN b.max_u = b.min_u THEN 0
+              ELSE greatest(0, least(255,
+                   ((x.vu - b.min_u) * 256) // (b.max_u - b.min_u))) END
+           AS code,
+         b.min_u AS min_u, b.max_u - b.min_u AS rng
+  FROM vu x JOIN b USING (dim)),
+qd AS (SELECT vec_id AS query_vec_id, dim, val AS qval
+       FROM v WHERE vec_id IN ({ids})),
+pair AS (
+  SELECT q.query_vec_id, c.vec_id,
+         sum(q.qval * ((c.min_u + (c.code + 0.5) * c.rng / 256.0)
+                       / 1000000.0)) AS score,
+         sum(abs(q.qval) * (c.rng / 512000000.0 + 0.0000005)) AS err_bound
+  FROM qd q JOIN codes c USING (dim)
+  WHERE c.vec_id != q.query_vec_id
+  GROUP BY q.query_vec_id, c.vec_id),
+ranked AS (
+  SELECT query_vec_id, vec_id, score, err_bound,
+         row_number() OVER (PARTITION BY query_vec_id
+                            ORDER BY score DESC, vec_id ASC) AS rn
+  FROM pair)
+SELECT query_vec_id, vec_id, round(score, 6) AS score,
+       round(err_bound, 6) AS err_bound, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 10"""
+
+
 HYBRID_QIDS, HYBRID_K0, HYBRID_K = (0, 1, 2, 3, 4), 60, 10
 
 
@@ -7093,6 +7138,7 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "did_you_mean": (q_did_you_mean, _sql_did_you_mean()),
     "hybrid_rrf": (q_hybrid_rrf, _sql_hybrid_rrf()),
     "pq_adc_topk": (q_pq_adc_topk, _sql_pq_adc()),
+    "ann_sq8_topk": (q_ann_sq8_topk, _sql_ann_sq8()),
     "term_associations": (q_term_associations, _sql_term_associations()),
     "proximity_match": (q_proximity_match, _sql_proximity_match()),
     "collapse_topk": (q_collapse_topk, SQL_COLLAPSE_TOPK),

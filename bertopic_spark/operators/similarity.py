@@ -627,3 +627,139 @@ def pq_topk_adc(emb: DataFrame, query_ids: list[int], k: int = 10,
             .filter(F.col("rn") <= k)
             .select("query_vec_id", id_col,
                     F.round("score", 6).alias("score"), "rn"))
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ8) — the FAISS IndexScalarQuantizer (QT_8bit)
+# point on the embedding-compression curve, next to PQ above: every
+# COMPONENT quantizes to one byte against per-dimension trained bounds.
+# 4× smaller than float32 (PQ is 32×) but with no codebook training, a
+# per-component CERTIFIED reconstruction error of half a level, and
+# map-only encode/serve (array-literal bounds, JVM HOFs — no join, no
+# UDF). All level arithmetic is BIGINT micro-units (values rounded to
+# 6 dp × 1e6) with integer floor division, the same cross-engine
+# determinism discipline as quantize_impacts and histogram_sketch: no
+# float ⌊⌋ boundary can disagree between engines or partitionings.
+# ---------------------------------------------------------------------------
+
+
+def sq8_bounds(emb: DataFrame, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension training bounds: (dim, min_u, max_u) in BIGINT
+    micro-units. One posexplode + one groupBy(dim) — partial aggregation
+    collapses each partition to d rows before the shuffle, so the
+    exchange is d×partitions regardless of corpus size."""
+    vu = F.round(F.col("val") * 1e6, 0).cast("long")
+    return (emb.select(F.posexplode(F.col(vec_col).cast("array<double>"))
+                       .alias("dim", "val"))
+            .groupBy("dim").agg(F.min(vu).alias("min_u"),
+                                F.max(vu).alias("max_u")))
+
+
+def _sq8_literals(bounds: DataFrame) -> tuple[Column, Column, int]:
+    """Collect the d-row bounds and bind them as array literals
+    (mins_u, ranges_u) — d·16 bytes on the driver, never a join."""
+    rows = sorted(bounds.collect(), key=lambda r: r["dim"])
+    if not rows:
+        raise ValueError("empty bounds relation")
+    if [r["dim"] for r in rows] != list(range(len(rows))):
+        raise ValueError("bounds must cover dims 0..d-1 exactly")
+    mins = F.array(*[F.lit(int(r["min_u"])) for r in rows])
+    rngs = F.array(*[F.lit(int(r["max_u"] - r["min_u"])) for r in rows])
+    return mins, rngs, len(rows)
+
+
+def sq8_encode(emb: DataFrame, bounds: DataFrame, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """(id, codes array<int>): code_i = clamp(⌊(v_u − min_u)·256 /
+    range_u⌋, 0, 255) — uniform 8-bit levels over the trained
+    per-dimension range; a degenerate dimension (max==min) codes 0.
+    Frozen ``bounds`` encode out-of-range components to the clamped edge
+    levels (the FAISS train/add split). Map-only projection in
+    WholeStageCodegen; the floor is exact integer arithmetic
+    ((ri − pmod(ri, rng)) / rng)."""
+    mins, rngs, d = _sq8_literals(bounds)
+
+    def code_at(v):
+        def one(i):
+            vu = F.round(F.element_at(v, i + 1) * 1e6, 0).cast("long")
+            mn = F.element_at(mins, i + 1)
+            rng = F.element_at(rngs, i + 1)
+            ri = (vu - mn) * 256
+            lvl = (ri - F.pmod(ri, rng)) / rng
+            return F.when(rng == 0, F.lit(0)).otherwise(
+                F.greatest(F.lit(0), F.least(F.lit(255), lvl))).cast("int")
+        return F.transform(F.sequence(F.lit(0), F.lit(d - 1)), one)
+
+    return emb.select(
+        F.col(id_col),
+        code_at(F.col(vec_col).cast("array<double>")).alias("codes"))
+
+
+def sq8_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
+             normalize: bool = False, refine: int = 0,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """Asymmetric SQ8 top-k: (query_vec_id, vec_id, score, err_bound, rn).
+
+    score = Σ_i q_i · rec_i with the midpoint reconstruction
+    rec_i = (min_u + (code_i + 0.5)·range_u / 256) / 1e6 — full-precision
+    query against quantized corpus (FAISS asymmetric distance).
+    ``err_bound`` is the CERTIFIED per-result bound |approx − exact_IP| ≤
+    Σ_i |q_i|·range_i/512 + Σ_i |q_i|·5e-7: half a level per component
+    plus the micro-unit rounding of the stored value (both one-sided
+    maxima). ``normalize=True`` L2-normalizes before training/encoding so
+    IP approximates cosine. Serving is MAP-ONLY — the query vectors
+    broadcast onto the codes relation, the reconstruction constants are
+    array literals, and one ``aggregate`` HOF forms the dot product; the
+    only shuffle is the final per-query top-k window. With ``refine`` > 0
+    the top refine·k candidates re-rank exactly by cosine (two-stage
+    serve; refine ≥ corpus/k degenerates to brute force)."""
+    base = emb.select(F.col(id_col),
+                      F.col(vec_col).cast("array<double>").alias("v"))
+    if normalize:
+        nrm = norm_expr(F.col("v"))
+        base = base.select(
+            id_col, F.transform("v", lambda x: x / nrm).alias("v"))
+    bounds = sq8_bounds(base, id_col, "v")
+    mins, rngs, d = _sq8_literals(bounds)
+    codes = sq8_encode(base, bounds, id_col, "v")
+
+    q = base.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_vec_id"), F.col("v").alias("qv"))
+    rec = lambda i: (  # noqa: E731 — local reconstruction expression
+        (F.element_at(mins, i + 1)
+         + (F.element_at(F.col("codes"), i + 1) + F.lit(0.5))
+         * F.element_at(rngs, i + 1) / F.lit(256.0)) / F.lit(1e6))
+    dims = F.sequence(F.lit(0), F.lit(d - 1))
+    score = F.aggregate(
+        dims, F.lit(0.0),
+        lambda acc, i: acc + F.element_at(F.col("qv"), i + 1) * rec(i))
+    bound = F.aggregate(
+        dims, F.lit(0.0),
+        lambda acc, i: acc + F.abs(F.element_at(F.col("qv"), i + 1))
+        * (F.element_at(rngs, i + 1) / F.lit(512e6) + F.lit(5e-7)))
+    pairs = (codes.crossJoin(F.broadcast(q))
+             .filter(F.col(id_col) != F.col("query_vec_id")))
+    scored = pairs.select("query_vec_id", id_col, score.alias("score"),
+                          bound.alias("err_bound"))
+    w = Window.partitionBy("query_vec_id").orderBy(
+        F.desc("score"), F.asc(id_col))
+    top = (scored.withColumn("rn", F.row_number().over(w).cast("long"))
+           .filter(F.col("rn") <= (refine * k if refine else k)))
+    if not refine:
+        return top.select("query_vec_id", id_col,
+                          F.round("score", 6).alias("score"),
+                          F.round("err_bound", 6).alias("err_bound"), "rn")
+    qv = q.select("query_vec_id", F.col("qv"))
+    rer = (top.select("query_vec_id", id_col)
+           .join(base, id_col).join(F.broadcast(qv), "query_vec_id")
+           .select("query_vec_id", id_col,
+                   cosine_expr(F.col("qv"), F.col("v")).alias("score")))
+    w2 = Window.partitionBy("query_vec_id").orderBy(
+        F.desc("score"), F.asc(id_col))
+    return (rer.withColumn("rn", F.row_number().over(w2).cast("long"))
+            .filter(F.col("rn") <= k)
+            .select("query_vec_id", id_col,
+                    F.round("score", 6).alias("score"),
+                    F.lit(0.0).alias("err_bound"), "rn"))
