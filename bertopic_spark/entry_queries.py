@@ -1919,6 +1919,42 @@ SQL_EVENTS_HOURLY = (
 )
 
 
+DH_LO, DH_HI = "2023-12-31 12:00:00", "2024-01-31 06:00:00"
+
+
+def q_date_histogram_dense(spark, sf_dir):
+    """ES date_histogram with min_doc_count=0 + extended_bounds
+    (operators/rollup.date_histogram): every calendar hour in the widened
+    span is emitted per event_type — empties as zero rows — from one raw
+    scan plus a bucket-sized spine join."""
+    from bertopic_spark.operators.rollup import date_histogram
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = date_histogram(ev, "ts", "hour", keys=("event_type",),
+                         value_col="value", min_doc_count=0,
+                         extended_min=DH_LO, extended_max=DH_HI)
+    return out.select("event_type", "bucket", "doc_count",
+                      _r6(F.col("value_sum")).alias("value_sum"))
+
+
+SQL_DATE_HISTOGRAM_DENSE = f"""WITH
+agg AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         CAST(count(*) AS BIGINT) AS doc_count, sum(value) AS value_sum
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+spine AS (
+  SELECT unnest(generate_series(
+      date_trunc('hour', TIMESTAMP '{DH_LO}'),
+      date_trunc('hour', TIMESTAMP '{DH_HI}'),
+      INTERVAL 1 HOUR)) AS bucket),
+ks AS (SELECT DISTINCT event_type FROM agg)
+SELECT k.event_type, s.bucket,
+       CAST(coalesce(a.doc_count, 0) AS BIGINT) AS doc_count,
+       round(coalesce(a.value_sum, 0.0), 6) AS value_sum
+FROM spine s CROSS JOIN ks k
+LEFT JOIN agg a ON a.event_type = k.event_type AND a.bucket = s.bucket"""
+
+
 def q_pricing_summary(spark, sf_dir):
     """Relational coverage (P6/A/W7): TPC-H Q1-style pricing summary."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -3793,13 +3829,14 @@ def q_phrase_match(spark, sf_dir):
     return phrase_match_postings(pos, list(PHRASE))
 
 
-def _sql_phrase_match() -> str:
+def _sql_phrase_match(phrase=None) -> str:
     # exact positional adjacency self-join — overlap-aware like the engine
-    joins, conds = [], [f"p0.term = '{PHRASE[0]}'"]
-    for j in range(1, len(PHRASE)):
+    phrase = phrase or PHRASE
+    joins, conds = [], [f"p0.term = '{phrase[0]}'"]
+    for j in range(1, len(phrase)):
         joins.append(f"JOIN p p{j} ON p{j}.doc_id = p0.doc_id "
                      f"AND p{j}.pos = p0.pos + {j}")
-        conds.append(f"p{j}.term = '{PHRASE[j]}'")
+        conds.append(f"p{j}.term = '{phrase[j]}'")
     return f"""WITH
 tk AS (SELECT doc_id, {duckdb_tokens_sql('text', MODE)} AS ts FROM documents),
 p AS (SELECT doc_id, unnest(ts) AS term, unnest(range(len(ts))) AS pos FROM tk)
@@ -3807,6 +3844,21 @@ SELECT p0.doc_id, CAST(count(*) AS BIGINT) AS n_matches
 FROM p p0 {' '.join(joins)}
 WHERE {' AND '.join(conds)}
 GROUP BY p0.doc_id"""
+
+
+PHRASE3 = ("slow", "hash", "batch")   # multi-occurrence docs at sf0.01
+
+
+def q_phrase_shingled_match(spark, sf_dir):
+    """Shingle-accelerated phrase match (operators/fulltext.
+    phrase_match_shingled — Lucene ShingleFilter / ES index_phrases):
+    bigram-index prefilter (docs containing EVERY phrase bigram), exact
+    adjacency verification over only the candidates. Same truth as the
+    positional paths; the oracle is the exact adjacency self-join."""
+    from bertopic_spark.operators.fulltext import phrase_match_shingled
+
+    return phrase_match_shingled(_docs(spark, sf_dir), " ".join(PHRASE3),
+                                 "text", "doc_id", MODE)
 
 
 def q_boolean_match(spark, sf_dir):
@@ -7123,6 +7175,8 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "dedup_minhash_lsh_star": (q_minhash_lsh_star, _sql_minhash_lsh_star()),
     "dedup_components": (q_dedup_components, _sql_dedup_components()),
     "phrase_match": (q_phrase_match, _sql_phrase_match()),
+    "phrase_shingled_match": (q_phrase_shingled_match,
+                              _sql_phrase_match(PHRASE3)),
     "boolean_match": (q_boolean_match, _sql_boolean_match()),
     "prefix_match": (q_prefix_match,
                      _sql_term_set_match(f"term LIKE '{PREFIX_Q}%'")),
@@ -7196,6 +7250,8 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "topics_over_time": (q_topics_over_time, SQL_TOPICS_OVER_TIME),
     "topics_over_time_binned": (q_topics_over_time_binned, SQL_TOPICS_OVER_TIME_BINNED),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+    "date_histogram_dense": (q_date_histogram_dense,
+                             SQL_DATE_HISTOGRAM_DENSE),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),

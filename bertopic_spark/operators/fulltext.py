@@ -127,6 +127,70 @@ def phrase_match_postings(positions: DataFrame, phrase_tokens: Sequence[str],
             .filter(F.col("n_matches") > 0))
 
 
+def bigram_counts(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  mode: str = "ascii_code") -> DataFrame:
+    """Adjacent-token 2-shingle counts: (id, bigram, n) with
+    bigram = "w1 w2". The Lucene ShingleFilter index relation — the
+    prefilter tier of shingle-accelerated phrase queries
+    (``phrase_match_shingled``). One scan + one two-phase agg; at scale
+    this persists next to the positional tree and is ~|positions| rows
+    pre-agg, vocabulary²-bounded after."""
+    toks = with_tokens(df.select(id_col, text_col), text_col, mode)
+
+    def grams(tk):
+        seq = F.when(F.size(tk) >= 2,
+                     F.sequence(F.lit(0), F.size(tk) - 2)
+                     ).otherwise(F.array().cast("array<int>"))
+        return F.transform(seq, lambda i: F.concat_ws(
+            " ", F.get(tk, i), F.get(tk, i + 1)))
+
+    return (toks.select(F.col(id_col),
+                        F.explode(_bound(F.col("tokens"), grams))
+                        .alias("bigram"))
+            .groupBy(id_col, "bigram")
+            .agg(F.count(F.lit(1)).cast("long").alias("n")))
+
+
+def phrase_match_shingled(df: DataFrame, phrase: str,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          mode: str = "ascii_code",
+                          bigrams: DataFrame | None = None) -> DataFrame:
+    """Shingle-accelerated phrase match — Lucene's "fast phrases" recipe
+    (ShingleFilter / ES index_phrases): (id, n_matches), result-identical
+    to ``phrase_match``/``phrase_match_postings`` (two physical
+    strategies, one truth).
+
+    A 2-token phrase is answered from the bigram index ALONE (its count
+    is exactly the occurrence count — no positions touched). Longer
+    phrases prefilter: candidates are the docs containing EVERY phrase
+    bigram (one groupBy over the bigram-pruned shingle relation), then
+    the exact adjacency HOF runs over only the candidate docs via a
+    semi-join — on a web corpus the expensive positional verification
+    sees orders of magnitude fewer docs than the rarest-single-term
+    prune, because bigram selectivity compounds. Pass a persisted
+    ``bigrams`` relation (``bigram_counts`` output) to skip rebuilding
+    the index; the prefilter is sound (every true match contains all its
+    bigrams), so recall is exact by construction."""
+    toks = tokenize_one(phrase, mode)
+    if len(toks) < 2:
+        raise ValueError("shingled phrase match needs >= 2 tokens; use a "
+                         "term query for single terms")
+    bg = bigrams if bigrams is not None else bigram_counts(
+        df, text_col, id_col, mode)
+    grams = [f"{toks[i]} {toks[i + 1]}" for i in range(len(toks) - 1)]
+    if len(toks) == 2:
+        return (bg.filter(F.col("bigram") == grams[0])
+                .select(F.col(id_col), F.col("n").alias("n_matches")))
+    distinct = sorted(set(grams))
+    cand = (bg.filter(F.col("bigram").isin(distinct))
+            .groupBy(id_col).agg(F.count(F.lit(1)).alias("_k"))
+            .filter(F.col("_k") == len(distinct))
+            .select(id_col))
+    sliced = df.select(id_col, text_col).join(cand, id_col, "left_semi")
+    return phrase_match(sliced, phrase, text_col, id_col, mode)
+
+
 def boolean_match(df: DataFrame, must: Sequence[str] = (),
                   should: Sequence[str] = (), must_not: Sequence[str] = (),
                   min_should: int = 1, text_col: str = "text",

@@ -493,3 +493,67 @@ def serial_diff_normalize(buckets: DataFrame, order_col: str, value_col: str,
         F.round(F.when(rng == 0, F.lit(0.0))
                  .otherwise((v - F.min(v).over(wall)) / rng), dp)
          .alias(f"norm_{value_col}"))
+
+
+def date_histogram(df: DataFrame, ts_col: str, interval: str = "hour",
+                   keys: Sequence[str] = (), value_col: str | None = None,
+                   min_doc_count: int = 1,
+                   extended_min: str | None = None,
+                   extended_max: str | None = None) -> DataFrame:
+    """ES ``date_histogram`` with ``min_doc_count`` and
+    ``extended_bounds``: (keys..., bucket, doc_count[, value_sum]).
+
+    With ``min_doc_count=0`` every calendar bucket in the covered span is
+    emitted — including empty ones — and ``extended_bounds`` widens the
+    span past the data (a dashboard's fixed time axis). The spine is a
+    driver-side literal ``sequence(lo, hi, interval)`` (one row per
+    bucket — thousands, never data-sized) cross-joined with the DISTINCT
+    key tuples and left-joined onto the aggregated buckets, so raw data
+    is scanned exactly once and the densification join touches only
+    bucket-sized relations. With the ES-default ``min_doc_count=1`` (or
+    higher) it is a plain filtered groupBy — no spine is built.
+
+    ``extended_*`` accept ``'YYYY-MM-DD HH:MM:SS'`` strings; bounds are
+    truncated to the interval like ES. Rows with NULL ``ts_col`` are
+    dropped (ES routes them to ``missing``, not to a bucket)."""
+    if interval not in _GRAIN_ORDER:
+        raise ValueError(f"interval must be one of {_GRAIN_ORDER}")
+    if min_doc_count < 0:
+        raise ValueError("min_doc_count must be >= 0")
+    keys = list(keys)
+    bucket = F.date_trunc(interval, F.col(ts_col)).alias("bucket")
+    aggs = [F.count(F.lit(1)).alias("doc_count")]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("value_sum"))
+    got = (df.filter(F.col(ts_col).isNotNull())
+           .groupBy(*keys, bucket).agg(*aggs))
+    if min_doc_count > 0:
+        return got.filter(F.col("doc_count") >= min_doc_count)
+
+    spark = df.sparkSession
+    if extended_min and extended_max:
+        span = {"_dlo": None, "_dhi": None}   # data span not needed
+    else:
+        span = (df.filter(F.col(ts_col).isNotNull())
+                .agg(F.min(ts_col).alias("_dlo"),
+                     F.max(ts_col).alias("_dhi")).collect()[0])
+        if span["_dlo"] is None:
+            raise ValueError(
+                f"no non-null values in {ts_col!r} and no extended bounds")
+    row = spark.range(1).select(
+        F.date_trunc(interval,
+                     F.lit(extended_min or span["_dlo"]).cast("timestamp"))
+        .alias("lo"),
+        F.date_trunc(interval,
+                     F.lit(extended_max or span["_dhi"]).cast("timestamp"))
+        .alias("hi"))
+    spine = row.select(F.explode(F.sequence(
+        F.col("lo"), F.col("hi"),
+        F.expr(f"interval 1 {interval}"))).alias("bucket"))
+    if keys:
+        spine = spine.crossJoin(F.broadcast(got.select(*keys).distinct()))
+    fill = [F.coalesce("doc_count", F.lit(0)).cast("long").alias("doc_count")]
+    if value_col is not None:
+        fill.append(F.coalesce("value_sum", F.lit(0.0)).alias("value_sum"))
+    return (spine.join(got, [*keys, "bucket"], "left")
+            .select(*keys, "bucket", *fill))

@@ -882,3 +882,64 @@ def test_span_not_scan_postings_parity_and_hand_case(spark):
     assert span_not_match(one, "virus", "computer", pre=2, post=0).count() == 0
     assert span_not_match(one, "virus", "computer", pre=1, post=0).count() == 1
     assert span_not_match(one, "virus", "computer", pre=0, post=9).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# Shingle-accelerated phrase match
+# ---------------------------------------------------------------------------
+
+from bertopic_spark.operators.fulltext import (bigram_counts,  # noqa: E402
+                                               phrase_match_shingled)
+
+
+def test_bigram_counts_hand_checked(spark):
+    t = spark.createDataFrame(
+        [(1, "aa bb aa bb"), (2, "aa"), (3, ""), (4, None)],
+        "doc_id long, text string")
+    got = {(r.doc_id, r.bigram): r.n for r in bigram_counts(t).collect()}
+    assert got == {(1, "aa bb"): 2, (1, "bb aa"): 1}
+
+
+def test_phrase_shingled_equals_scan_paths(spark, docs):
+    """Result-identical to phrase_match on the fixture corpus for 2- and
+    3-token phrases (two physical strategies, one truth)."""
+    for phrase in ("part filter", "slow hash batch", "hash join order"):
+        scan = {(r.doc_id, r.n_matches)
+                for r in phrase_match(docs, phrase).collect()}
+        fast = {(r.doc_id, r.n_matches)
+                for r in phrase_match_shingled(docs, phrase).collect()}
+        assert fast == scan, phrase
+
+
+def test_phrase_shingled_rejects_false_candidates(spark):
+    """A doc containing every phrase bigram but never contiguously must
+    survive the prefilter and be rejected by verification; overlapping
+    occurrences count like the scan path."""
+    rows = [
+        (1, "slow hash batch"),                      # 1 occurrence
+        (2, "slow hash xx hash batch"),              # both bigrams, no triple
+        (3, "slow hash batch slow hash batch"),      # 2 occurrences
+        (4, "aa aa aa"),                             # overlap: 'aa aa' x2
+        (5, "hash batch slow"),                      # wrong order
+    ]
+    t = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_id, r.n_matches)
+           for r in phrase_match_shingled(t, "slow hash batch").collect()}
+    assert got == {(1, 1), (3, 2)}
+    # prefilter soundness probe: doc 2 IS a candidate (both bigrams)
+    bg = bigram_counts(t)
+    cands = {r.doc_id for r in bg.filter(
+        F.col("bigram").isin(["slow hash", "hash batch"]))
+        .groupBy("doc_id").count().filter("count = 2").collect()}
+    assert 2 in cands
+    # 2-token fast path: answered from the bigram index alone
+    two = {(r.doc_id, r.n_matches)
+           for r in phrase_match_shingled(t, "aa aa").collect()}
+    assert two == {(4, 2)}
+    # persisted-index reuse
+    reused = {(r.doc_id, r.n_matches)
+              for r in phrase_match_shingled(t, "slow hash batch",
+                                             bigrams=bg).collect()}
+    assert reused == {(1, 1), (3, 2)}
+    with pytest.raises(ValueError):
+        phrase_match_shingled(t, "solo")

@@ -330,3 +330,53 @@ def test_serial_diff_normalize(spark):
     assert got[("s", 2)].norm_v == 0.4  # (14-10)/(20-10)
     # constant series: ES divide-guard -> 0.0, not NULL/NaN
     assert got[("flat", 1)].norm_v == 0.0 and got[("flat", 2)].norm_v == 0.0
+
+
+def test_date_histogram_dense_and_sparse(spark):
+    from bertopic_spark.operators.rollup import date_histogram
+
+    rows = [("a", datetime(2024, 1, 1, 0, 10), 1.0),
+            ("a", datetime(2024, 1, 1, 0, 50), 2.0),
+            ("a", datetime(2024, 1, 1, 3, 5), 4.0),   # hours 1-2 empty
+            ("b", datetime(2024, 1, 1, 2, 0), 8.0),
+            ("a", None, 99.0)]                         # NULL ts dropped
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+
+    # sparse (ES default min_doc_count=1): only non-empty buckets
+    sparse = date_histogram(df, "ts", "hour", keys=("event_type",),
+                            value_col="value")
+    got = {(r.event_type, r.bucket.hour): (r.doc_count, r.value_sum)
+           for r in sparse.collect()}
+    assert got == {("a", 0): (2, 3.0), ("a", 3): (1, 4.0), ("b", 2): (1, 8.0)}
+
+    # dense over the data span: every hour 0-3 per key, empties zeroed
+    dense = date_histogram(df, "ts", "hour", keys=("event_type",),
+                           value_col="value", min_doc_count=0)
+    d = {(r.event_type, r.bucket.hour): (r.doc_count, r.value_sum)
+         for r in dense.collect()}
+    assert len(d) == 8  # 4 hours x 2 keys
+    assert d[("a", 1)] == (0, 0.0) and d[("b", 0)] == (0, 0.0)
+    assert d[("a", 0)] == (2, 3.0)
+
+    # extended bounds widen past the data; truncation to the interval
+    ext = date_histogram(df, "ts", "hour", keys=("event_type",),
+                         min_doc_count=0,
+                         extended_min="2023-12-31 22:30:00",
+                         extended_max="2024-01-01 05:00:00")
+    buckets = sorted({r.bucket for r in ext.collect()})
+    assert buckets[0] == datetime(2023, 12, 31, 22)   # truncated from 22:30
+    assert buckets[-1] == datetime(2024, 1, 1, 5)
+    assert len(buckets) == 8 and ext.count() == 16
+
+    # min_doc_count=2 prunes single-doc buckets
+    mdc2 = date_histogram(df, "ts", "hour", keys=("event_type",),
+                          min_doc_count=2)
+    assert [(r.event_type, r.bucket.hour) for r in mdc2.collect()] == [("a", 0)]
+
+    with pytest.raises(ValueError):
+        date_histogram(df, "ts", "fortnight")
+    with pytest.raises(ValueError):
+        date_histogram(df, "ts", "hour", min_doc_count=-1)
+    empty = spark.createDataFrame([], "event_type string, ts timestamp, value double")
+    with pytest.raises(ValueError):
+        date_histogram(empty, "ts", "hour", min_doc_count=0)
