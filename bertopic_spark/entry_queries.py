@@ -5121,6 +5121,111 @@ SELECT round(CASE WHEN raw <= {2.5 * m} AND zeros > 0
 FROM e"""
 
 
+THETA_K, THETA_SEED = 64, 7
+THETA_PAIRS = (("query", "window"), ("scan", "merge"), ("spark", "customer"))
+
+
+def q_theta_term_setops(spark, sf_dir):
+    """KMV/theta sketch set algebra: per-term doc-id sketches (k smallest
+    md5 hashes — built for all probe terms in ONE distinct + two-level
+    bottom-k pass) answer union / intersection / difference cardinalities
+    between posting sets from k-row summaries, never rescanning postings.
+    DataSketches theta-family semantics; md5 hashing makes every estimate
+    bit-identical across engines."""
+    from bertopic_spark.operators.fulltext import doc_term_positions
+    from bertopic_spark.operators.sketch import (kmv_estimate, kmv_sketch,
+                                                 theta_set_ops)
+
+    probe = sorted({t for p in THETA_PAIRS for t in p})
+    dt = (doc_term_positions(_docs(spark, sf_dir), "text", "doc_id", MODE)
+          .filter(F.col("term").isin(probe))
+          .select("term", "doc_id").distinct())
+    sk = kmv_sketch(dt, "doc_id", k=THETA_K, key_cols=["term"],
+                    seed=THETA_SEED)
+    est = kmv_estimate(sk, k=THETA_K, key_cols=["term"])
+    ops = theta_set_ops(sk, THETA_PAIRS, k=THETA_K, key_col="term")
+    ea = est.select(F.col("term").alias("key_a"),
+                    F.col("n_hashes").alias("n_a"),
+                    F.col("est").alias("_ea"))
+    eb = est.select(F.col("term").alias("key_b"),
+                    F.col("n_hashes").alias("n_b"),
+                    F.col("est").alias("_eb"))
+    return (ops.join(F.broadcast(ea), "key_a").join(F.broadcast(eb), "key_b")
+            .select("key_a", "key_b", "n_a", "n_b",
+                    _r6(F.col("_ea")).alias("est_a"),
+                    _r6(F.col("_eb")).alias("est_b"),
+                    _r6(F.col("theta")).alias("theta"),
+                    "union_n", "inter_n", "diff_n",
+                    _r6(F.col("union_est")).alias("union_est"),
+                    _r6(F.col("inter_est")).alias("inter_est"),
+                    _r6(F.col("diff_ab_est")).alias("diff_ab_est"),
+                    _r6(F.col("jaccard")).alias("jaccard"))
+            .orderBy("key_a", "key_b"))
+
+
+def _sql_theta_setops() -> str:
+    probe = sorted({t for p in THETA_PAIRS for t in p})
+    terms = ", ".join(f"'{t}'" for t in probe)
+    pairs = ", ".join(f"('{a}', '{b}')" for a, b in THETA_PAIRS)
+    k, seed = THETA_K, THETA_SEED
+    return f"""WITH
+tk AS (SELECT doc_id, {duckdb_tokens_sql('text', MODE)} AS ts FROM documents),
+dt AS (SELECT DISTINCT term, doc_id
+       FROM (SELECT doc_id, unnest(ts) AS term FROM tk)
+       WHERE term IN ({terms})),
+hh AS (SELECT DISTINCT term,
+              CAST(concat('0x', substr(md5('{seed}_' ||
+                   CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+              / 1152921504606846976.0 AS h
+       FROM dt),
+sk AS (SELECT term, h, rank FROM (
+         SELECT term, h,
+                row_number() OVER (PARTITION BY term ORDER BY h) AS rank
+         FROM hh) WHERE rank <= {k}),
+th AS (SELECT term, count(*) AS n, max(h) AS hk,
+              CASE WHEN count(*) >= {k} THEN max(h) ELSE 1.0 END AS theta
+       FROM sk GROUP BY term),
+est AS (SELECT term, n,
+               CASE WHEN n < {k} THEN CAST(n AS DOUBLE)
+                    ELSE {float(k - 1)} / hk END AS est
+        FROM th),
+pairs(key_a, key_b) AS (VALUES {pairs}),
+pth AS (SELECT p.key_a, p.key_b, least(ta.theta, tb.theta) AS theta
+        FROM pairs p JOIN th ta ON ta.term = p.key_a
+                     JOIN th tb ON tb.term = p.key_b),
+ab AS (SELECT key_a, key_b, h, max(ia) AS ia, max(ib) AS ib FROM (
+         SELECT p.key_a, p.key_b, s.h, 1 AS ia, 0 AS ib
+         FROM pth p JOIN sk s ON s.term = p.key_a WHERE s.h < p.theta
+         UNION ALL
+         SELECT p.key_a, p.key_b, s.h, 0, 1
+         FROM pth p JOIN sk s ON s.term = p.key_b WHERE s.h < p.theta)
+       GROUP BY key_a, key_b, h),
+agg AS (SELECT key_a, key_b,
+               CAST(count(*) AS BIGINT) AS union_n,
+               CAST(sum(CASE WHEN ia = 1 AND ib = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS inter_n,
+               CAST(sum(CASE WHEN ib = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS diff_n
+        FROM ab GROUP BY key_a, key_b)
+SELECT p.key_a, p.key_b, ea.n AS n_a, eb.n AS n_b,
+       round(ea.est, 6) AS est_a, round(eb.est, 6) AS est_b,
+       round(p.theta, 6) AS theta,
+       coalesce(g.union_n, 0) AS union_n,
+       coalesce(g.inter_n, 0) AS inter_n,
+       coalesce(g.diff_n, 0) AS diff_n,
+       round(coalesce(g.union_n, 0) / p.theta, 6) AS union_est,
+       round(coalesce(g.inter_n, 0) / p.theta, 6) AS inter_est,
+       round(coalesce(g.diff_n, 0) / p.theta, 6) AS diff_ab_est,
+       round(CASE WHEN coalesce(g.union_n, 0) > 0
+             THEN CAST(g.inter_n AS DOUBLE) / g.union_n
+             ELSE 0.0 END, 6) AS jaccard
+FROM pth p
+JOIN est ea ON ea.term = p.key_a
+JOIN est eb ON eb.term = p.key_b
+LEFT JOIN agg g ON g.key_a = p.key_a AND g.key_b = p.key_b
+ORDER BY p.key_a, p.key_b"""
+
+
 def q_corpus_profile(spark, sf_dir):
     """Per-language corpus profile: counts, totals, mean and exact token
     percentiles (F.percentile ≡ DuckDB quantile_cont, bit-identical) —
@@ -7209,6 +7314,7 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "cms_estimates": (q_cms_estimates, _sql_cms_estimates()),
     "bloom_membership": (q_bloom_membership, _sql_bloom_membership()),
     "hll_distinct_terms": (q_hll_distinct_terms, _sql_hll_distinct_terms()),
+    "theta_term_setops": (q_theta_term_setops, _sql_theta_setops()),
     "corpus_profile": (q_corpus_profile, _sql_corpus_profile()),
     "lm_perplexity": (q_lm_perplexity, _sql_lm_perplexity()),
     "langid_ngram": (q_langid_ngram, _sql_langid_ngram()),

@@ -330,3 +330,141 @@ def histogram_percentile_rank(sketch: DataFrame, values: Sequence[float],
             .select(*gb, "v",
                     (F.coalesce(F.col("_mass"), F.lit(0.0)) / F.col("n"))
                     .alias("pct")))
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketches — distinct counting WITH set algebra
+# ---------------------------------------------------------------------------
+
+def _kmv_u(col, seed: int):
+    """md5-derived uniform in [0,1) of a VALUE (not an id): first 15 hex
+    digits / 16^15 — the engine's standard cross-engine uniform."""
+    return (F.conv(F.substring(
+        F.md5(F.concat_ws("_", F.lit(seed), col.cast("string"))), 1, 15),
+        16, 10).cast("double") / F.lit(float(16 ** 15)))
+
+
+def kmv_sketch(df: DataFrame, col: str, k: int = 256,
+               key_cols: Sequence[str] = (), seed: int = 42,
+               n_salts: int = 64) -> DataFrame:
+    """KMV / theta sketch (Bar-Yossef et al. 2002; Dasgupta et al. 2016,
+    the DataSketches theta family): per key, the ``k`` smallest md5-hash
+    values of the distinct ``col`` values — a fixed-size summary that
+    answers distinct-count AND set-algebra (union/intersect/difference)
+    questions the HLL registers cannot.
+
+    Returns (key…, h double, rank int), rank 1..≤k ascending by h.
+
+    Physical shape: one distinct shuffle over (key, h), then a two-level
+    bottom-k — a per-(key, salt) window prunes each branch to k rows in
+    parallel BEFORE the final per-key window, so a keyless (global) sketch
+    of a billion-value set never funnels the full distinct relation
+    through one task; the final window sees ≤ n_salts·k rows per key.
+    The salt prune is semantically a no-op (bottom-k of bottom-ks), so the
+    SQL oracle replays the sketch with one plain row_number.
+    """
+    from pyspark.sql import Window
+
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    gb = list(key_cols)
+    dist = (df.select(*gb, _kmv_u(F.col(col), seed).alias("h"))
+            .filter(F.col("h").isNotNull()).distinct())
+    salt = F.pmod(F.xxhash64(F.col("h")), F.lit(int(n_salts)))
+    w1 = Window.partitionBy(*gb, "_salt").orderBy("h")
+    pruned = (dist.withColumn("_salt", salt)
+              .withColumn("_r1", F.row_number().over(w1))
+              .filter(F.col("_r1") <= k).drop("_r1", "_salt"))
+    w2 = Window.partitionBy(*gb).orderBy("h")
+    return (pruned.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k))
+
+
+def kmv_merge(*sketches: DataFrame, k: int = 256,
+              key_cols: Sequence[str] = ()) -> DataFrame:
+    """Union sketches: the k smallest distinct hashes of the union —
+    merge(build(A), build(B)) == build(A ∪ B) exactly (pytest-proved).
+    Input relations are ≤ k rows per key, so this is window-over-tiny."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    gb = list(key_cols)
+    u = reduce(lambda a, b: a.unionByName(b),
+               [s.select(*gb, "h") for s in sketches]).distinct()
+    w = Window.partitionBy(*gb).orderBy("h")
+    return (u.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 256,
+                 key_cols: Sequence[str] = ()) -> DataFrame:
+    """(key…, n_hashes, est): exact count while the sketch is not full
+    (n < k ⇒ every distinct hash is present), else the classic unbiased
+    KMV estimator (k−1)/h_k with h_k the k-th smallest hash."""
+    gb = list(key_cols)
+    agg = sketch.groupBy(*gb).agg(
+        F.count(F.lit(1)).alias("n_hashes"), F.max("h").alias("_hk"))
+    est = F.when(F.col("n_hashes") < k,
+                 F.col("n_hashes").cast("double")) \
+        .otherwise(F.lit(float(k - 1)) / F.col("_hk"))
+    return agg.select(*gb, "n_hashes", est.alias("est"))
+
+
+def theta_set_ops(sketch: DataFrame, pairs: Sequence[tuple], k: int = 256,
+                  key_col: str = "key") -> DataFrame:
+    """Theta-sketch set algebra between keyed sketches (the DataSketches
+    union/intersection/a-not-b trio): for each (key_a, key_b) pair
+
+        θ_X   = h_k(X) if X holds k hashes else 1.0
+        θ     = min(θ_a, θ_b)
+        X'    = {h ∈ X : h < θ}            (both sketches re-thresholded)
+        est_∪ = |A' ∪ B'| / θ,  est_∩ = |A' ∩ B'| / θ,
+        est_⊖ = |A' \\ B'| / θ,  jaccard = |A' ∩ B'| / |A' ∪ B'|
+
+    Answers "how many docs contain BOTH/EITHER term" from k-row summaries
+    — no posting list is rescanned. Every relation here is ≤ |pairs|·2k
+    rows; the pair table is literal and broadcast. Deterministic md5
+    hashing makes the whole computation replayable in SQL.
+    """
+    spark = sketch.sparkSession
+    pr = spark.createDataFrame([(str(a), str(b)) for a, b in pairs],
+                               "key_a string, key_b string")
+    th = (sketch.groupBy(F.col(key_col).alias("_k")).agg(
+        F.count(F.lit(1)).alias("_n"), F.max("h").alias("_hk"))
+        .select("_k", F.when(F.col("_n") >= k, F.col("_hk"))
+                .otherwise(F.lit(1.0)).alias("theta")))
+    pth = (pr.join(F.broadcast(th.withColumnRenamed("_k", "key_a")
+                               .withColumnRenamed("theta", "_ta")), "key_a")
+           .join(F.broadcast(th.withColumnRenamed("_k", "key_b")
+                             .withColumnRenamed("theta", "_tb")), "key_b")
+           .select("key_a", "key_b",
+                   F.least("_ta", "_tb").alias("theta")))
+    sa = (sketch.select(F.col(key_col).alias("key_a"), "h")
+          .join(F.broadcast(pth), "key_a")
+          .filter(F.col("h") < F.col("theta"))
+          .select("key_a", "key_b", "h", F.lit(1).alias("in_a")))
+    sb = (sketch.select(F.col(key_col).alias("key_b"), "h")
+          .join(F.broadcast(pth), "key_b")
+          .filter(F.col("h") < F.col("theta"))
+          .select("key_a", "key_b", "h", F.lit(1).alias("in_b")))
+    both = (sa.join(sb, ["key_a", "key_b", "h"], "full_outer")
+            .groupBy("key_a", "key_b").agg(
+                F.count(F.lit(1)).alias("_u"),
+                F.sum(F.when((F.col("in_a") == 1) & (F.col("in_b") == 1),
+                             1).otherwise(0)).alias("_i"),
+                F.sum(F.when(F.col("in_b").isNull(), 1).otherwise(0))
+                .alias("_d")))
+    out = (pth.join(both, ["key_a", "key_b"], "left")
+           .select("key_a", "key_b", "theta",
+                   F.coalesce(F.col("_u"), F.lit(0)).alias("union_n"),
+                   F.coalesce(F.col("_i"), F.lit(0)).alias("inter_n"),
+                   F.coalesce(F.col("_d"), F.lit(0)).alias("diff_n")))
+    return out.select(
+        "key_a", "key_b", "theta", "union_n", "inter_n", "diff_n",
+        (F.col("union_n") / F.col("theta")).alias("union_est"),
+        (F.col("inter_n") / F.col("theta")).alias("inter_est"),
+        (F.col("diff_n") / F.col("theta")).alias("diff_ab_est"),
+        F.when(F.col("union_n") > 0,
+               F.col("inter_n").cast("double") / F.col("union_n"))
+        .otherwise(F.lit(0.0)).alias("jaccard"))

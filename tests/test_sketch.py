@@ -195,3 +195,81 @@ def test_percentile_rank_out_of_range(spark):
     assert got[999.0] == 1.0         # above all mass → 1
     # v=1.5 sits halfway into bin 1 (one item) → 0.5/10 of the mass
     assert got[1.5] == pytest.approx(0.05, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketches
+# ---------------------------------------------------------------------------
+
+def _mk_sets(spark, sets):
+    rows = [(k, v) for k, vs in sets.items() for v in vs]
+    return spark.createDataFrame(rows, "key string, v long")
+
+
+def test_kmv_exact_below_k(spark):
+    from bertopic_spark.operators.sketch import kmv_estimate, kmv_sketch
+    df = _mk_sets(spark, {"a": range(40), "b": range(500)})
+    sk = kmv_sketch(df, "v", k=64, key_cols=["key"])
+    est = {r.key: (r.n_hashes, r.est)
+           for r in kmv_estimate(sk, k=64, key_cols=["key"]).collect()}
+    assert est["a"] == (40, 40.0)          # not full → exact
+    n_b, e_b = est["b"]
+    assert n_b == 64
+    assert abs(e_b - 500) / 500 < 0.35     # (k-1)/h_k estimator ballpark
+
+
+def test_kmv_merge_equals_rebuild(spark):
+    from bertopic_spark.operators.sketch import kmv_merge, kmv_sketch
+    a = _mk_sets(spark, {"s": range(0, 300)})
+    b = _mk_sets(spark, {"s": range(150, 450)})
+    u = _mk_sets(spark, {"s": range(0, 450)})
+    m = kmv_merge(kmv_sketch(a, "v", k=32, key_cols=["key"]),
+                  kmv_sketch(b, "v", k=32, key_cols=["key"]),
+                  k=32, key_cols=["key"])
+    direct = kmv_sketch(u, "v", k=32, key_cols=["key"])
+    got = sorted(r.h for r in m.collect())
+    want = sorted(r.h for r in direct.collect())
+    assert got == want
+
+
+def test_kmv_partitioning_invariance(spark):
+    from bertopic_spark.operators.sketch import kmv_sketch
+    df = _mk_sets(spark, {"x": range(1000)})
+    s1 = kmv_sketch(df.repartition(1), "v", k=16, key_cols=["key"])
+    s2 = kmv_sketch(df.repartition(13), "v", k=16, key_cols=["key"],
+                    n_salts=7)
+    assert sorted(r.h for r in s1.collect()) == \
+        sorted(r.h for r in s2.collect())
+
+
+def test_theta_set_ops_known_overlap(spark):
+    from bertopic_spark.operators.sketch import kmv_sketch, theta_set_ops
+    # |A|=600, |B|=600, |A∩B|=200, |A∪B|=1000, |A\B|=400
+    df = _mk_sets(spark, {"A": range(0, 600), "B": range(400, 1000)})
+    sk = kmv_sketch(df, "v", k=128, key_cols=["key"])
+    row = theta_set_ops(sk, [("A", "B")], k=128, key_col="key").collect()[0]
+    assert abs(row.union_est - 1000) / 1000 < 0.3
+    assert abs(row.inter_est - 200) / 200 < 0.5
+    assert abs(row.diff_ab_est - 400) / 400 < 0.4
+    assert abs(row.jaccard - 0.2) < 0.1
+    assert row.inter_n + row.diff_n <= row.union_n
+
+
+def test_theta_set_ops_exact_when_small(spark):
+    from bertopic_spark.operators.sketch import kmv_sketch, theta_set_ops
+    # both sets below k → theta = 1.0 and every op is EXACT
+    df = _mk_sets(spark, {"A": range(0, 30), "B": range(20, 50)})
+    sk = kmv_sketch(df, "v", k=64, key_cols=["key"])
+    row = theta_set_ops(sk, [("A", "B")], k=64, key_col="key").collect()[0]
+    assert row.theta == 1.0
+    assert (row.union_n, row.inter_n, row.diff_n) == (50, 10, 20)
+    assert (row.union_est, row.inter_est, row.diff_ab_est) == \
+        (50.0, 10.0, 20.0)
+
+
+def test_theta_disjoint_sets(spark):
+    from bertopic_spark.operators.sketch import kmv_sketch, theta_set_ops
+    df = _mk_sets(spark, {"A": range(0, 40), "B": range(100, 140)})
+    sk = kmv_sketch(df, "v", k=64, key_cols=["key"])
+    row = theta_set_ops(sk, [("A", "B")], k=64, key_col="key").collect()[0]
+    assert row.inter_n == 0 and row.inter_est == 0.0 and row.jaccard == 0.0
