@@ -206,6 +206,68 @@ SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, round(score, 6) AS score,
 FROM ranked WHERE rn <= 10"""
 
 
+def q_has_child_topk(spark, sf_dir):
+    """ES has_child / Lucene ToParentBlockJoin: parents (sources) ranked
+    by their best-matching child's BM25 score (score_mode=max,
+    min_children=2), then inner_hits — the top-3 children under each
+    ranked parent. Children fold into ≤ |queries|·|parents| rows before
+    any window; the inner-hits pass prunes child hits map-side against
+    the broadcast top-parent set."""
+    from bertopic_spark.operators.bm25 import (block_join_inner_hits,
+                                               doc_scores, has_child_topk)
+
+    d = _docs(spark, sf_dir)
+    handles: list = []
+    scores = doc_scores(d, text_col="text", id_col="doc_id", mode=MODE,
+                        _persisted_out=handles)
+    qt = query_terms(queries_df(spark, DRIVER_QUERIES), MODE)
+    parents = d.select("doc_id", "source")
+    tp = has_child_topk(scores, qt, parents, "source", k=5,
+                        score_mode="max", min_children=2)
+    ih = block_join_inner_hits(scores, qt, parents, "source", tp, m=3)
+    return (ih.join(F.broadcast(tp.withColumnRenamed("score", "_ps")
+                                .withColumnRenamed("rank", "parent_rank")),
+                    ["query_id", "source"])
+            .select("query_id", "source",
+                    _r6(F.col("_ps")).alias("parent_score"),
+                    F.col("n_children").cast("long").alias("n_children"),
+                    F.col("parent_rank").cast("long").alias("parent_rank"),
+                    "doc_id", _r6(F.col("score")).alias("child_score"),
+                    F.col("child_rank").cast("long").alias("child_rank")))
+
+
+SQL_HAS_CHILD = f"""WITH {_TOKS}, {_XDOC}, {_scores_sql('xdoc', 'doc_id', True, False)},
+q(query_id, term) AS (VALUES {_query_term_values()}),
+hits AS (
+  SELECT q.query_id, s.doc_id, sum(s.score) AS score
+  FROM q JOIN scores s USING (term) GROUP BY q.query_id, s.doc_id),
+ch AS (
+  SELECT h.query_id, d.source, h.doc_id, h.score
+  FROM hits h JOIN documents d USING (doc_id)),
+folded AS (
+  SELECT query_id, source, max(score) AS parent_score,
+         CAST(count(*) AS BIGINT) AS n_children
+  FROM ch GROUP BY query_id, source HAVING count(*) >= 2),
+tp AS (
+  SELECT query_id, source, parent_score, n_children,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY parent_score DESC, source ASC)
+         AS parent_rank
+  FROM folded QUALIFY parent_rank <= 5),
+ih AS (
+  SELECT c.query_id, c.source, c.doc_id, c.score,
+         row_number() OVER (PARTITION BY c.query_id, c.source
+                            ORDER BY c.score DESC, c.doc_id ASC)
+         AS child_rank
+  FROM ch c JOIN tp USING (query_id, source) QUALIFY child_rank <= 3)
+SELECT CAST(i.query_id AS BIGINT) AS query_id, i.source,
+       round(t.parent_score, 6) AS parent_score, t.n_children,
+       CAST(t.parent_rank AS BIGINT) AS parent_rank, i.doc_id,
+       round(i.score, 6) AS child_score,
+       CAST(i.child_rank AS BIGINT) AS child_rank
+FROM ih i JOIN tp t USING (query_id, source)"""
+
+
 BLM_TRAIN_LANG = "en"
 BLM_ALPHA, BLM_KAPPA = 0.5, 0.4
 
@@ -7345,6 +7407,7 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "ctfidf_topk_default": (_q_ctfidf_topk(False, False), _sql_ctfidf_topk(False, False)),
     "ctfidf_topk_bm25_sqrt": (_q_ctfidf_topk(True, True), _sql_ctfidf_topk(True, True)),
     "bm25_doc_topk": (q_bm25_doc_topk, SQL_BM25_DOC_TOPK),
+    "has_child_topk": (q_has_child_topk, SQL_HAS_CHILD),
     "dfs_shard_topk": (q_dfs_shard_topk, SQL_BM25_DOC_TOPK),
     "bpe_merges": (q_bpe_merges, _sql_bpe_merges()),
     "bigram_lm_perplexity": (q_bigram_lm_perplexity,

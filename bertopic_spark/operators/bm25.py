@@ -2393,3 +2393,68 @@ def explain_score(scores: DataFrame, stats: DataFrame, qterms: DataFrame,
         F.col("score").alias("term_score"),
         (F.col("score") / F.nullif(F.col("doc_score"), F.lit(0.0)))
         .alias("contribution"))
+
+
+def child_hits(scores: DataFrame, qterms: DataFrame, parents: DataFrame,
+               parent_col: str, id_col: str = "doc_id") -> DataFrame:
+    """All matching (query_id, parent, child, score) rows — the un-cut
+    child relation behind a block join. ``parents`` is the (id → parent)
+    projection of the corpus; the join onto the aggregated hits is keyed
+    on the child id (one shuffle; both sides are |matching children|- and
+    corpus-sized respectively, so no broadcast is assumed)."""
+    hits = (scores.join(F.broadcast(qterms), "term")
+            .groupBy("query_id", id_col)
+            .agg(F.sum("score").alias("score")))
+    return hits.join(parents.select(id_col, parent_col), id_col)
+
+
+def has_child_topk(scores: DataFrame, qterms: DataFrame, parents: DataFrame,
+                   parent_col: str, k: int = 10, score_mode: str = "max",
+                   min_children: int = 1, id_col: str = "doc_id") -> DataFrame:
+    """ES ``has_child`` / Lucene ToParentBlockJoinQuery: rank PARENTS by
+    their matching children's relevance — (query_id, parent, score,
+    n_children, rank), top-k parents per query.
+
+    ``score_mode`` ∈ {max, sum, avg, min} (ES semantics: how child scores
+    fold into the parent's); ``min_children`` drops parents with too few
+    matching children BEFORE the ranking window (the ES knob).
+
+    Plan: the child scoring shuffle is exactly ``bm25_topk``'s; folding
+    adds ONE groupBy((query, parent)) whose output is ≤ |queries|·|parents|
+    rows, then the top-k window runs on that bounded relation. Children
+    never ride past the fold — a parent with a million matching files
+    contributes one row per query downstream.
+    """
+    modes = {"max": F.max("score"), "sum": F.sum("score"),
+             "avg": F.avg("score"), "min": F.min("score")}
+    if score_mode not in modes:
+        raise ValueError(f"score_mode must be one of {sorted(modes)}")
+    folded = (child_hits(scores, qterms, parents, parent_col, id_col)
+              .groupBy("query_id", parent_col)
+              .agg(modes[score_mode].alias("score"),
+                   F.count(F.lit(1)).alias("n_children"))
+              .filter(F.col("n_children") >= int(min_children)))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc(parent_col))
+    return (folded.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", parent_col, "score", "n_children", "rank"))
+
+
+def block_join_inner_hits(scores: DataFrame, qterms: DataFrame,
+                          parents: DataFrame, parent_col: str,
+                          top_parents: DataFrame, m: int = 3,
+                          id_col: str = "doc_id") -> DataFrame:
+    """ES ``inner_hits``: the top-m matching children under each ranked
+    parent — (query_id, parent, doc_id, score, child_rank). ``top_parents``
+    is a ``has_child_topk`` result (|queries|·k rows, broadcast), so this
+    second pass prunes the child hits map-side before its per-(query,
+    parent) window."""
+    tp = top_parents.select("query_id", parent_col)
+    ch = (child_hits(scores, qterms, parents, parent_col, id_col)
+          .join(F.broadcast(tp), ["query_id", parent_col]))
+    w = Window.partitionBy("query_id", parent_col).orderBy(
+        F.desc("score"), F.asc(id_col))
+    return (ch.withColumn("child_rank", F.row_number().over(w))
+            .filter(F.col("child_rank") <= m)
+            .select("query_id", parent_col, id_col, "score", "child_rank"))
