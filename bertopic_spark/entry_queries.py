@@ -5040,6 +5040,82 @@ SELECT doc_id, round(score, 6) AS score, CAST(rn AS BIGINT) AS rn
 FROM ranked WHERE rn <= 10"""
 
 
+DSIR_B, DSIR_ALPHA, DSIR_SEED, DSIR_GSEED, DSIR_N = 512, 1.0, 13, 29, 50
+DSIR_TARGET_LANG = "en"
+
+
+def q_dsir_sample(spark, sf_dir):
+    """DSIR (Xie et al. 2023): importance resampling toward a target
+    distribution — hashed unigram+bigram bucket models (B=512) for the
+    English slice (target) vs the whole corpus (raw), per-doc
+    log-likelihood-ratio weights, then Gumbel top-n (exact
+    softmax-weighted sampling without replacement). Every stage is
+    md5-deterministic and replays in SQL."""
+    from bertopic_spark.operators.pipeline import dsir_logweights, dsir_sample
+
+    d = _docs(spark, sf_dir)
+    w = dsir_logweights(d, d.filter(F.col("lang") == DSIR_TARGET_LANG),
+                        "text", "doc_id", DSIR_B, DSIR_ALPHA, MODE,
+                        DSIR_SEED)
+    out = dsir_sample(w, DSIR_N, "doc_id", DSIR_GSEED)
+    return out.select("doc_id", "n_grams", _r6(F.col("logw")).alias("logw"),
+                      _r6(F.col("key")).alias("key"),
+                      F.col("rank").cast("long").alias("rank"))
+
+
+def _sql_dsir_sample() -> str:
+    b, a = DSIR_B, DSIR_ALPHA
+    return f"""WITH
+tk AS MATERIALIZED (
+  SELECT doc_id, lang, {duckdb_tokens_sql('text', MODE)} AS a FROM documents),
+gr AS MATERIALIZED (
+  SELECT doc_id, lang, gram FROM (
+    SELECT doc_id, lang, unnest(a) AS gram FROM tk
+    UNION ALL
+    SELECT doc_id, lang,
+           unnest(list_transform(list_zip(a[1:len(a)-1], a[2:len(a)]),
+                                 z -> z[1] || ' ' || z[2])) AS gram
+    FROM tk WHERE len(a) >= 2)),
+fb AS MATERIALIZED (
+  SELECT doc_id, lang,
+         CAST(concat('0x', substr(md5('{DSIR_SEED}_' || gram), 1, 15))
+              AS BIGINT) % {b} AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM gr GROUP BY doc_id, lang, bucket),
+qm AS (SELECT bucket, sum(cnt) AS qc FROM fb GROUP BY bucket),
+pm AS (SELECT bucket, sum(cnt) AS pc FROM fb
+       WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY bucket),
+qt AS (SELECT sum(qc) AS qt FROM qm),
+pt AS (SELECT sum(pc) AS pt FROM pm),
+ratio AS (
+  SELECT q.bucket,
+         ln((coalesce(p.pc, 0) + {a}) / (pt.pt + {float(a * b)}))
+         - ln((q.qc + {a}) / (qt.qt + {float(a * b)})) AS lr
+  FROM qm q LEFT JOIN pm p USING (bucket) CROSS JOIN qt CROSS JOIN pt),
+per AS (
+  SELECT f.doc_id, CAST(sum(f.cnt) AS BIGINT) AS n_grams,
+         sum(f.cnt * r.lr) AS logw
+  FROM fb f JOIN ratio r USING (bucket) GROUP BY f.doc_id),
+wts AS (
+  SELECT d.doc_id, coalesce(per.n_grams, 0) AS n_grams,
+         coalesce(per.logw, 0.0) AS logw
+  FROM (SELECT DISTINCT doc_id FROM documents) d
+  LEFT JOIN per USING (doc_id)),
+keyed AS (
+  SELECT doc_id, n_grams, logw,
+         logw - ln(-ln((CAST(concat('0x', substr(md5('{DSIR_GSEED}_' ||
+                CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 0.5)
+                / 1152921504606846976.0)) AS key
+  FROM wts),
+ranked AS (
+  SELECT doc_id, n_grams, logw, key,
+         row_number() OVER (ORDER BY key DESC, doc_id ASC) AS rank
+  FROM keyed)
+SELECT doc_id, n_grams, round(logw, 6) AS logw, round(key, 6) AS key,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {DSIR_N}"""
+
+
 MIX_FRACTIONS, MIX_DEFAULT, MIX_SEED = {"en": 0.5, "de": 0.1}, 0.02, 42
 
 
@@ -7373,6 +7449,7 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "search_query_lang": (q_search_query, _sql_search_query()),
     "search_query_indexed": (q_search_query_indexed, _sql_search_query()),
     "stratified_sample": (q_stratified_sample, _sql_stratified_sample()),
+    "dsir_sample": (q_dsir_sample, _sql_dsir_sample()),
     "cms_estimates": (q_cms_estimates, _sql_cms_estimates()),
     "bloom_membership": (q_bloom_membership, _sql_bloom_membership()),
     "hll_distinct_terms": (q_hll_distinct_terms, _sql_hll_distinct_terms()),

@@ -109,3 +109,101 @@ def domain_mix_sample(df: DataFrame, plan: DataFrame, domain_col: str,
     return (sized.join(F.broadcast(pl), domain_col)
             .filter(F.col("_cum") <= F.col("target_tokens"))
             .select(id_col, domain_col, "n_tokens"))
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+def hashed_ngram_buckets(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", n_buckets: int = 512,
+                         mode: str = "ascii_code",
+                         seed: int = 13) -> DataFrame:
+    """DSIR's hashed bag-of-ngrams features: unigrams + bigrams hashed
+    into ``n_buckets`` md5 buckets — (id, bucket, cnt). The hash is the
+    engine's standard md5-mod (cross-engine, partition-invariant), so the
+    whole feature extraction replays in SQL. One tokenize pass, one
+    explode, one (id, bucket) agg whose width is ≤ n_buckets per doc."""
+    from bertopic_spark.tokenizer import with_tokens
+
+    toks = with_tokens(df, text_col, mode).select(id_col, "tokens")
+    grams = F.concat(
+        F.col("tokens"),
+        F.when(F.size("tokens") >= 2, F.zip_with(
+            F.slice(F.col("tokens"), 1, F.size("tokens") - 1),
+            F.slice(F.col("tokens"), 2, F.size("tokens") - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b)))
+        .otherwise(F.array()))
+    g = toks.select(id_col, F.explode(grams).alias("gram"))
+    bucket = F.pmod(F.conv(F.substring(
+        F.md5(F.concat_ws("_", F.lit(seed), F.col("gram"))), 1, 15),
+        16, 10).cast("long"), F.lit(int(n_buckets)))
+    return (g.select(id_col, bucket.alias("bucket"))
+            .groupBy(id_col, "bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+
+
+def dsir_logweights(raw: DataFrame, target: DataFrame,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    n_buckets: int = 512, alpha: float = 1.0,
+                    mode: str = "ascii_code", seed: int = 13) -> DataFrame:
+    """Per-document importance log-weights log(p̂_target/q̂_raw) under
+    hashed-ngram bag models (DSIR, Xie et al. 2023 §3):
+
+        log w(x) = Σ_b c_b(x) · [ ln p̂(b) − ln q̂(b) ]
+        p̂(b) = (cnt_target(b) + α) / (T + α·B)     (Lidstone)
+
+    Returns (id, n_grams, logw) for every raw doc (docs with zero grams
+    get logw = 0 — the weight of an uninformative example).
+
+    Physical shape: the two bucket models come from ONE conditional agg
+    each over the hashed features (B-sized relations); the per-doc fold
+    is a broadcast join of the B-sized log-ratio table onto the doc
+    features, then one groupBy(id). Nothing vocabulary- or corpus-wide
+    ever shuffles except the doc-feature relation itself."""
+    fr = hashed_ngram_buckets(raw, text_col, id_col, n_buckets, mode, seed)
+    ft = hashed_ngram_buckets(target, text_col, id_col, n_buckets, mode,
+                              seed)
+    B = int(n_buckets)
+    qm = fr.groupBy("bucket").agg(F.sum("cnt").alias("qc"))
+    pm = ft.groupBy("bucket").agg(F.sum("cnt").alias("pc"))
+    qt = qm.agg(F.sum("qc").alias("qt"))
+    pt = pm.agg(F.sum("pc").alias("pt"))
+    ratio = (qm.join(pm, "bucket", "full_outer")
+             .crossJoin(F.broadcast(qt)).crossJoin(F.broadcast(pt))
+             .select("bucket",
+                     (F.log((F.coalesce(F.col("pc"), F.lit(0))
+                             + F.lit(float(alpha)))
+                            / (F.col("pt") + F.lit(float(alpha * B))))
+                      - F.log((F.coalesce(F.col("qc"), F.lit(0))
+                               + F.lit(float(alpha)))
+                              / (F.col("qt") + F.lit(float(alpha * B)))))
+                     .alias("lr")))
+    per = (fr.join(F.broadcast(ratio), "bucket")
+           .groupBy(id_col)
+           .agg(F.sum("cnt").cast("long").alias("n_grams"),
+                F.sum(F.col("cnt") * F.col("lr")).alias("logw")))
+    ids = raw.select(id_col).distinct()
+    return (ids.join(per, id_col, "left")
+            .select(id_col,
+                    F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+                    F.coalesce(F.col("logw"), F.lit(0.0)).alias("logw")))
+
+
+def dsir_sample(weights: DataFrame, n: int, id_col: str = "doc_id",
+                seed: int = 29) -> DataFrame:
+    """Gumbel top-n resampling — EXACTLY sampling n docs without
+    replacement with probability ∝ softmax(logw) (Vieira 2014): rank by
+    logw + g(id) where g = −ln(−ln u) and u is the md5 uniform nudged to
+    (0,1). Deterministic, partition-invariant, SQL-replayable. The global
+    top-n is sort+limit — TakeOrderedAndProject, never a one-partition
+    window."""
+    u = ((F.conv(F.substring(
+        F.md5(F.concat_ws("_", F.lit(seed), F.col(id_col).cast("string"))),
+        1, 15), 16, 10).cast("double") + F.lit(0.5))
+        / F.lit(float(16 ** 15)))
+    key = F.col("logw") - F.log(-F.log(u))
+    ranked = (weights.withColumn("key", key)
+              .orderBy(F.desc("key"), F.asc(id_col)).limit(int(n)))
+    w = Window.orderBy(F.desc("key"), F.asc(id_col))
+    return ranked.withColumn("rank", F.row_number().over(w))
