@@ -934,6 +934,130 @@ SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, round(score, 6) AS score,
 FROM ranked WHERE rn <= 10"""
 
 
+TDI_SEED, TDI_K, TDI_CLICK_SEED, TDI_CLICK_P = 17, 10, 5, 0.35
+
+
+def q_team_draft_interleave(spark, sf_dir):
+    """Team-draft interleaving (Radlinski et al. 2008) of the Okapi and
+    Dirichlet-LM rankers plus click-credit assignment: md5 coins pick the
+    drafting team per round, the greedy draft runs as one Arrow-batched
+    applyInPandas over query groups, clicks are the deterministic md5
+    uniform, and the winner column is the statistic an online A/B test
+    accumulates."""
+    from bertopic_spark.operators.bm25 import lm_topk, okapi_bm25_topk
+    from bertopic_spark.operators.evaluation import (interleave_credit,
+                                                     team_draft_interleave)
+
+    d = _docs(spark, sf_dir)
+    qt = query_terms(queries_df(spark, DRIVER_QUERIES), MODE)
+    ra = okapi_bm25_topk(d, qt, k=10, k1=OKAPI_K1, b=OKAPI_B,
+                         text_col="text", mode=MODE)
+    rb = lm_topk(d, qt, k=10, mu=LM_MU, text_col="text", mode=MODE)
+    inter = team_draft_interleave(ra, rb, k_out=TDI_K, seed=TDI_SEED)
+    u = ((F.conv(F.substring(F.md5(F.concat_ws(
+        "_", F.lit(TDI_CLICK_SEED), F.col("query_id").cast("string"),
+        F.col("doc_id").cast("string"))), 1, 15), 16, 10).cast("double")
+        + F.lit(0.5)) / F.lit(float(16 ** 15)))
+    inter = inter.withColumn("clicked", (u < TDI_CLICK_P).cast("int"))
+    clicks = inter.filter(F.col("clicked") == 1) \
+        .select("query_id", "doc_id")
+    credit = interleave_credit(inter, clicks)
+    return (inter.join(F.broadcast(credit), "query_id")
+            .select("query_id", F.col("pos").cast("long").alias("pos"),
+                    "doc_id", "team", F.col("clicked").cast("long")
+                    .alias("clicked"),
+                    F.col("clicks_a").cast("long").alias("clicks_a"),
+                    F.col("clicks_b").cast("long").alias("clicks_b"),
+                    "winner"))
+
+
+def _sql_team_draft() -> str:
+    sd, k = TDI_SEED, TDI_K
+    coin = (f"(CAST(concat('0x', substr(md5('{sd}_' || "
+            f"CAST(s.query_id AS VARCHAR) || '_' || "
+            f"CAST(CAST(floor((s.pos + 1) / 2) AS INT) AS VARCHAR)), "
+            f"1, 15)) AS BIGINT) + 0.5) / 1152921504606846976.0")
+    poses = ", ".join(f"({i})" for i in range(1, k + 1))
+    steps = []
+    for i in range(1, k + 1):
+        notin = ("" if i == 1 else
+                 f" AND NOT EXISTS (SELECT 1 FROM pall{i-1} p "
+                 f"WHERE p.query_id = r.query_id "
+                 f"AND p.doc_id = r.doc_id)")
+        steps.append(f"""p{i} AS MATERIALIZED (
+  SELECT query_id, pos, doc_id, team FROM (
+    SELECT s.query_id, s.pos, r.doc_id, r.team,
+           row_number() OVER (PARTITION BY s.query_id
+             ORDER BY CASE WHEN r.team = s.slated THEN 0 ELSE 1 END,
+                      r.rn, r.doc_id) AS pr
+    FROM spine s JOIN both_r r ON r.query_id = s.query_id{notin}
+    WHERE s.pos = {i}) WHERE pr = 1)""")
+        pall = (f"pall{i} AS MATERIALIZED (SELECT * FROM p{i})" if i == 1
+                else f"pall{i} AS MATERIALIZED (SELECT * FROM pall{i-1} "
+                     f"UNION ALL SELECT * FROM p{i})")
+        steps.append(pall)
+    chain = ",\n".join(steps)
+    ranked_a = SQL_OKAPI_BM25.split("WITH", 1)[1].rsplit("SELECT", 1)[0]
+    return f"""WITH {ranked_a.rstrip().rstrip(',')},
+rank_a AS (SELECT query_id, doc_id, rn FROM ranked WHERE rn <= 10),
+lm_cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM xdoc GROUP BY term),
+lm_tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM xdoc),
+lm_qv AS (SELECT q.query_id, q.term FROM q JOIN lm_cf USING (term)),
+lm_nq AS (SELECT query_id, count(*) AS n_q FROM lm_qv GROUP BY query_id),
+lm_hits AS (
+  SELECT qv.query_id, x.doc_id,
+         sum(ln(1.0 + x.tf * tot.total / ({LM_MU} * cf.cf))) AS ql
+  FROM lm_qv qv JOIN xdoc x USING (term) JOIN lm_cf cf USING (term)
+  CROSS JOIN lm_tot tot
+  GROUP BY qv.query_id, x.doc_id),
+lm_scored AS (
+  SELECT h.query_id, h.doc_id,
+         h.ql + nq.n_q * ln({LM_MU} / (dl.dl + {LM_MU})) AS score
+  FROM lm_hits h JOIN dl USING (doc_id) JOIN lm_nq nq USING (query_id)),
+rank_b AS (
+  SELECT query_id, doc_id, rn FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS rn
+    FROM lm_scored) WHERE rn <= 10),
+both_r AS MATERIALIZED (
+  SELECT query_id, doc_id, rn, 'A' AS team FROM rank_a
+  UNION ALL
+  SELECT query_id, doc_id, rn, 'B' AS team FROM rank_b),
+spine AS MATERIALIZED (
+  SELECT s.query_id, s.pos,
+         CASE WHEN {coin} < 0.5
+              THEN (CASE WHEN s.pos % 2 = 1 THEN 'A' ELSE 'B' END)
+              ELSE (CASE WHEN s.pos % 2 = 1 THEN 'B' ELSE 'A' END) END
+         AS slated
+  FROM (SELECT query_id, pos
+        FROM (SELECT DISTINCT query_id FROM both_r)
+        CROSS JOIN (VALUES {poses}) v(pos)) s),
+{chain},
+inter AS MATERIALIZED (
+  SELECT query_id, pos, doc_id, team,
+         CASE WHEN (CAST(concat('0x', substr(md5('{TDI_CLICK_SEED}_' ||
+              CAST(query_id AS VARCHAR) || '_' ||
+              CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 0.5)
+              / 1152921504606846976.0 < {TDI_CLICK_P}
+              THEN 1 ELSE 0 END AS clicked
+  FROM pall{k}),
+credit AS (
+  SELECT query_id,
+         CAST(sum(CASE WHEN team = 'A' AND clicked = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS clicks_a,
+         CAST(sum(CASE WHEN team = 'B' AND clicked = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS clicks_b
+  FROM inter GROUP BY query_id)
+SELECT CAST(i.query_id AS BIGINT) AS query_id,
+       CAST(i.pos AS BIGINT) AS pos, i.doc_id, i.team,
+       CAST(i.clicked AS BIGINT) AS clicked, c.clicks_a, c.clicks_b,
+       CASE WHEN c.clicks_a > c.clicks_b THEN 'A'
+            WHEN c.clicks_b > c.clicks_a THEN 'B'
+            ELSE 'tie' END AS winner
+FROM inter i JOIN credit c USING (query_id)"""
+
+
 RM3_R, RM3_M, RM3_LAM = 3, 5, 0.5
 
 
@@ -7528,6 +7652,7 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "textrank_keywords": (q_textrank_keywords, _sql_textrank_keywords()),
     "hits_bigram": (q_hits_bigram, _sql_hits_bigram()),
     "lm_topk": (q_lm_topk, SQL_LM_TOPK),
+    "team_draft_interleave": (q_team_draft_interleave, _sql_team_draft()),
     "ltr_features": (q_ltr_features, SQL_LTR_FEATURES),
     "tiered_bm25_topk": (q_tiered_bm25_topk, SQL_BM25_DOC_TOPK),
     "asof_bm25_topk": (q_asof_bm25_topk, SQL_BM25_DOC_TOPK),

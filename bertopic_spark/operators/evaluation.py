@@ -263,3 +263,94 @@ def clarity_score(corpus: DataFrame, qterms: DataFrame, k: int = 10,
                                        / F.col("cf"))), round_to)
                   .alias("clarity")))
     return nfb.join(scored, "query_id").select("query_id", "n_fb", "clarity")
+
+
+# ---------------------------------------------------------------------------
+# Online evaluation: team-draft interleaving (Radlinski et al. 2008)
+# ---------------------------------------------------------------------------
+
+def team_draft_interleave(rank_a: DataFrame, rank_b: DataFrame,
+                          k_out: int = 10, seed: int = 17,
+                          id_col: str = "doc_id") -> DataFrame:
+    """Team-draft interleaving of two rankers' results — the online-eval
+    primitive that shows ONE merged list and credits clicks to the ranker
+    that contributed each doc (Radlinski, Kurup & Joachims, CIKM 2008).
+
+    Per query and round r, an md5 coin decides which team drafts first;
+    each pick takes the drafting team's best-ranked not-yet-picked doc
+    (falling back to the other team's list when the slated team is
+    exhausted — the pick is then credited to THAT team). Output:
+    (query_id, pos 1..≤k_out, doc_id, team 'A'|'B').
+
+    Physical shape: the greedy is inherently sequential per query but
+    touches only that query's ≤ |A|+|B| candidate rows, so it runs as one
+    Arrow-batched ``applyInPandas`` over query groups (the engine's MMR
+    precedent) — never a driver loop, never row-at-a-time Python. The
+    coin is the standard md5 uniform, so the whole draft replays in SQL.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    a = rank_a.select("query_id", F.col(id_col).alias("doc_id"),
+                      F.col("rank").alias("rn"), F.lit("A").alias("team"))
+    b = rank_b.select("query_id", F.col(id_col).alias("doc_id"),
+                      F.col("rank").alias("rn"), F.lit("B").alias("team"))
+    both = a.unionByName(b)
+    k = int(k_out)
+    sd = int(seed)
+
+    def draft(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = pdf["query_id"].iloc[0]
+        by_team = {
+            t: pdf[pdf["team"] == t].sort_values(["rn", "doc_id"])
+            for t in ("A", "B")
+        }
+        picked, out = set(), []
+        for pos in range(1, k + 1):
+            r = (pos + 1) // 2
+            h = int(hashlib.md5(f"{sd}_{qid}_{r}".encode())
+                    .hexdigest()[:15], 16)
+            first = "A" if (h + 0.5) / 16 ** 15 < 0.5 else "B"
+            slated = first if pos % 2 == 1 else ("B" if first == "A"
+                                                 else "A")
+            pick = None
+            for team in (slated, "B" if slated == "A" else "A"):
+                cand = by_team[team]
+                cand = cand[~cand["doc_id"].isin(picked)]
+                if len(cand):
+                    pick = (cand["doc_id"].iloc[0], team)
+                    break
+            if pick is None:
+                break
+            picked.add(pick[0])
+            out.append((qid, pos, pick[0], pick[1]))
+        return pd.DataFrame(out, columns=["query_id", "pos", "doc_id",
+                                          "team"])
+
+    return both.groupBy("query_id").applyInPandas(
+        draft, "query_id long, pos int, doc_id long, team string")
+
+
+def interleave_credit(interleaved: DataFrame, clicks: DataFrame,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Click-credit assignment over an interleaved list: per query, how
+    many clicked docs each team contributed, and the winner ('A', 'B' or
+    'tie') — the statistic a team-draft A/B test accumulates. ``clicks``
+    is a (query_id, doc_id) relation; the join is on the interleaved
+    list (≤ k_out rows per query), so this is window-free and tiny."""
+    hit = (interleaved.join(clicks.select("query_id",
+                                          F.col(id_col).alias("doc_id"))
+                            .distinct(), ["query_id", "doc_id"]))
+    per = (interleaved.select("query_id").distinct()
+           .join(hit.groupBy("query_id").agg(
+               F.sum(F.when(F.col("team") == "A", 1).otherwise(0))
+               .alias("clicks_a"),
+               F.sum(F.when(F.col("team") == "B", 1).otherwise(0))
+               .alias("clicks_b")), "query_id", "left")
+           .fillna(0, ["clicks_a", "clicks_b"]))
+    return per.select(
+        "query_id", "clicks_a", "clicks_b",
+        F.when(F.col("clicks_a") > F.col("clicks_b"), F.lit("A"))
+        .when(F.col("clicks_b") > F.col("clicks_a"), F.lit("B"))
+        .otherwise(F.lit("tie")).alias("winner"))
