@@ -1774,6 +1774,98 @@ SELECT CAST(f.query_id AS BIGINT) AS query_id, f.doc_id,
 FROM feat f JOIN nq USING (query_id) JOIN qual USING (doc_id)"""
 
 
+LTRT_ITERS, LTRT_LR, LTRT_L2 = 12, 1.0, 0.01
+LTRT_COLS = ("bm25", "ql", "ldl", "lst")
+
+
+def q_ltr_logreg_rerank(spark, sf_dir):
+    """Pointwise LTR training (operators/ltr.py): logistic regression by
+    distributed full-batch GD — one map-side-combined aggregation per
+    iteration, weights rounded 9dp per step so the SQL oracle replays the
+    identical trajectory. Features (6dp-rounded): bm25, Dirichlet QL,
+    ln(1+dl), ln(1+sum_tf); label = doc matches ≥2 distinct query terms.
+    Output: candidates re-ranked by the learned model."""
+    from bertopic_spark.operators.bm25 import ltr_features
+    from bertopic_spark.operators.ltr import (feature_stats, logreg_rerank,
+                                              logreg_train)
+
+    d = _docs(spark, sf_dir)
+    qt = query_terms(queries_df(spark, DRIVER_QUERIES), MODE)
+    f = (ltr_features(d, qt, text_col="text", mode=MODE, mu=LM_MU)
+         .select("query_id", "doc_id",
+                 _r6(F.col("bm25")).alias("bm25"),
+                 _r6(F.col("ql")).alias("ql"),
+                 _r6(F.log(F.lit(1.0) + F.col("dl"))).alias("ldl"),
+                 _r6(F.log(F.lit(1.0) + F.col("sum_tf"))).alias("lst"),
+                 (F.col("n_matched") >= 2).cast("int").alias("label"))
+         .persist())
+    cols = list(LTRT_COLS)
+    st = feature_stats(f, cols)
+    w = logreg_train(f, "label", cols, iters=LTRT_ITERS, lr=LTRT_LR,
+                     l2=LTRT_L2, stats=st)
+    out = logreg_rerank(f, cols, w, st, k=10)
+    return out.select("query_id", "doc_id", _r6(F.col("prob")).alias("prob"),
+                      F.col("rank").cast("long").alias("rank"))
+
+
+def _sql_ltr_logreg() -> str:
+    base = SQL_LTR_FEATURES.split("WITH", 1)[1].rsplit("SELECT", 1)[0]
+    cols = LTRT_COLS
+    lr, l2 = LTRT_LR, LTRT_L2
+    zsel = ", ".join(
+        f"CASE WHEN s_{c} <= 1e-12 THEN 0.0 ELSE ({c} - m_{c}) / s_{c} END"
+        f" AS z{j + 1}" for j, c in enumerate(cols))
+    stat_sel = ", ".join(
+        f"round(avg({c}), 9) AS m_{c}, round(stddev_pop({c}), 9) AS s_{c}"
+        for c in cols)
+    margin = "p.b + " + " + ".join(f"p.w{j + 1} * z.z{j + 1}"
+                                   for j in range(len(cols)))
+    steps = ["it0 AS (SELECT 0.0 AS b, " +
+             ", ".join(f"0.0 AS w{j + 1}" for j in range(len(cols))) + ")"]
+    for i in range(1, LTRT_ITERS + 1):
+        wup = ", ".join(
+            f"round(max(pw{j + 1}) - {lr} * (avg((pr - y) * z{j + 1}) "
+            f"+ {l2} * max(pw{j + 1})), 9) AS w{j + 1}"
+            for j in range(len(cols)))
+        pcols = ", ".join([f"p.w{j + 1} AS pw{j + 1}"
+                           for j in range(len(cols))])
+        steps.append(f"""it{i} AS MATERIALIZED (
+  SELECT round(max(pb) - {lr} * avg(pr - y), 9) AS b, {wup}
+  FROM (SELECT z.y, {', '.join('z.z' + str(j + 1)
+                               for j in range(len(cols)))},
+               p.b AS pb, {pcols},
+               1.0 / (1.0 + exp(-({margin}))) AS pr
+        FROM zf z CROSS JOIN it{i-1} p))""")
+    chain = ",\n".join(steps)
+    final_margin = "p.b + " + " + ".join(f"p.w{j + 1} * z.z{j + 1}"
+                                         for j in range(len(cols)))
+    return f"""WITH {base.rstrip().rstrip(',')},
+rawf AS MATERIALIZED (
+  SELECT f.query_id, f.doc_id,
+         round(f.bm25, 6) AS bm25,
+         round(f.ql_sum + nq.n_q * ln({LM_MU} / (f.dl + {LM_MU})), 6) AS ql,
+         round(ln(1.0 + f.dl), 6) AS ldl,
+         round(ln(1.0 + f.sum_tf), 6) AS lst,
+         CASE WHEN f.n_matched >= 2 THEN 1.0 ELSE 0.0 END AS y
+  FROM feat f JOIN nq USING (query_id)),
+stats AS (SELECT {stat_sel} FROM rawf),
+zf AS MATERIALIZED (
+  SELECT query_id, doc_id, y, {zsel} FROM rawf CROSS JOIN stats),
+{chain},
+scored AS (
+  SELECT z.query_id, z.doc_id,
+         1.0 / (1.0 + exp(-({final_margin}))) AS prob
+  FROM zf z CROSS JOIN it{LTRT_ITERS} p),
+ranked AS (
+  SELECT query_id, doc_id, prob,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY prob DESC, doc_id ASC) AS rank
+  FROM scored)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+       round(prob, 6) AS prob, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10"""
+
+
 def _evens_odds_del17_index(spark, sf_dir):
     """Shared incremental-gate fixture: append evens, append odds,
     tombstone every 17th — built fresh in a temp root (caller must
@@ -7654,6 +7746,7 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "lm_topk": (q_lm_topk, SQL_LM_TOPK),
     "team_draft_interleave": (q_team_draft_interleave, _sql_team_draft()),
     "ltr_features": (q_ltr_features, SQL_LTR_FEATURES),
+    "ltr_logreg_rerank": (q_ltr_logreg_rerank, _sql_ltr_logreg()),
     "tiered_bm25_topk": (q_tiered_bm25_topk, SQL_BM25_DOC_TOPK),
     "asof_bm25_topk": (q_asof_bm25_topk, SQL_BM25_DOC_TOPK),
     "explain_topk": (q_explain_topk, SQL_EXPLAIN_TOPK),

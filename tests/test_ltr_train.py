@@ -1,0 +1,89 @@
+"""Pointwise LTR training: GD trajectory vs a numpy reference (same
+per-step rounding), loss decrease, degenerate features, rerank shape."""
+
+import math
+
+import pytest
+
+from bertopic_spark.operators.ltr import (feature_stats, logreg_loss,
+                                          logreg_rerank, logreg_train)
+
+
+def _feats(spark, rows):
+    return spark.createDataFrame(
+        rows, "query_id long, doc_id long, f1 double, f2 double, label int")
+
+
+@pytest.fixture(scope="module")
+def synth(spark):
+    # label follows f1 (plus a distractor f2 that is pure noise-by-id)
+    rows = []
+    for i in range(200):
+        f1 = (i % 10) / 10.0
+        f2 = ((i * 7) % 13) / 13.0
+        rows.append((i % 4, i, f1, f2, 1 if f1 >= 0.5 else 0))
+    return _feats(spark, rows).cache()
+
+
+def test_matches_numpy_reference(spark, synth):
+    cols = ["f1", "f2"]
+    st = feature_stats(synth, cols)
+    w = logreg_train(synth, "label", cols, iters=8, lr=0.7, l2=0.02,
+                     stats=st)
+    rows = synth.collect()
+    X = [[1.0] + [
+        0.0 if st[c][1] is None or st[c][1] <= 1e-12
+        else (getattr(r, c) - st[c][0]) / st[c][1] for c in cols]
+        for r in rows]
+    y = [float(r.label) for r in rows]
+    n = len(rows)
+    ww = [0.0, 0.0, 0.0]
+    for _ in range(8):
+        gs = [0.0, 0.0, 0.0]
+        for xi, yi in zip(X, y):
+            m = sum(a * b for a, b in zip(ww, xi))
+            p = 1.0 / (1.0 + math.exp(-m))
+            for j in range(3):
+                gs[j] += (p - yi) * xi[j]
+        ww = [round(ww[0] - 0.7 * gs[0] / n, 9)] + [
+            round(ww[j] - 0.7 * (gs[j] / n + 0.02 * ww[j]), 9)
+            for j in (1, 2)]
+    assert w == pytest.approx(ww, abs=2e-9)
+
+
+def test_loss_decreases_and_separates(spark, synth):
+    cols = ["f1", "f2"]
+    st = feature_stats(synth, cols)
+    losses = [logreg_loss(synth, "label", cols, [0.0, 0.0, 0.0], st)]
+    for it in (3, 8, 15):
+        w = logreg_train(synth, "label", cols, iters=it, stats=st)
+        losses.append(logreg_loss(synth, "label", cols, w, st))
+    assert all(b < a for a, b in zip(losses, losses[1:]))
+    w = logreg_train(synth, "label", cols, iters=15, stats=st)
+    assert w[1] > 1.0              # f1 drives the label
+    assert abs(w[2]) < abs(w[1]) / 3   # distractor stays small
+
+
+def test_constant_feature_is_inert(spark):
+    rows = [(0, i, float(i % 2), 5.0, i % 2) for i in range(40)]
+    f = _feats(spark, rows)
+    st = feature_stats(f, ["f1", "f2"])
+    assert st["f2"][1] <= 1e-12
+    w = logreg_train(f, "label", ["f1", "f2"], iters=5, stats=st)
+    assert w[2] == 0.0             # z=0 → never updated
+    assert all(map(math.isfinite, w))
+
+
+def test_rerank_shape_and_order(spark, synth):
+    cols = ["f1", "f2"]
+    st = feature_stats(synth, cols)
+    w = logreg_train(synth, "label", cols, iters=10, stats=st)
+    out = logreg_rerank(synth, cols, w, st, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.prob))
+    for q, rows in by_q.items():
+        rows.sort()
+        assert [r for r, _ in rows] == list(range(1, len(rows) + 1))
+        probs = [p for _, p in rows]
+        assert probs == sorted(probs, reverse=True)
