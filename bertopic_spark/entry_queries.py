@@ -1866,6 +1866,109 @@ SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
 FROM ranked WHERE rank <= 10"""
 
 
+RANKNET_ITERS, RANKNET_PAIRS, RANKNET_SEED = 10, 200, 11
+
+
+def q_ltr_ranknet_rerank(spark, sf_dir):
+    """Pairwise LTR (operators/ltr.py ranknet_train): one-linear-unit
+    RankNet — per query, (relevant, non-relevant) z-feature differences
+    (md5-capped at 200 pairs/query, the anti-blowup knob), pairwise
+    logistic GD with the same 9dp-rounded SQL-replayable trajectory as
+    the pointwise gate, then candidates re-ranked by w·z."""
+    from bertopic_spark.operators.bm25 import ltr_features
+    from bertopic_spark.operators.ltr import (feature_stats, pairwise_diffs,
+                                              ranknet_rerank, ranknet_train)
+
+    d = _docs(spark, sf_dir)
+    qt = query_terms(queries_df(spark, DRIVER_QUERIES), MODE)
+    f = (ltr_features(d, qt, text_col="text", mode=MODE, mu=LM_MU)
+         .select("query_id", "doc_id",
+                 _r6(F.col("bm25")).alias("bm25"),
+                 _r6(F.col("ql")).alias("ql"),
+                 _r6(F.log(F.lit(1.0) + F.col("dl"))).alias("ldl"),
+                 _r6(F.log(F.lit(1.0) + F.col("sum_tf"))).alias("lst"),
+                 (F.col("n_matched") >= 2).cast("int").alias("label"))
+         .persist())
+    cols = list(LTRT_COLS)
+    st = feature_stats(f, cols)
+    diffs = pairwise_diffs(f, "label", cols, st,
+                           max_pairs_per_query=RANKNET_PAIRS,
+                           seed=RANKNET_SEED).persist()
+    w = ranknet_train(diffs, len(cols), iters=RANKNET_ITERS, lr=LTRT_LR,
+                      l2=LTRT_L2)
+    out = ranknet_rerank(f, cols, w, st, k=10)
+    return out.select("query_id", "doc_id",
+                      _r6(F.col("score")).alias("score"),
+                      F.col("rank").cast("long").alias("rank"))
+
+
+def _sql_ltr_ranknet() -> str:
+    base = SQL_LTR_FEATURES.split("WITH", 1)[1].rsplit("SELECT", 1)[0]
+    cols = LTRT_COLS
+    nf, lr, l2 = len(LTRT_COLS), LTRT_LR, LTRT_L2
+    zsel = ", ".join(
+        f"CASE WHEN s_{c} <= 1e-12 THEN 0.0 ELSE ({c} - m_{c}) / s_{c} END"
+        f" AS z{j + 1}" for j, c in enumerate(cols))
+    stat_sel = ", ".join(
+        f"round(avg({c}), 9) AS m_{c}, round(stddev_pop({c}), 9) AS s_{c}"
+        for c in cols)
+    dsel = ", ".join(f"a.z{j + 1} - b.z{j + 1} AS d{j + 1}"
+                     for j in range(nf))
+    pmargin = " + ".join(f"p.w{j + 1} * z.d{j + 1}" for j in range(nf))
+    steps = ["it0 AS (SELECT " +
+             ", ".join(f"0.0 AS w{j + 1}" for j in range(nf)) + ")"]
+    for i in range(1, RANKNET_ITERS + 1):
+        wup = ", ".join(
+            f"round(max(pw{j + 1}) - {lr} * (avg((pr - 1.0) * d{j + 1}) "
+            f"+ {l2} * max(pw{j + 1})), 9) AS w{j + 1}"
+            for j in range(nf))
+        pcols = ", ".join(f"p.w{j + 1} AS pw{j + 1}" for j in range(nf))
+        dcols = ", ".join(f"z.d{j + 1}" for j in range(nf))
+        steps.append(f"""it{i} AS MATERIALIZED (
+  SELECT {wup}
+  FROM (SELECT {dcols}, {pcols},
+               1.0 / (1.0 + exp(-({pmargin}))) AS pr
+        FROM pairs z CROSS JOIN it{i-1} p))""")
+    chain = ",\n".join(steps)
+    fmargin = " + ".join(f"p.w{j + 1} * z.z{j + 1}" for j in range(nf))
+    return f"""WITH {base.rstrip().rstrip(',')},
+rawf AS MATERIALIZED (
+  SELECT f.query_id, f.doc_id,
+         round(f.bm25, 6) AS bm25,
+         round(f.ql_sum + nq.n_q * ln({LM_MU} / (f.dl + {LM_MU})), 6) AS ql,
+         round(ln(1.0 + f.dl), 6) AS ldl,
+         round(ln(1.0 + f.sum_tf), 6) AS lst,
+         CASE WHEN f.n_matched >= 2 THEN 1.0 ELSE 0.0 END AS y
+  FROM feat f JOIN nq USING (query_id)),
+stats AS (SELECT {stat_sel} FROM rawf),
+zf AS MATERIALIZED (
+  SELECT query_id, doc_id, y, {zsel} FROM rawf CROSS JOIN stats),
+pairs AS MATERIALIZED (
+  SELECT query_id, id_pos, id_neg,
+         {', '.join('d' + str(j + 1) for j in range(nf))} FROM (
+    SELECT a.query_id, a.doc_id AS id_pos, b.doc_id AS id_neg, {dsel},
+           row_number() OVER (PARTITION BY a.query_id ORDER BY
+             md5('{RANKNET_SEED}_' || CAST(a.query_id AS VARCHAR) || '_' ||
+                 CAST(a.doc_id AS VARCHAR) || '_' ||
+                 CAST(b.doc_id AS VARCHAR)),
+             a.doc_id, b.doc_id) AS rn
+    FROM zf a JOIN zf b ON a.query_id = b.query_id
+    WHERE a.y = 1.0 AND b.y = 0.0)
+  WHERE rn <= {RANKNET_PAIRS}),
+{chain},
+scored AS (
+  SELECT z.query_id, z.doc_id, {fmargin} AS score
+  FROM zf z CROSS JOIN it{RANKNET_ITERS} p),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+       round(score, 6) AS score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10"""
+
+
 def _evens_odds_del17_index(spark, sf_dir):
     """Shared incremental-gate fixture: append evens, append odds,
     tombstone every 17th — built fresh in a temp root (caller must
@@ -7747,6 +7850,7 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "team_draft_interleave": (q_team_draft_interleave, _sql_team_draft()),
     "ltr_features": (q_ltr_features, SQL_LTR_FEATURES),
     "ltr_logreg_rerank": (q_ltr_logreg_rerank, _sql_ltr_logreg()),
+    "ltr_ranknet_rerank": (q_ltr_ranknet_rerank, _sql_ltr_ranknet()),
     "tiered_bm25_topk": (q_tiered_bm25_topk, SQL_BM25_DOC_TOPK),
     "asof_bm25_topk": (q_asof_bm25_topk, SQL_BM25_DOC_TOPK),
     "explain_topk": (q_explain_topk, SQL_EXPLAIN_TOPK),

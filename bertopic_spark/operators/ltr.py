@@ -105,3 +105,76 @@ def logreg_rerank(feats: DataFrame, feature_cols: Sequence[str],
     return (feats.select("query_id", id_col, prob.alias("prob"))
             .withColumn("rank", F.row_number().over(win))
             .filter(F.col("rank") <= int(k)))
+
+
+def pairwise_diffs(feats: DataFrame, label_col: str,
+                   feature_cols: Sequence[str], stats: dict,
+                   max_pairs_per_query: int = 200, seed: int = 11,
+                   id_col: str = "doc_id") -> DataFrame:
+    """The (relevant, non-relevant) pair-difference relation behind
+    pairwise LTR: per query, z-feature differences d_j = z_j⁺ − z_j⁻ for
+    every (label=1, label=0) doc pair, capped at ``max_pairs_per_query``
+    by the md5 order (deterministic, partition-invariant — the cap is
+    what stops a 10⁶-candidate query from emitting 10¹² pairs at scale).
+    Columns: query_id, id_pos, id_neg, d1..dk."""
+    zcols = [(_z(c, *stats[c])).alias(f"z{j + 1}")
+             for j, c in enumerate(feature_cols)]
+    z = feats.select("query_id", F.col(id_col).alias("_id"),
+                     F.col(label_col).cast("int").alias("_y"), *zcols)
+    pos = z.filter(F.col("_y") == 1).select(
+        "query_id", F.col("_id").alias("id_pos"),
+        *[F.col(f"z{j + 1}").alias(f"a{j + 1}")
+          for j in range(len(feature_cols))])
+    neg = z.filter(F.col("_y") == 0).select(
+        "query_id", F.col("_id").alias("id_neg"),
+        *[F.col(f"z{j + 1}").alias(f"b{j + 1}")
+          for j in range(len(feature_cols))])
+    pairs = pos.join(neg, "query_id")
+    key = F.md5(F.concat_ws("_", F.lit(int(seed)),
+                            F.col("query_id").cast("string"),
+                            F.col("id_pos").cast("string"),
+                            F.col("id_neg").cast("string")))
+    w = Window.partitionBy("query_id").orderBy(key, "id_pos", "id_neg")
+    return (pairs.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= int(max_pairs_per_query))
+            .select("query_id", "id_pos", "id_neg",
+                    *[(F.col(f"a{j + 1}") - F.col(f"b{j + 1}"))
+                      .alias(f"d{j + 1}")
+                      for j in range(len(feature_cols))]))
+
+
+def ranknet_train(diffs: DataFrame, n_features: int, iters: int = 10,
+                  lr: float = 1.0, l2: float = 0.01,
+                  round_dp: int = 9) -> list[float]:
+    """Pairwise logistic (RankNet with one linear unit, Burges et al.
+    2005): minimize avg log(1+exp(−w·d)) over pair differences — no
+    bias (a constant cancels in s⁺ − s⁻). Same distributed-GD shape and
+    per-step rounding as ``logreg_train``: one aggregation per iteration,
+    SQL-replayable trajectory."""
+    w = [0.0] * int(n_features)
+    for _ in range(int(iters)):
+        margin = F.lit(0.0)
+        for j in range(n_features):
+            margin = margin + F.lit(w[j]) * F.col(f"d{j + 1}")
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+        aggs = [F.avg((p - F.lit(1.0)) * F.col(f"d{j + 1}"))
+                .alias(f"g{j + 1}") for j in range(n_features)]
+        g = diffs.agg(*aggs).collect()[0]
+        w = [round(w[j] - lr * (g[f"g{j + 1}"] + l2 * w[j]), round_dp)
+             for j in range(n_features)]
+    return w
+
+
+def ranknet_rerank(feats: DataFrame, feature_cols: Sequence[str],
+                   w: Sequence[float], stats: dict, k: int = 10,
+                   id_col: str = "doc_id") -> DataFrame:
+    """(query_id, doc_id, score, rank): candidates ordered by the learned
+    pairwise model's linear score w·z."""
+    s = F.lit(0.0)
+    for j, c in enumerate(feature_cols):
+        s = s + F.lit(float(w[j])) * _z(c, *stats[c])
+    win = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                                 F.asc(id_col))
+    return (feats.select("query_id", id_col, s.alias("score"))
+            .withColumn("rank", F.row_number().over(win))
+            .filter(F.col("rank") <= int(k)))

@@ -87,3 +87,61 @@ def test_rerank_shape_and_order(spark, synth):
         assert [r for r, _ in rows] == list(range(1, len(rows) + 1))
         probs = [p for _, p in rows]
         assert probs == sorted(probs, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# Pairwise (RankNet) training
+# ---------------------------------------------------------------------------
+
+def test_ranknet_matches_numpy_reference(spark, synth):
+    from bertopic_spark.operators.ltr import pairwise_diffs, ranknet_train
+    cols = ["f1", "f2"]
+    st = feature_stats(synth, cols)
+    diffs = pairwise_diffs(synth, "label", cols, st,
+                           max_pairs_per_query=50, seed=11).cache()
+    w = ranknet_train(diffs, 2, iters=6, lr=0.8, l2=0.02)
+    rows = diffs.collect()
+    D = [[r.d1, r.d2] for r in rows]
+    ww = [0.0, 0.0]
+    for _ in range(6):
+        gs = [0.0, 0.0]
+        for d in D:
+            m = sum(a * b for a, b in zip(ww, d))
+            p = 1.0 / (1.0 + math.exp(-m))
+            for j in range(2):
+                gs[j] += (p - 1.0) * d[j]
+        ww = [round(ww[j] - 0.8 * (gs[j] / len(D) + 0.02 * ww[j]), 9)
+              for j in range(2)]
+    assert w == pytest.approx(ww, abs=2e-9)
+    assert w[0] > 0  # f1 separates the labels → positive pair margin
+
+
+def test_pairwise_cap_and_determinism(spark, synth):
+    from bertopic_spark.operators.ltr import pairwise_diffs
+    cols = ["f1", "f2"]
+    st = feature_stats(synth, cols)
+    d1 = pairwise_diffs(synth, "label", cols, st, max_pairs_per_query=7)
+    per_q = {r.query_id: 0 for r in d1.collect()}
+    for r in d1.collect():
+        per_q[r.query_id] += 1
+    assert all(v <= 7 for v in per_q.values())
+    d2 = pairwise_diffs(synth.repartition(9), "label", cols, st,
+                        max_pairs_per_query=7)
+    assert sorted(map(tuple, d1.collect())) == \
+        sorted(map(tuple, d2.collect()))
+
+
+def test_ranknet_rerank_orders_by_f1(spark, synth):
+    from bertopic_spark.operators.ltr import (pairwise_diffs,
+                                              ranknet_rerank, ranknet_train)
+    cols = ["f1", "f2"]
+    st = feature_stats(synth, cols)
+    diffs = pairwise_diffs(synth, "label", cols, st)
+    w = ranknet_train(diffs, 2, iters=12)
+    out = ranknet_rerank(synth, cols, w, st, k=3).collect()
+    feats = {(r.query_id, r.doc_id): r.f1 for r in synth.collect()}
+    for r in out:
+        if r.rank == 1:
+            # the top-ranked doc per query has (near-)maximal f1
+            best = max(v for (q, _), v in feats.items() if q == r.query_id)
+            assert feats[(r.query_id, r.doc_id)] == pytest.approx(best)
