@@ -7503,6 +7503,107 @@ FROM per p LEFT JOIN ideal i ON p.query_id = i.query_id
            LEFT JOIN nrel n ON p.query_id = n.query_id"""
 
 
+def q_ranker_ttest(spark, sf_dir):
+    """Paired t-test between the Okapi and Dirichlet-LM rankers on
+    per-query nDCG@10 (operators/evaluation.paired_ttest — the standard
+    IR significance test): per-query metrics from rank_eval over the
+    shared grade≥2 judgment set, deltas A−B, one-row n / mean / sd / t /
+    df. Per-query nDCG is 6dp-rounded on BOTH sides before the test so
+    the statistic replays exactly."""
+    from bertopic_spark.operators.bm25 import (lm_topk, okapi_bm25_topk,
+                                               rank_eval)
+    from bertopic_spark.operators.evaluation import paired_ttest
+
+    d = _docs(spark, sf_dir)
+    qt = query_terms(queries_df(spark, DRIVER_QUERIES), MODE)
+    judg = (_doc_x(spark, sf_dir).join(F.broadcast(qt), "term")
+            .groupBy("query_id", "doc_id")
+            .agg(F.count_distinct("term").alias("grade"))
+            .filter(F.col("grade") >= 2)
+            .withColumn("grade", F.col("grade").cast("double")))
+    ra = okapi_bm25_topk(d, qt, k=10, k1=OKAPI_K1, b=OKAPI_B,
+                         text_col="text", mode=MODE)
+    rb = lm_topk(d, qt, k=10, mu=LM_MU, text_col="text", mode=MODE)
+    ea = rank_eval(ra, judg, k=10) \
+        .select("query_id", _r6(F.col("ndcg_at_k")).alias("ndcg_at_k"))
+    eb = rank_eval(rb, judg, k=10) \
+        .select("query_id", _r6(F.col("ndcg_at_k")).alias("ndcg_at_k"))
+    out = paired_ttest(ea, eb, "ndcg_at_k")
+    return out.select("n", _r6(F.col("mean_delta")).alias("mean_delta"),
+                      _r6(F.col("sd_delta")).alias("sd_delta"),
+                      _r6(F.col("t_stat")).alias("t_stat"), "df")
+
+
+def _sql_ranker_ttest() -> str:
+    okapi_core = SQL_OKAPI_BM25.split("WITH", 1)[1].rsplit("SELECT", 1)[0]
+
+    def ndcg(run_win: str, tag: str) -> str:
+        return f"""graded_{tag} AS (
+  SELECT w.query_id, w.rnk, coalesce(j.grade, 0.0) AS grade
+  FROM {run_win} w LEFT JOIN judg j
+    ON w.query_id = j.query_id AND w.doc_id = j.doc_id),
+per_{tag} AS (
+  SELECT query_id,
+         sum((pow(2.0, grade) - 1.0) / log2(rnk + 1.0)) AS dcg
+  FROM graded_{tag} GROUP BY query_id),
+nd_{tag} AS (
+  SELECT p.query_id,
+         round(CASE WHEN coalesce(i.idcg, 0.0) > 0
+               THEN p.dcg / i.idcg ELSE 0.0 END, 6) AS ndcg
+  FROM per_{tag} p LEFT JOIN ideal i ON p.query_id = i.query_id)"""
+
+    return f"""WITH {okapi_core.rstrip().rstrip(',')},
+win_a AS (SELECT query_id, doc_id, rn AS rnk FROM ranked WHERE rn <= 10),
+lm_cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM xdoc GROUP BY term),
+lm_tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM xdoc),
+lm_qv AS (SELECT q.query_id, q.term FROM q JOIN lm_cf USING (term)),
+lm_nq AS (SELECT query_id, count(*) AS n_q FROM lm_qv GROUP BY query_id),
+lm_hits AS (
+  SELECT qv.query_id, x.doc_id,
+         sum(ln(1.0 + x.tf * tot.total / ({LM_MU} * cf.cf))) AS ql
+  FROM lm_qv qv JOIN xdoc x USING (term) JOIN lm_cf cf USING (term)
+  CROSS JOIN lm_tot tot
+  GROUP BY qv.query_id, x.doc_id),
+lm_scored AS (
+  SELECT h.query_id, h.doc_id,
+         h.ql + nq.n_q * ln({LM_MU} / (dl.dl + {LM_MU})) AS score
+  FROM lm_hits h JOIN dl USING (doc_id) JOIN lm_nq nq USING (query_id)),
+win_b AS (
+  SELECT query_id, doc_id, rnk FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS rnk
+    FROM lm_scored) WHERE rnk <= 10),
+judg AS (
+  SELECT q.query_id, x.doc_id,
+         CAST(count(DISTINCT q.term) AS DOUBLE) AS grade
+  FROM q JOIN xdoc x USING (term)
+  GROUP BY q.query_id, x.doc_id HAVING count(DISTINCT q.term) >= 2),
+irk AS (
+  SELECT query_id, grade,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY grade DESC, doc_id ASC) AS irank
+  FROM judg WHERE grade > 0),
+ideal AS (
+  SELECT query_id, sum((pow(2.0, grade) - 1.0) / log2(irank + 1.0)) AS idcg
+  FROM irk WHERE irank <= 10 GROUP BY query_id),
+{ndcg('win_a', 'a')},
+{ndcg('win_b', 'b')},
+deltas AS (
+  SELECT a.query_id, a.ndcg - b.ndcg AS delta
+  FROM nd_a a JOIN nd_b b USING (query_id)),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, avg(delta) AS mean_delta,
+         stddev_samp(delta) AS sd_delta
+  FROM deltas)
+SELECT n, round(mean_delta, 6) AS mean_delta,
+       round(sd_delta, 6) AS sd_delta,
+       round(CASE WHEN n >= 2 AND sd_delta > 0
+             THEN mean_delta / (sd_delta / sqrt(n)) END, 6) AS t_stat,
+       CAST(n - 1 AS BIGINT) AS df
+FROM agg"""
+
+
 def q_rare_terms(spark, sf_dir):
     """ES rare_terms agg (operators/rollup.rare_terms_agg): the long-tail
     of token 3-shingles appearing in <= 2 documents — exact (one distinct
@@ -7910,6 +8011,7 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "range_agg_values": (q_range_agg, _sql_range_agg()),
     "matrix_stats_corr": (q_matrix_stats, _sql_matrix_stats()),
     "rank_eval_bm25": (q_rank_eval, SQL_RANK_EVAL),
+    "ranker_ttest": (q_ranker_ttest, _sql_ranker_ttest()),
     "adjacency_matrix": (q_adjacency_matrix, _sql_adjacency()),
     "vocab_kl_drift": (q_vocab_kl_drift, _sql_vocab_kl_drift()),
     "dedup_minhash_incremental": (q_minhash_incremental, _sql_minhash_incremental()),

@@ -354,3 +354,31 @@ def interleave_credit(interleaved: DataFrame, clicks: DataFrame,
         F.when(F.col("clicks_a") > F.col("clicks_b"), F.lit("A"))
         .when(F.col("clicks_b") > F.col("clicks_a"), F.lit("B"))
         .otherwise(F.lit("tie")).alias("winner"))
+
+
+def paired_ttest(eval_a: DataFrame, eval_b: DataFrame,
+                 metric_col: str = "ndcg_at_k") -> DataFrame:
+    """Paired t-test between two rankers' per-query metrics — the
+    standard IR significance test (Smucker, Allan & Carterette 2007
+    recommend it over sign/Wilcoxon): one row with
+
+        n, mean_delta, sd_delta (sample, n−1), t_stat, df
+
+    over per-query deltas metric_A − metric_B (inner join on query_id —
+    only queries both runs evaluated). t_stat is NULL when the deltas
+    are constant (sd = 0) or n < 2. Look the t up against df outside;
+    no CDF dependency. One broadcast join of two |queries|-sized
+    relations + one 1-row aggregation."""
+    a = eval_a.select("query_id", F.col(metric_col).alias("_ma"))
+    b = eval_b.select("query_id", F.col(metric_col).alias("_mb"))
+    d = a.join(b, "query_id").select(
+        "query_id", (F.col("_ma") - F.col("_mb")).alias("delta"))
+    agg = d.agg(F.count(F.lit(1)).alias("n"),
+                F.avg("delta").alias("mean_delta"),
+                F.stddev_samp("delta").alias("sd_delta"))
+    t = F.when((F.col("n") >= 2) & (F.col("sd_delta") > 0),
+               F.col("mean_delta")
+               / (F.col("sd_delta") / F.sqrt(F.col("n"))))
+    return agg.select(F.col("n").cast("long").alias("n"),
+                      "mean_delta", "sd_delta", t.alias("t_stat"),
+                      (F.col("n") - 1).cast("long").alias("df"))

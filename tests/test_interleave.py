@@ -103,3 +103,36 @@ def test_no_clicks_is_tie(spark):
     clicks = spark.createDataFrame([], "query_id long, doc_id long")
     got = interleave_credit(inter, clicks).collect()
     assert got[0].winner == "tie" and got[0].clicks_a == 0
+
+
+# ---------------------------------------------------------------------------
+# Paired t-test between rankers
+# ---------------------------------------------------------------------------
+
+def test_paired_ttest_hand_math(spark):
+    from bertopic_spark.operators.evaluation import paired_ttest
+    a = spark.createDataFrame([(0, 0.9), (1, 0.8), (2, 0.7), (3, 0.95)],
+                              "query_id long, m double")
+    b = spark.createDataFrame([(0, 0.85), (1, 0.82), (2, 0.6), (3, 0.9)],
+                              "query_id long, m double")
+    r = paired_ttest(a, b, "m").collect()[0]
+    deltas = [0.05, -0.02, 0.1, 0.05]
+    n = len(deltas)
+    mean = sum(deltas) / n
+    var = sum((d - mean) ** 2 for d in deltas) / (n - 1)
+    sd = var ** 0.5
+    assert r.n == 4 and r.df == 3
+    assert r.mean_delta == pytest.approx(mean, abs=1e-12)
+    assert r.sd_delta == pytest.approx(sd, abs=1e-12)
+    assert r.t_stat == pytest.approx(mean / (sd / n ** 0.5), abs=1e-9)
+
+
+def test_paired_ttest_degenerate(spark):
+    from bertopic_spark.operators.evaluation import paired_ttest
+    a = spark.createDataFrame([(0, 0.5), (1, 0.6)], "query_id long, m double")
+    b = spark.createDataFrame([(0, 0.4), (1, 0.5)], "query_id long, m double")
+    r = paired_ttest(a, b, "m").collect()[0]   # constant delta → sd 0
+    assert r.sd_delta == pytest.approx(0.0, abs=1e-12)
+    assert r.t_stat is None
+    one = paired_ttest(a.limit(1), b.limit(1), "m").collect()[0]
+    assert one.n == 1 and one.t_stat is None
