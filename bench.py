@@ -151,6 +151,14 @@ BENCH_QUERIES = [
     "bpe_merges",
     "bpe_subword_counts",
     "bigram_lm_perplexity",
+    # round-3 batch 10: set-algebra sketches, block join, data selection,
+    # online eval, LTR training
+    "theta_term_setops",
+    "has_child_topk",
+    "dsir_sample",
+    "team_draft_interleave",
+    "ltr_logreg_rerank",
+    "ltr_ranknet_rerank",
 ]
 
 
