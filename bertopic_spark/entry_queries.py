@@ -1867,12 +1867,15 @@ FROM ranked WHERE rank <= 10"""
 
 
 RANKNET_ITERS, RANKNET_PAIRS, RANKNET_SEED = 10, 200, 11
+RANKNET_SIDE = 64  # per-(query, side) md5 cap applied BEFORE the pair join
 
 
 def q_ltr_ranknet_rerank(spark, sf_dir):
     """Pairwise LTR (operators/ltr.py ranknet_train): one-linear-unit
-    RankNet — per query, (relevant, non-relevant) z-feature differences
-    (md5-capped at 200 pairs/query, the anti-blowup knob), pairwise
+    RankNet — per query, (relevant, non-relevant) z-feature differences,
+    with blowup control BEFORE the pair join (each side md5-capped at 64
+    docs/query, so the join emits ≤64² pre-cap rows per query instead of
+    pos×neg) and an md5 cap of 200 pairs/query after it; pairwise
     logistic GD with the same 9dp-rounded SQL-replayable trajectory as
     the pointwise gate, then candidates re-ranked by w·z."""
     from bertopic_spark.operators.bm25 import ltr_features
@@ -1893,7 +1896,8 @@ def q_ltr_ranknet_rerank(spark, sf_dir):
     st = feature_stats(f, cols)
     diffs = pairwise_diffs(f, "label", cols, st,
                            max_pairs_per_query=RANKNET_PAIRS,
-                           seed=RANKNET_SEED).persist()
+                           seed=RANKNET_SEED,
+                           max_side_per_query=RANKNET_SIDE).persist()
     w = ranknet_train(diffs, len(cols), iters=RANKNET_ITERS, lr=LTRT_LR,
                       l2=LTRT_L2)
     out = ranknet_rerank(f, cols, w, st, k=10)
@@ -1943,6 +1947,11 @@ rawf AS MATERIALIZED (
 stats AS (SELECT {stat_sel} FROM rawf),
 zf AS MATERIALIZED (
   SELECT query_id, doc_id, y, {zsel} FROM rawf CROSS JOIN stats),
+sided AS MATERIALIZED (
+  SELECT *, row_number() OVER (PARTITION BY query_id, y ORDER BY
+    md5('{RANKNET_SEED}_side_' || CAST(query_id AS VARCHAR) || '_' ||
+        CAST(doc_id AS VARCHAR)), doc_id) AS srn
+  FROM zf),
 pairs AS MATERIALIZED (
   SELECT query_id, id_pos, id_neg,
          {', '.join('d' + str(j + 1) for j in range(nf))} FROM (
@@ -1952,8 +1961,9 @@ pairs AS MATERIALIZED (
                  CAST(a.doc_id AS VARCHAR) || '_' ||
                  CAST(b.doc_id AS VARCHAR)),
              a.doc_id, b.doc_id) AS rn
-    FROM zf a JOIN zf b ON a.query_id = b.query_id
-    WHERE a.y = 1.0 AND b.y = 0.0)
+    FROM sided a JOIN sided b ON a.query_id = b.query_id
+    WHERE a.y = 1.0 AND b.y = 0.0
+      AND a.srn <= {RANKNET_SIDE} AND b.srn <= {RANKNET_SIDE})
   WHERE rn <= {RANKNET_PAIRS}),
 {chain},
 scored AS (

@@ -110,17 +110,34 @@ def logreg_rerank(feats: DataFrame, feature_cols: Sequence[str],
 def pairwise_diffs(feats: DataFrame, label_col: str,
                    feature_cols: Sequence[str], stats: dict,
                    max_pairs_per_query: int = 200, seed: int = 11,
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id",
+                   max_side_per_query: int = 64) -> DataFrame:
     """The (relevant, non-relevant) pair-difference relation behind
     pairwise LTR: per query, z-feature differences d_j = z_j⁺ − z_j⁻ for
-    every (label=1, label=0) doc pair, capped at ``max_pairs_per_query``
-    by the md5 order (deterministic, partition-invariant — the cap is
-    what stops a 10⁶-candidate query from emitting 10¹² pairs at scale).
-    Columns: query_id, id_pos, id_neg, d1..dk."""
+    (label=1, label=0) doc pairs, capped at ``max_pairs_per_query`` by
+    the md5 order. Columns: query_id, id_pos, id_neg, d1..dk.
+
+    Blowup control happens BEFORE the join: each side is first capped at
+    ``max_side_per_query`` docs per query by a per-doc md5 order, so the
+    pre-cap pair relation is at most side² rows per query regardless of
+    candidate count — a 10⁶-candidate query contributes ≤ 64² = 4,096
+    join rows, never 10¹². The per-side pass is a row_number over the
+    candidate list (linear in |candidates|, the same scale as the feature
+    relation itself); the pair-level md5 cap then trims to
+    ``max_pairs_per_query``. Both orders are deterministic and
+    partition-invariant, so the relation is cacheable and SQL-replayable.
+    """
     zcols = [(_z(c, *stats[c])).alias(f"z{j + 1}")
              for j, c in enumerate(feature_cols)]
     z = feats.select("query_id", F.col(id_col).alias("_id"),
                      F.col(label_col).cast("int").alias("_y"), *zcols)
+    side_key = F.md5(F.concat_ws(
+        "_", F.lit(int(seed)), F.lit("side"),
+        F.col("query_id").cast("string"), F.col("_id").cast("string")))
+    sw = Window.partitionBy("query_id", "_y").orderBy(side_key, "_id")
+    z = (z.withColumn("_srn", F.row_number().over(sw))
+         .filter(F.col("_srn") <= int(max_side_per_query))
+         .drop("_srn"))
     pos = z.filter(F.col("_y") == 1).select(
         "query_id", F.col("_id").alias("id_pos"),
         *[F.col(f"z{j + 1}").alias(f"a{j + 1}")

@@ -145,3 +145,37 @@ def test_ranknet_rerank_orders_by_f1(spark, synth):
             # the top-ranked doc per query has (near-)maximal f1
             best = max(v for (q, _), v in feats.items() if q == r.query_id)
             assert feats[(r.query_id, r.doc_id)] == pytest.approx(best)
+
+
+def test_pairwise_side_cap_bounds_join_input(spark, synth):
+    """The per-side md5 cap is applied BEFORE the pair join: with
+    max_side_per_query=s the relation never exceeds s*s pairs per query
+    (pre pair-cap), every id on each side comes from the capped set, and
+    the result is still deterministic under repartitioning."""
+    from bertopic_spark.operators.ltr import pairwise_diffs
+    cols = ["f1", "f2"]
+    st = feature_stats(synth, cols)
+    s = 5
+    d = pairwise_diffs(synth, "label", cols, st,
+                       max_pairs_per_query=10_000, max_side_per_query=s)
+    rows = d.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, {"pairs": 0, "pos": set(), "neg": set()})
+        per_q[r.query_id]["pairs"] += 1
+        per_q[r.query_id]["pos"].add(r.id_pos)
+        per_q[r.query_id]["neg"].add(r.id_neg)
+    # synth has 25 pos / 25 neg per query; with side cap 5 the join can
+    # only see 5x5 = 25 pairs per query (pair cap is slack here)
+    for q, st_ in per_q.items():
+        assert st_["pairs"] == s * s
+        assert len(st_["pos"]) == s and len(st_["neg"]) == s
+    d2 = pairwise_diffs(synth.repartition(11), "label", cols, st,
+                        max_pairs_per_query=10_000, max_side_per_query=s)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, d2.collect()))
+    # a slack side cap (>= side sizes) reproduces the uncapped relation
+    base = pairwise_diffs(synth, "label", cols, st, max_pairs_per_query=7,
+                          max_side_per_query=1_000)
+    old = pairwise_diffs(synth, "label", cols, st, max_pairs_per_query=7)
+    assert sorted(map(tuple, base.collect())) == \
+        sorted(map(tuple, old.collect()))
