@@ -204,13 +204,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     timings: dict[str, float] = {}
 
-    qs = entry.queries()
-    for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        _run(qs[name](spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
-
     # --- north-star: full index build (scores → blocks → segments) ---
+    # Measured FIRST, in a clean session: this is how the standalone
+    # spark-submit build job runs, and measuring it after ~100 registry
+    # queries conflates the metric with accumulated JVM/session state
+    # (r3 interim benches showed ~2x "regressions" that a fresh session
+    # did not reproduce).
     import shutil
     import tempfile
 
@@ -221,8 +220,10 @@ def main() -> None:
     corpus = load_corpus(spark, N_FILES).persist()
     n_docs = corpus.count()  # warm the file cache; excluded from build time
     seg_dir = tempfile.mkdtemp(prefix="bench_segs_")
+    build_handles: list = []
     t0 = time.perf_counter()
-    scores = doc_scores(corpus, text_col="content", id_col="doc_id", mode="ascii_code")
+    scores = doc_scores(corpus, text_col="content", id_col="doc_id",
+                        mode="ascii_code", _persisted_out=build_handles)
     blocks = build_block_index(scores, 4096)
     write_index_segments(blocks, seg_dir)
     build_sec = time.perf_counter() - t0
@@ -232,11 +233,29 @@ def main() -> None:
     extras["index_postings"] = n_postings
     extras["index_docs"] = n_docs
 
+    # Steady-state build throughput: trial 2 with the JVM warm (codegen
+    # compiled, shuffle paths exercised). On a long-lived cluster indexing
+    # 100 TB this is the sustained rate; trial 1 pays one-time JIT cost.
+    warm_dir = tempfile.mkdtemp(prefix="bench_segs_warm_")
+    warm_handles: list = []
+    t0 = time.perf_counter()
+    scores_w = doc_scores(corpus, text_col="content", id_col="doc_id",
+                          mode="ascii_code", _persisted_out=warm_handles)
+    write_index_segments(build_block_index(scores_w, 4096), warm_dir)
+    warm_sec = time.perf_counter() - t0
+    timings["index_build_codecorpus_warm"] = round(warm_sec, 3)
+    extras["index_build_warm_docs_per_sec"] = round(n_docs / warm_sec, 1)
+    for h in warm_handles:
+        h.unpersist()
+    shutil.rmtree(warm_dir, ignore_errors=True)
+
     # --- PFor-delta codec build over the same scored postings (codec seam;
     # byte ratios and content/rank identity are measured in jobs/pfor_ab.py)
     t0 = time.perf_counter()
     _run(build_block_index(scores, 4096, codec="pfor"))
     timings["index_build_pfor"] = round(time.perf_counter() - t0, 3)
+    for h in build_handles:
+        h.unpersist()
 
     # --- north-star: BM25 query latency p50/p99 on the segment index ---
     fq = fixture_queries(40)
@@ -334,6 +353,14 @@ def main() -> None:
     finally:
         shutil.rmtree(inc_root, ignore_errors=True)
 
+    # --- registry queries (the oracle-gated operator surface) ---
+    corpus.unpersist()
+    qs = entry.queries()
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        _run(qs[name](spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     payload = {
@@ -367,8 +394,10 @@ def _write_baseline_md(payload: dict) -> None:
         "",
         "| metric | value |",
         "|---|---|",
-        f"| index build throughput | {payload['index_build_docs_per_sec']} docs/sec "
+        f"| index build throughput (cold, trial 1) | {payload['index_build_docs_per_sec']} docs/sec "
         f"({payload['index_docs']} docs, {payload['index_postings']} postings) |",
+        f"| index build throughput (warm, trial 2 — sustained rate) | "
+        f"{payload.get('index_build_warm_docs_per_sec', '—')} docs/sec |",
         f"| BM25 per-query latency p50 / p99 | {payload['bm25_query_p50_sec']} s / "
         f"{payload['bm25_query_p99_sec']} s (single-query jobs; scheduling-floor bound) |",
         f"| BM25 batched | {payload['bm25_batch_ms_per_query']} ms/query "
