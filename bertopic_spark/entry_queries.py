@@ -7688,6 +7688,38 @@ def q_multi_terms(spark, sf_dir):
     return multi_terms_agg(_docs(spark, sf_dir), ["lang", "source"], size=8)
 
 
+def q_adjacency_matrix(spark, sf_dir):
+    """ES adjacency_matrix agg (operators/rollup.adjacency_matrix): doc
+    counts for every intersection of three named filters (English docs,
+    long docs, docs mentioning 'data') in ONE scan — each row explodes
+    only the filter names it matches (≤ |filters|² per row, ES caps
+    filters at 100), never a per-pair scan or a row self-join."""
+    from bertopic_spark.operators.rollup import adjacency_matrix
+
+    d = _docs(spark, sf_dir)
+    return adjacency_matrix(d, {
+        "en": F.col("lang") == "en",
+        "long": F.col("n_chars") >= 300,
+        "mentions_data": F.col("text").contains("data"),
+    })
+
+
+SQL_ADJACENCY = """WITH m AS (
+  SELECT CAST(lang = 'en' AS INT) AS f_en,
+         CAST(n_chars >= 300 AS INT) AS f_long,
+         CAST(text LIKE '%data%' AS INT) AS f_md
+  FROM documents),
+pairs AS (
+  SELECT 'en' AS key_x, 'en' AS key_y, sum(f_en) AS c FROM m
+  UNION ALL SELECT 'long', 'long', sum(f_long) FROM m
+  UNION ALL SELECT 'mentions_data', 'mentions_data', sum(f_md) FROM m
+  UNION ALL SELECT 'en', 'long', sum(f_en * f_long) FROM m
+  UNION ALL SELECT 'en', 'mentions_data', sum(f_en * f_md) FROM m
+  UNION ALL SELECT 'long', 'mentions_data', sum(f_long * f_md) FROM m)
+SELECT key_x, key_y, CAST(c AS BIGINT) AS doc_count
+FROM pairs WHERE c > 0"""
+
+
 SQL_MULTI_TERMS = """SELECT * FROM (
   SELECT lang, source, CAST(count(*) AS BIGINT) AS doc_count,
          CAST(row_number() OVER (ORDER BY count(*) DESC, lang, source)
@@ -8036,6 +8068,7 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "boxplot_events": (q_boxplot, SQL_BOXPLOT),
     "top_hits_per_type": (q_top_hits, SQL_TOP_HITS),
     "multi_terms_lang_source": (q_multi_terms, SQL_MULTI_TERMS),
+    "adjacency_matrix_docs": (q_adjacency_matrix, SQL_ADJACENCY),
     "serial_diff_norm_hourly": (q_serial_diff_norm, SQL_SERIAL_DIFF_NORM),
     "diversified_sample_docs": (q_diversified_sample, SQL_DIVERSIFIED_SAMPLE),
     "rm3_topk": (q_rm3_topk, SQL_RM3_TOPK),

@@ -51,6 +51,14 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes",
                 os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(16 * 1024 * 1024)))
         .config("spark.ui.enabled", "false")
+        # Long-lived sessions (serving, incremental maintenance, the bench
+        # suite) accumulate job/stage/SQL-execution metadata in the driver's
+        # status store even with the UI off; cap retention so per-job
+        # overhead stays flat over thousands of jobs.
+        .config("spark.ui.retainedJobs", "100")
+        .config("spark.ui.retainedStages", "100")
+        .config("spark.ui.retainedTasks", "1000")
+        .config("spark.sql.ui.retainedExecutions", "50")
     )
     if extra_conf:
         for k, v in extra_conf.items():

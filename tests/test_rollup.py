@@ -380,3 +380,32 @@ def test_date_histogram_dense_and_sparse(spark):
     empty = spark.createDataFrame([], "event_type string, ts timestamp, value double")
     with pytest.raises(ValueError):
         date_histogram(empty, "ts", "hour", min_doc_count=0)
+
+
+def test_adjacency_matrix_counts(spark):
+    from bertopic_spark.operators.rollup import adjacency_matrix
+
+    rows = [(1, "en", 10), (2, "en", 500), (3, "fr", 500), (4, "fr", 20)]
+    df = spark.createDataFrame(rows, "doc_id int, lang string, n int")
+    got = adjacency_matrix(df, {
+        "en": F.col("lang") == "en",
+        "long": F.col("n") >= 100,
+    }).collect()
+    m = {(r.key_x, r.key_y): r.doc_count for r in got}
+    # diagonal = per-filter counts, off-diagonal = intersection, empties omitted
+    assert m == {("en", "en"): 2, ("long", "long"): 2, ("en", "long"): 1}
+
+
+def test_adjacency_matrix_omits_empty_and_validates(spark):
+    import pytest as _pytest
+
+    from bertopic_spark.operators.rollup import adjacency_matrix
+
+    df = spark.createDataFrame([(1, "en")], "doc_id int, lang string")
+    got = adjacency_matrix(df, {
+        "en": F.col("lang") == "en",
+        "zz": F.col("lang") == "zz",
+    }).collect()
+    assert {(r.key_x, r.key_y): r.doc_count for r in got} == {("en", "en"): 1}
+    with _pytest.raises(ValueError):
+        adjacency_matrix(df, {})
