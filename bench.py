@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "bigram_lm_perplexity",
     # round-3 batch 10: set-algebra sketches, block join, data selection,
     # online eval, LTR training
+    "phrase_batch_match",
     "theta_term_setops",
     "has_child_topk",
     "dsir_sample",
@@ -323,6 +324,16 @@ def main() -> None:
                 read_pos_segments(spark, pos_dir, p), p).count()
         timings["phrase_serve_indexed8"] = round(time.perf_counter() - t0, 3)
         extras["phrase_indexed_hits"] = n_ph
+        # batched: all 8 phrases in ONE job (segment scan pruned to the
+        # union of their terms; per-phrase adjacency via broadcast fan-out)
+        from bertopic_spark.operators.fulltext import phrase_match_batch
+
+        t0 = time.perf_counter()
+        n_b = phrase_match_batch(
+            read_pos_segments(spark, pos_dir, sorted({t for p in phr for t in p})),
+            {i: p for i, p in enumerate(phr)}).count()
+        timings["phrase_serve_batch8_onejob"] = round(time.perf_counter() - t0, 3)
+        extras["phrase_batch_hits"] = n_b
     finally:
         shutil.rmtree(pos_dir, ignore_errors=True)
 

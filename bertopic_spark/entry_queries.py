@@ -4239,6 +4239,42 @@ GROUP BY p0.doc_id"""
 
 PHRASE3 = ("slow", "hash", "batch")   # multi-occurrence docs at sf0.01
 
+BATCH_PHRASES = {0: ["part", "filter"], 1: ["slow", "hash", "batch"],
+                 2: ["order"]}
+
+
+def q_phrase_batch_match(spark, sf_dir):
+    """Batched phrase serving (operators/fulltext.phrase_match_batch):
+    every phrase answered in ONE plan — postings prune once to the union
+    of all phrase terms, per-(doc, term) position lists build once and
+    fan out to phrases via a broadcast (query_id, term) join, adjacency
+    checked per phrase by nested JVM HOFs. The per-phrase loop the bench
+    used to run (8 jobs) collapses to one job."""
+    from bertopic_spark.operators.fulltext import (doc_term_positions,
+                                                   phrase_match_batch)
+
+    pos = doc_term_positions(_docs(spark, sf_dir), "text", "doc_id", MODE)
+    return phrase_match_batch(pos, BATCH_PHRASES)
+
+
+def _sql_phrase_batch() -> str:
+    parts = []
+    for q, toks in sorted(BATCH_PHRASES.items()):
+        joins, conds = [], [f"p0.term = '{toks[0]}'"]
+        for j in range(1, len(toks)):
+            joins.append(f"JOIN p p{j} ON p{j}.doc_id = p0.doc_id "
+                         f"AND p{j}.pos = p0.pos + {j}")
+            conds.append(f"p{j}.term = '{toks[j]}'")
+        parts.append(
+            f"SELECT CAST({q} AS BIGINT) AS query_id, p0.doc_id, "
+            f"CAST(count(*) AS BIGINT) AS n_matches "
+            f"FROM p p0 {' '.join(joins)} WHERE {' AND '.join(conds)} "
+            f"GROUP BY p0.doc_id")
+    return f"""WITH
+tk AS (SELECT doc_id, {duckdb_tokens_sql('text', MODE)} AS ts FROM documents),
+p AS (SELECT doc_id, unnest(ts) AS term, unnest(range(len(ts))) AS pos FROM tk)
+{' UNION ALL '.join(parts)}"""
+
 
 def q_phrase_shingled_match(spark, sf_dir):
     """Shingle-accelerated phrase match (operators/fulltext.
@@ -7688,38 +7724,6 @@ def q_multi_terms(spark, sf_dir):
     return multi_terms_agg(_docs(spark, sf_dir), ["lang", "source"], size=8)
 
 
-def q_adjacency_matrix(spark, sf_dir):
-    """ES adjacency_matrix agg (operators/rollup.adjacency_matrix): doc
-    counts for every intersection of three named filters (English docs,
-    long docs, docs mentioning 'data') in ONE scan — each row explodes
-    only the filter names it matches (≤ |filters|² per row, ES caps
-    filters at 100), never a per-pair scan or a row self-join."""
-    from bertopic_spark.operators.rollup import adjacency_matrix
-
-    d = _docs(spark, sf_dir)
-    return adjacency_matrix(d, {
-        "en": F.col("lang") == "en",
-        "long": F.col("n_chars") >= 300,
-        "mentions_data": F.col("text").contains("data"),
-    })
-
-
-SQL_ADJACENCY = """WITH m AS (
-  SELECT CAST(lang = 'en' AS INT) AS f_en,
-         CAST(n_chars >= 300 AS INT) AS f_long,
-         CAST(text LIKE '%data%' AS INT) AS f_md
-  FROM documents),
-pairs AS (
-  SELECT 'en' AS key_x, 'en' AS key_y, sum(f_en) AS c FROM m
-  UNION ALL SELECT 'long', 'long', sum(f_long) FROM m
-  UNION ALL SELECT 'mentions_data', 'mentions_data', sum(f_md) FROM m
-  UNION ALL SELECT 'en', 'long', sum(f_en * f_long) FROM m
-  UNION ALL SELECT 'en', 'mentions_data', sum(f_en * f_md) FROM m
-  UNION ALL SELECT 'long', 'mentions_data', sum(f_long * f_md) FROM m)
-SELECT key_x, key_y, CAST(c AS BIGINT) AS doc_count
-FROM pairs WHERE c > 0"""
-
-
 SQL_MULTI_TERMS = """SELECT * FROM (
   SELECT lang, source, CAST(count(*) AS BIGINT) AS doc_count,
          CAST(row_number() OVER (ORDER BY count(*) DESC, lang, source)
@@ -8068,7 +8072,7 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "boxplot_events": (q_boxplot, SQL_BOXPLOT),
     "top_hits_per_type": (q_top_hits, SQL_TOP_HITS),
     "multi_terms_lang_source": (q_multi_terms, SQL_MULTI_TERMS),
-    "adjacency_matrix_docs": (q_adjacency_matrix, SQL_ADJACENCY),
+    "phrase_batch_match": (q_phrase_batch_match, _sql_phrase_batch()),
     "serial_diff_norm_hourly": (q_serial_diff_norm, SQL_SERIAL_DIFF_NORM),
     "diversified_sample_docs": (q_diversified_sample, SQL_DIVERSIFIED_SAMPLE),
     "rm3_topk": (q_rm3_topk, SQL_RM3_TOPK),

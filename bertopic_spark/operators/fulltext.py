@@ -127,6 +127,53 @@ def phrase_match_postings(positions: DataFrame, phrase_tokens: Sequence[str],
             .filter(F.col("n_matches") > 0))
 
 
+def phrase_match_batch(positions: DataFrame, phrases,
+                       id_col: str = "doc_id") -> DataFrame:
+    """Batched indexed phrase match: (query_id, id, n_matches) for EVERY
+    phrase in ONE plan — the phrase analog of the 40-query BM25 batch job.
+
+    ``phrases`` maps query_id -> token sequence. The postings prune once to
+    the union of all phrase terms; per-(doc, term) position lists build
+    once and fan out to phrases via a broadcast (query_id, term) join, so N
+    phrases share one scan + one shuffle instead of N jobs. The adjacency
+    check is the same per-doc offset intersection as
+    ``phrase_match_postings`` but driven by the phrase's token array
+    (nested HOF lambdas — outer ``filter`` over first-term positions,
+    inner ``aggregate`` over offsets), all JVM-side.
+    """
+    items = [(int(q), [str(t) for t in ts]) for q, ts in sorted(phrases.items())]
+    if not items or any(not ts for _, ts in items):
+        raise ValueError("need at least one phrase; phrases must be non-empty")
+    spark = positions.sparkSession
+    pt = spark.createDataFrame(
+        [(q, t) for q, ts in items for t in sorted(set(ts))],
+        "query_id long, term string")
+    tk = spark.createDataFrame([(q, ts) for q, ts in items],
+                               "query_id long, toks array<string>")
+    all_terms = sorted({t for _, ts in items for t in ts})
+    per_term = (positions.filter(F.col("term").isin(all_terms))
+                .groupBy(id_col, "term")
+                .agg(F.sort_array(F.collect_list("pos")).alias("ps")))
+    cand = (per_term.join(F.broadcast(pt), "term")
+            .groupBy("query_id", id_col)
+            .agg(F.map_from_entries(
+                F.collect_list(F.struct("term", "ps"))).alias("pm"))
+            .join(F.broadcast(tk), "query_id")
+            .filter(F.size("pm") == F.size(F.array_distinct("toks"))))
+    first = F.element_at(F.col("pm"), F.element_at(F.col("toks"), F.lit(1)))
+    n_matches = F.when(F.size("toks") == 1, F.size(first)).otherwise(
+        F.size(F.filter(first, lambda p: F.aggregate(
+            F.sequence(F.lit(1), F.size(F.col("toks")) - F.lit(1)),
+            F.lit(True),
+            lambda acc, j: acc & F.array_contains(
+                F.element_at(F.col("pm"),
+                             F.element_at(F.col("toks"), j + F.lit(1))),
+                p + j)))))
+    return (cand.select("query_id", F.col(id_col),
+                        n_matches.cast("long").alias("n_matches"))
+            .filter(F.col("n_matches") > 0))
+
+
 def bigram_counts(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id",
                   mode: str = "ascii_code") -> DataFrame:

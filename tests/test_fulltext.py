@@ -943,3 +943,31 @@ def test_phrase_shingled_rejects_false_candidates(spark):
     assert reused == {(1, 1), (3, 2)}
     with pytest.raises(ValueError):
         phrase_match_shingled(t, "solo")
+
+
+def test_phrase_match_batch_equals_per_phrase(spark, docs):
+    from bertopic_spark.operators.fulltext import phrase_match_batch
+
+    phrases = {0: ["part", "filter"], 1: ["batch", "batch"], 2: ["order"],
+               3: ["zz_never", "seen"]}
+    pos = doc_term_positions(docs, "text", "doc_id")
+    got = {(r.query_id, r.doc_id, r.n_matches)
+           for r in phrase_match_batch(pos, phrases).collect()}
+    want = set()
+    for q, toks in phrases.items():
+        for r in phrase_match_postings(pos, toks).collect():
+            want.add((q, r.doc_id, r.n_matches))
+    assert got == want
+    assert any(q == 1 for q, _, _ in got)   # duplicate-token phrase hits
+    assert any(q == 2 for q, _, _ in got)   # single-term phrase hits
+    assert not any(q == 3 for q, _, _ in got)  # OOV phrase matches nothing
+
+
+def test_phrase_match_batch_validates(spark, docs):
+    from bertopic_spark.operators.fulltext import phrase_match_batch
+
+    pos = doc_term_positions(docs.limit(1), "text", "doc_id")
+    with pytest.raises(ValueError):
+        phrase_match_batch(pos, {})
+    with pytest.raises(ValueError):
+        phrase_match_batch(pos, {0: []})
