@@ -7870,6 +7870,123 @@ SELECT (SELECT CAST(count(DISTINCT lang) AS BIGINT) FROM topk) AS n_topics,
 FROM topk"""
 
 
+# ---------------------------------------------------------------------------
+# Code-structure extraction gates (operators/codestruct): the documents text
+# is deterministically rendered into pseudo-source (the code_tokenize_counts
+# precedent — same construction in BOTH engines), then the operators'
+# RE2-safe patterns run verbatim in Spark and DuckDB, so the value hash
+# proves the extraction itself, not just the aggregation.
+# Token i ↦ line: i%7==0 comment, ==1 def, ==2 import, else statement.
+# ---------------------------------------------------------------------------
+
+def _pseudo_code_df(spark, sf_dir):
+    from bertopic_spark.tokenizer import tokens_expr
+
+    toks = tokens_expr(F.col("text"), "ascii_code")
+    lines = F.transform(toks, lambda t, i: (
+        F.when(i % 7 == 0, F.concat(F.lit("// "), t, F.lit(" note")))
+        .when(i % 7 == 1, F.concat(F.lit("def "), t, F.lit("():")))
+        .when(i % 7 == 2, F.concat(F.lit("import "), t))
+        .otherwise(F.concat(F.lit("  x = call("), t, F.lit(")")))))
+    return _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.concat_ws("\n", lines).alias("content"))
+
+
+_SQL_PSEUDO_CODE = f"""
+tkc AS (SELECT doc_id, lang, {duckdb_tokens_sql('text', 'ascii_code')} AS ts
+        FROM documents),
+pc AS (SELECT doc_id, lang,
+              array_to_string(list_transform(ts, (t, i) ->
+                CASE WHEN (i - 1) % 7 = 0 THEN '// ' || t || ' note'
+                     WHEN (i - 1) % 7 = 1 THEN 'def ' || t || '():'
+                     WHEN (i - 1) % 7 = 2 THEN 'import ' || t
+                     ELSE '  x = call(' || t || ')' END), chr(10)) AS content
+       FROM tkc)"""
+
+
+def q_comment_terms_topk(spark, sf_dir):
+    """Comment-field search (operators/codestruct.comment_term_counts —
+    the "search in comments only" analyzer of code search engines): line
+    comments are regexp-extracted from the pseudo-source, ONLY the comment
+    spans are tokenized, per-lang term counts, top 12 terms per lang.
+    The same RE2 pattern runs in DuckDB."""
+    from pyspark.sql import Window
+
+    from bertopic_spark.operators.codestruct import comment_term_counts
+
+    x = comment_term_counts(_pseudo_code_df(spark, sf_dir), ["lang"],
+                            mode="ascii_code")
+    w = Window.partitionBy("lang").orderBy(F.desc("tf"), F.asc("term"))
+    return (x.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 12)
+            .select("lang", "term", "tf", F.col("rn").cast("long").alias("rn")))
+
+
+def _sql_comment_terms() -> str:
+    from bertopic_spark.operators.codestruct import COMMENT_PATTERN
+
+    return f"""WITH {_SQL_PSEUDO_CODE},
+cm AS (SELECT lang,
+              unnest(regexp_extract_all(content, '{COMMENT_PATTERN}', 1))
+              AS comment
+       FROM pc),
+ct AS (SELECT lang, unnest({duckdb_tokens_sql('comment', 'ascii_code')}) AS term
+       FROM cm),
+agg AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS tf
+        FROM ct GROUP BY lang, term),
+rk AS (SELECT lang, term, tf,
+              row_number() OVER (PARTITION BY lang
+                                 ORDER BY tf DESC, term ASC) AS rn
+       FROM agg)
+SELECT lang, term, tf, CAST(rn AS BIGINT) AS rn FROM rk WHERE rn <= 12"""
+
+
+def q_symbol_definitions(spark, sf_dir):
+    """Definition-site index (operators/codestruct.symbol_stats — the
+    relation behind "go to definition" ranking): def-pattern symbols with
+    total definition count and distinct defining docs, top 50."""
+    from bertopic_spark.operators.codestruct import symbol_stats
+
+    return (symbol_stats(_pseudo_code_df(spark, sf_dir))
+            .orderBy(F.desc("n_defs"), F.asc("symbol")).limit(50))
+
+
+def _sql_symbol_defs() -> str:
+    from bertopic_spark.operators.codestruct import DEF_PATTERN
+
+    return f"""WITH {_SQL_PSEUDO_CODE},
+sy AS (SELECT doc_id,
+              unnest(regexp_extract_all(content, '{DEF_PATTERN}', 1)) AS symbol
+       FROM pc)
+SELECT symbol, CAST(count(*) AS BIGINT) AS n_defs,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM sy GROUP BY symbol
+ORDER BY n_defs DESC, symbol ASC LIMIT 50"""
+
+
+def q_import_edges(spark, sf_dir):
+    """Dependency edges (operators/codestruct.import_edges): which lang
+    group imports which module, how often — the relation PageRank ranks
+    for dependency centrality. Thresholded at n_imports >= 3 so the gate
+    set is deterministic and bounded."""
+    from bertopic_spark.operators.codestruct import import_edges
+
+    e = import_edges(_pseudo_code_df(spark, sf_dir), "lang")
+    return e.filter(F.col("n_imports") >= 3).select("src", "module", "n_imports")
+
+
+def _sql_import_edges() -> str:
+    from bertopic_spark.operators.codestruct import IMPORT_PATTERN
+
+    return f"""WITH {_SQL_PSEUDO_CODE},
+im AS (SELECT lang AS src,
+              unnest(regexp_extract_all(content, '{IMPORT_PATTERN}', 1))
+              AS module
+       FROM pc)
+SELECT src, module, CAST(count(*) AS BIGINT) AS n_imports
+FROM im GROUP BY src, module HAVING count(*) >= 3"""
+
+
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "approx_distribution": (q_approx_distribution, SQL_APPROX_DISTRIBUTION),
     "approx_distribution_tokens": (q_approx_distribution_tokens,
@@ -8080,4 +8197,7 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "umass_coherence": (q_umass_coherence, SQL_UMASS),
     "npmi_coherence": (q_npmi_coherence, SQL_NPMI),
     "topic_diversity": (q_topic_diversity, SQL_TOPIC_DIVERSITY),
+    "comment_terms_topk": (q_comment_terms_topk, _sql_comment_terms()),
+    "symbol_definitions": (q_symbol_definitions, _sql_symbol_defs()),
+    "import_edges": (q_import_edges, _sql_import_edges()),
 }
