@@ -7870,6 +7870,71 @@ SELECT (SELECT CAST(count(DISTINCT lang) AS BIGINT) FROM topk) AS n_topics,
 FROM topk"""
 
 
+MM_TIE, MM_TITLE_BOOST = 0.3, 2.0
+
+
+def q_multi_match_best_fields(spark, sf_dir):
+    """ES multi_match type=best_fields (operators/bm25.multi_match_topk —
+    Lucene DisjunctionMaxQuery semantics): title^2 + body, each field
+    Okapi-scored with its OWN df/avgdl stats, combined as
+    max + tie_breaker·rest (tie_breaker=0.3). Title is the first 5 body
+    tokens — the same deterministic field split in both engines."""
+    from bertopic_spark.operators.bm25 import multi_match_topk
+    from bertopic_spark.tokenizer import tokens_expr
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(tokens_expr(F.col("text"), MODE), 1, 5))
+        .alias("title"),
+        F.col("text").alias("body"))
+    qt = query_terms(queries_df(spark, DRIVER_QUERIES), MODE)
+    t = multi_match_topk(d, qt, {"title": MM_TITLE_BOOST, "body": 1.0},
+                         k=10, tie_breaker=MM_TIE, k1=OKAPI_K1, b=OKAPI_B,
+                         mode=MODE)
+    return t.select(
+        "query_id", "doc_id", _r6(F.col("score")).alias("score"),
+        F.col("rank").cast("long").alias("rn"))
+
+
+def _sql_multi_match() -> str:
+    okapi = (f"ln(1.0 + (ns.n - f.df + 0.5) / (f.df + 0.5)) * "
+             f"x.tf * {OKAPI_K1 + 1.0} / "
+             f"(x.tf + {OKAPI_K1} * (1.0 - {OKAPI_B} + "
+             f"{OKAPI_B} * d.dl / ns.avgdl))")
+    return f"""WITH {_TOKS}, {_XDOC},
+dlb AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM xdoc GROUP BY doc_id),
+nsb AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dlb),
+dfb AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM xdoc GROUP BY term),
+tt AS (SELECT doc_id,
+              unnest(({duckdb_tokens_sql('text', MODE)})[1:5]) AS term
+       FROM documents),
+xt AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM tt GROUP BY doc_id, term),
+dlt AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM xt GROUP BY doc_id),
+nst AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dlt),
+dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM xt GROUP BY term),
+q(query_id, term) AS (VALUES {_query_term_values()}),
+hb AS (SELECT q.query_id, x.doc_id, 1.0 * sum({okapi}) AS fscore
+       FROM q JOIN xdoc x USING (term) JOIN dfb f USING (term)
+            JOIN dlb d ON d.doc_id = x.doc_id CROSS JOIN nsb ns
+       GROUP BY q.query_id, x.doc_id),
+ht AS (SELECT q.query_id, x.doc_id, {MM_TITLE_BOOST} * sum({okapi}) AS fscore
+       FROM q JOIN xt x USING (term) JOIN dft f USING (term)
+            JOIN dlt d ON d.doc_id = x.doc_id CROSS JOIN nst ns
+       GROUP BY q.query_id, x.doc_id),
+u AS (SELECT * FROM hb UNION ALL SELECT * FROM ht),
+comb AS (SELECT query_id, doc_id,
+                max(fscore) + {MM_TIE} * (sum(fscore) - max(fscore)) AS score
+         FROM u GROUP BY query_id, doc_id),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) AS rn
+           FROM comb)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+       round(score, 6) AS score, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 10"""
+
+
 # ---------------------------------------------------------------------------
 # Code-structure extraction gates (operators/codestruct): the documents text
 # is deterministically rendered into pseudo-source (the code_tokenize_counts
@@ -8200,4 +8265,5 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "comment_terms_topk": (q_comment_terms_topk, _sql_comment_terms()),
     "symbol_definitions": (q_symbol_definitions, _sql_symbol_defs()),
     "import_edges": (q_import_edges, _sql_import_edges()),
+    "multi_match_best_fields": (q_multi_match_best_fields, _sql_multi_match()),
 }

@@ -1125,6 +1125,92 @@ def _empty_topk(spark, id_col: str = "doc_id") -> DataFrame:
         [], f"query_id long, {id_col} long, score double, rank int")
 
 
+def _okapi_query_hits(corpus: DataFrame, qterms: DataFrame, k1: float,
+                      b: float, text_col: str, id_col: str, mode: str,
+                      _persisted_out: list | None = None) -> DataFrame:
+    """Per-field Okapi partial: (query_id, id_col, score) with THIS
+    field's own df/avgdl stats — the per-field leg of ``multi_match_topk``
+    (same plan shape as ``okapi_bm25_topk`` minus the rank window)."""
+    x = doc_term_counts(corpus, text_col, [id_col], mode, with_len=True)
+    x = x.persist()
+    if _persisted_out is not None:
+        _persisted_out.append(x)
+    row = (x.groupBy(id_col).agg(F.max("doc_len").alias("dl"))
+           .agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+           .collect()[0])
+    n_docs, avgdl = int(row["n"]), row["avgdl"]
+    if n_docs == 0:
+        return corpus.sparkSession.createDataFrame(
+            [], f"query_id long, {id_col} long, score double")
+    terms_only = qterms.select("term").distinct()
+    dfs = (x.join(F.broadcast(terms_only), "term")
+           .groupBy("term").agg(F.countDistinct(id_col).alias("df")))
+    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) /
+                (F.col("df") + 0.5))
+    denom = (F.col("tf") + F.lit(k1) *
+             (F.lit(1.0 - b) + F.lit(b) * F.col("doc_len") / F.lit(avgdl)))
+    return (
+        x.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfs.select("term", idf.alias("idf"))), "term")
+        .groupBy("query_id", id_col)
+        .agg(F.sum(F.col("idf") * F.col("tf") * F.lit(k1 + 1.0) / denom)
+             .alias("score"))
+    )
+
+
+def multi_match_topk(
+    corpus: DataFrame,
+    qterms: DataFrame,
+    fields: Mapping[str, float],
+    k: int = 10,
+    tie_breaker: float = 0.0,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    mode: str = "ascii_code",
+    _persisted_out: list | None = None,
+) -> DataFrame:
+    """ES ``multi_match`` type=best_fields: each field is Okapi-scored
+    independently with its OWN df/avgdl statistics and boost, then per
+    (query, doc)
+
+        score = max_f(boost_f · s_f) + tie_breaker · Σ_{f≠argmax}(boost_f · s_f)
+
+    (tie_breaker=0 is pure dis_max; 1.0 degenerates to a bool-should
+    sum — both ES-documented special cases). Physical shape: one
+    tokenize+agg pass PER FIELD (fields have different stats by
+    definition, so this is inherent, not waste), each leg broadcast-joined
+    to the query terms, then one union + (query, doc) agg — at 100 TB the
+    union agg shuffles only (query, doc, score) triples already pruned to
+    matching docs. Reference semantics: ES multi_match best_fields /
+    Lucene DisjunctionMaxQuery(tieBreakerMultiplier).
+    """
+    if not fields:
+        raise ValueError("fields must be a non-empty {column: boost} map")
+    if not 0.0 <= tie_breaker <= 1.0:
+        raise ValueError(f"tie_breaker must be in [0, 1], got {tie_breaker}")
+    legs = []
+    for col, boost in fields.items():
+        h = _okapi_query_hits(corpus, qterms, k1, b, col, id_col, mode,
+                              _persisted_out=_persisted_out)
+        legs.append(h.select("query_id", id_col,
+                             (F.col("score") * F.lit(float(boost)))
+                             .alias("fscore")))
+    u = legs[0]
+    for leg in legs[1:]:
+        u = u.unionAll(leg)
+    combined = (
+        u.groupBy("query_id", id_col)
+        .agg((F.max("fscore") +
+              F.lit(float(tie_breaker)) * (F.sum("fscore") - F.max("fscore")))
+             .alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (combined.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", id_col, "score", "rank"))
+
+
 def explain_topk(
     scores: DataFrame,
     qterms: DataFrame,
