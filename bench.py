@@ -160,6 +160,11 @@ BENCH_QUERIES = [
     "team_draft_interleave",
     "ltr_logreg_rerank",
     "ltr_ranknet_rerank",
+    # round-3 batch 11: code-structure analyzers + ES multi_match
+    "comment_terms_topk",
+    "symbol_definitions",
+    "import_edges",
+    "multi_match_best_fields",
 ]
 
 
