@@ -165,6 +165,8 @@ BENCH_QUERIES = [
     "symbol_definitions",
     "import_edges",
     "multi_match_best_fields",
+    "span_near_or_match",
+    "field_value_factor_topk",
 ]
 
 

@@ -7870,6 +7870,103 @@ SELECT (SELECT CAST(count(DISTINCT lang) AS BIGINT) FROM topk) AS n_topics,
 FROM topk"""
 
 
+SNO_SLOTS, SNO_SLOP = (("hash", "merge"), ("join",)), 6
+SF_TERMS, SF_END = ("spark", "window"), 4
+FVF_FACTOR = 0.01
+
+
+def q_span_near_or_match(spark, sf_dir):
+    """Ordered span-near over span_or slots (operators/fulltext.
+    span_near_or_match — ES span_near wrapping span_or clauses): docs
+    where {hash|merge} precedes {join} within slop 6 — (doc_id,
+    min_span) via the generalized linear sweep (slot membership instead
+    of term equality), one scan, no UDF."""
+    from bertopic_spark.operators.fulltext import span_near_or_match
+
+    return span_near_or_match(_docs(spark, sf_dir), SNO_SLOTS, SNO_SLOP,
+                              text_col="text", mode=MODE)
+
+
+def _sql_span_near_or() -> str:
+    s0 = ", ".join(f"'{t}'" for t in SNO_SLOTS[0])
+    s1 = ", ".join(f"'{t}'" for t in SNO_SLOTS[1])
+    return f"""WITH
+tk AS (SELECT doc_id, {duckdb_tokens_sql('text', MODE)} AS ts FROM documents),
+p AS (SELECT doc_id, unnest(ts) AS term, unnest(range(len(ts))) AS pos FROM tk),
+sp AS (SELECT p0.doc_id, p1.pos - p0.pos + 1 AS span
+       FROM p p0 JOIN p p1 ON p1.doc_id = p0.doc_id AND p1.pos > p0.pos
+            AND p1.term IN ({s1})
+       WHERE p0.term IN ({s0})),
+m AS (SELECT doc_id, CAST(min(span) AS BIGINT) AS min_span
+      FROM sp GROUP BY doc_id)
+SELECT doc_id, min_span FROM m WHERE min_span <= {len(SNO_SLOTS) + SNO_SLOP}"""
+
+
+def q_span_first_match(spark, sf_dir):
+    """ES span_first (operators/fulltext.span_first_match): docs whose
+    first occurrence of {spark|window} is within the first 4 tokens —
+    (doc_id, first_pos). One narrow first-index HOF pass."""
+    from bertopic_spark.operators.fulltext import span_first_match
+
+    return span_first_match(_docs(spark, sf_dir), SF_TERMS, SF_END,
+                            text_col="text", mode=MODE)
+
+
+def _sql_span_first() -> str:
+    ts = ", ".join(f"'{t}'" for t in SF_TERMS)
+    return f"""WITH
+tk AS (SELECT doc_id, {duckdb_tokens_sql('text', MODE)} AS ts FROM documents),
+p AS (SELECT doc_id, unnest(ts) AS term, unnest(range(len(ts))) AS pos FROM tk)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS first_pos
+FROM p WHERE term IN ({ts})
+GROUP BY doc_id HAVING min(pos) + 1 <= {SF_END}"""
+
+
+def q_field_value_factor(spark, sf_dir):
+    """ES function_score field_value_factor (operators/bm25.
+    field_value_factor_topk): Okapi BM25 × ln1p(0.01·n_chars) — the
+    static popularity/length boost, ranked AFTER modification (not a
+    top-k rescore)."""
+    from bertopic_spark.operators.bm25 import field_value_factor_topk
+
+    qt = query_terms(queries_df(spark, DRIVER_QUERIES), MODE)
+    t = field_value_factor_topk(
+        _docs(spark, sf_dir), qt, "n_chars", k=10, factor=FVF_FACTOR,
+        modifier="ln1p", boost_mode="multiply", k1=OKAPI_K1, b=OKAPI_B,
+        text_col="text", mode=MODE)
+    return t.select(
+        "query_id", "doc_id", _r6(F.col("score")).alias("score"),
+        F.col("rank").cast("long").alias("rn"))
+
+
+def _sql_field_value_factor() -> str:
+    return f"""WITH {_TOKS}, {_XDOC},
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM xdoc GROUP BY doc_id),
+nstats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM xdoc GROUP BY term),
+q(query_id, term) AS (VALUES {_query_term_values()}),
+hits AS (
+  SELECT q.query_id, x.doc_id,
+         sum(ln(1.0 + (ns.n - dfs.df + 0.5) / (dfs.df + 0.5)) *
+             x.tf * {OKAPI_K1 + 1.0} /
+             (x.tf + {OKAPI_K1} * (1.0 - {OKAPI_B} +
+                                   {OKAPI_B} * dl.dl / ns.avgdl))) AS score
+  FROM q JOIN xdoc x USING (term) JOIN dfs USING (term)
+       JOIN dl ON dl.doc_id = x.doc_id CROSS JOIN nstats ns
+  GROUP BY q.query_id, x.doc_id),
+blended AS (
+  SELECT h.query_id, h.doc_id,
+         h.score * ln(1.0 + {FVF_FACTOR} * d.n_chars) AS score
+  FROM hits h JOIN documents d USING (doc_id)),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) AS rn
+           FROM blended)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+       round(score, 6) AS score, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 10"""
+
+
 MM_TIE, MM_TITLE_BOOST = 0.3, 2.0
 
 
@@ -8266,4 +8363,7 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "symbol_definitions": (q_symbol_definitions, _sql_symbol_defs()),
     "import_edges": (q_import_edges, _sql_import_edges()),
     "multi_match_best_fields": (q_multi_match_best_fields, _sql_multi_match()),
+    "span_near_or_match": (q_span_near_or_match, _sql_span_near_or()),
+    "span_first_match": (q_span_first_match, _sql_span_first()),
+    "field_value_factor_topk": (q_field_value_factor, _sql_field_value_factor()),
 }

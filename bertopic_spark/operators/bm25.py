@@ -1158,6 +1158,58 @@ def _okapi_query_hits(corpus: DataFrame, qterms: DataFrame, k1: float,
     )
 
 
+_FVF_MODIFIERS = ("none", "ln1p", "log1p", "sqrt")
+
+
+def field_value_factor_topk(
+    corpus: DataFrame,
+    qterms: DataFrame,
+    field: str,
+    k: int = 10,
+    factor: float = 1.0,
+    modifier: str = "ln1p",
+    boost_mode: str = "multiply",
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    mode: str = "ascii_code",
+    _persisted_out: list | None = None,
+) -> DataFrame:
+    """ES ``function_score`` with ``field_value_factor``: blend a per-doc
+    numeric signal (stars, recency rank, length — here any numeric
+    ``field``) into the Okapi relevance score:
+
+        fvf = modifier(factor · field)        modifier ∈ none|ln1p|sqrt
+        score = bm25 · fvf   (boost_mode=multiply)  or  bm25 + fvf (sum)
+
+    The static-signal boost every production search deployment runs
+    (popularity/recency blending). Physically: the Okapi hits leg
+    (broadcast query joins) joined to the corpus's (id, field) projection
+    — pruned to two columns at the scan — then one rank window. The
+    ranking happens AFTER modification, so this is not a rescore of a
+    fixed top-k: docs outside the raw-BM25 top-k can enter.
+    """
+    if modifier not in _FVF_MODIFIERS:
+        raise ValueError(f"modifier must be one of {_FVF_MODIFIERS}")
+    if boost_mode not in ("multiply", "sum"):
+        raise ValueError("boost_mode must be 'multiply' or 'sum'")
+    hits = _okapi_query_hits(corpus, qterms, k1, b, text_col, id_col, mode,
+                             _persisted_out=_persisted_out)
+    v = F.col(field).cast("double") * F.lit(float(factor))
+    fvf = {"none": v, "ln1p": F.log1p(v), "log1p": F.log1p(v),
+           "sqrt": F.sqrt(v)}[modifier]
+    sig = corpus.select(F.col(id_col), fvf.alias("_fvf"))
+    blended = (F.col("score") * F.col("_fvf") if boost_mode == "multiply"
+               else F.col("score") + F.col("_fvf"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (hits.join(sig, id_col)
+            .select("query_id", id_col, blended.alias("score"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", id_col, "score", "rank"))
+
+
 def multi_match_topk(
     corpus: DataFrame,
     qterms: DataFrame,

@@ -1291,6 +1291,108 @@ def _ordered_span(events: Column, seq_tids: Sequence[int]) -> Column:
     return F.aggregate(events, init, step)["best"]
 
 
+def _ordered_span_sets(events: Column, slot_sets: Sequence[Sequence[int]]) -> Column:
+    """``_ordered_span`` generalized to OR-slots (Lucene SpanNearQuery over
+    SpanOrQuery clauses): slot j matches when the event's tid is in
+    ``slot_sets[j]``. Same linear pre-event-accumulator sweep, same
+    one-HOF discipline; membership is an array_contains over a literal
+    per-slot tid array instead of an equality."""
+    n = len(slot_sets)
+    slotsarr = F.array(*[
+        F.array(*[F.lit(int(t)) for t in s]) for s in slot_sets])
+    init = F.struct(
+        F.array_repeat(F.lit(-1), n).alias("starts"),
+        F.lit(_SPAN_INF).alias("best"))
+
+    def step(acc, ev):
+        starts = F.transform(
+            acc["starts"],
+            lambda v, j: F.when(
+                F.array_contains(F.get(slotsarr, j), ev["tid"]),
+                F.greatest(v, F.when(j == F.lit(0), ev["pos"])
+                           .otherwise(F.get(acc["starts"], j - 1)))
+            ).otherwise(v))
+        chain = (F.array_contains(F.get(slotsarr, F.lit(n - 1)), ev["tid"]) &
+                 (F.get(acc["starts"], F.lit(n - 2)) >= 0))
+        best = F.when(
+            chain,
+            F.least(acc["best"],
+                    ev["pos"] - F.get(acc["starts"], F.lit(n - 2)) + 1)
+        ).otherwise(acc["best"])
+        return F.struct(starts.alias("starts"), best.alias("best"))
+
+    return F.aggregate(events, init, step)["best"]
+
+
+def span_near_or_match(df: DataFrame, slots: Sequence[Sequence[str]],
+                       slop: int = 0, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       mode: str = "ascii_code") -> DataFrame:
+    """Ordered span-near whose slots are OR-sets (ES ``span_near`` over
+    ``span_or`` clauses): docs where slot 0's set, then slot 1's set, …
+    occur in order within ``slop`` interleaving tokens — (id, min_span).
+    ``span_near_match`` is the single-term-slot special case.
+
+    Scan path: one corpus pass, the generalized sweep runs inside
+    WholeStageCodegen over the token array — no shuffle, no UDF; linear in
+    matching events, never the per-slot position cross product.
+    """
+    sl = [[str(t) for t in s] for s in slots]
+    if len(sl) < 2:
+        raise ValueError("span_near needs >= 2 slots")
+    if any(not s for s in sl):
+        raise ValueError("every slot needs >= 1 alternative term")
+    if slop < 0:
+        raise ValueError("slop must be >= 0")
+    distinct = sorted({t for s in sl for t in s})
+    slot_tids = [[distinct.index(t) for t in s] for s in sl]
+    n = len(sl)
+
+    def span(tk):
+        idx = F.when(F.size(tk) > 0, F.sequence(F.lit(0), F.size(tk) - 1)
+                     ).otherwise(F.array().cast("array<int>"))
+        evs = F.filter(
+            F.transform(idx, lambda i: F.struct(
+                i.alias("pos"), _tid_expr(F.get(tk, i), distinct).alias("tid"))),
+            lambda e: e["tid"] >= 0)
+        return _ordered_span_sets(evs, slot_tids)
+
+    out = with_tokens(df.select(id_col, text_col), text_col, mode)
+    return (out.select(F.col(id_col),
+                       _bound(F.col("tokens"), span)
+                       .cast("long").alias("min_span"))
+            .filter(F.col("min_span") <= n + slop))
+
+
+def span_first_match(df: DataFrame, terms: Sequence[str], end: int,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     mode: str = "ascii_code") -> DataFrame:
+    """ES ``span_first``: docs whose first occurrence of ANY of ``terms``
+    (a span_or clause) ends at token position ≤ ``end`` — (id, first_pos),
+    0-based. The "match near the start of the field" query (titles,
+    shebangs, license headers). One narrow pass: first-index HOF over the
+    token array, no shuffle, no UDF.
+    """
+    ts = sorted({str(t) for t in terms})
+    if not ts:
+        raise ValueError("terms must be non-empty")
+    if end < 1:
+        raise ValueError("end must be >= 1")
+
+    def first_pos(tk):
+        idx = F.when(F.size(tk) > 0, F.sequence(F.lit(0), F.size(tk) - 1)
+                     ).otherwise(F.array().cast("array<int>"))
+        hits = F.filter(idx, lambda i: F.get(tk, i).isin(ts))
+        return F.when(F.size(hits) > 0, F.array_min(hits)).otherwise(F.lit(-1))
+
+    out = with_tokens(df.select(id_col, text_col), text_col, mode)
+    return (out.select(F.col(id_col),
+                       _bound(F.col("tokens"), first_pos)
+                       .cast("long").alias("first_pos"))
+            .filter((F.col("first_pos") >= 0) &
+                    (F.col("first_pos") + 1 <= end)))
+
+
 def span_near_match(df: DataFrame, terms: Sequence[str], slop: int = 0,
                     text_col: str = "text", id_col: str = "doc_id",
                     mode: str = "ascii_code") -> DataFrame:
