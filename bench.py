@@ -167,6 +167,7 @@ BENCH_QUERIES = [
     "multi_match_best_fields",
     "span_near_or_match",
     "field_value_factor_topk",
+    "symbol_resolve",
 ]
 
 

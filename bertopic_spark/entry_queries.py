@@ -8126,6 +8126,39 @@ FROM sy GROUP BY symbol
 ORDER BY n_defs DESC, symbol ASC LIMIT 50"""
 
 
+def q_symbol_resolve(spark, sf_dir):
+    """Cross-reference resolution (operators/codestruct.resolve_imports):
+    import edges LEFT-joined to the symbol-definition index on the
+    module's head segment — n_def_docs = 0 marks external/unresolvable
+    imports (the broken-import audit). Thresholded like import_edges."""
+    from bertopic_spark.operators.codestruct import resolve_imports
+
+    r = resolve_imports(_pseudo_code_df(spark, sf_dir), "lang")
+    return (r.filter(F.col("n_imports") >= 3)
+            .select("src", "module", "n_imports", "n_def_docs"))
+
+
+def _sql_symbol_resolve() -> str:
+    from bertopic_spark.operators.codestruct import (DEF_PATTERN,
+                                                     IMPORT_PATTERN)
+
+    return f"""WITH {_SQL_PSEUDO_CODE},
+im AS (SELECT lang AS src,
+              unnest(regexp_extract_all(content, '{IMPORT_PATTERN}', 1))
+              AS module
+       FROM pc),
+imp AS (SELECT src, module, CAST(count(*) AS BIGINT) AS n_imports
+        FROM im GROUP BY src, module HAVING count(*) >= 3),
+sy AS (SELECT doc_id,
+              unnest(regexp_extract_all(content, '{DEF_PATTERN}', 1)) AS symbol
+       FROM pc),
+defs AS (SELECT symbol, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         FROM sy GROUP BY symbol)
+SELECT i.src, i.module, i.n_imports,
+       CAST(coalesce(d.n_docs, 0) AS BIGINT) AS n_def_docs
+FROM imp i LEFT JOIN defs d ON d.symbol = split_part(i.module, '.', 1)"""
+
+
 def q_import_edges(spark, sf_dir):
     """Dependency edges (operators/codestruct.import_edges): which lang
     group imports which module, how often — the relation PageRank ranks
@@ -8366,4 +8399,5 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "span_near_or_match": (q_span_near_or_match, _sql_span_near_or()),
     "span_first_match": (q_span_first_match, _sql_span_first()),
     "field_value_factor_topk": (q_field_value_factor, _sql_field_value_factor()),
+    "symbol_resolve": (q_symbol_resolve, _sql_symbol_resolve()),
 }

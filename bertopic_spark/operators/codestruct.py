@@ -86,6 +86,32 @@ def symbol_stats(df: DataFrame, content_col: str = "content",
                  F.countDistinct(id_col).cast("long").alias("n_docs")))
 
 
+def resolve_imports(df: DataFrame, src_col: str,
+                    content_col: str = "content",
+                    id_col: str = "doc_id",
+                    import_pattern: str | None = None,
+                    def_pattern: str | None = None) -> DataFrame:
+    """Cross-reference resolution — join the import graph to the
+    definition index: for every (src, module) import edge, how many
+    documents DEFINE a symbol named like the module's head segment —
+    (src, module, n_imports, n_def_docs). n_def_docs = 0 marks external /
+    unresolvable dependencies (the "broken import" audit of a code-search
+    engine). One broadcast-or-shuffle join between two already-aggregated
+    relations; both inputs are single-pass extractions."""
+    imp = import_edges(df, src_col, content_col,
+                       import_pattern or IMPORT_PATTERN)
+    defs = symbol_stats(df, content_col, id_col,
+                        def_pattern or DEF_PATTERN)
+    head = F.element_at(F.split(F.col("module"), r"\."), 1)
+    return (imp.withColumn("_head", head)
+            .join(defs.select(F.col("symbol").alias("_head"),
+                              F.col("n_docs").alias("n_def_docs")),
+                  "_head", "left")
+            .select("src", "module", "n_imports",
+                    F.coalesce("n_def_docs", F.lit(0)).cast("long")
+                    .alias("n_def_docs")))
+
+
 def import_edges(df: DataFrame, src_col: str,
                  content_col: str = "content",
                  pattern: str = IMPORT_PATTERN) -> DataFrame:

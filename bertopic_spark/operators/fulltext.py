@@ -1364,6 +1364,38 @@ def span_near_or_match(df: DataFrame, slots: Sequence[Sequence[str]],
             .filter(F.col("min_span") <= n + slop))
 
 
+def span_near_or_match_postings(positions: DataFrame,
+                                slots: Sequence[Sequence[str]],
+                                slop: int = 0,
+                                id_col: str = "doc_id") -> DataFrame:
+    """Indexed ordered span-near over OR-slots from a (id, term, pos)
+    relation: (id, min_span). Postings pruned to the union of all slot
+    alternatives (pushed to the scan on a materialized source), one
+    groupBy(id) collecting events, the same generalized sweep as the scan
+    path (``span_near_or_match`` — result-identical, pytest-pinned)."""
+    sl = [[str(t) for t in s] for s in slots]
+    if len(sl) < 2:
+        raise ValueError("span_near needs >= 2 slots")
+    if any(not s for s in sl):
+        raise ValueError("every slot needs >= 1 alternative term")
+    if slop < 0:
+        raise ValueError("slop must be >= 0")
+    distinct = sorted({t for s in sl for t in s})
+    slot_tids = [[distinct.index(t) for t in s] for s in sl]
+    n = len(sl)
+    pruned = positions.filter(F.col("term").isin(distinct))
+    per_doc = pruned.groupBy(id_col).agg(
+        F.sort_array(F.collect_list(F.struct(
+            F.col("pos").cast("int").alias("pos"),
+            _tid_expr(F.col("term"), distinct).cast("int").alias("tid")
+        ))).alias("evs"))
+    return (per_doc.select(F.col(id_col),
+                           _bound(F.col("evs"),
+                                  lambda e: _ordered_span_sets(e, slot_tids))
+                           .cast("long").alias("min_span"))
+            .filter(F.col("min_span") <= n + slop))
+
+
 def span_first_match(df: DataFrame, terms: Sequence[str], end: int,
                      text_col: str = "text", id_col: str = "doc_id",
                      mode: str = "ascii_code") -> DataFrame:

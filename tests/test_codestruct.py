@@ -91,3 +91,18 @@ def test_empty_and_no_match(spark):
     assert extract_comments(df).count() == 0
     assert symbol_stats(df).count() == 0
     assert import_edges(df, "lang").count() == 0
+
+
+def test_resolve_imports(spark):
+    from bertopic_spark.operators.codestruct import resolve_imports
+    src = spark.createDataFrame([
+        (0, "py", "import os_path.sub\nimport vendor_x\ndef os_path(a):\n"),
+        (1, "py", "def os_path(b):\nimport os_path\n"),
+    ], "doc_id long, lang string, content string")
+    got = {(r["src"], r["module"]): (r["n_imports"], r["n_def_docs"])
+           for r in resolve_imports(src, "lang").collect()}
+    assert got == {
+        ("py", "os_path.sub"): (1, 2),  # head os_path defined in 2 docs
+        ("py", "os_path"): (1, 2),
+        ("py", "vendor_x"): (1, 0),     # external: no defining doc
+    }

@@ -93,3 +93,16 @@ def test_fvf_validation(spark, docs):
         field_value_factor_topk(docs, qt, "doc_id", modifier="exp")
     with pytest.raises(ValueError, match="boost_mode"):
         field_value_factor_topk(docs, qt, "doc_id", boost_mode="avg")
+
+
+def test_span_or_postings_parity(docs):
+    from bertopic_spark.operators.fulltext import (doc_term_positions,
+                                                   span_near_or_match_postings)
+    pos = doc_term_positions(docs, "text", "doc_id")
+    a = {(r["doc_id"], r["min_span"]) for r in
+         span_near_or_match(docs, [("hash", "merge"), ("join",)],
+                            slop=6).collect()}
+    b = {(r["doc_id"], r["min_span"]) for r in
+         span_near_or_match_postings(pos, [("hash", "merge"), ("join",)],
+                                     slop=6).collect()}
+    assert a == b and a
