@@ -168,6 +168,7 @@ BENCH_QUERIES = [
     "span_near_or_match",
     "field_value_factor_topk",
     "symbol_resolve",
+    "wildcard_indexed",
 ]
 
 

@@ -7870,6 +7870,34 @@ SELECT (SELECT CAST(count(DISTINCT lang) AS BIGINT) FROM topk) AS n_topics,
 FROM topk"""
 
 
+WCI_PATTERN = "*indo*"
+
+
+def q_wildcard_indexed(spark, sf_dir):
+    """Trigram-accelerated infix wildcard (operators/fulltext.
+    term_trigrams + wildcard_terms_indexed — the ES wildcard-field
+    design): candidates from a gram-postings intersection over the term
+    dictionary, exact-regex verified, result-identical to the
+    dictionary-scan path. Gate returns the matched terms with df."""
+    from bertopic_spark.operators.fulltext import (term_trigrams,
+                                                   wildcard_terms_indexed)
+
+    x = _doc_x(spark, sf_dir)
+    dic = x.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    tri = term_trigrams(dic)
+    terms = wildcard_terms_indexed(dic, tri, WCI_PATTERN)
+    if not terms:
+        return dic.filter(F.lit(False)).select("term", "df")
+    return dic.filter(F.col("term").isin(terms)).select("term", "df")
+
+
+def _sql_wildcard_indexed() -> str:
+    like = WCI_PATTERN.replace("*", "%").replace("?", "_")
+    return f"""WITH {_TOKS}, {_XDOC}
+SELECT term, CAST(count(*) AS BIGINT) AS df
+FROM xdoc WHERE term LIKE '{like}' GROUP BY term"""
+
+
 SNO_SLOTS, SNO_SLOP = (("hash", "merge"), ("join",)), 6
 SF_TERMS, SF_END = ("spark", "window"), 4
 FVF_FACTOR = 0.01
@@ -8400,4 +8428,5 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "span_first_match": (q_span_first_match, _sql_span_first()),
     "field_value_factor_topk": (q_field_value_factor, _sql_field_value_factor()),
     "symbol_resolve": (q_symbol_resolve, _sql_symbol_resolve()),
+    "wildcard_indexed": (q_wildcard_indexed, _sql_wildcard_indexed()),
 }

@@ -106,3 +106,28 @@ def test_span_or_postings_parity(docs):
          span_near_or_match_postings(pos, [("hash", "merge"), ("join",)],
                                      slop=6).collect()}
     assert a == b and a
+
+
+@pytest.mark.parametrize("pattern", ["win*", "*dow", "*indo*", "w?ndow",
+                                     "wi*ow", "*zzz*"])
+def test_wildcard_indexed_parity(spark, pattern):
+    from bertopic_spark.operators.fulltext import (term_trigrams,
+                                                   wildcard_terms,
+                                                   wildcard_terms_indexed)
+    dic = spark.createDataFrame(
+        [("window",), ("windows",), ("widow",), ("meadow",), ("win",),
+         ("wind",), ("shadow",), ("indoor",)], "term string")
+    tri = term_trigrams(dic)
+    assert wildcard_terms_indexed(dic, tri, pattern) == \
+        wildcard_terms(dic, pattern)
+
+
+def test_wildcard_indexed_fallback_and_validation(spark):
+    from bertopic_spark.operators.fulltext import (term_trigrams,
+                                                   wildcard_terms_indexed)
+    dic = spark.createDataFrame([("ab",), ("axb",), ("ayyb",)], "term string")
+    tri = term_trigrams(dic)
+    # no literal run reaches 3 chars -> falls back to the scan path
+    assert wildcard_terms_indexed(dic, tri, "a*b") == ["ab", "axb", "ayyb"]
+    with pytest.raises(ValueError, match="matches everything"):
+        wildcard_terms_indexed(dic, tri, "**")
