@@ -7870,6 +7870,74 @@ SELECT (SELECT CAST(count(DISTINCT lang) AS BIGINT) FROM topk) AS n_topics,
 FROM topk"""
 
 
+SEMDEDUP_NLIST, SEMDEDUP_TAU = 8, 0.35
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (operators/dedup.semdedup — Abbas et al. 2023): k-means
+    embedding clusters (deterministic seeds, iters=0 for the cross-engine
+    oracle), within-cluster cosine>tau pair graph, connected components,
+    keep the member LEAST similar to its cluster centroid (the paper's
+    keep rule). tau=0.35 sits in the top ~0.1% of this synthetic
+    embedding table's pair-cosine distribution (max 0.51 — no real dups
+    by construction), exercising non-trivial multi-member groups."""
+    from bertopic_spark.operators.dedup import semdedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semdedup(emb, nlist=SEMDEDUP_NLIST, tau=SEMDEDUP_TAU)
+
+
+def _sql_semdedup() -> str:
+    return f"""WITH RECURSIVE
+v AS (SELECT vec_id, i - 1 AS dim, CAST(val AS DOUBLE) AS val
+      FROM (SELECT vec_id, unnest(embedding) AS val,
+                   generate_subscripts(embedding, 1) AS i FROM embeddings)),
+norms AS (SELECT vec_id, sqrt(sum(val * val)) AS nrm FROM v GROUP BY vec_id),
+cent AS (SELECT vec_id AS cvid, row_number() OVER (ORDER BY vec_id) AS list_id
+         FROM (SELECT vec_id FROM embeddings ORDER BY vec_id
+               LIMIT {SEMDEDUP_NLIST})),
+cv AS (SELECT c.list_id, v.dim, v.val FROM cent c JOIN v ON v.vec_id = c.cvid),
+cnorm AS (SELECT list_id, sqrt(sum(val * val)) AS nrm FROM cv GROUP BY list_id),
+adots AS (SELECT v.vec_id, cv.list_id, sum(v.val * cv.val) AS dot
+          FROM v JOIN cv ON v.dim = cv.dim GROUP BY v.vec_id, cv.list_id),
+asims AS (SELECT a.vec_id, a.list_id, a.dot / (n.nrm * c.nrm) AS sim
+          FROM adots a JOIN norms n USING (vec_id)
+               JOIN cnorm c USING (list_id)),
+assigned AS (SELECT vec_id, list_id FROM (
+  SELECT vec_id, list_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, list_id ASC) AS rn
+  FROM asims) WHERE rn = 1),
+pdot AS (SELECT a.vec_id AS ia, b.vec_id AS ib, sum(a.val * b.val) AS dot
+         FROM v a JOIN assigned aa ON aa.vec_id = a.vec_id
+              JOIN assigned ab ON ab.list_id = aa.list_id
+              JOIN v b ON b.vec_id = ab.vec_id AND b.dim = a.dim
+                      AND a.vec_id < b.vec_id
+         GROUP BY a.vec_id, b.vec_id),
+pairs AS (SELECT ia AS id_a, ib AS id_b FROM pdot
+          JOIN norms na ON na.vec_id = ia JOIN norms nb ON nb.vec_id = ib
+          WHERE dot / (na.nrm * nb.nrm) > {SEMDEDUP_TAU}),
+sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+reach(node, lab) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT s.src, r.lab FROM sym s JOIN reach r ON s.dst = r.node),
+comp AS (SELECT node AS vec_id, min(lab) AS component FROM reach GROUP BY node),
+csim AS (SELECT a.vec_id, a.dot / (n.nrm * c.nrm) AS cs
+         FROM adots a
+         JOIN assigned ag ON ag.vec_id = a.vec_id AND ag.list_id = a.list_id
+         JOIN norms n ON n.vec_id = a.vec_id
+         JOIN cnorm c ON c.list_id = a.list_id),
+ranked AS (SELECT cm.component, cm.vec_id, cs.cs,
+                  row_number() OVER (PARTITION BY cm.component
+                                     ORDER BY cs.cs ASC, cm.vec_id ASC) AS rn,
+                  count(*) OVER (PARTITION BY cm.component) AS nm
+           FROM comp cm JOIN csim cs ON cs.vec_id = cm.vec_id)
+SELECT component, vec_id AS keep_id, CAST(nm AS BIGINT) AS n_members
+FROM ranked WHERE rn = 1"""
+
+
 WCI_PATTERN = "*indo*"
 
 
@@ -8429,4 +8497,5 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "field_value_factor_topk": (q_field_value_factor, _sql_field_value_factor()),
     "symbol_resolve": (q_symbol_resolve, _sql_symbol_resolve()),
     "wildcard_indexed": (q_wildcard_indexed, _sql_wildcard_indexed()),
+    "semdedup_keep": (q_semdedup, _sql_semdedup()),
 }

@@ -599,3 +599,51 @@ def dedup_canonical(components: DataFrame, quality: DataFrame,
                            F.lit(1).cast("long").alias("n_members")))
         out = out.unionByName(singles)
     return out
+
+
+def semdedup(emb: DataFrame, nlist: int = 8, tau: float = 0.95,
+             iters: int = 0, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by embedding clustering — k-means-cluster the embedding
+    space (``similarity.ivf_centroids``, deterministic seeds, optional
+    Lloyd iterations), connect WITHIN-CLUSTER pairs whose cosine exceeds
+    ``tau``, take connected components as duplicate groups, and keep one
+    member per group: the paper's rule — the member with the LOWEST
+    cosine to its cluster centroid (the least prototypical example; tie
+    → lowest id). Returns (component, keep_id, n_members).
+
+    Scale shape: the pairwise stage is per-cluster and the join is
+    co-partitioned on list_id, so cost is Σ m_c² over cluster sizes —
+    the paper's own knob: nlist ∝ N/target_cluster_size bounds m_c
+    (at 100 TB that means 10⁵-10⁶ lists, each list one task, never a
+    global cross join). Components via the same pointer-jumping
+    ``dedup_components`` as the lexical paths.
+    """
+    from bertopic_spark.operators.similarity import (cosine_expr,
+                                                     ivf_assign,
+                                                     ivf_centroids)
+
+    if not 0.0 < tau <= 1.0:
+        raise ValueError(f"tau must be in (0, 1], got {tau}")
+    base = emb.select(F.col(id_col),
+                      F.col(vec_col).cast("array<double>").alias("v"))
+    cents = ivf_centroids(emb, nlist, iters, id_col, vec_col)
+    assigned = ivf_assign(base, cents, id_col)
+    withv = base.join(assigned, id_col)
+    a = withv.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"),
+                     "list_id")
+    b = withv.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
+                     "list_id")
+    pairs = (a.join(b, "list_id")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .filter(cosine_expr(F.col("va"), F.col("vb")) > tau)
+             .select("id_a", "id_b"))
+    comp = dedup_components(pairs, "id_a", "id_b").withColumnRenamed(
+        "doc_id", id_col)
+    # paper keep-rule: LOWEST cosine-to-centroid wins -> quality = -cos
+    csim = (withv.join(F.broadcast(cents), "list_id")
+            .select(F.col(id_col),
+                    (-cosine_expr(F.col("v"), F.col("cv"))).alias("neg_csim")))
+    return (dedup_canonical(comp, csim, "neg_csim", id_col)
+            .select("component", "keep_id", "n_members"))

@@ -513,3 +513,43 @@ def test_rplsh_multitable_amplification(spark):
     assert len(got3) == len(rows3)  # deduped before scoring
     assert got1 <= got3  # k=50 > any bucket here, so supersets hold
     assert len(got3) > len(got1)  # extra tables surface new candidates
+
+
+class TestSemDeDup:
+    def test_semdedup_hand_case(self, spark):
+        from bertopic_spark.operators.dedup import semdedup
+        # two clusters: ids 0/1 seed lists; 2,3 near-dup of each other and
+        # of seed 0 (high cos); 4 alone near seed 1; 5 orthogonal-ish
+        rows = [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0]),
+            (2, [0.99, 0.1, 0.0]),
+            (3, [0.98, 0.12, 0.0]),
+            (4, [0.1, 0.95, 0.0]),
+            (5, [0.0, 0.0, 1.0]),
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = {r["component"]: (r["keep_id"], r["n_members"]) for r in
+               semdedup(emb, nlist=2, tau=0.9).collect()}
+        # list 1 = {0,2,3,5-ish?}: 5 assigns to list of seed0 or seed1 by
+        # cosine 0 tie -> lowest list_id = seed 0's list; cos(5, others)=0
+        # so 5 stays a singleton (absent: no edge). 0-2-3 all pairwise >0.9
+        # -> one component keeping the member least similar to centroid
+        # (centroid = seed 0) -> keep 3 (cos 0.98-ish lowest).
+        # 4 pairs with seed 1 (cos ~0.95 > 0.9) -> component {1,4}; cos of
+        # 1 to centroid (=itself) is 1.0, so keep 4.
+        assert got == {0: (3, 3), 1: (4, 2)}
+
+    def test_semdedup_no_pairs(self, spark):
+        from bertopic_spark.operators.dedup import semdedup
+        rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        assert semdedup(emb, nlist=2, tau=0.9).count() == 0
+
+    def test_semdedup_validation(self, spark):
+        import pytest as _pt
+        from bertopic_spark.operators.dedup import semdedup
+        emb = spark.createDataFrame([(0, [1.0])],
+                                    "vec_id long, embedding array<double>")
+        with _pt.raises(ValueError, match="tau"):
+            semdedup(emb, tau=1.5)
