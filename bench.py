@@ -169,6 +169,7 @@ BENCH_QUERIES = [
     "field_value_factor_topk",
     "symbol_resolve",
     "wildcard_indexed",
+    "semdedup_keep",
 ]
 
 
