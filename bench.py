@@ -170,6 +170,9 @@ BENCH_QUERIES = [
     "symbol_resolve",
     "wildcard_indexed",
     "semdedup_keep",
+    "match_bool_prefix",
+    "significant_results_terms",
+    "pinned_topk",
 ]
 
 

@@ -7870,6 +7870,163 @@ SELECT (SELECT CAST(count(DISTINCT lang) AS BIGINT) FROM topk) AS n_topics,
 FROM topk"""
 
 
+MBP_QUERY = "merge sor"
+SIGQ_TEXT, SIGQ_KDOCS, SIGQ_KTERMS = "hash join", 20, 10
+PINNED_IDS = (42, 7)
+
+
+def q_match_bool_prefix(spark, sf_dir):
+    """ES match_bool_prefix (operators/fulltext.match_bool_prefix_topk):
+    'merge' Okapi-scored + 'sor*' prefix leg under Lucene constant-score
+    rewrite (+1/doc) — the search-as-you-type query without extra index
+    structure."""
+    from bertopic_spark.operators.fulltext import match_bool_prefix_topk
+
+    t = match_bool_prefix_topk(_docs(spark, sf_dir), MBP_QUERY, k=10,
+                               text_col="text", mode=MODE,
+                               k1=OKAPI_K1, b=OKAPI_B)
+    return t.select("doc_id", _r6(F.col("score")).alias("score"),
+                    F.col("rank").cast("long").alias("rn"))
+
+
+def _sql_match_bool_prefix() -> str:
+    full = MBP_QUERY.split()[0]
+    prefix = MBP_QUERY.split()[-1]
+    return f"""WITH {_TOKS}, {_XDOC},
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM xdoc GROUP BY doc_id),
+nstats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM xdoc GROUP BY term),
+hits AS (
+  SELECT x.doc_id,
+         sum(ln(1.0 + (ns.n - dfs.df + 0.5) / (dfs.df + 0.5)) *
+             x.tf * {OKAPI_K1 + 1.0} /
+             (x.tf + {OKAPI_K1} * (1.0 - {OKAPI_B} +
+                                   {OKAPI_B} * dl.dl / ns.avgdl))) AS s
+  FROM xdoc x JOIN dfs USING (term) JOIN dl ON dl.doc_id = x.doc_id
+       CROSS JOIN nstats ns
+  WHERE x.term = '{full}' GROUP BY x.doc_id),
+pd AS (SELECT DISTINCT doc_id, 1.0 AS p FROM xdoc
+       WHERE term LIKE '{prefix}%'),
+u AS (SELECT coalesce(h.doc_id, pd.doc_id) AS doc_id,
+             coalesce(h.s, 0.0) + coalesce(pd.p, 0.0) AS score
+      FROM hits h FULL JOIN pd ON pd.doc_id = h.doc_id),
+ranked AS (SELECT doc_id, score,
+                  row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+           FROM u)
+SELECT doc_id, round(score, 6) AS score, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 10"""
+
+
+def q_significant_results_terms(spark, sf_dir):
+    """significant_terms under a query (operators/fulltext.
+    significant_results_terms — ES's classic usage): JLH terms of the
+    Okapi top-20 for 'hash join' vs the whole corpus; one tokenize pass
+    shared by retrieval and the fg/bg stats."""
+    from bertopic_spark.operators.fulltext import significant_results_terms
+
+    t = significant_results_terms(_docs(spark, sf_dir), SIGQ_TEXT,
+                                  k_docs=SIGQ_KDOCS, k_terms=SIGQ_KTERMS,
+                                  text_col="text", mode=MODE,
+                                  k1=OKAPI_K1, b=OKAPI_B)
+    return t.select("term", "df_fg", "df_all",
+                    _r6(F.col("score")).alias("score"),
+                    F.col("rank").cast("long").alias("rn"))
+
+
+def _sql_significant_results() -> str:
+    qterms = ", ".join(
+        f"'{t}'" for t in sorted(set(tokenize_one(SIGQ_TEXT, MODE))))
+    return f"""WITH {_TOKS}, {_XDOC},
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM xdoc GROUP BY doc_id),
+nstats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM xdoc GROUP BY term),
+hits AS (
+  SELECT x.doc_id,
+         sum(ln(1.0 + (ns.n - dfs.df + 0.5) / (dfs.df + 0.5)) *
+             x.tf * {OKAPI_K1 + 1.0} /
+             (x.tf + {OKAPI_K1} * (1.0 - {OKAPI_B} +
+                                   {OKAPI_B} * dl.dl / ns.avgdl))) AS s
+  FROM xdoc x JOIN dfs USING (term) JOIN dl ON dl.doc_id = x.doc_id
+       CROSS JOIN nstats ns
+  WHERE x.term IN ({qterms}) GROUP BY x.doc_id),
+fg AS (SELECT doc_id FROM hits ORDER BY s DESC, doc_id ASC
+       LIMIT {SIGQ_KDOCS}),
+tot AS (SELECT CAST(count(DISTINCT x.doc_id) AS DOUBLE) AS n_all,
+               CAST((SELECT count(*) FROM fg) AS DOUBLE) AS n_fg
+        FROM xdoc x),
+per AS (SELECT x.term,
+               CAST(count(DISTINCT CASE WHEN f.doc_id IS NOT NULL
+                                        THEN x.doc_id END) AS BIGINT) AS df_fg,
+               CAST(count(DISTINCT x.doc_id) AS BIGINT) AS df_all
+        FROM xdoc x LEFT JOIN fg f ON f.doc_id = x.doc_id
+        GROUP BY x.term),
+sc AS (SELECT term, df_fg, df_all,
+              (df_fg / t.n_fg - df_all / t.n_all) *
+              ((df_fg / t.n_fg) / (df_all / t.n_all)) AS score
+       FROM per CROSS JOIN tot t
+       WHERE df_fg > 0 AND df_fg / t.n_fg > df_all / t.n_all),
+ranked AS (SELECT term, df_fg, df_all, score,
+                  row_number() OVER (ORDER BY score DESC, term ASC) AS rn
+           FROM sc)
+SELECT term, df_fg, df_all, round(score, 6) AS score, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= {SIGQ_KTERMS}"""
+
+
+def q_pinned_topk(spark, sf_dir):
+    """ES pinned query (operators/fulltext.pinned_topk): editorial ids
+    42, 7 take ranks 1-2 in listed order for every query; the Okapi
+    top-10 organic tail follows with pinned ids deduplicated."""
+    from bertopic_spark.operators.bm25 import okapi_bm25_topk
+    from bertopic_spark.operators.fulltext import pinned_topk
+
+    qt = query_terms(queries_df(spark, DRIVER_QUERIES), MODE)
+    organic = okapi_bm25_topk(_docs(spark, sf_dir), qt, k=10, k1=OKAPI_K1,
+                              b=OKAPI_B, text_col="text", mode=MODE)
+    t = pinned_topk(organic, list(PINNED_IDS), k=10)
+    return t.select("query_id", "doc_id", "pinned",
+                    _r6(F.col("score")).alias("score"),
+                    F.col("rank").cast("long").alias("rn"))
+
+
+def _sql_pinned() -> str:
+    pins = ", ".join(f"({i + 1}, {d})" for i, d in enumerate(PINNED_IDS))
+    return f"""WITH {_TOKS}, {_XDOC},
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM xdoc GROUP BY doc_id),
+nstats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM xdoc GROUP BY term),
+q(query_id, term) AS (VALUES {_query_term_values()}),
+hits AS (
+  SELECT q.query_id, x.doc_id,
+         sum(ln(1.0 + (ns.n - dfs.df + 0.5) / (dfs.df + 0.5)) *
+             x.tf * {OKAPI_K1 + 1.0} /
+             (x.tf + {OKAPI_K1} * (1.0 - {OKAPI_B} +
+                                   {OKAPI_B} * dl.dl / ns.avgdl))) AS score
+  FROM q JOIN xdoc x USING (term) JOIN dfs USING (term)
+       JOIN dl ON dl.doc_id = x.doc_id CROSS JOIN nstats ns
+  GROUP BY q.query_id, x.doc_id),
+oranked AS (SELECT query_id, doc_id, score,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, doc_id ASC) AS orn
+            FROM hits),
+organic AS (SELECT query_id, doc_id, score FROM oranked WHERE orn <= 10),
+pins(pin, doc_id) AS (VALUES {pins}),
+qids AS (SELECT DISTINCT query_id FROM organic),
+prow AS (SELECT q.query_id, p.doc_id, CAST(NULL AS DOUBLE) AS score, p.pin
+         FROM qids q CROSS JOIN pins p),
+orow AS (SELECT o.query_id, o.doc_id, o.score, CAST(NULL AS INT) AS pin
+         FROM organic o WHERE o.doc_id NOT IN (SELECT doc_id FROM pins)),
+u AS (SELECT * FROM prow UNION ALL SELECT * FROM orow),
+ranked AS (SELECT query_id, doc_id, (pin IS NOT NULL) AS pinned, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY coalesce(pin, 1073741824),
+                                              score DESC NULLS LAST,
+                                              doc_id ASC) AS rn
+           FROM u)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, pinned,
+       round(score, 6) AS score, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 10"""
+
+
 SEMDEDUP_NLIST, SEMDEDUP_TAU = 8, 0.35
 
 
@@ -8498,4 +8655,8 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "symbol_resolve": (q_symbol_resolve, _sql_symbol_resolve()),
     "wildcard_indexed": (q_wildcard_indexed, _sql_wildcard_indexed()),
     "semdedup_keep": (q_semdedup, _sql_semdedup()),
+    "match_bool_prefix": (q_match_bool_prefix, _sql_match_bool_prefix()),
+    "significant_results_terms": (q_significant_results_terms,
+                                  _sql_significant_results()),
+    "pinned_topk": (q_pinned_topk, _sql_pinned()),
 }

@@ -1127,14 +1127,21 @@ def _empty_topk(spark, id_col: str = "doc_id") -> DataFrame:
 
 def _okapi_query_hits(corpus: DataFrame, qterms: DataFrame, k1: float,
                       b: float, text_col: str, id_col: str, mode: str,
-                      _persisted_out: list | None = None) -> DataFrame:
+                      _persisted_out: list | None = None,
+                      counts: DataFrame | None = None) -> DataFrame:
     """Per-field Okapi partial: (query_id, id_col, score) with THIS
     field's own df/avgdl stats — the per-field leg of ``multi_match_topk``
-    (same plan shape as ``okapi_bm25_topk`` minus the rank window)."""
-    x = doc_term_counts(corpus, text_col, [id_col], mode, with_len=True)
-    x = x.persist()
-    if _persisted_out is not None:
-        _persisted_out.append(x)
+    (same plan shape as ``okapi_bm25_topk`` minus the rank window).
+    ``counts``: optionally a precomputed (id, term, tf, doc_len) relation
+    (callers sharing one tokenize pass across consumers pass their own
+    persisted handle; it is NOT re-persisted here)."""
+    if counts is not None:
+        x = counts
+    else:
+        x = doc_term_counts(corpus, text_col, [id_col], mode, with_len=True)
+        x = x.persist()
+        if _persisted_out is not None:
+            _persisted_out.append(x)
     row = (x.groupBy(id_col).agg(F.max("doc_len").alias("dl"))
            .agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
            .collect()[0])

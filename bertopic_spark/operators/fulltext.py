@@ -1250,6 +1250,148 @@ def significant_terms(dt: DataFrame, fg_col: str = "fg", k: int = 10,
             .select("term", "df_fg", "df_all", "score", "rank"))
 
 
+def match_bool_prefix_topk(corpus: DataFrame, query_text: str, k: int = 10,
+                           max_expand: int = 1000,
+                           text_col: str = "content",
+                           id_col: str = "doc_id",
+                           mode: str = "ascii_code",
+                           k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """ES ``match_bool_prefix`` — the search-as-you-type query over a
+    plain index: every query term but the LAST scores as an Okapi
+    bool-should term query; the last (still being typed) runs as a prefix
+    query under Lucene's constant-score rewrite (+1 per matching doc,
+    MultiTermQuery.CONSTANT_SCORE_REWRITE). Returns (id, score, rank).
+    The materialized-prefix-index alternative is ``suggest_index``; this
+    is the zero-extra-structure path.
+
+    One tokenize pass feeds the scored leg, the dictionary expansion and
+    the prefix-match flag; the expanded prefix set is bounded
+    (``max_expand``) and broadcasts.
+    """
+    from bertopic_spark.operators.bm25 import (_okapi_query_hits,
+                                               queries_df, query_terms)
+    from bertopic_spark.operators.postings import doc_term_counts
+    from bertopic_spark.tokenizer import tokenize_one
+
+    qtoks = tokenize_one(query_text, mode)
+    if not qtoks:
+        raise ValueError("query has no tokens")
+    full, prefix = qtoks[:-1], qtoks[-1]
+    x = doc_term_counts(corpus, text_col, [id_col], mode, with_len=True)
+    x = x.persist()
+    try:
+        exp = prefix_terms(
+            x.groupBy("term").agg(F.count(F.lit(1)).alias("df")),
+            prefix, max_expand)
+        pref_docs = (x.filter(F.col("term").isin(exp)).select(id_col)
+                     .distinct().withColumn("_p", F.lit(1.0))
+                     ) if exp else None
+        scored = None
+        if full:
+            qt = query_terms(
+                queries_df(corpus.sparkSession, {0: " ".join(full)}), mode)
+            scored = (_okapi_query_hits(corpus, qt, k1, b, text_col, id_col,
+                                        mode, counts=x)
+                      .select(id_col, F.col("score").alias("_s")))
+        if scored is None and pref_docs is None:
+            return corpus.sparkSession.createDataFrame(
+                [], f"{id_col} long, score double, rank int")
+        if scored is None:
+            u = pref_docs.select(id_col, F.col("_p").alias("score"))
+        elif pref_docs is None:
+            u = scored.select(id_col, F.col("_s").alias("score"))
+        else:
+            u = (scored.join(pref_docs, id_col, "full")
+                 .select(id_col,
+                         (F.coalesce("_s", F.lit(0.0)) +
+                          F.coalesce("_p", F.lit(0.0))).alias("score")))
+        top = u.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+        w = Window.orderBy(F.desc("score"), F.asc(id_col))
+        out = (top.withColumn("rank", F.row_number().over(w))
+               .localCheckpoint(eager=True))
+    finally:
+        x.unpersist()
+    return out
+
+
+def significant_results_terms(corpus: DataFrame, query_text: str,
+                              k_docs: int = 20, k_terms: int = 10,
+                              text_col: str = "content",
+                              id_col: str = "doc_id",
+                              mode: str = "ascii_code",
+                              k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """``significant_terms`` under a query — the aggregation's classic ES
+    usage: "which terms characterize THIS query's results vs the corpus".
+    Foreground = the Okapi top-``k_docs`` documents for ``query_text``;
+    background = the whole corpus; JLH scoring via ``significant_terms``.
+
+    One tokenize pass: the retrieval and the fg/bg stats share the same
+    (id, term) relation; the k-row foreground id set broadcasts into the
+    fg flag, so the only vocabulary-wide work is the single conditional
+    groupBy inside ``significant_terms``.
+    """
+    from bertopic_spark.operators.bm25 import (_okapi_query_hits,
+                                               queries_df, query_terms)
+    from bertopic_spark.operators.postings import doc_term_counts
+
+    qt = query_terms(queries_df(corpus.sparkSession, {0: query_text}), mode)
+    x = doc_term_counts(corpus, text_col, [id_col], mode, with_len=True)
+    x = x.persist()
+    try:
+        hits = _okapi_query_hits(corpus, qt, k1, b, text_col, id_col, mode,
+                                 counts=x)
+        top = (hits.orderBy(F.desc("score"), F.asc(id_col)).limit(k_docs)
+               .select(id_col))
+        dt = (x.select(id_col, "term")
+              .join(F.broadcast(top.withColumn("_fg", F.lit(True))),
+                    id_col, "left")
+              .select(id_col, "term",
+                      F.coalesce("_fg", F.lit(False)).alias("fg")))
+        out = significant_terms(dt, "fg", k_terms, id_col)
+        out = out.localCheckpoint(eager=True)
+    finally:
+        x.unpersist()
+    return out
+
+
+def pinned_topk(organic: DataFrame, pinned_ids: Sequence[int],
+                k: int = 10, id_col: str = "doc_id") -> DataFrame:
+    """ES ``pinned`` query: the listed ids take ranks 1..p in the GIVEN
+    order (regardless of score) for every query; organic results follow,
+    with pinned ids deduplicated out of the organic tail. ``organic`` is
+    any (query_id, id_col, score, rank) top-k relation — compose over
+    ``okapi_bm25_topk`` / ``bm25_topk`` / ``multi_match_topk``.
+
+    The pinned list is editorial (human-curated, tiny) — it broadcasts;
+    the organic relation is already k-bounded per query, so the re-rank
+    window is per-query over ≤ k+p rows.
+    """
+    if not pinned_ids:
+        raise ValueError("pinned_ids must be non-empty")
+    if len(set(pinned_ids)) != len(pinned_ids):
+        raise ValueError("pinned_ids must be distinct")
+    spark = organic.sparkSession
+    pins = F.broadcast(spark.createDataFrame(
+        [(int(d), i + 1) for i, d in enumerate(pinned_ids)],
+        f"{id_col} long, _pin int"))
+    qids = organic.select("query_id").distinct()
+    pinned_rows = (qids.crossJoin(pins)
+                   .select("query_id", id_col, F.lit(None).cast("double")
+                           .alias("score"), F.col("_pin")))
+    organic_rows = (organic.join(pins.select(id_col), id_col, "left_anti")
+                    .select("query_id", id_col, F.col("score"),
+                            F.lit(None).cast("int").alias("_pin")))
+    u = pinned_rows.unionByName(organic_rows)
+    w = Window.partitionBy("query_id").orderBy(
+        F.when(F.col("_pin").isNotNull(), F.col("_pin")).otherwise(F.lit(1 << 30)),
+        F.desc_nulls_last("score"), F.asc(id_col))
+    return (u.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", id_col,
+                    (F.col("_pin").isNotNull()).alias("pinned"),
+                    "score", "rank"))
+
+
 def phrase_boost_topk(corpus: DataFrame, queries, k: int = 10,
                       boost: float = 1.0, text_col: str = "content",
                       id_col: str = "doc_id", mode: str = "ascii_code",

@@ -971,3 +971,61 @@ def test_phrase_match_batch_validates(spark, docs):
         phrase_match_batch(pos, {})
     with pytest.raises(ValueError):
         phrase_match_batch(pos, {0: []})
+
+
+class TestSearchAsYouTypeAndPinned:
+    def test_match_bool_prefix(self, spark):
+        from bertopic_spark.operators.fulltext import match_bool_prefix_topk
+        rows = [(0, "merge sorting fast"), (1, "merge only here"),
+                (2, "sorted output"), (3, "nothing")]
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r["score"] for r in
+               match_bool_prefix_topk(d, "merge sor", k=10, text_col="text"
+                                      ).collect()}
+        assert set(got) == {0, 1, 2}           # 3 matches neither leg
+        assert got[0] > got[1]                 # 0 has both legs
+        assert got[2] == 1.0                   # prefix-only: constant score
+        # prefix-only query (single token): every sor* doc scores 1.0
+        p = {r["doc_id"]: r["score"] for r in
+             match_bool_prefix_topk(d, "sor", k=10, text_col="text").collect()}
+        assert p == {0: 1.0, 2: 1.0}
+
+    def test_match_bool_prefix_validation(self, spark):
+        import pytest as _pt
+        from bertopic_spark.operators.fulltext import match_bool_prefix_topk
+        d = spark.createDataFrame([(0, "x y")], "doc_id long, text string")
+        with _pt.raises(ValueError, match="no tokens"):
+            match_bool_prefix_topk(d, "!!", text_col="text")
+
+    def test_significant_results_terms_fg_is_topk(self, spark):
+        from bertopic_spark.operators.fulltext import significant_results_terms
+        # 'needle' docs share 'marker'; background docs don't
+        rows = [(i, "needle marker common") for i in range(4)] + \
+               [(i + 4, "common filler words here") for i in range(8)]
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        got = significant_results_terms(d, "needle", k_docs=4, k_terms=3,
+                                        text_col="text").collect()
+        terms = [r["term"] for r in got]
+        assert terms[0] in ("marker", "needle")
+        assert "filler" not in terms
+
+    def test_pinned_topk(self, spark):
+        from bertopic_spark.operators.fulltext import pinned_topk
+        organic = spark.createDataFrame(
+            [(0, 10, 5.0, 1), (0, 11, 4.0, 2), (0, 7, 3.0, 3)],
+            "query_id long, doc_id long, score double, rank int")
+        got = [(r["rank"], r["doc_id"], r["pinned"]) for r in
+               pinned_topk(organic, [7, 99], k=10).orderBy("rank").collect()]
+        # 7 pinned first (listed first), 99 second (not in organic is fine),
+        # organic follows minus the pinned 7
+        assert got == [(1, 7, True), (2, 99, True),
+                       (3, 10, False), (4, 11, False)]
+
+    def test_pinned_validation(self, spark):
+        import pytest as _pt
+        from bertopic_spark.operators.fulltext import pinned_topk
+        organic = spark.createDataFrame([], "query_id long, doc_id long, score double, rank int")
+        with _pt.raises(ValueError, match="non-empty"):
+            pinned_topk(organic, [])
+        with _pt.raises(ValueError, match="distinct"):
+            pinned_topk(organic, [1, 1])
