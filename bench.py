@@ -173,6 +173,8 @@ BENCH_QUERIES = [
     "match_bool_prefix",
     "significant_results_terms",
     "pinned_topk",
+    "dedup_containment",
+    "auto_date_histogram",
 ]
 
 

@@ -7870,6 +7870,69 @@ SELECT (SELECT CAST(count(DISTINCT lang) AS BIGINT) FROM topk) AS n_topics,
 FROM topk"""
 
 
+CONT_N, CONT_TAU = 2, 0.5
+ADH_TARGET = 20
+
+
+def q_dedup_containment(spark, sf_dir):
+    """Directed shingle containment (operators/dedup.containment_pairs —
+    Broder's asymmetric companion of resemblance): quote/excerpt
+    detection Jaccard misses when the container dwarfs the contained
+    doc. 2-gram shingles, C >= 0.5."""
+    from bertopic_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(_docs(spark, sf_dir), "text", "doc_id",
+                             n=CONT_N, threshold=CONT_TAU)
+
+
+SQL_DEDUP_CONTAINMENT = f"""WITH
+tk AS (SELECT doc_id, {duckdb_tokens_sql('text', MODE)} AS ts FROM documents),
+sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] AS shingle
+       FROM tk, unnest(generate_series(1, greatest(len(ts)-1, 0))) AS u(i)),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS i
+          FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+bo AS (SELECT id_a, id_b, i, sa.sz AS sz_a, sb.sz AS sz_b
+         FROM inter JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b),
+dirs AS (
+  SELECT id_a AS contained_id, id_b AS container_id,
+         i * 1.0 / sz_a AS c FROM bo
+  UNION ALL
+  SELECT id_b, id_a, i * 1.0 / sz_b FROM bo)
+SELECT contained_id, container_id, round(c, 6) AS containment
+FROM dirs WHERE c >= {CONT_TAU}"""
+
+
+def q_auto_date_histogram(spark, sf_dir):
+    """ES auto_date_histogram (operators/rollup.auto_date_histogram):
+    smallest calendar interval whose bucket count is guaranteed <=
+    target over the event span (upper-bound seconds per unit), then the
+    plain histogram at that interval."""
+    from bertopic_spark.operators.rollup import auto_date_histogram
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return auto_date_histogram(ev, "ts", target_buckets=ADH_TARGET)
+
+
+def _sql_auto_date_histogram() -> str:
+    cases = " ".join(
+        f"WHEN floor(epoch(hi - lo) / {unit}) + 1 <= {ADH_TARGET} "
+        f"THEN '{name}'"
+        for name, unit in
+        [("second", 1), ("minute", 60), ("hour", 3600), ("day", 86400),
+         ("week", 7 * 86400), ("month", 31 * 86400),
+         ("quarter", 92 * 86400)])
+    return f"""WITH
+sp AS (SELECT min(ts) AS lo, max(ts) AS hi FROM events WHERE ts IS NOT NULL),
+iv AS (SELECT CASE {cases} ELSE 'year' END AS iv FROM sp)
+SELECT iv.iv AS interval, date_trunc(iv.iv, e.ts) AS bucket,
+       CAST(count(*) AS BIGINT) AS doc_count
+FROM events e CROSS JOIN iv WHERE e.ts IS NOT NULL
+GROUP BY iv.iv, date_trunc(iv.iv, e.ts)"""
+
+
 MBP_QUERY = "merge sor"
 SIGQ_TEXT, SIGQ_KDOCS, SIGQ_KTERMS = "hash join", 20, 10
 PINNED_IDS = (42, 7)
@@ -8659,4 +8722,7 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "significant_results_terms": (q_significant_results_terms,
                                   _sql_significant_results()),
     "pinned_topk": (q_pinned_topk, _sql_pinned()),
+    "dedup_containment": (q_dedup_containment, SQL_DEDUP_CONTAINMENT),
+    "auto_date_histogram": (q_auto_date_histogram,
+                            _sql_auto_date_histogram()),
 }

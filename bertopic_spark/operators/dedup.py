@@ -647,3 +647,47 @@ def semdedup(emb: DataFrame, nlist: int = 8, tau: float = 0.95,
                     (-cosine_expr(F.col("v"), F.col("cv"))).alias("neg_csim")))
     return (dedup_canonical(comp, csim, "neg_csim", id_col)
             .select("component", "keep_id", "n_members"))
+
+
+def containment_pairs(df: DataFrame, text_col: str, id_col: str, n: int = 3,
+                      threshold: float = 0.8, mode: str = "ascii_code",
+                      max_df: int | None = None) -> DataFrame:
+    """One-sided shingle containment C(A→B) = |S(A)∩S(B)| / |S(A)| —
+    Broder's containment, the asymmetric companion of resemblance
+    (Jaccard): detects quotes, excerpts and subset-duplicates that
+    Jaccard misses when the container is much larger than the contained
+    document. Emits DIRECTED rows (contained_id, container_id,
+    containment >= threshold); a doc pair can appear in both directions.
+
+    Same single shingle self-join as ``jaccard_pairs`` (the intersection
+    is computed once per unordered pair, both directions derived from
+    it), same broadcast anti-join guard on heavy shingles (``max_df``).
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    sh = shingles(df, text_col, id_col, n, mode)
+    if max_df is not None:
+        heavy = sh.groupBy("shingle").count().filter(F.col("count") > max_df)
+        sh = sh.join(F.broadcast(heavy.select("shingle")), "shingle", "left_anti")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (a.join(b, "shingle")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).alias("inter")))
+    both = (inter
+            .join(sizes.select(F.col(id_col).alias("id_a"),
+                               F.col("sz").alias("sz_a")), "id_a")
+            .join(sizes.select(F.col(id_col).alias("id_b"),
+                               F.col("sz").alias("sz_b")), "id_b"))
+    fwd = both.select(F.col("id_a").alias("contained_id"),
+                      F.col("id_b").alias("container_id"),
+                      (F.col("inter") / F.col("sz_a")).alias("containment"))
+    rev = both.select(F.col("id_b").alias("contained_id"),
+                      F.col("id_a").alias("container_id"),
+                      (F.col("inter") / F.col("sz_b")).alias("containment"))
+    return (fwd.unionByName(rev)
+            .filter(F.col("containment") >= threshold)
+            .select("contained_id", "container_id",
+                    F.round("containment", 6).alias("containment")))

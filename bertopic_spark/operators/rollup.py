@@ -557,3 +557,45 @@ def date_histogram(df: DataFrame, ts_col: str, interval: str = "hour",
         fill.append(F.coalesce("value_sum", F.lit(0.0)).alias("value_sum"))
     return (spine.join(got, [*keys, "bucket"], "left")
             .select(*keys, "bucket", *fill))
+
+
+#: auto_date_histogram interval ladder with UPPER-BOUND bucket seconds
+#: (month = 31 d etc.) so the chosen interval GUARANTEES
+#: bucket_count <= target, exactly like ES's rounding guarantee.
+_AUTO_LADDER = [("second", 1), ("minute", 60), ("hour", 3600),
+                ("day", 86400), ("week", 7 * 86400), ("month", 31 * 86400),
+                ("quarter", 92 * 86400), ("year", 366 * 86400)]
+
+
+def auto_date_histogram(df: DataFrame, ts_col: str,
+                        target_buckets: int = 20,
+                        keys: Sequence[str] = (),
+                        value_col: str | None = None) -> DataFrame:
+    """ES ``auto_date_histogram``: pick the SMALLEST calendar interval
+    from the ladder whose bucket count cannot exceed ``target_buckets``
+    over the data span, then run the plain ``date_histogram`` at it —
+    (keys..., interval, bucket, doc_count[, value_sum]). Interval choice
+    is one 1-row min/max agg + a driver-side ladder walk (ceil(span/sec)
+    + 1 with upper-bound seconds per calendar unit, so the guarantee
+    holds for every actual month/year length); the data is scanned once
+    more for the aggregation itself — two passes total, like ES's
+    coordinator reduce.
+    """
+    if target_buckets < 1:
+        raise ValueError("target_buckets must be >= 1")
+    span = (df.filter(F.col(ts_col).isNotNull())
+            .agg(F.min(ts_col).alias("lo"), F.max(ts_col).alias("hi"))
+            .collect()[0])
+    if span["lo"] is None:
+        raise ValueError(f"no non-null values in {ts_col!r}")
+    secs = (span["hi"] - span["lo"]).total_seconds()
+    chosen = _AUTO_LADDER[-1][0]
+    for name, unit in _AUTO_LADDER:
+        if secs // unit + 1 <= target_buckets:
+            chosen = name
+            break
+    out = date_histogram(df, ts_col, chosen, keys, value_col,
+                         min_doc_count=1)
+    return out.select(*keys, F.lit(chosen).alias("interval"), "bucket",
+                      *[c for c in out.columns
+                        if c not in (*keys, "bucket")])

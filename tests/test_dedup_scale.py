@@ -553,3 +553,39 @@ class TestSemDeDup:
                                     "vec_id long, embedding array<double>")
         with _pt.raises(ValueError, match="tau"):
             semdedup(emb, tau=1.5)
+
+
+class TestContainment:
+    def test_quote_detected(self, spark):
+        from bertopic_spark.operators.dedup import containment_pairs
+        rows = [
+            (0, "alpha beta gamma delta epsilon zeta"),   # container
+            (1, "alpha beta gamma"),                      # full quote of prefix
+            (2, "omega psi chi"),                         # unrelated
+        ]
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {(r["contained_id"], r["container_id"]): r["containment"]
+               for r in containment_pairs(d, "text", "doc_id", n=2,
+                                          threshold=0.9).collect()}
+        # doc1's two 2-gram shingles are both in doc0 -> C(1->0)=1.0;
+        # C(0->1)=2/5 filtered; doc2 shares nothing
+        assert got == {(1, 0): 1.0}
+
+    def test_asymmetry_vs_jaccard(self, spark):
+        from bertopic_spark.operators.dedup import (containment_pairs,
+                                                    jaccard_pairs)
+        rows = [(0, " ".join(f"w{i} x{i}" for i in range(20))),
+                (1, "w0 x0 w1 x1")]
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        # jaccard small (3/39ish) but containment of doc1 high
+        assert jaccard_pairs(d, "text", "doc_id", n=2,
+                             threshold=0.5).count() == 0
+        c = containment_pairs(d, "text", "doc_id", n=2, threshold=0.9)
+        assert [r["contained_id"] for r in c.collect()] == [1]
+
+    def test_validation(self, spark):
+        import pytest as _pt
+        from bertopic_spark.operators.dedup import containment_pairs
+        d = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+        with _pt.raises(ValueError, match="threshold"):
+            containment_pairs(d, "text", "doc_id", threshold=0.0)

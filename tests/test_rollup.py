@@ -409,3 +409,27 @@ def test_adjacency_matrix_omits_empty_and_validates(spark):
     assert {(r.key_x, r.key_y): r.doc_count for r in got} == {("en", "en"): 1}
     with _pytest.raises(ValueError):
         adjacency_matrix(df, {})
+
+
+class TestAutoDateHistogram:
+    def test_picks_guaranteed_interval(self, spark):
+        from bertopic_spark.operators.rollup import auto_date_histogram
+        import datetime as dt
+        rows = [(i, dt.datetime(2024, 1, 1) + dt.timedelta(hours=6 * i))
+                for i in range(12)]  # spans ~3 days
+        d = spark.createDataFrame(rows, "id long, ts timestamp")
+        out = auto_date_histogram(d, "ts", target_buckets=4).collect()
+        assert {r["interval"] for r in out} == {"day"}
+        assert sum(r["doc_count"] for r in out) == 12
+        assert len(out) <= 4
+        fine = auto_date_histogram(d, "ts", target_buckets=100).collect()
+        assert {r["interval"] for r in fine} == {"hour"}
+
+    def test_validation_and_empty(self, spark):
+        import pytest as _pt
+        from bertopic_spark.operators.rollup import auto_date_histogram
+        d = spark.createDataFrame([], "id long, ts timestamp")
+        with _pt.raises(ValueError, match="target_buckets"):
+            auto_date_histogram(d, "ts", target_buckets=0)
+        with _pt.raises(ValueError, match="no non-null"):
+            auto_date_histogram(d, "ts")
