@@ -175,6 +175,7 @@ BENCH_QUERIES = [
     "pinned_topk",
     "dedup_containment",
     "auto_date_histogram",
+    "incremental_phrase_match",
 ]
 
 

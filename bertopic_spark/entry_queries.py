@@ -4237,6 +4237,40 @@ WHERE {' AND '.join(conds)}
 GROUP BY p0.doc_id"""
 
 
+def q_incremental_phrase_match(spark, sf_dir):
+    """Positional-index generational maintenance (index/positions.
+    IncrementalPositions): append the even-id half, append the odd-id
+    half, tombstone every 17th doc, then serve the phrase from the
+    generation union — content-identical to a positional rebuild of the
+    survivors (the oracle computes exactly that; positions carry no
+    corpus statistics, so a tombstone alone restores rebuild-equality)."""
+    import shutil
+    import tempfile
+
+    from bertopic_spark.index.positions import IncrementalPositions
+    from bertopic_spark.operators.fulltext import phrase_match_postings
+
+    docs = _docs(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="bsp_posinc_")
+    try:
+        ix = IncrementalPositions.create(spark, root, mode=MODE)
+        ix.append(docs.filter(F.col("doc_id") % 2 == 0), text_col="text")
+        ix.append(docs.filter(F.col("doc_id") % 2 == 1), text_col="text")
+        ix.delete(docs.filter(F.col("doc_id") % 17 == 0).select("doc_id"))
+        rows = phrase_match_postings(ix.read(list(PHRASE)),
+                                     list(PHRASE)).collect()
+        return spark.createDataFrame(rows, "doc_id long, n_matches long")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _sql_incremental_phrase() -> str:
+    base = _sql_phrase_match()
+    return base.replace(
+        "AS ts FROM documents),",
+        "AS ts FROM documents WHERE doc_id % 17 != 0),")
+
+
 PHRASE3 = ("slow", "hash", "batch")   # multi-occurrence docs at sf0.01
 
 BATCH_PHRASES = {0: ["part", "filter"], 1: ["slow", "hash", "batch"],
@@ -8725,4 +8759,6 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "dedup_containment": (q_dedup_containment, SQL_DEDUP_CONTAINMENT),
     "auto_date_histogram": (q_auto_date_histogram,
                             _sql_auto_date_histogram()),
+    "incremental_phrase_match": (q_incremental_phrase_match,
+                                 _sql_incremental_phrase()),
 }
