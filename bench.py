@@ -176,6 +176,8 @@ BENCH_QUERIES = [
     "dedup_containment",
     "auto_date_histogram",
     "incremental_phrase_match",
+    "sig_terms_percentage",
+    "bucket_stats_hourly",
 ]
 
 

@@ -644,6 +644,67 @@ SELECT term, df_fg, df_all, round(score, 6) AS score, CAST(rn AS BIGINT) AS rn
 FROM ranked WHERE rn <= 15"""
 
 
+def q_sig_terms_percentage(spark, sf_dir):
+    """significant_terms with ES's percentage heuristic (operators/
+    fulltext.significant_terms scoring='percentage'): score = df_fg /
+    df_all — rare-but-exclusive terms, where JLH favors
+    common-and-lifted; same single conditional-agg pass."""
+    from bertopic_spark.operators.fulltext import significant_terms
+    from bertopic_spark.tokenizer import with_tokens
+
+    toks = with_tokens(_docs(spark, sf_dir), "text", MODE)
+    dt = toks.select(
+        "doc_id", (F.col("lang") == "en").alias("fg"),
+        F.explode(F.array_distinct("tokens")).alias("term"))
+    t = significant_terms(dt, k=15, scoring="percentage")
+    return t.select(
+        "term", "df_fg", "df_all", _r6(F.col("score")).alias("score"),
+        F.col("rank").cast("long").alias("rn"))
+
+
+SQL_SIG_PERCENTAGE = f"""WITH {_TOKS},
+dt AS (SELECT DISTINCT doc_id, lang = 'en' AS fg, term FROM toks),
+per AS (SELECT term,
+               CAST(count(DISTINCT CASE WHEN fg THEN doc_id END) AS BIGINT) AS df_fg,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS df_all
+        FROM dt GROUP BY term),
+sc AS (SELECT term, df_fg, df_all, df_fg * 1.0 / df_all AS score
+       FROM per WHERE df_fg > 0),
+ranked AS (SELECT term, df_fg, df_all, score,
+                  row_number() OVER (ORDER BY score DESC, term ASC) AS rn
+           FROM sc)
+SELECT term, df_fg, df_all, round(score, 6) AS score, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 15"""
+
+
+def q_bucket_stats_hourly(spark, sf_dir):
+    """ES sibling pipeline aggregations (operators/rollup.
+    sibling_bucket_stats — avg/min/max/sum/stats_bucket in one pass):
+    per event_type, the stats OF the hourly doc-count buckets; a
+    second-level agg over the bucket relation, never the raw events."""
+    from bertopic_spark.operators.rollup import sibling_bucket_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    b = (ev.groupBy("event_type",
+                    F.date_trunc("hour", F.col("ts")).alias("h"))
+         .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    t = sibling_bucket_stats(b, "n", keys=("event_type",))
+    return t.select("event_type", "n_buckets", _r6(F.col("avg_b")).alias("avg_b"),
+                    F.col("min_b").cast("long").alias("min_b"),
+                    F.col("max_b").cast("long").alias("max_b"),
+                    F.col("sum_b").cast("long").alias("sum_b"))
+
+
+SQL_BUCKET_STATS = """WITH
+b AS (SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, date_trunc('hour', ts))
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_buckets,
+       round(avg(n), 6) AS avg_b, CAST(min(n) AS BIGINT) AS min_b,
+       CAST(max(n) AS BIGINT) AS max_b, CAST(sum(n) AS BIGINT) AS sum_b
+FROM b GROUP BY event_type"""
+
+
 _MTIME_SPARK = "date_sub(date'2026-01-01', cast(doc_id % 365 as int))"
 _MTIME_DUCK = "(DATE '2026-01-01' - CAST(doc_id % 365 AS INTEGER))"
 _DECAY_NOW = "2026-03-01"
@@ -8761,4 +8822,6 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
                             _sql_auto_date_histogram()),
     "incremental_phrase_match": (q_incremental_phrase_match,
                                  _sql_incremental_phrase()),
+    "sig_terms_percentage": (q_sig_terms_percentage, SQL_SIG_PERCENTAGE),
+    "bucket_stats_hourly": (q_bucket_stats_hourly, SQL_BUCKET_STATS),
 }

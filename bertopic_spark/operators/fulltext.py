@@ -1212,7 +1212,8 @@ def bm25_topk_synonyms(corpus: DataFrame, qterms: DataFrame,
 
 
 def significant_terms(dt: DataFrame, fg_col: str = "fg", k: int = 10,
-                      id_col: str = "doc_id") -> DataFrame:
+                      id_col: str = "doc_id",
+                      scoring: str = "jlh") -> DataFrame:
     """ES significant_terms with the JLH heuristic: terms whose foreground
     document frequency is anomalously high vs the whole corpus.
     ``dt``: doc-distinct (id_col, term, fg_col boolean). Returns the top-k
@@ -1220,12 +1221,20 @@ def significant_terms(dt: DataFrame, fg_col: str = "fg", k: int = 10,
     (fg_pct - bg_pct) * (fg_pct / bg_pct), keeping only fg_pct > bg_pct
     (the ES positive-signal constraint).
 
+    ``scoring``: "jlh" (default, above) or "percentage" — ES's percentage
+    heuristic, score = df_fg / df_all (the share of a term's documents
+    that are foreground; favors rare-but-exclusive terms where JLH
+    favors common-and-lifted ones). Both run on the same single-pass
+    stats; jlh additionally enforces the positive-signal constraint.
+
     Plan: ONE groupBy(term) with conditional aggregation — the foreground
     df rides the same shuffle as the background df (no second scan, no
     join of two per-term relations); the two scalar doc totals broadcast
     via a literal-free cross join of a 1-row agg. Final top-k is a window
     over the vocabulary-sized relation.
     """
+    if scoring not in ("jlh", "percentage"):
+        raise ValueError(f"scoring must be 'jlh' or 'percentage', got {scoring!r}")
     tot = (dt.agg(
         F.count_distinct(id_col).alias("n_all"),
         F.count_distinct(F.when(F.col(fg_col), F.col(id_col))).alias("n_fg"),
@@ -1238,9 +1247,13 @@ def significant_terms(dt: DataFrame, fg_col: str = "fg", k: int = 10,
     sc = (per.crossJoin(F.broadcast(tot))
           .withColumn("fg_pct", F.col("df_fg") / F.col("n_fg"))
           .withColumn("bg_pct", F.col("df_all") / F.col("n_all"))
-          .filter((F.col("df_fg") > 0) & (F.col("fg_pct") > F.col("bg_pct")))
-          .withColumn("score", (F.col("fg_pct") - F.col("bg_pct"))
-                      * (F.col("fg_pct") / F.col("bg_pct"))))
+          .filter(F.col("df_fg") > 0))
+    if scoring == "jlh":
+        sc = (sc.filter(F.col("fg_pct") > F.col("bg_pct"))
+              .withColumn("score", (F.col("fg_pct") - F.col("bg_pct"))
+                          * (F.col("fg_pct") / F.col("bg_pct"))))
+    else:
+        sc = sc.withColumn("score", F.col("df_fg") / F.col("df_all"))
     # global top-k as sort+limit → TakeOrderedAndProject (per-partition
     # heaps, no single-partition window over the vocabulary); the rank
     # window then runs on k rows only.

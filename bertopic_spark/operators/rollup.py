@@ -599,3 +599,21 @@ def auto_date_histogram(df: DataFrame, ts_col: str,
     return out.select(*keys, F.lit(chosen).alias("interval"), "bucket",
                       *[c for c in out.columns
                         if c not in (*keys, "bucket")])
+
+
+def sibling_bucket_stats(buckets: DataFrame, value_col: str,
+                         keys: Sequence[str] = ()) -> DataFrame:
+    """ES sibling pipeline aggregations — ``avg_bucket`` / ``min_bucket``
+    / ``max_bucket`` / ``sum_bucket`` / ``stats_bucket`` in one pass:
+    per key tuple, the stats OF the sibling buckets' metric values
+    (a second-level agg over the bucket relation, never the raw data) —
+    (keys…, n_buckets, avg_b, min_b, max_b, sum_b). The whole ES
+    sibling family is one groupBy over an already-aggregated relation;
+    splitting them into five operators would be five names for one
+    shuffle."""
+    return (buckets.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.avg(value_col).alias("avg_b"),
+        F.min(value_col).alias("min_b"),
+        F.max(value_col).alias("max_b"),
+        F.sum(value_col).alias("sum_b")))

@@ -1029,3 +1029,19 @@ class TestSearchAsYouTypeAndPinned:
             pinned_topk(organic, [])
         with _pt.raises(ValueError, match="distinct"):
             pinned_topk(organic, [1, 1])
+
+
+def test_significant_terms_percentage_mode(spark):
+    from bertopic_spark.operators.fulltext import significant_terms
+    rows = [(0, True, "rare"), (1, True, "commonterm"),
+            (2, False, "commonterm"), (3, False, "commonterm"),
+            (4, False, "bgonly")]
+    dt = spark.createDataFrame(rows, "doc_id long, fg boolean, term string")
+    got = {r["term"]: r["score"] for r in
+           significant_terms(dt, k=10, scoring="percentage").collect()}
+    assert got["rare"] == 1.0            # 1/1 docs foreground
+    assert abs(got["commonterm"] - 1 / 3) < 1e-12
+    assert "bgonly" not in got           # df_fg = 0 excluded
+    import pytest as _pt
+    with _pt.raises(ValueError, match="scoring"):
+        significant_terms(dt, scoring="chi2")

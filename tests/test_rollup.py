@@ -433,3 +433,14 @@ class TestAutoDateHistogram:
             auto_date_histogram(d, "ts", target_buckets=0)
         with _pt.raises(ValueError, match="no non-null"):
             auto_date_histogram(d, "ts")
+
+
+def test_sibling_bucket_stats(spark):
+    from bertopic_spark.operators.rollup import sibling_bucket_stats
+    b = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 30), ("b", 1, 7)],
+        "k string, h int, n long")
+    got = {r["k"]: (r["n_buckets"], r["avg_b"], r["min_b"], r["max_b"],
+                    r["sum_b"]) for r in
+           sibling_bucket_stats(b, "n", keys=("k",)).collect()}
+    assert got == {"a": (2, 20.0, 10, 30, 40), "b": (1, 7.0, 7, 7, 7)}
