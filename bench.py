@@ -178,6 +178,7 @@ BENCH_QUERIES = [
     "incremental_phrase_match",
     "sig_terms_percentage",
     "bucket_stats_hourly",
+    "hybrid_linear_fuse",
 ]
 
 

@@ -4795,6 +4795,104 @@ SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
 FROM franked WHERE rn <= {HYBRID_K}"""
 
 
+HYB_W_TEXT, HYB_W_DENSE = 0.7, 0.3
+
+
+def q_hybrid_linear(spark, sf_dir):
+    """Score-calibrated hybrid fusion (operators/bm25.linear_fuse): the
+    min-max-normalized convex combination (0.7·BM25 + 0.3·cosine) —
+    the Vespa/Weaviate-style alternative to rank-only RRF; same legs as
+    the hybrid_rrf gate."""
+    from bertopic_spark.operators.bm25 import (bm25_topk_adhoc, linear_fuse,
+                                               queries_df, query_terms)
+    from bertopic_spark.operators.similarity import cosine_topk
+
+    qs = {q: DRIVER_QUERIES[q] for q in HYBRID_QIDS}
+    qt = query_terms(queries_df(spark, qs), MODE)
+    # Leg scores are rounded to 6dp BEFORE normalization (both engines):
+    # min-max divides by small per-query ranges, amplifying sub-6dp float
+    # noise — on identical rounded inputs the normalize+fuse arithmetic
+    # is bit-deterministic, so the output compares exactly.
+    leg_text = (bm25_topk_adhoc(_docs(spark, sf_dir), qt, k=HYBRID_K,
+                                text_col="text", id_col="doc_id", mode=MODE)
+                .select("query_id", "doc_id", _r6(F.col("score")).alias("score")))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    leg_dense = (cosine_topk(emb, list(HYBRID_QIDS), k=HYBRID_K)
+                 .select(F.col("query_vec_id").alias("query_id"),
+                         F.col("vec_id").alias("doc_id"),
+                         _r6(F.col("cos")).alias("score")))
+    out = linear_fuse([leg_text, leg_dense],
+                      weights=[HYB_W_TEXT, HYB_W_DENSE], k=HYBRID_K)
+    return out.select("query_id", "doc_id",
+                      _r6(F.col("score")).alias("score"),
+                      F.col("rank").cast("long").alias("rn"))
+
+
+def _sql_hybrid_linear() -> str:
+    ids = ", ".join(str(i) for i in HYBRID_QIDS)
+    return f"""WITH {_TOKS}, {_XDOC},
+{_scores_sql('xdoc', 'doc_id', True, False)},
+qv(query_id, term) AS (VALUES {_query_term_values()}),
+bhits AS (
+  SELECT qv.query_id, s.doc_id, sum(s.score) AS score
+  FROM qv JOIN scores s USING (term)
+  WHERE qv.query_id IN ({ids})
+  GROUP BY qv.query_id, s.doc_id),
+branked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rn
+  FROM bhits),
+btop AS (SELECT query_id, doc_id, round(score, 6) AS score
+         FROM branked WHERE rn <= {HYBRID_K}),
+bnorm AS (SELECT query_id, doc_id,
+                 CASE WHEN max(score) OVER (PARTITION BY query_id) >
+                           min(score) OVER (PARTITION BY query_id)
+                      THEN (score - min(score) OVER (PARTITION BY query_id))
+                           / (max(score) OVER (PARTITION BY query_id)
+                              - min(score) OVER (PARTITION BY query_id))
+                      ELSE 1.0 END AS n
+          FROM btop),
+{_SQL_COS_CORE.lstrip()},
+dots AS (
+  SELECT q.vec_id AS query_id, d.vec_id AS doc_id, sum(q.val * d.val) AS dot
+  FROM v q JOIN v d ON q.dim = d.dim
+  WHERE q.vec_id IN ({ids}) AND d.vec_id != q.vec_id
+  GROUP BY q.vec_id, d.vec_id),
+sims AS (
+  SELECT query_id, dots.doc_id, dot / (nq.nrm * nd.nrm) AS cos
+  FROM dots JOIN norms nq ON nq.vec_id = query_id
+            JOIN norms nd ON nd.vec_id = dots.doc_id),
+cranked AS (
+  SELECT query_id, doc_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, doc_id ASC) AS rn
+  FROM sims),
+ctop AS (SELECT query_id, doc_id, round(cos, 6) AS cos
+         FROM cranked WHERE rn <= {HYBRID_K}),
+cnorm AS (SELECT query_id, doc_id,
+                 CASE WHEN max(cos) OVER (PARTITION BY query_id) >
+                           min(cos) OVER (PARTITION BY query_id)
+                      THEN (cos - min(cos) OVER (PARTITION BY query_id))
+                           / (max(cos) OVER (PARTITION BY query_id)
+                              - min(cos) OVER (PARTITION BY query_id))
+                      ELSE 1.0 END AS n
+          FROM ctop),
+leg AS (SELECT query_id, doc_id, {HYB_W_TEXT} * n AS c FROM bnorm
+        UNION ALL
+        SELECT query_id, doc_id, {HYB_W_DENSE} * n FROM cnorm),
+fused AS (SELECT query_id, doc_id, sum(c) AS score
+          FROM leg GROUP BY query_id, doc_id),
+franked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rn
+  FROM fused)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+       round(score, 6) AS score, CAST(rn AS BIGINT) AS rn
+FROM franked WHERE rn <= {HYBRID_K}"""
+
+
 DYM_TERMS = ("custmer", "joinn", "querry", "tabel", "windoww")
 DYM_DIST, DYM_N = 2, 3
 
@@ -8824,4 +8922,5 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
                                  _sql_incremental_phrase()),
     "sig_terms_percentage": (q_sig_terms_percentage, SQL_SIG_PERCENTAGE),
     "bucket_stats_hourly": (q_bucket_stats_hourly, SQL_BUCKET_STATS),
+    "hybrid_linear_fuse": (q_hybrid_linear, _sql_hybrid_linear()),
 }

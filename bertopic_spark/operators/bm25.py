@@ -1566,6 +1566,48 @@ def more_like_this(
             .select("query_id", id_col, "score", "rank"))
 
 
+def linear_fuse(scored_legs, weights=None, k: int = 10,
+                id_col: str = "doc_id") -> DataFrame:
+    """Min-max-normalized weighted linear fusion — the score-calibrated
+    hybrid alternative to rank-only ``rrf_fuse`` (the convex combination
+    used by Vespa/Weaviate-style hybrid search): per (query, leg) each
+    score is rescaled to [0, 1] by that query's own min/max on that leg,
+    then fused as Σ w_i · norm_i with a doc missing from a leg
+    contributing 0. A single-result leg (max == min) normalizes to 1.0.
+    Returns (query_id, id, score, rank).
+
+    Each leg is a (query_id, id, score) top-k relation; the per-leg
+    min/max is one window over k rows per query, and the fuse is a
+    union + groupBy of |legs|·k rows per query.
+    """
+    legs = list(scored_legs)
+    if not legs:
+        raise ValueError("need at least one scored leg")
+    ws = [1.0 / len(legs)] * len(legs) if weights is None else [
+        float(w) for w in weights]
+    if len(ws) != len(legs):
+        raise ValueError("weights must match the number of legs")
+    if any(w < 0 for w in ws) or sum(ws) <= 0:
+        raise ValueError("weights must be non-negative with positive sum")
+    normed = []
+    for leg, w in zip(legs, ws):
+        wq = Window.partitionBy("query_id")
+        mn, mx = F.min("score").over(wq), F.max("score").over(wq)
+        n = F.when(mx > mn, (F.col("score") - mn) / (mx - mn)).otherwise(
+            F.lit(1.0))
+        normed.append(leg.select("query_id", F.col(id_col),
+                                 (F.lit(w) * n).alias("c")))
+    from functools import reduce as _reduce
+
+    u = _reduce(lambda a, b: a.unionAll(b), normed)
+    fused = (u.groupBy("query_id", id_col)
+             .agg(F.sum("c").alias("score")))
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (fused.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select("query_id", id_col, "score", "rank"))
+
+
 def rrf_fuse(rankings, k0: int = 60, k: int = 10,
              id_col: str = "doc_id") -> DataFrame:
     """Reciprocal-rank fusion across retrieval legs:

@@ -649,3 +649,26 @@ def test_explain_score_invariants(spark, corpus_df, queries):
     assert got == want
     for h in (exp, scores, x):
         h.unpersist()
+
+
+def test_linear_fuse(spark):
+    from bertopic_spark.operators.bm25 import linear_fuse
+    a = spark.createDataFrame([(0, 1, 10.0), (0, 2, 5.0), (0, 3, 0.0)],
+                              "query_id long, doc_id long, score double")
+    b = spark.createDataFrame([(0, 2, 0.9), (0, 4, 0.4)],
+                              "query_id long, doc_id long, score double")
+    got = {r["doc_id"]: r["score"] for r in
+           linear_fuse([a, b], weights=[0.7, 0.3], k=10).collect()}
+    # a normalizes to 1/0.5/0; b to 1.0/0.0
+    assert got[1] == pytest.approx(0.7)
+    assert got[2] == pytest.approx(0.7 * 0.5 + 0.3 * 1.0)
+    assert got[3] == pytest.approx(0.0)
+    assert got[4] == pytest.approx(0.0)
+    # single-result leg normalizes to 1.0
+    c = spark.createDataFrame([(0, 9, 42.0)],
+                              "query_id long, doc_id long, score double")
+    one = {r["doc_id"]: r["score"] for r in linear_fuse([c], k=5).collect()}
+    assert one == {9: 1.0}
+    import pytest as _pt
+    with _pt.raises(ValueError, match="weights"):
+        linear_fuse([a, b], weights=[1.0])
