@@ -179,6 +179,8 @@ BENCH_QUERIES = [
     "sig_terms_percentage",
     "bucket_stats_hourly",
     "hybrid_linear_fuse",
+    "bm25plus_topk",
+    "terms_set_match",
 ]
 
 

@@ -4795,6 +4795,76 @@ SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
 FROM franked WHERE rn <= {HYBRID_K}"""
 
 
+BM25PLUS_DELTA = 1.0
+TSET_TERMS = ("hash", "join", "merge", "sort", "window")
+
+
+def q_bm25plus_topk(spark, sf_dir):
+    """BM25+ (operators/bm25.bm25plus_topk — Lv & Zhai 2011): Okapi with
+    the δ·idf per-match floor that fixes long-document over-penalization;
+    δ=1.0 paper default. Completes the classical family beside Okapi/
+    LM/DFR/DFI/IB/Axiomatic/TF-IDF."""
+    from bertopic_spark.operators.bm25 import bm25plus_topk
+
+    qt = query_terms(queries_df(spark, DRIVER_QUERIES), MODE)
+    t = bm25plus_topk(_docs(spark, sf_dir), qt, k=10, k1=OKAPI_K1,
+                      b=OKAPI_B, delta=BM25PLUS_DELTA, text_col="text",
+                      mode=MODE)
+    return t.select(
+        "query_id", "doc_id", _r6(F.col("score")).alias("score"),
+        F.col("rank").cast("long").alias("rn"))
+
+
+def _sql_bm25plus() -> str:
+    return f"""WITH {_TOKS}, {_XDOC},
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM xdoc GROUP BY doc_id),
+nstats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM xdoc GROUP BY term),
+q(query_id, term) AS (VALUES {_query_term_values()}),
+hits AS (
+  SELECT q.query_id, x.doc_id,
+         sum(ln(1.0 + (ns.n - dfs.df + 0.5) / (dfs.df + 0.5)) *
+             (x.tf * {OKAPI_K1 + 1.0} /
+              (x.tf + {OKAPI_K1} * (1.0 - {OKAPI_B} +
+                                    {OKAPI_B} * dl.dl / ns.avgdl))
+              + {BM25PLUS_DELTA})) AS score
+  FROM q JOIN xdoc x USING (term) JOIN dfs USING (term)
+       JOIN dl ON dl.doc_id = x.doc_id CROSS JOIN nstats ns
+  GROUP BY q.query_id, x.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rn
+  FROM hits)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, round(score, 6) AS score,
+       CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 10"""
+
+
+def q_terms_set_match(spark, sf_dir):
+    """ES terms_set (operators/bm25.terms_set_match): per-DOCUMENT
+    dynamic minimum_should_match — here msm = 2 + doc_id % 3 (stand-in
+    for the reference's minimum_should_match_field), over a 5-term set.
+    The threshold is evaluated in the same projection; no join."""
+    from bertopic_spark.operators.bm25 import terms_set_match
+
+    return terms_set_match(
+        _docs(spark, sf_dir), list(TSET_TERMS),
+        F.lit(2) + F.col("doc_id") % 3, text_col="text", mode=MODE)
+
+
+def _sql_terms_set() -> str:
+    ts = ", ".join(f"'{t}'" for t in TSET_TERMS)
+    return f"""WITH {_TOKS},
+m AS (SELECT doc_id, CAST(count(DISTINCT term) AS BIGINT) AS n_matched
+      FROM toks WHERE term IN ({ts}) GROUP BY doc_id),
+d AS (SELECT doc_id, CAST(2 + doc_id % 3 AS BIGINT) AS msm_required
+      FROM documents)
+SELECT d.doc_id, m.n_matched, d.msm_required
+FROM d JOIN m USING (doc_id)
+WHERE m.n_matched >= d.msm_required"""
+
+
 HYB_W_TEXT, HYB_W_DENSE = 0.7, 0.3
 
 
@@ -8923,4 +8993,6 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "sig_terms_percentage": (q_sig_terms_percentage, SQL_SIG_PERCENTAGE),
     "bucket_stats_hourly": (q_bucket_stats_hourly, SQL_BUCKET_STATS),
     "hybrid_linear_fuse": (q_hybrid_linear, _sql_hybrid_linear()),
+    "bm25plus_topk": (q_bm25plus_topk, _sql_bm25plus()),
+    "terms_set_match": (q_terms_set_match, _sql_terms_set()),
 }

@@ -2645,3 +2645,96 @@ def block_join_inner_hits(scores: DataFrame, qterms: DataFrame,
     return (ch.withColumn("child_rank", F.row_number().over(w))
             .filter(F.col("child_rank") <= m)
             .select("query_id", parent_col, id_col, "score", "child_rank"))
+
+
+def bm25plus_topk(
+    corpus: DataFrame,
+    qterms: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    delta: float = 1.0,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    mode: str = "ascii_code",
+) -> DataFrame:
+    """BM25+ (Lv & Zhai, CIKM 2011 "Lower-bounding term frequency
+    normalization"): classical Okapi with a per-matched-term floor,
+
+        score(q,d) = Σ_{t∈q∩d} idf(t) · [ tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) + δ ]
+
+    fixing Okapi's over-penalization of LONG documents — a very long doc
+    matching a term can score arbitrarily close to a non-matching doc
+    under plain BM25; the δ floor keeps every match worth at least
+    δ·idf. δ=1.0 is the paper's recommended default. Same physical shape
+    as ``okapi_bm25_topk``: one tokenize+agg pass, broadcast query
+    joins, one (query, doc) agg, WindowGroupLimit.
+    """
+    if delta < 0:
+        raise ValueError("delta must be >= 0")
+    if k1 < 0 or not 0.0 <= b <= 1.0:
+        raise ValueError("need k1 >= 0 and 0 <= b <= 1")
+    x = doc_term_counts(corpus, text_col, [id_col], mode, with_len=True)
+    x = x.persist()
+    try:
+        row = (x.groupBy(id_col).agg(F.max("doc_len").alias("dl"))
+               .agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+               .collect()[0])
+        n_docs, avgdl = int(row["n"]), row["avgdl"]
+        if n_docs == 0:
+            return _empty_topk(corpus.sparkSession, id_col)
+        terms_only = qterms.select("term").distinct()
+        dfs = (x.join(F.broadcast(terms_only), "term")
+               .groupBy("term").agg(F.countDistinct(id_col).alias("df")))
+        idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) /
+                    (F.col("df") + 0.5))
+        denom = (F.col("tf") + F.lit(k1) *
+                 (F.lit(1.0 - b) + F.lit(b) * F.col("doc_len") / F.lit(avgdl)))
+        hits = (
+            x.join(F.broadcast(qterms), "term")
+            .join(F.broadcast(dfs.select("term", idf.alias("idf"))), "term")
+            .groupBy("query_id", id_col)
+            .agg(F.sum(F.col("idf") *
+                       (F.col("tf") * F.lit(k1 + 1.0) / denom + F.lit(delta)))
+                 .alias("score"))
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                                   F.asc(id_col))
+        out = (hits.withColumn("rank", F.row_number().over(w))
+               .filter(F.col("rank") <= k)
+               .select("query_id", id_col, "score", "rank")
+               .localCheckpoint(eager=True))
+    finally:
+        x.unpersist()
+    return out
+
+
+def terms_set_match(
+    corpus: DataFrame,
+    terms,
+    msm_expr,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    mode: str = "ascii_code",
+) -> DataFrame:
+    """ES ``terms_set`` query: docs matching at least a PER-DOCUMENT
+    minimum number of the given terms — ``msm_expr`` is a Column over the
+    corpus row (ES's ``minimum_should_match_field`` / script), so every
+    document carries its own threshold. Returns (id, n_matched,
+    msm_required). One tokenize pass; the term set broadcasts as a
+    literal filter; the threshold is evaluated in the same projection —
+    no join beyond the counting agg.
+    """
+    ts = sorted({str(t) for t in terms})
+    if not ts:
+        raise ValueError("terms must be non-empty")
+    from bertopic_spark.tokenizer import tokens_expr
+
+    toks = tokens_expr(F.col(text_col), mode)
+    n_matched = F.size(F.array_intersect(
+        F.array_distinct(toks), F.array(*[F.lit(t) for t in ts])))
+    return (corpus.select(F.col(id_col),
+                          n_matched.cast("long").alias("n_matched"),
+                          msm_expr.cast("long").alias("msm_required"))
+            .filter((F.col("n_matched") >= F.col("msm_required")) &
+                    (F.col("n_matched") > 0)))

@@ -672,3 +672,44 @@ def test_linear_fuse(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="weights"):
         linear_fuse([a, b], weights=[1.0])
+
+
+def test_bm25plus_floor_and_okapi_delta0(spark):
+    from bertopic_spark.operators.bm25 import (bm25plus_topk, okapi_bm25_topk,
+                                               queries_df, query_terms)
+    rows = [(0, "join " + "filler " * 200), (1, "join"), (2, "nothing")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    qt = query_terms(queries_df(spark, {0: "join"}), "ascii_code")
+    # delta=0 reduces exactly to Okapi
+    p0 = {r["doc_id"]: r["score"] for r in
+          bm25plus_topk(d, qt, k=10, delta=0.0, text_col="text").collect()}
+    ok = {r["doc_id"]: r["score"] for r in
+          okapi_bm25_topk(d, qt, k=10, text_col="text").collect()}
+    assert p0 == pytest.approx(ok)
+    # delta floor: every match gains exactly delta * idf
+    import math
+    p1 = {r["doc_id"]: r["score"] for r in
+          bm25plus_topk(d, qt, k=10, delta=1.0, text_col="text").collect()}
+    idf = math.log(1.0 + (3 - 2 + 0.5) / (2 + 0.5))
+    for did in (0, 1):
+        assert p1[did] == pytest.approx(ok[did] + idf, rel=1e-12)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="delta"):
+        bm25plus_topk(d, qt, delta=-1.0)
+
+
+def test_terms_set_per_doc_threshold(spark):
+    from bertopic_spark.operators.bm25 import terms_set_match
+    from pyspark.sql import functions as F
+    rows = [(0, "hash join"), (1, "hash join merge"), (2, "hash"),
+            (3, "none of them")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    # per-doc msm: doc0 needs 3 (fails with 2), doc1 needs 2 (passes w/ 3)
+    msm = F.when(F.col("doc_id") == 0, 3).otherwise(2)
+    got = {r["doc_id"]: (r["n_matched"], r["msm_required"]) for r in
+           terms_set_match(d, ["hash", "join", "merge"], msm,
+                           text_col="text").collect()}
+    assert got == {1: (3, 2)}
+    import pytest as _pt
+    with _pt.raises(ValueError, match="non-empty"):
+        terms_set_match(d, [], msm, text_col="text")
