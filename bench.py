@@ -181,6 +181,8 @@ BENCH_QUERIES = [
     "hybrid_linear_fuse",
     "bm25plus_topk",
     "terms_set_match",
+    "function_score_multi",
+    "ann_bq_topk",
 ]
 
 

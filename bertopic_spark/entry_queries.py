@@ -4795,6 +4795,126 @@ SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
 FROM franked WHERE rn <= {HYBRID_K}"""
 
 
+FS_WEIGHTS, FS_SCALE_DAYS = (1.0, 2.0, 0.5), 90
+
+
+def q_function_score_multi(spark, sf_dir):
+    """ES function_score with MULTIPLE functions (operators/bm25.
+    function_score_topk): ln1p length factor + gauss recency decay (the
+    deterministic mtime fixture) + md5 random_score, weighted sum,
+    multiplied into Okapi — all functions evaluated in ONE projection
+    over the corpus row."""
+    from bertopic_spark.operators.bm25 import function_score_topk
+
+    qt = query_terms(queries_df(spark, DRIVER_QUERIES), MODE)
+    d = _docs(spark, sf_dir)
+    age_days = F.datediff(F.lit(_DECAY_NOW).cast("date"),
+                          F.expr(_MTIME_SPARK))
+    fns = [
+        F.log1p(0.01 * F.col("n_chars")),
+        F.pow(F.lit(0.5), F.pow(age_days / F.lit(FS_SCALE_DAYS), F.lit(2.0))),
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+               16, 10).cast("long") / F.lit(4294967296.0),
+    ]
+    t = function_score_topk(d, qt, fns, weights=list(FS_WEIGHTS),
+                            score_mode="sum", boost_mode="multiply", k=10,
+                            k1=OKAPI_K1, b=OKAPI_B, text_col="text",
+                            mode=MODE)
+    return t.select(
+        "query_id", "doc_id", _r6(F.col("score")).alias("score"),
+        F.col("rank").cast("long").alias("rn"))
+
+
+def _sql_function_score_multi() -> str:
+    return f"""WITH {_TOKS}, {_XDOC},
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM xdoc GROUP BY doc_id),
+nstats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM xdoc GROUP BY term),
+q(query_id, term) AS (VALUES {_query_term_values()}),
+hits AS (
+  SELECT q.query_id, x.doc_id,
+         sum(ln(1.0 + (ns.n - dfs.df + 0.5) / (dfs.df + 0.5)) *
+             x.tf * {OKAPI_K1 + 1.0} /
+             (x.tf + {OKAPI_K1} * (1.0 - {OKAPI_B} +
+                                   {OKAPI_B} * dl.dl / ns.avgdl))) AS score
+  FROM q JOIN xdoc x USING (term) JOIN dfs USING (term)
+       JOIN dl ON dl.doc_id = x.doc_id CROSS JOIN nstats ns
+  GROUP BY q.query_id, x.doc_id),
+fs AS (
+  SELECT doc_id,
+         {FS_WEIGHTS[0]} * ln(1.0 + 0.01 * n_chars)
+         + {FS_WEIGHTS[1]} * power(0.5,
+             power(date_diff('day', {_MTIME_DUCK}, DATE '{_DECAY_NOW}')
+                   * 1.0 / {FS_SCALE_DAYS}, 2.0))
+         + {FS_WEIGHTS[2]} * (CAST(concat('0x',
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             / 4294967296.0) AS f
+  FROM documents),
+blended AS (
+  SELECT h.query_id, h.doc_id, h.score * fs.f AS score
+  FROM hits h JOIN fs USING (doc_id)),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) AS rn
+           FROM blended)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+       round(score, 6) AS score, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 10"""
+
+
+BQ_RERANK = 40
+
+
+def q_ann_bq_topk(spark, sf_dir):
+    """Binary-quantized ANN (operators/similarity.bq_hamming_topk):
+    1-bit sign codes in two 32-bit halves, Hamming pre-rank via
+    xor+popcount (map-only broadcast probe), exact cosine re-rank of the
+    top-40 candidates."""
+    from bertopic_spark.operators.similarity import bq_hamming_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return bq_hamming_topk(emb, ANN_QUERY_IDS, k=10, rerank=BQ_RERANK)
+
+
+def _sql_ann_bq() -> str:
+    ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    return f"""WITH {_SQL_COS_CORE},
+codes AS (SELECT vec_id,
+    CAST(sum(CASE WHEN val > 0 AND dim < 32
+                  THEN (1::BIGINT << dim) ELSE 0 END) AS BIGINT) AS lo,
+    CAST(sum(CASE WHEN val > 0 AND dim >= 32
+                  THEN (1::BIGINT << (dim - 32)) ELSE 0 END) AS BIGINT) AS hi
+  FROM v GROUP BY vec_id),
+qc AS (SELECT vec_id AS query_vec_id, lo AS qlo, hi AS qhi
+       FROM codes WHERE vec_id IN ({ids})),
+ham AS (SELECT qc.query_vec_id, c.vec_id,
+               CAST(bit_count(xor(c.lo, qc.qlo))
+                    + bit_count(xor(c.hi, qc.qhi)) AS BIGINT) AS hamming
+        FROM codes c CROSS JOIN qc WHERE c.vec_id != qc.query_vec_id),
+cand AS (SELECT query_vec_id, vec_id, hamming FROM (
+  SELECT query_vec_id, vec_id, hamming,
+         row_number() OVER (PARTITION BY query_vec_id
+                            ORDER BY hamming ASC, vec_id ASC) AS hr
+  FROM ham) WHERE hr <= {BQ_RERANK}),
+dots AS (SELECT ca.query_vec_id, ca.vec_id, ca.hamming,
+                sum(q.val * d.val) AS dot
+         FROM cand ca
+         JOIN v q ON q.vec_id = ca.query_vec_id
+         JOIN v d ON d.vec_id = ca.vec_id AND d.dim = q.dim
+         GROUP BY ca.query_vec_id, ca.vec_id, ca.hamming),
+sims AS (SELECT query_vec_id, dots.vec_id, hamming,
+                dot / (nq.nrm * nd.nrm) AS cos
+         FROM dots JOIN norms nq ON nq.vec_id = query_vec_id
+              JOIN norms nd ON nd.vec_id = dots.vec_id),
+ranked AS (SELECT query_vec_id, vec_id, hamming, cos,
+                  row_number() OVER (PARTITION BY query_vec_id
+                                     ORDER BY cos DESC, vec_id ASC) AS rn
+           FROM sims)
+SELECT query_vec_id, vec_id, hamming, round(cos, 6) AS cos,
+       CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 10"""
+
+
 BM25PLUS_DELTA = 1.0
 TSET_TERMS = ("hash", "join", "merge", "sort", "window")
 
@@ -8995,4 +9115,7 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "hybrid_linear_fuse": (q_hybrid_linear, _sql_hybrid_linear()),
     "bm25plus_topk": (q_bm25plus_topk, _sql_bm25plus()),
     "terms_set_match": (q_terms_set_match, _sql_terms_set()),
+    "function_score_multi": (q_function_score_multi,
+                             _sql_function_score_multi()),
+    "ann_bq_topk": (q_ann_bq_topk, _sql_ann_bq()),
 }

@@ -2738,3 +2738,72 @@ def terms_set_match(
                           msm_expr.cast("long").alias("msm_required"))
             .filter((F.col("n_matched") >= F.col("msm_required")) &
                     (F.col("n_matched") > 0)))
+
+
+_FS_SCORE_MODES = ("sum", "avg", "max", "min", "multiply")
+_FS_BOOST_MODES = ("multiply", "sum", "replace")
+
+
+def function_score_topk(
+    corpus: DataFrame,
+    qterms: DataFrame,
+    functions,
+    weights=None,
+    score_mode: str = "sum",
+    boost_mode: str = "multiply",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    mode: str = "ascii_code",
+) -> DataFrame:
+    """ES ``function_score`` with MULTIPLE functions: each function is a
+    Column over the corpus row (field_value_factor, decay, md5
+    random_score, script — anything expressible), weighted and combined
+    per ``score_mode`` (sum/avg/max/min/multiply of wᵢ·fᵢ), then blended
+    with the Okapi relevance score per ``boost_mode``
+    (multiply/sum/replace). ``field_value_factor_topk`` is the
+    single-function special case. Ranked AFTER blending (not a rescore).
+
+    Physical shape: one Okapi hits leg (broadcast query joins), ONE
+    narrow projection evaluates every function over the corpus row
+    (functions never cost a pass each), one join hits⋈functions on the
+    id, one rank window.
+    """
+    fns = list(functions)
+    if not fns:
+        raise ValueError("functions must be non-empty")
+    ws = [1.0] * len(fns) if weights is None else [float(w) for w in weights]
+    if len(ws) != len(fns):
+        raise ValueError("weights must match the number of functions")
+    if score_mode not in _FS_SCORE_MODES:
+        raise ValueError(f"score_mode must be one of {_FS_SCORE_MODES}")
+    if boost_mode not in _FS_BOOST_MODES:
+        raise ValueError(f"boost_mode must be one of {_FS_BOOST_MODES}")
+    hits = _okapi_query_hits(corpus, qterms, k1, b, text_col, id_col, mode)
+    wf = [(F.lit(w) * f.cast("double")).alias(f"_f{i}")
+          for i, (w, f) in enumerate(zip(ws, fns))]
+    fn_rel = corpus.select(F.col(id_col), *wf)
+    cols = [F.col(f"_f{i}") for i in range(len(fns))]
+    if score_mode == "sum":
+        combined = sum(cols[1:], cols[0])
+    elif score_mode == "avg":
+        combined = sum(cols[1:], cols[0]) / F.lit(float(len(cols)))
+    elif score_mode == "max":
+        combined = F.greatest(*cols) if len(cols) > 1 else cols[0]
+    elif score_mode == "min":
+        combined = F.least(*cols) if len(cols) > 1 else cols[0]
+    else:
+        combined = cols[0]
+        for c in cols[1:]:
+            combined = combined * c
+    joined = hits.join(fn_rel, id_col).withColumn("_fs", combined)
+    blended = {"multiply": F.col("score") * F.col("_fs"),
+               "sum": F.col("score") + F.col("_fs"),
+               "replace": F.col("_fs")}[boost_mode]
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (joined.select("query_id", id_col, blended.alias("score"))
+            .withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select("query_id", id_col, "score", "rank"))

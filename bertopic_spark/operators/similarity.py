@@ -763,3 +763,72 @@ def sq8_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
             .select("query_vec_id", id_col,
                     F.round("score", 6).alias("score"),
                     F.lit(0.0).alias("err_bound"), "rn"))
+
+
+def _sign_code_expr(vec, lo_bit: int, n: int):
+    """Σ_{j} (vec[j+1] > 0) << (j - lo_bit) over j in [lo_bit, lo_bit+n)."""
+    # 2^(j-lo_bit) via float pow (exact for exponents < 53; halves are
+    # <= 32 bits): shiftleft takes only a literal bit count, not a Column.
+    return F.aggregate(
+        F.transform(F.sequence(F.lit(lo_bit), F.lit(lo_bit + n - 1)),
+                    lambda j: F.when(
+                        F.element_at(vec, j + 1) > 0,
+                        F.pow(F.lit(2.0), (j - lo_bit).cast("double"))
+                        .cast("long")
+                    ).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"), lambda a, v: a + v)
+
+
+def bq_hamming_topk(emb: DataFrame, query_ids, k: int = 10,
+                    rerank: int = 40, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Binary-quantized ANN (FAISS/Lucene BQ): 1-bit sign codes packed
+    into two 32-bit halves (64-dim vectors → 8 bytes/vector, a 32×
+    compression), Hamming pre-ranking via xor+popcount — pure JVM bit
+    ops over a map-only broadcast probe — then EXACT cosine re-rank of
+    the top-``rerank`` Hamming candidates. Returns (query_vec_id,
+    vec_id, hamming, cos, rn) ranked by exact cosine.
+
+    Scale shape: the code relation is 8 bytes/vector — at 10⁹ vectors it
+    fits executor memory where raw floats do not; the Hamming pass
+    streams the codes against broadcast query codes (no shuffle), and
+    only |q|·rerank candidates ever touch the full vectors.
+    """
+    if k < 1 or rerank < k:
+        raise ValueError("need k >= 1 and rerank >= k")
+    base = emb.select(F.col(id_col),
+                      F.col(vec_col).cast("array<double>").alias("v"))
+    dim = len(base.select("v").first()["v"])
+    half = (dim + 1) // 2
+    codes = base.select(
+        id_col,
+        _sign_code_expr(F.col("v"), 0, half).alias("lo"),
+        _sign_code_expr(F.col("v"), half, dim - half).alias("hi"))
+    qids = [int(q) for q in query_ids]
+    qcodes = F.broadcast(
+        codes.filter(F.col(id_col).isin(qids))
+        .select(F.col(id_col).alias("query_vec_id"),
+                F.col("lo").alias("qlo"), F.col("hi").alias("qhi")))
+    ham = (codes.crossJoin(qcodes)
+           .filter(F.col(id_col) != F.col("query_vec_id"))
+           .select("query_vec_id", id_col,
+                   (F.bit_count(F.col("lo").bitwiseXOR(F.col("qlo"))) +
+                    F.bit_count(F.col("hi").bitwiseXOR(F.col("qhi"))))
+                   .cast("long").alias("hamming")))
+    w = Window.partitionBy("query_vec_id").orderBy(F.asc("hamming"),
+                                                   F.asc(id_col))
+    cand = (ham.withColumn("_hr", F.row_number().over(w))
+            .filter(F.col("_hr") <= rerank).drop("_hr"))
+    qv = F.broadcast(base.filter(F.col(id_col).isin(qids))
+                     .select(F.col(id_col).alias("query_vec_id"),
+                             F.col("v").alias("qv")))
+    rer = (cand.join(base, id_col).join(qv, "query_vec_id")
+           .select("query_vec_id", id_col, "hamming",
+                   cosine_expr(F.col("v"), F.col("qv")).alias("cos")))
+    w2 = Window.partitionBy("query_vec_id").orderBy(F.desc("cos"),
+                                                    F.asc(id_col))
+    return (rer.withColumn("rn", F.row_number().over(w2))
+            .filter(F.col("rn") <= k)
+            .select("query_vec_id", id_col, "hamming",
+                    F.round("cos", 6).alias("cos"),
+                    F.col("rn").cast("long").alias("rn")))

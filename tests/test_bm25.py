@@ -713,3 +713,46 @@ def test_terms_set_per_doc_threshold(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="non-empty"):
         terms_set_match(d, [], msm, text_col="text")
+
+
+def test_function_score_modes(spark):
+    from pyspark.sql import functions as F
+    from bertopic_spark.operators.bm25 import (field_value_factor_topk,
+                                               function_score_topk,
+                                               queries_df, query_terms)
+    rows = [(0, "join alpha", 10.0), (1, "join beta", 100.0)]
+    d = spark.createDataFrame(rows, "doc_id long, text string, pop double")
+    qt = query_terms(queries_df(spark, {0: "join"}), "ascii_code")
+    # single ln1p function == field_value_factor
+    one = {r["doc_id"]: r["score"] for r in
+           function_score_topk(d, qt, [F.log1p(F.col("pop"))],
+                               text_col="text").collect()}
+    fvf = {r["doc_id"]: r["score"] for r in
+           field_value_factor_topk(d, qt, "pop", factor=1.0,
+                                   modifier="ln1p", text_col="text").collect()}
+    assert one == pytest.approx(fvf)
+    # score_mode=max picks the larger weighted function; boost_mode=replace
+    rep = {r["doc_id"]: r["score"] for r in
+           function_score_topk(d, qt, [F.col("pop"), F.lit(50.0)],
+                               score_mode="max", boost_mode="replace",
+                               text_col="text").collect()}
+    assert rep == {0: 50.0, 1: 100.0}
+    import pytest as _pt
+    with _pt.raises(ValueError, match="score_mode"):
+        function_score_topk(d, qt, [F.col("pop")], score_mode="median")
+
+
+def test_bq_hamming(spark):
+    from bertopic_spark.operators.similarity import bq_hamming_topk
+    import numpy as np
+    rng = np.random.RandomState(7)
+    rows = [(i, rng.randn(64).tolist()) for i in range(30)]
+    # vec 20 = exact copy of query 0 -> hamming 0, cos 1.0, rank 1
+    rows[20] = (20, rows[0][1])
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = bq_hamming_topk(emb, [0], k=5, rerank=10).collect()
+    top = got[0]
+    assert (top["vec_id"], top["hamming"], top["cos"]) == (20, 0, 1.0)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="rerank"):
+        bq_hamming_topk(emb, [0], k=10, rerank=5)
