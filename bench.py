@@ -183,6 +183,8 @@ BENCH_QUERIES = [
     "terms_set_match",
     "function_score_multi",
     "ann_bq_topk",
+    "top_metrics_latest",
+    "weighted_avg_value",
 ]
 
 

@@ -4795,6 +4795,44 @@ SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
 FROM franked WHERE rn <= {HYBRID_K}"""
 
 
+def q_top_metrics_latest(spark, sf_dir):
+    """ES top_metrics (sort on ts, metric = value): per event_type, the
+    value carried by the LATEST event — one max_by-riding agg, no window
+    over the raw events, no self-join. (ts is unique per event_type in
+    the fixture at every SF, so the single-key argmax is deterministic.)"""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (ev.groupBy("event_type")
+            .agg(F.max("ts").alias("latest_ts"),
+                 _r6(F.max_by(F.col("value"), F.col("ts")))
+                 .alias("latest_value")))
+
+
+SQL_TOP_METRICS = """SELECT event_type, max(ts) AS latest_ts,
+       round(arg_max(value, ts), 6) AS latest_value
+FROM events GROUP BY event_type"""
+
+
+def q_weighted_avg_value(spark, sf_dir):
+    """ES weighted_avg aggregation: value weighted by event recency rank
+    (weight = epoch-day of ts — a deterministic numeric weight column);
+    one agg, sum(w·v)/sum(w)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # NTZ -> LTZ cast is identity under the UTC session timezone;
+    # unix_micros then matches DuckDB's epoch_us exactly
+    w = F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86400.0e6)
+    return (ev.groupBy("event_type")
+            .agg(_r6(F.sum(w * F.col("value")) / F.sum(w))
+                 .alias("weighted_avg"),
+                 F.count(F.lit(1)).cast("long").alias("n")))
+
+
+SQL_WEIGHTED_AVG = """SELECT event_type,
+       round(sum((epoch_us(ts) / 86400.0e6) * value)
+             / sum(epoch_us(ts) / 86400.0e6), 6) AS weighted_avg,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY event_type"""
+
+
 FS_WEIGHTS, FS_SCALE_DAYS = (1.0, 2.0, 0.5), 90
 
 
@@ -9118,4 +9156,6 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "function_score_multi": (q_function_score_multi,
                              _sql_function_score_multi()),
     "ann_bq_topk": (q_ann_bq_topk, _sql_ann_bq()),
+    "top_metrics_latest": (q_top_metrics_latest, SQL_TOP_METRICS),
+    "weighted_avg_value": (q_weighted_avg_value, SQL_WEIGHTED_AVG),
 }
