@@ -273,3 +273,22 @@ def test_theta_disjoint_sets(spark):
     sk = kmv_sketch(df, "v", k=64, key_cols=["key"])
     row = theta_set_ops(sk, [("A", "B")], k=64, key_col="key").collect()[0]
     assert row.inter_n == 0 and row.inter_est == 0.0 and row.jaccard == 0.0
+
+
+def test_bq_sign_codes_match_numpy(spark):
+    """_sign_code_expr == numpy bit packing for random vectors."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from bertopic_spark.operators.similarity import _sign_code_expr
+    rng = np.random.RandomState(11)
+    vecs = [rng.randn(64).tolist() for _ in range(6)]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vecs)],
+                               "i long, v array<double>")
+    got = {r["i"]: (r["lo"], r["hi"]) for r in df.select(
+        "i", _sign_code_expr(F.col("v"), 0, 32).alias("lo"),
+        _sign_code_expr(F.col("v"), 32, 32).alias("hi")).collect()}
+    for i, v in enumerate(vecs):
+        bits = [1 if x > 0 else 0 for x in v]
+        lo = sum(b << j for j, b in enumerate(bits[:32]))
+        hi = sum(b << j for j, b in enumerate(bits[32:]))
+        assert got[i] == (lo, hi)
