@@ -8919,6 +8919,98 @@ SELECT src, module, CAST(count(*) AS BIGINT) AS n_imports
 FROM im GROUP BY src, module HAVING count(*) >= 3"""
 
 
+RF_PIVOT, RF_BOOST = 200.0, 1.5
+
+
+def q_rank_feature_topk(spark, sf_dir):
+    """ES ``rank_feature`` query beside a match (operators/bm25.
+    rank_feature_topk): Okapi relevance + boost·saturation(n_chars) with
+    pivot 200 — the static-feature boosting clause (pagerank/freshness/
+    stars). The feature is one narrow corpus projection; additive, so
+    only term-matching docs rank."""
+    from bertopic_spark.operators.bm25 import rank_feature_topk
+
+    qt = query_terms(queries_df(spark, DRIVER_QUERIES), MODE)
+    t = rank_feature_topk(_docs(spark, sf_dir), qt, "n_chars",
+                          function="saturation", pivot=RF_PIVOT,
+                          boost=RF_BOOST, k=10, k1=OKAPI_K1, b=OKAPI_B,
+                          text_col="text", mode=MODE)
+    return t.select(
+        "query_id", "doc_id", _r6(F.col("score")).alias("score"),
+        F.col("rank").cast("long").alias("rn"),
+    )
+
+
+SQL_RANK_FEATURE = f"""WITH {_TOKS}, {_XDOC},
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM xdoc GROUP BY doc_id),
+nstats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM xdoc GROUP BY term),
+q(query_id, term) AS (VALUES {_query_term_values()}),
+hits AS (
+  SELECT q.query_id, x.doc_id,
+         sum(ln(1.0 + (ns.n - dfs.df + 0.5) / (dfs.df + 0.5)) *
+             x.tf * {OKAPI_K1 + 1.0} /
+             (x.tf + {OKAPI_K1} * (1.0 - {OKAPI_B} +
+                                   {OKAPI_B} * dl.dl / ns.avgdl))) AS score
+  FROM q JOIN xdoc x USING (term) JOIN dfs USING (term)
+       JOIN dl ON dl.doc_id = x.doc_id CROSS JOIN nstats ns
+  GROUP BY q.query_id, x.doc_id),
+feat AS (
+  SELECT doc_id,
+         {RF_BOOST} * CASE WHEN n_chars > 0
+              THEN CAST(n_chars AS DOUBLE) / (n_chars + {RF_PIVOT})
+              ELSE 0.0 END AS rf
+  FROM documents),
+scored AS (
+  SELECT h.query_id, h.doc_id, h.score + f.rf AS score
+  FROM hits h JOIN feat f USING (doc_id)),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rn
+  FROM scored)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, round(score, 6) AS score,
+       CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 10"""
+
+
+DFEAT_ORIGIN = "2024-01-15 00:00:00"
+DFEAT_PIVOT_US = 3 * 86400 * 1_000_000  # "3d" in microseconds
+DFEAT_BOOST, DFEAT_K = 2.0, 20
+
+
+def q_distance_feature_topk(spark, sf_dir):
+    """ES ``distance_feature`` query, date flavor (operators/bm25.
+    distance_feature_topk): click events ranked by proximity of ts to an
+    origin — score = boost·pivot/(pivot+|ts−origin|) in microseconds
+    (unix_micros == DuckDB epoch_us, no truncation drift). The "boost
+    recent documents" primitive: filter → one scoring projection → one
+    top-k window, no join."""
+    from bertopic_spark.operators.bm25 import distance_feature_topk
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    t = distance_feature_topk(ev, "ts", DFEAT_ORIGIN,
+                              float(DFEAT_PIVOT_US), boost=DFEAT_BOOST,
+                              filter_cond=F.col("event_type") == "click",
+                              k=DFEAT_K, id_col="event_id")
+    return t.select("event_id", _r6(F.col("score")).alias("score"),
+                    F.col("rank").cast("long").alias("rn"))
+
+
+SQL_DISTANCE_FEATURE = f"""WITH x AS (
+  SELECT event_id,
+         {DFEAT_BOOST} * {DFEAT_PIVOT_US} /
+         ({DFEAT_PIVOT_US} + abs(epoch_us(ts) -
+              epoch_us(TIMESTAMP '{DFEAT_ORIGIN}'))) AS score
+  FROM events WHERE event_type = 'click'),
+ranked AS (
+  SELECT event_id, score,
+         row_number() OVER (ORDER BY score DESC, event_id ASC) AS rn
+  FROM x)
+SELECT event_id, round(score, 6) AS score, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= {DFEAT_K}"""
+
+
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "approx_distribution": (q_approx_distribution, SQL_APPROX_DISTRIBUTION),
     "approx_distribution_tokens": (q_approx_distribution_tokens,
@@ -9158,4 +9250,6 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "ann_bq_topk": (q_ann_bq_topk, _sql_ann_bq()),
     "top_metrics_latest": (q_top_metrics_latest, SQL_TOP_METRICS),
     "weighted_avg_value": (q_weighted_avg_value, SQL_WEIGHTED_AVG),
+    "rank_feature_topk": (q_rank_feature_topk, SQL_RANK_FEATURE),
+    "distance_feature_topk": (q_distance_feature_topk, SQL_DISTANCE_FEATURE),
 }

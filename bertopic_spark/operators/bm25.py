@@ -2807,3 +2807,123 @@ def function_score_topk(
             .withColumn("rank", F.row_number().over(w2))
             .filter(F.col("rank") <= k)
             .select("query_id", id_col, "score", "rank"))
+
+
+_RF_FUNCTIONS = ("saturation", "log", "sigmoid", "linear")
+
+
+def rank_feature_topk(
+    corpus: DataFrame,
+    qterms: DataFrame,
+    feature_col: str,
+    function: str = "saturation",
+    pivot: float | None = None,
+    scaling_factor: float = 1.0,
+    exponent: float = 0.6,
+    boost: float = 1.0,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    mode: str = "ascii_code",
+) -> DataFrame:
+    """ES ``rank_feature`` query as a bool-``should`` clause beside a
+    match: final score = Okapi(q, d) + boost · fn(S_d) where S_d is a
+    static per-document numeric feature (pagerank, freshness, stars —
+    here any numeric ``feature_col``). Saturation functions (ES
+    rank-feature docs):
+
+        saturation  S / (S + pivot)
+        log         ln(scaling_factor + S)
+        sigmoid     S^exp / (S^exp + pivot^exp)
+        linear      S
+
+    ``pivot=None`` under saturation/sigmoid uses ES's default — the
+    geometric mean exp(avg(ln S)) over positive features (one scalar
+    agg). Non-positive features contribute 0 under saturation/sigmoid/
+    log (ES requires strictly positive features; we degrade per-row
+    instead of failing the index). The feature term is additive, so docs
+    matching NO query term never enter (same as ES: ``should`` adds
+    only to hits).
+
+    Physical shape: one Okapi hits leg (broadcast query joins, shared
+    tokenize pass), the feature evaluated in ONE narrow projection over
+    the corpus (no extra pass), one id join, one rank window. The
+    feature column rides the corpus row — at 100 TB this is a
+    column-pruned scan of (id, feature), never a separate relation.
+    """
+    if function not in _RF_FUNCTIONS:
+        raise ValueError(f"function must be one of {_RF_FUNCTIONS}")
+    if function in ("saturation", "sigmoid") and pivot is None:
+        row = (corpus.filter(F.col(feature_col) > 0)
+               .agg(F.exp(F.avg(F.log(F.col(feature_col).cast("double"))))
+                    .alias("gm")).collect()[0])
+        pivot = float(row["gm"]) if row["gm"] is not None else 1.0
+    s = F.col(feature_col).cast("double")
+    if function == "saturation":
+        fscore = F.when(s > 0, s / (s + F.lit(float(pivot)))).otherwise(F.lit(0.0))
+    elif function == "log":
+        fscore = F.when(s > 0, F.log(F.lit(float(scaling_factor)) + s)
+                        ).otherwise(F.lit(0.0))
+    elif function == "sigmoid":
+        p = F.pow(F.lit(float(pivot)), F.lit(float(exponent)))
+        se = F.pow(s, F.lit(float(exponent)))
+        fscore = F.when(s > 0, se / (se + p)).otherwise(F.lit(0.0))
+    else:
+        fscore = s
+    hits = _okapi_query_hits(corpus, qterms, k1, b, text_col, id_col, mode)
+    feat = corpus.select(F.col(id_col),
+                         (F.lit(float(boost)) * fscore).alias("_rf"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (hits.join(feat, id_col)
+            .select("query_id", id_col,
+                    (F.col("score") + F.col("_rf")).alias("score"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", id_col, "score", "rank"))
+
+
+def distance_feature_topk(
+    df: DataFrame,
+    field_col: str,
+    origin,
+    pivot: float,
+    boost: float = 1.0,
+    filter_cond=None,
+    k: int = 10,
+    id_col: str = "event_id",
+    is_timestamp: bool = True,
+) -> DataFrame:
+    """ES ``distance_feature`` query (date flavor): score every matching
+    row by proximity of ``field_col`` to ``origin``,
+
+        score = boost · pivot / (pivot + |field − origin|)
+
+    with the distance in MICROSECONDS for timestamp fields (``pivot``
+    e.g. ``7*86400*1_000_000`` for "7d" — unix_micros matches DuckDB's
+    epoch_us exactly, no sub-second truncation) or in the field's own
+    units for plain numerics. ``filter_cond`` is the bool-filter context
+    (ES: the query the clause sits beside); rows failing it never score.
+    Returns (id, score, rank) — the "boost recent documents" primitive.
+
+    One narrow pass: filter → score projection → one rank window over a
+    single partition of k survivors (global top-k, WindowGroupLimit
+    pushes the limit into the sort). No join, no shuffle beyond the
+    top-k exchange.
+    """
+    if pivot <= 0:
+        raise ValueError("pivot must be > 0")
+    x = df if filter_cond is None else df.filter(filter_cond)
+    if is_timestamp:
+        dist = F.abs(F.unix_micros(F.col(field_col).cast("timestamp")) -
+                     F.unix_micros(F.lit(origin).cast("timestamp")))
+    else:
+        dist = F.abs(F.col(field_col).cast("double") - F.lit(float(origin)))
+    score = (F.lit(float(boost)) * F.lit(float(pivot)) /
+             (F.lit(float(pivot)) + dist.cast("double")))
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return (x.select(F.col(id_col), score.alias("score"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(id_col, "score", "rank"))
