@@ -9011,6 +9011,145 @@ SELECT event_id, round(score, 6) AS score, CAST(rn AS BIGINT) AS rn
 FROM ranked WHERE rn <= {DFEAT_K}"""
 
 
+BSEL_MIN_N, BSORT_SIZE = 3, 5
+
+
+def q_bucket_chain_hourly(spark, sf_dir):
+    """The ES histogram post-processing chain (operators/rollup.
+    bucket_script → bucket_selector → bucket_sort): hourly buckets per
+    event_type get a scripted avg_value = sum/n, buckets below n=3 are
+    dropped, and each series keeps its top-5 buckets by count. All three
+    steps run over the BUCKET relation (one agg + one window), never the
+    raw events."""
+    from bertopic_spark.operators.rollup import (bucket_script,
+                                                 bucket_selector,
+                                                 bucket_sort)
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    b = (ev.groupBy("event_type",
+                    F.date_trunc("hour", F.col("ts")).alias("h"))
+         .agg(F.count(F.lit(1)).cast("long").alias("n"),
+              F.sum("value").alias("sv")))
+    b = bucket_script(b, {"avg_value": F.round(F.col("sv") / F.col("n"), 6)})
+    b = bucket_selector(b, F.col("n") >= BSEL_MIN_N)
+    b = bucket_sort(b, [F.desc("n"), F.asc("h")], BSORT_SIZE,
+                    keys=("event_type",))
+    return b.select("event_type", "h", "n", "avg_value")
+
+
+SQL_BUCKET_CHAIN = f"""WITH b AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(count(*) AS BIGINT) AS n, sum(value) AS sv
+  FROM events GROUP BY 1, 2),
+scripted AS (
+  SELECT event_type, h, n, round(sv / n, 6) AS avg_value
+  FROM b WHERE n >= {BSEL_MIN_N}),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY n DESC, h ASC) AS rn
+  FROM scripted)
+SELECT event_type, h, n, avg_value FROM ranked WHERE rn <= {BSORT_SIZE}"""
+
+
+def q_rate_events_daily(spark, sf_dir):
+    """ES ``rate`` aggregation (operators/rollup.rate_agg): daily
+    date_histogram per event_type reported as a PER-HOUR event rate —
+    count rescaled by unit/interval (÷24). One two-phase agg; the
+    rescale is a constant multiply on the bucket relation."""
+    from bertopic_spark.operators.rollup import rate_agg
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return rate_agg(ev, "ts", "day", "hour", keys=("event_type",))
+
+
+SQL_RATE_EVENTS = """SELECT event_type, date_trunc('day', ts) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(count(*) * (3600.0 / 86400.0), 6) AS rate
+FROM events GROUP BY 1, 2"""
+
+
+DRANGE_BUCKETS = (
+    ("week1", "2024-01-01 00:00:00", "2024-01-08 00:00:00"),
+    ("mid_month", "2024-01-08 00:00:00", "2024-01-22 00:00:00"),
+    ("from_jan20", "2024-01-20 00:00:00", None),
+    ("overlap_15_25", "2024-01-15 00:00:00", "2024-01-25 00:00:00"),
+    ("empty_future", "2025-06-01 00:00:00", None),
+)
+
+
+def q_date_range_clicks(spark, sf_dir):
+    """ES ``date_range`` aggregation (operators/rollup.date_range_agg)
+    over click events: half-open timestamp buckets, NULL bound =
+    unbounded, overlapping ranges double-count, empty ranges return 0.
+    The literal range list explodes map-side against one scan."""
+    from bertopic_spark.operators.rollup import date_range_agg
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return date_range_agg(ev.filter(F.col("event_type") == "click"),
+                          "ts", DRANGE_BUCKETS)
+
+
+def _sql_date_range() -> str:
+    vals = ", ".join(
+        "('{}', {}, {})".format(
+            k,
+            "CAST(NULL AS TIMESTAMP)" if lo is None else f"TIMESTAMP '{lo}'",
+            "CAST(NULL AS TIMESTAMP)" if hi is None else f"TIMESTAMP '{hi}'")
+        for k, lo, hi in DRANGE_BUCKETS)
+    return f"""WITH r(range_key, from_ts, to_ts) AS (VALUES {vals}),
+hits AS (
+  SELECT r.range_key
+  FROM r JOIN events e
+    ON (r.from_ts IS NULL OR e.ts >= r.from_ts)
+   AND (r.to_ts IS NULL OR e.ts < r.to_ts)
+  WHERE e.event_type = 'click'),
+agg AS (SELECT range_key, CAST(count(*) AS BIGINT) AS n_docs
+        FROM hits GROUP BY 1)
+SELECT r.range_key, r.from_ts, r.to_ts, coalesce(a.n_docs, 0) AS n_docs
+FROM r LEFT JOIN agg a USING (range_key)"""
+
+
+FILTERS_AGG_DEFS = (
+    ("is_en", "lang = 'en'"),
+    ("de_or_fr", "lang IN ('de', 'fr')"),
+    ("long_doc", "n_chars > 300"),
+)
+
+
+def q_filters_agg_docs(spark, sf_dir):
+    """ES ``filters`` aggregation (operators/rollup.filters_agg): named
+    boolean buckets over documents (overlapping by design — long_doc
+    intersects the lang buckets) plus the other_bucket counting docs
+    matching none. Every filter evaluates as a 0/1 in ONE projection and
+    one global agg — never a pass per filter."""
+    from bertopic_spark.operators.rollup import filters_agg
+
+    d = _docs(spark, sf_dir)
+    return filters_agg(d, {
+        "is_en": F.col("lang") == "en",
+        "de_or_fr": F.col("lang").isin("de", "fr"),
+        "long_doc": F.col("n_chars") > 300,
+    }, other_bucket=True)
+
+
+def _sql_filters_agg() -> str:
+    sums = ", ".join(
+        f"CAST(sum(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) AS {name}"
+        for name, cond in FILTERS_AGG_DEFS)
+    none_cond = " OR ".join(f"({cond})" for _, cond in FILTERS_AGG_DEFS)
+    arms = "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS filter_key, {name} AS n_docs FROM s"
+        for name, _ in FILTERS_AGG_DEFS)
+    return f"""WITH s AS (
+  SELECT {sums},
+         CAST(sum(CASE WHEN NOT coalesce({none_cond}, FALSE)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS other_n
+  FROM documents)
+{arms}
+UNION ALL
+SELECT '_other_' AS filter_key, other_n AS n_docs FROM s"""
+
+
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "approx_distribution": (q_approx_distribution, SQL_APPROX_DISTRIBUTION),
     "approx_distribution_tokens": (q_approx_distribution_tokens,
@@ -9252,4 +9391,8 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "weighted_avg_value": (q_weighted_avg_value, SQL_WEIGHTED_AVG),
     "rank_feature_topk": (q_rank_feature_topk, SQL_RANK_FEATURE),
     "distance_feature_topk": (q_distance_feature_topk, SQL_DISTANCE_FEATURE),
+    "bucket_chain_hourly": (q_bucket_chain_hourly, SQL_BUCKET_CHAIN),
+    "rate_events_daily": (q_rate_events_daily, SQL_RATE_EVENTS),
+    "date_range_clicks": (q_date_range_clicks, _sql_date_range()),
+    "filters_agg_docs": (q_filters_agg_docs, _sql_filters_agg()),
 }

@@ -617,3 +617,150 @@ def sibling_bucket_stats(buckets: DataFrame, value_col: str,
         F.min(value_col).alias("min_b"),
         F.max(value_col).alias("max_b"),
         F.sum(value_col).alias("sum_b")))
+
+
+def bucket_script(buckets: DataFrame, scripts: dict) -> DataFrame:
+    """ES ``bucket_script`` pipeline aggregation: derive a per-bucket
+    metric from the bucket's OTHER metrics — ``scripts`` maps new column
+    name → a Column over the bucket row (e.g. error_rate =
+    errors/total). Pure projection over the already-aggregated bucket
+    relation (ES runs the script on the coordinator per bucket): zero
+    shuffle, composes with ``bucket_selector``/``bucket_sort`` into the
+    standard ES histogram post-processing chain."""
+    if not scripts:
+        raise ValueError("scripts must be non-empty")
+    out = buckets
+    for name, col in scripts.items():
+        out = out.withColumn(name, col)
+    return out
+
+
+def bucket_selector(buckets: DataFrame, cond) -> DataFrame:
+    """ES ``bucket_selector``: KEEP buckets where ``cond`` (a boolean
+    Column over the bucket row, ES's script over bucket_path metrics)
+    holds; NULL comparisons drop the bucket, matching ES's "skip" gap
+    policy. A filter over buckets — runs after the aggregation, never
+    touches raw rows."""
+    return buckets.filter(cond)
+
+
+def bucket_sort(buckets: DataFrame, sort_cols, size: int,
+                keys: Sequence[str] = (), from_: int = 0) -> DataFrame:
+    """ES ``bucket_sort``: order each series' buckets by ``sort_cols``
+    (list of Columns, e.g. [F.desc("rate")]) and keep rows
+    ``from_ < rn <= from_ + size`` — the truncating pagination step of a
+    histogram response. One window over the BUCKET relation partitioned
+    by ``keys`` (the enclosing terms-agg identity); WindowGroupLimit
+    pushes the cap into the sort, so a million-series relation pays one
+    exchange and no global sort."""
+    if size < 1 or from_ < 0:
+        raise ValueError("need size >= 1 and from_ >= 0")
+    w = Window.partitionBy(*keys).orderBy(*sort_cols)
+    return (buckets.withColumn("_bs_rn", F.row_number().over(w))
+            .filter((F.col("_bs_rn") > from_) &
+                    (F.col("_bs_rn") <= from_ + size))
+            .drop("_bs_rn"))
+
+
+def rate_agg(df: DataFrame, ts_col: str, bucket_interval: str,
+             rate_unit: str, value_col: str | None = None,
+             keys: Sequence[str] = (), dp: int = 6) -> DataFrame:
+    """ES ``rate`` aggregation inside a date_histogram: per bucket,
+    the doc count (or ``value_col`` sum) RESCALED from the histogram
+    interval to ``rate_unit`` — e.g. day buckets reported as per-hour
+    rates divide by 24. ES requires rate_unit <= bucket_interval; same
+    validation here. One two-phase agg over raw (map-side combine), the
+    rescale is a constant multiply on the bucket relation.
+
+    Returns (keys…, bucket, n_docs, rate) with rate = metric ·
+    unit/interval, rounded to ``dp``.
+    """
+    seconds = {"minute": 60, "hour": 3600, "day": 86400}
+    if bucket_interval not in seconds or rate_unit not in seconds:
+        raise ValueError(f"interval/unit must be one of {sorted(seconds)}")
+    if seconds[rate_unit] > seconds[bucket_interval]:
+        raise ValueError("rate_unit must not exceed bucket_interval")
+    factor = seconds[rate_unit] / seconds[bucket_interval]
+    metric = (F.count(F.lit(1)).cast("double") if value_col is None
+              else F.sum(F.col(value_col).cast("double")))
+    return (df.groupBy(*keys,
+                       F.date_trunc(bucket_interval, F.col(ts_col))
+                       .alias("bucket"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.round(metric * F.lit(factor), dp).alias("rate")))
+
+
+def date_range_agg(df: DataFrame, ts_col: str, ranges,
+                   keys: Sequence[str] = ()) -> DataFrame:
+    """ES ``date_range`` aggregation: explicit half-open timestamp
+    buckets ``from <= ts < to`` (NULL bound = unbounded, ranges may
+    overlap — a row lands in EVERY containing bucket), empty ranges
+    return n_docs = 0. Same physical shape as ``range_agg``: the tiny
+    literal range list explodes against each row (map-side, one scan),
+    empty buckets restored by a broadcast left join from the literals.
+    Returns (range_key, from_ts, to_ts, n_docs) — plus per-``keys``
+    splits when given (then empty (key, range) pairs are NOT padded;
+    ES nests the terms agg inside each range instead)."""
+    rs = [(str(k), lo, hi) for k, lo, hi in ranges]
+    if not rs or len({k for k, _, _ in rs}) != len(rs):
+        raise ValueError("need non-empty ranges with unique keys")
+    rlit = F.explode(F.array(*[
+        F.struct(F.lit(k).alias("range_key"),
+                 F.lit(lo).cast("timestamp").alias("from_ts"),
+                 F.lit(hi).cast("timestamp").alias("to_ts"))
+        for k, lo, hi in rs])).alias("r")
+    t = F.col(ts_col).cast("timestamp")
+    hits = (df.filter(t.isNotNull())
+            .select(*keys, t.alias("_t"), rlit)
+            .select(*keys, "_t", "r.range_key", "r.from_ts", "r.to_ts")
+            .filter((F.col("from_ts").isNull() | (F.col("_t") >= F.col("from_ts")))
+                    & (F.col("to_ts").isNull() | (F.col("_t") < F.col("to_ts")))))
+    agg = (hits.groupBy(*keys, "range_key")
+           .agg(F.count("*").cast("long").alias("n_docs")))
+    rdf = (df.sparkSession.createDataFrame(
+        [(k, lo, hi) for k, lo, hi in rs],
+        "range_key string, from_ts string, to_ts string")
+        .select("range_key",
+                F.col("from_ts").cast("timestamp").alias("from_ts"),
+                F.col("to_ts").cast("timestamp").alias("to_ts")))
+    if keys:
+        return agg.join(F.broadcast(rdf), "range_key").select(
+            *keys, "range_key", "from_ts", "to_ts", "n_docs")
+    return (rdf.join(F.broadcast(agg), "range_key", "left")
+            .select("range_key", "from_ts", "to_ts",
+                    F.coalesce("n_docs", F.lit(0)).cast("long")
+                    .alias("n_docs")))
+
+
+def filters_agg(df: DataFrame, filters: dict, other_bucket: bool = False,
+                other_key: str = "_other_") -> DataFrame:
+    """ES ``filters`` aggregation: one named bucket per filter (a boolean
+    Column), a document counted in EVERY bucket whose filter it matches;
+    ``other_bucket=True`` adds a bucket counting docs matching NO filter
+    (ES ``other_bucket_key``). Returns (filter_key, n_docs), empty
+    buckets included with 0.
+
+    One scan: every filter evaluates in a single projection as 0/1 ints,
+    one global sum-agg — never one pass (or one job) per filter.
+    """
+    if not filters:
+        raise ValueError("filters must be non-empty")
+    if other_key in filters:
+        raise ValueError("other_key collides with a filter name")
+    names = list(filters)
+    sums = [F.sum(F.when(filters[n], 1).otherwise(0)).cast("long")
+            .alias(n) for n in names]
+    if other_bucket:
+        none_match = filters[names[0]]
+        for n in names[1:]:
+            none_match = none_match | filters[n]
+        sums.append(F.sum(F.when(~F.coalesce(none_match, F.lit(False)),
+                                 1).otherwise(0))
+                    .cast("long").alias(other_key))
+        names = names + [other_key]
+    row = df.agg(*sums)
+    # one wide row -> long (filter_key, n_docs): a names-sized literal stack
+    pairs = F.explode(F.array(*[
+        F.struct(F.lit(n).alias("filter_key"), F.col(n).alias("n_docs"))
+        for n in names])).alias("p")
+    return row.select(pairs).select("p.filter_key", "p.n_docs")
