@@ -9150,6 +9150,60 @@ UNION ALL
 SELECT '_other_' AS filter_key, other_n AS n_docs FROM s"""
 
 
+SPANC_BIG, SPANC_LITTLE, SPANC_SLOP = ("hash", "join"), "scan", 6
+
+
+def _sql_span_big_pairs() -> str:
+    return f"""
+tk AS (SELECT doc_id, {duckdb_tokens_sql('text', MODE)} AS ts FROM documents),
+p AS (SELECT doc_id, unnest(ts) AS term, unnest(range(len(ts))) AS pos FROM tk),
+sp AS (SELECT p0.doc_id, p0.pos AS a, p1.pos AS b
+       FROM p p0 JOIN p p1 ON p1.doc_id = p0.doc_id AND p1.pos > p0.pos
+            AND p1.term = '{SPANC_BIG[1]}'
+       WHERE p0.term = '{SPANC_BIG[0]}'
+         AND p1.pos - p0.pos + 1 <= {len(SPANC_BIG) + SPANC_SLOP})"""
+
+
+def q_span_within_match(spark, sf_dir):
+    """ES ``span_within`` (operators/fulltext.span_within_match):
+    occurrences of '{little}' that fall inside an ordered
+    '{b0} … {b1}' span within slop — (doc_id, pos). The containment
+    test is nested in-array HOFs in one corpus pass; postings-path
+    parity is pytest-pinned."""
+    from bertopic_spark.operators.fulltext import span_within_match
+
+    return span_within_match(_docs(spark, sf_dir), SPANC_LITTLE,
+                             SPANC_BIG, SPANC_SLOP, text_col="text",
+                             mode=MODE)
+
+
+def _sql_span_within() -> str:
+    return f"""WITH {_sql_span_big_pairs()}
+SELECT DISTINCT sp.doc_id, CAST(l.pos AS BIGINT) AS pos
+FROM sp JOIN p l ON l.doc_id = sp.doc_id AND l.term = '{SPANC_LITTLE}'
+     AND l.pos BETWEEN sp.a AND sp.b"""
+
+
+def q_span_containing_match(spark, sf_dir):
+    """ES ``span_containing`` (operators/fulltext.span_containing_match):
+    docs where an ordered big span contains a little occurrence —
+    (doc_id, n_contained distinct little positions inside some valid
+    occurrence). Same one-pass HOF core as span_within."""
+    from bertopic_spark.operators.fulltext import span_containing_match
+
+    return span_containing_match(_docs(spark, sf_dir), SPANC_BIG,
+                                 SPANC_LITTLE, SPANC_SLOP,
+                                 text_col="text", mode=MODE)
+
+
+def _sql_span_containing() -> str:
+    return f"""WITH {_sql_span_big_pairs()}
+SELECT sp.doc_id, CAST(count(DISTINCT l.pos) AS BIGINT) AS n_contained
+FROM sp JOIN p l ON l.doc_id = sp.doc_id AND l.term = '{SPANC_LITTLE}'
+     AND l.pos BETWEEN sp.a AND sp.b
+GROUP BY sp.doc_id"""
+
+
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "approx_distribution": (q_approx_distribution, SQL_APPROX_DISTRIBUTION),
     "approx_distribution_tokens": (q_approx_distribution_tokens,
@@ -9395,4 +9449,7 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "rate_events_daily": (q_rate_events_daily, SQL_RATE_EVENTS),
     "date_range_clicks": (q_date_range_clicks, _sql_date_range()),
     "filters_agg_docs": (q_filters_agg_docs, _sql_filters_agg()),
+    "span_within_match": (q_span_within_match, _sql_span_within()),
+    "span_containing_match": (q_span_containing_match,
+                              _sql_span_containing()),
 }

@@ -1867,3 +1867,127 @@ def span_not_match_postings(positions: DataFrame, include: str, exclude: str,
                                    (b <= a + F.lit(post)))))
     return (per.select(F.col(id_col), kept.cast("long").alias("n_kept"))
             .filter(F.col("n_kept") > 0))
+
+
+def _contained_littles(parrs, larr, n: int, slop: int):
+    """Array of ``larr`` positions contained in SOME valid ordered
+    occurrence of the big span: positions q with p1 ≤ q ≤ pn for an
+    increasing tuple (p1 < … < pn), pi ∈ ``parrs[i]``, and span
+    pn−p1+1 ≤ n+slop. Nested-exists HOFs (exact, same enumeration as the
+    brute-force SQL oracle); every level prunes on the span bound, so
+    the walk is bounded by positions within one slop window, not the
+    full per-term cross product. All JVM-side, no UDF."""
+    def level(i):
+        if i == n - 1:
+            return lambda prev, p1, q: F.exists(
+                parrs[i], lambda p: (p > prev) &
+                (p - p1 + 1 <= F.lit(n + slop)) & (p >= q))
+        nxt = level(i + 1)
+        return lambda prev, p1, q: F.exists(
+            parrs[i], lambda p: (p > prev) &
+            (p - p1 + 1 <= F.lit(n + slop)) & nxt(p, p1, q))
+
+    if n == 1:
+        # degenerate big = single term: span is the term position itself
+        return F.filter(larr, lambda q: F.exists(parrs[0], lambda p: p == q))
+    inner = level(1)
+    return F.filter(larr, lambda q: F.exists(
+        parrs[0], lambda p1: (p1 <= q) & inner(p1, p1, q)))
+
+
+def _span_member_arrays(tk, big: Sequence[str], little: str):
+    idx = F.when(F.size(tk) > 0, F.sequence(F.lit(0), F.size(tk) - 1)
+                 ).otherwise(F.array().cast("array<int>"))
+    def positions(term):
+        return F.filter(idx, lambda i: F.get(tk, i) == F.lit(term))
+    return [positions(t) for t in big], positions(little)
+
+
+def span_within_match(df: DataFrame, little: str, big: Sequence[str],
+                      slop: int = 0, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      mode: str = "ascii_code") -> DataFrame:
+    """ES/Lucene ``span_within``: matches of the ``little`` span (a
+    single term here) that fall INSIDE some match of the ``big`` span
+    (an ordered span_near of ``big`` terms within ``slop``) — returns
+    (id, pos) per contained little occurrence. Because any t1 position
+    at or before a chain's latest start extends to a valid chain, the
+    enumeration over increasing tuples is exact, matching the oracle's
+    positional self-join.
+
+    One corpus pass; the containment test runs as nested in-array HOFs
+    inside WholeStageCodegen (no shuffle, no UDF). Per-doc cost is
+    bounded by positions-per-slop-window, the same bound Lucene's span
+    iterator pays per document.
+    """
+    bt = [str(t) for t in big]
+    if not bt:
+        raise ValueError("big span needs >= 1 term")
+    if slop < 0:
+        raise ValueError("slop must be >= 0")
+
+    def contained(tk):
+        parrs, larr = _span_member_arrays(tk, bt, str(little))
+        return _contained_littles(parrs, larr, len(bt), slop)
+
+    out = with_tokens(df.select(id_col, text_col), text_col, mode)
+    return (out.select(F.col(id_col),
+                       _bound(F.col("tokens"), contained).alias("_qs"))
+            .select(F.col(id_col), F.explode("_qs").alias("_q"))
+            .select(F.col(id_col), F.col("_q").cast("long").alias("pos")))
+
+
+def span_containing_match(df: DataFrame, big: Sequence[str], little: str,
+                          slop: int = 0, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          mode: str = "ascii_code") -> DataFrame:
+    """ES/Lucene ``span_containing``: documents with a match of the
+    ``big`` ordered span (span_near of ``big`` terms within ``slop``)
+    that CONTAINS a match of ``little`` — (id, n_contained) where
+    n_contained counts the distinct little positions inside some valid
+    big occurrence (> 0 by construction). Shares the containment core
+    with ``span_within_match``; same one-pass, HOF-only plan."""
+    bt = [str(t) for t in big]
+    if not bt:
+        raise ValueError("big span needs >= 1 term")
+    if slop < 0:
+        raise ValueError("slop must be >= 0")
+
+    def n_contained(tk):
+        parrs, larr = _span_member_arrays(tk, bt, str(little))
+        return F.size(_contained_littles(parrs, larr, len(bt), slop))
+
+    out = with_tokens(df.select(id_col, text_col), text_col, mode)
+    return (out.select(F.col(id_col),
+                       _bound(F.col("tokens"), n_contained)
+                       .cast("long").alias("n_contained"))
+            .filter(F.col("n_contained") > 0))
+
+
+def span_within_match_postings(positions: DataFrame, little: str,
+                               big: Sequence[str], slop: int = 0,
+                               id_col: str = "doc_id") -> DataFrame:
+    """Indexed ``span_within`` over a (id, term, pos) relation: postings
+    pruned to big ∪ {little} (pushed to the scan on a materialized
+    source), one groupBy(id) building per-term position arrays, the same
+    nested-exists containment core as the scan path (result-identical,
+    pytest-pinned)."""
+    bt = [str(t) for t in big]
+    lt = str(little)
+    if not bt:
+        raise ValueError("big span needs >= 1 term")
+    if slop < 0:
+        raise ValueError("slop must be >= 0")
+    wanted = sorted(set(bt) | {lt})
+    pruned = positions.filter(F.col("term").isin(wanted))
+    arrs = [F.sort_array(F.collect_list(
+        F.when(F.col("term") == t, F.col("pos").cast("int")))).alias(f"_p{i}")
+        for i, t in enumerate(bt)]
+    larr = F.sort_array(F.collect_list(
+        F.when(F.col("term") == lt, F.col("pos").cast("int")))).alias("_l")
+    per_doc = pruned.groupBy(id_col).agg(*arrs, larr)
+    parrs = [F.col(f"_p{i}") for i in range(len(bt))]
+    contained = _contained_littles(parrs, F.col("_l"), len(bt), slop)
+    return (per_doc.select(F.col(id_col), contained.alias("_qs"))
+            .select(F.col(id_col), F.explode("_qs").alias("_q"))
+            .select(F.col(id_col), F.col("_q").cast("long").alias("pos")))
