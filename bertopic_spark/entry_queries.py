@@ -9204,6 +9204,43 @@ FROM sp JOIN p l ON l.doc_id = sp.doc_id AND l.term = '{SPANC_LITTLE}'
 GROUP BY sp.doc_id"""
 
 
+IVL_GAPS = 6
+IVL_RULE = {"all_of": [{"match": ["table", "scan"]},
+                       {"any_of": [{"match": ["merge"]},
+                                   {"match": ["join"]}]}],
+            "ordered": True, "max_gaps": IVL_GAPS}
+
+
+def q_intervals_match(spark, sf_dir):
+    """ES ``intervals`` query (operators/fulltext.intervals_match):
+    ordered all_of(max_gaps=6) of the exact phrase "table scan" followed
+    by merge|join — (doc_id, n_occ distinct occurrence spans, min_span).
+    The rule tree compiles to nested array HOFs in one corpus pass."""
+    from bertopic_spark.operators.fulltext import intervals_match
+
+    return intervals_match(_docs(spark, sf_dir), IVL_RULE,
+                           text_col="text", mode=MODE)
+
+
+def _sql_intervals() -> str:
+    return f"""WITH
+tk AS (SELECT doc_id, {duckdb_tokens_sql('text', MODE)} AS ts FROM documents),
+p AS (SELECT doc_id, unnest(ts) AS term, unnest(range(len(ts))) AS pos FROM tk),
+m1 AS (SELECT p0.doc_id, p0.pos AS s, p1.pos AS e
+       FROM p p0 JOIN p p1 ON p1.doc_id = p0.doc_id
+            AND p1.pos = p0.pos + 1 AND p1.term = 'scan'
+       WHERE p0.term = 'table'),
+m2 AS (SELECT doc_id, pos AS s, pos AS e FROM p
+       WHERE term IN ('merge', 'join')),
+occ AS (SELECT DISTINCT a.doc_id, a.s, b.e
+        FROM m1 a JOIN m2 b ON b.doc_id = a.doc_id AND b.s > a.e
+        WHERE (b.e - a.s + 1) - ((a.e - a.s + 1) + (b.e - b.s + 1))
+              <= {IVL_GAPS})
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occ,
+       CAST(min(e - s + 1) AS BIGINT) AS min_span
+FROM occ GROUP BY doc_id"""
+
+
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "approx_distribution": (q_approx_distribution, SQL_APPROX_DISTRIBUTION),
     "approx_distribution_tokens": (q_approx_distribution_tokens,
@@ -9452,4 +9489,5 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "span_within_match": (q_span_within_match, _sql_span_within()),
     "span_containing_match": (q_span_containing_match,
                               _sql_span_containing()),
+    "intervals_match": (q_intervals_match, _sql_intervals()),
 }

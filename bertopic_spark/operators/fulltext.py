@@ -1991,3 +1991,94 @@ def span_within_match_postings(positions: DataFrame, little: str,
     return (per_doc.select(F.col(id_col), contained.alias("_qs"))
             .select(F.col(id_col), F.explode("_qs").alias("_q"))
             .select(F.col(id_col), F.col("_q").cast("long").alias("pos")))
+
+
+def _interval_occurrences(tk, node):
+    """Occurrence array (struct<s:int,e:int>) of an ES ``intervals``
+    rule over the token array ``tk``. Rules:
+
+      {"match": [tok, …]}                exact consecutive phrase
+      {"any_of": [node, …]}              union of sub-interval matches
+      {"all_of": [node, …],
+       "max_gaps": g, "ordered": True}   ordered, non-overlapping
+                                         sub-matches with total internal
+                                         gaps ≤ g  (g = -1: unlimited)
+
+    all_of folds children left-to-right, flattening partial chains
+    against the next child's occurrences and pruning on the gap bound at
+    every step — the same (s, e) enumeration as the oracle's relational
+    join, entirely in nested array HOFs."""
+    if "match" in node:
+        ts = [str(t) for t in node["match"]]
+        if not ts:
+            raise ValueError("match needs >= 1 token")
+        L = len(ts)
+        idx = F.when(F.size(tk) > 0, F.sequence(F.lit(0), F.size(tk) - 1)
+                     ).otherwise(F.array().cast("array<int>"))
+        def is_start(i):
+            conds = [F.get(tk, i + j) == F.lit(t) for j, t in enumerate(ts)]
+            out = conds[0]
+            for c in conds[1:]:
+                out = out & c
+            return out
+        starts = F.filter(idx, is_start)
+        return F.transform(starts, lambda i: F.struct(
+            i.alias("s"), (i + F.lit(L - 1)).alias("e")))
+    if "any_of" in node:
+        kids = [_interval_occurrences(tk, ch) for ch in node["any_of"]]
+        if not kids:
+            raise ValueError("any_of needs >= 1 child")
+        return F.array_distinct(F.concat(*kids)) if len(kids) > 1 else kids[0]
+    if "all_of" in node:
+        if not node.get("ordered", True):
+            raise ValueError("only ordered all_of is supported")
+        g = int(node.get("max_gaps", -1))
+        kids = [_interval_occurrences(tk, ch) for ch in node["all_of"]]
+        if len(kids) < 2:
+            raise ValueError("all_of needs >= 2 children")
+        acc = F.transform(kids[0], lambda o: F.struct(
+            o["s"].alias("s"), o["e"].alias("e"),
+            (o["e"] - o["s"] + 1).alias("ln")))
+        for child in kids[1:]:
+            acc = F.flatten(F.transform(acc, lambda c: F.transform(
+                F.filter(child, lambda o: o["s"] > c["e"]),
+                lambda o: F.struct(
+                    c["s"].alias("s"), o["e"].alias("e"),
+                    (c["ln"] + o["e"] - o["s"] + 1).alias("ln")))))
+            if g >= 0:
+                acc = F.filter(
+                    acc, lambda c: (c["e"] - c["s"] + 1 - c["ln"]) <= g)
+        return F.array_distinct(F.transform(acc, lambda c: F.struct(
+            c["s"].alias("s"), c["e"].alias("e"))))
+    raise ValueError(f"unknown interval rule: {sorted(node)}")
+
+
+def intervals_match(df: DataFrame, node, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    mode: str = "ascii_code") -> DataFrame:
+    """ES ``intervals`` query: proximity rules composed from exact
+    phrases (``match``), alternation (``any_of``) and ordered
+    conjunction with a gap budget (``all_of`` + ``max_gaps``) — the
+    structured-proximity query ES exposes beside span_*. Returns
+    (id, n_occ, min_span): distinct (start, end) occurrence count of the
+    root rule and the tightest span.
+
+    One corpus pass; the whole rule tree evaluates as nested array HOFs
+    over the token array (WholeStageCodegen, no shuffle, no UDF).
+    Per-doc cost is the product of per-child occurrence counts ONLY
+    within the gap window — each fold step prunes on ``max_gaps`` before
+    the next child multiplies in, the same bound the oracle's
+    self-join enumeration pays."""
+    def occ(tk):
+        return _interval_occurrences(tk, node)
+
+    out = with_tokens(df.select(id_col, text_col), text_col, mode)
+    return (out.select(F.col(id_col),
+                       _bound(F.col("tokens"), occ).alias("_occs"))
+            .select(
+                F.col(id_col),
+                F.size("_occs").cast("long").alias("n_occ"),
+                F.array_min(F.transform(
+                    F.col("_occs"), lambda o: o["e"] - o["s"] + 1))
+                .cast("long").alias("min_span"))
+            .filter(F.col("n_occ") > 0))
