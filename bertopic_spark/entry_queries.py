@@ -9241,6 +9241,131 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occ,
 FROM occ GROUP BY doc_id"""
 
 
+BM25L_DELTA = 0.5
+
+
+def q_bm25l_topk(spark, sf_dir):
+    """BM25L (operators/bm25.bm25l_topk, Lv & Zhai CIKM'11): normalize
+    TF by length FIRST, then saturate with a +δ shift — the long-doc
+    fix that completes the lower-bounded BM25 family next to okapi and
+    BM25+ (which floors AFTER saturation)."""
+    from bertopic_spark.operators.bm25 import bm25l_topk
+
+    qt = query_terms(queries_df(spark, DRIVER_QUERIES), MODE)
+    t = bm25l_topk(_docs(spark, sf_dir), qt, k=10, k1=OKAPI_K1,
+                   b=OKAPI_B, delta=BM25L_DELTA, text_col="text",
+                   mode=MODE)
+    return t.select(
+        "query_id", "doc_id", _r6(F.col("score")).alias("score"),
+        F.col("rank").cast("long").alias("rn"),
+    )
+
+
+SQL_BM25L = f"""WITH {_TOKS}, {_XDOC},
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM xdoc GROUP BY doc_id),
+nstats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM xdoc GROUP BY term),
+q(query_id, term) AS (VALUES {_query_term_values()}),
+hits AS (
+  SELECT q.query_id, x.doc_id,
+         sum(ln((ns.n + 1.0) / (dfs.df + 0.5)) *
+             {OKAPI_K1 + 1.0} *
+             (x.tf / (1.0 - {OKAPI_B} + {OKAPI_B} * dl.dl / ns.avgdl)
+              + {BM25L_DELTA}) /
+             ({OKAPI_K1} +
+              x.tf / (1.0 - {OKAPI_B} + {OKAPI_B} * dl.dl / ns.avgdl)
+              + {BM25L_DELTA})) AS score
+  FROM q JOIN xdoc x USING (term) JOIN dfs USING (term)
+       JOIN dl ON dl.doc_id = x.doc_id CROSS JOIN nstats ns
+  GROUP BY q.query_id, x.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rn
+  FROM hits)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, round(score, 6) AS score,
+       CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 10"""
+
+
+SIGT_TEXT, SIGT_KDOCS, SIGT_KTERMS, SIGT_NDUP = "table scan", 15, 8, 60
+SIGT_DUP = "table scan boilerplate license header copyright notice"
+
+
+def q_significant_text(spark, sf_dir):
+    """ES ``significant_text`` with filter_duplicate_text (operators/
+    fulltext.significant_text): 60 planted boilerplate copies contain
+    the query terms, so WITHOUT dedup they'd fill the foreground and
+    make 'boilerplate/license/…' look significant; exact-content dedup
+    (keep lowest id) collapses them to one before fg/bg counting."""
+    from bertopic_spark.operators.fulltext import significant_text
+
+    d = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.when(F.col("doc_id") < SIGT_NDUP,
+               F.lit(SIGT_DUP)).otherwise(F.col("text")))
+    t = significant_text(d, SIGT_TEXT, k_docs=SIGT_KDOCS,
+                         k_terms=SIGT_KTERMS, filter_duplicate_text=True,
+                         text_col="text", mode=MODE,
+                         k1=OKAPI_K1, b=OKAPI_B)
+    return t.select("term", "df_fg", "df_all",
+                    _r6(F.col("score")).alias("score"),
+                    F.col("rank").cast("long").alias("rn"))
+
+
+def _sql_significant_text() -> str:
+    qterms = ", ".join(
+        f"'{t}'" for t in sorted(set(tokenize_one(SIGT_TEXT, MODE))))
+    return f"""WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id < {SIGT_NDUP} THEN '{SIGT_DUP}'
+              ELSE text END AS text
+  FROM documents),
+docs AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY text ORDER BY doc_id ASC) AS drn
+    FROM planted)
+  WHERE drn = 1),
+toks AS (SELECT doc_id, unnest({duckdb_tokens_sql('text', MODE)}) AS term
+         FROM docs),
+xdoc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM xdoc GROUP BY doc_id),
+nstats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM xdoc GROUP BY term),
+hits AS (
+  SELECT x.doc_id,
+         sum(ln(1.0 + (ns.n - dfs.df + 0.5) / (dfs.df + 0.5)) *
+             x.tf * {OKAPI_K1 + 1.0} /
+             (x.tf + {OKAPI_K1} * (1.0 - {OKAPI_B} +
+                                   {OKAPI_B} * dl.dl / ns.avgdl))) AS s
+  FROM xdoc x JOIN dfs USING (term) JOIN dl ON dl.doc_id = x.doc_id
+       CROSS JOIN nstats ns
+  WHERE x.term IN ({qterms}) GROUP BY x.doc_id),
+fg AS (SELECT doc_id FROM hits ORDER BY s DESC, doc_id ASC
+       LIMIT {SIGT_KDOCS}),
+tot AS (SELECT CAST(count(DISTINCT x.doc_id) AS DOUBLE) AS n_all,
+               CAST((SELECT count(*) FROM fg) AS DOUBLE) AS n_fg
+        FROM xdoc x),
+per AS (SELECT x.term,
+               CAST(count(DISTINCT CASE WHEN f.doc_id IS NOT NULL
+                                        THEN x.doc_id END) AS BIGINT) AS df_fg,
+               CAST(count(DISTINCT x.doc_id) AS BIGINT) AS df_all
+        FROM xdoc x LEFT JOIN fg f ON f.doc_id = x.doc_id
+        GROUP BY x.term),
+sc AS (SELECT term, df_fg, df_all,
+              (df_fg / t.n_fg - df_all / t.n_all) *
+              ((df_fg / t.n_fg) / (df_all / t.n_all)) AS score
+       FROM per CROSS JOIN tot t
+       WHERE df_fg > 0 AND df_fg / t.n_fg > df_all / t.n_all),
+ranked AS (SELECT term, df_fg, df_all, score,
+                  row_number() OVER (ORDER BY score DESC, term ASC) AS rn
+           FROM sc)
+SELECT term, df_fg, df_all, round(score, 6) AS score, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= {SIGT_KTERMS}"""
+
+
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "approx_distribution": (q_approx_distribution, SQL_APPROX_DISTRIBUTION),
     "approx_distribution_tokens": (q_approx_distribution_tokens,
@@ -9490,4 +9615,6 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "span_containing_match": (q_span_containing_match,
                               _sql_span_containing()),
     "intervals_match": (q_intervals_match, _sql_intervals()),
+    "bm25l_topk": (q_bm25l_topk, SQL_BM25L),
+    "significant_text_topk": (q_significant_text, _sql_significant_text()),
 }

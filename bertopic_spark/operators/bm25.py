@@ -2927,3 +2927,64 @@ def distance_feature_topk(
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select(id_col, "score", "rank"))
+
+
+def bm25l_topk(
+    corpus: DataFrame,
+    qterms: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    delta: float = 0.5,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    mode: str = "ascii_code",
+) -> DataFrame:
+    """BM25L (Lv & Zhai, CIKM 2011 §3.2): length-normalize the TF FIRST,
+    then saturate with a shifted floor,
+
+        c' = tf / (1 − b + b·dl/avgdl)
+        score(q,d) = Σ_{t∈q∩d} idf(t) · (k1+1)·(c'+δ) / (k1 + c'+δ)
+        idf(t) = ln((N+1)/(df+0.5))
+
+    vs BM25+ which adds the δ floor AFTER Okapi saturation. δ=0.5 is the
+    paper's default. Completes the lower-bounded family next to
+    ``okapi_bm25_topk`` and ``bm25plus_topk``; same physical shape (one
+    tokenize+agg pass, broadcast query joins, WindowGroupLimit).
+    """
+    if delta < 0:
+        raise ValueError("delta must be >= 0")
+    if k1 < 0 or not 0.0 <= b <= 1.0:
+        raise ValueError("need k1 >= 0 and 0 <= b <= 1")
+    x = doc_term_counts(corpus, text_col, [id_col], mode, with_len=True)
+    x = x.persist()
+    try:
+        row = (x.groupBy(id_col).agg(F.max("doc_len").alias("dl"))
+               .agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+               .collect()[0])
+        n_docs, avgdl = int(row["n"]), row["avgdl"]
+        if n_docs == 0:
+            return _empty_topk(corpus.sparkSession, id_col)
+        terms_only = qterms.select("term").distinct()
+        dfs = (x.join(F.broadcast(terms_only), "term")
+               .groupBy("term").agg(F.countDistinct(id_col).alias("df")))
+        idf = F.log((F.lit(float(n_docs) + 1.0)) / (F.col("df") + 0.5))
+        cprime = (F.col("tf") /
+                  (F.lit(1.0 - b) + F.lit(b) * F.col("doc_len") / F.lit(avgdl)))
+        sat = (F.lit(k1 + 1.0) * (cprime + F.lit(delta)) /
+               (F.lit(k1) + cprime + F.lit(delta)))
+        hits = (
+            x.join(F.broadcast(qterms), "term")
+            .join(F.broadcast(dfs.select("term", idf.alias("idf"))), "term")
+            .groupBy("query_id", id_col)
+            .agg(F.sum(F.col("idf") * sat).alias("score"))
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                                   F.asc(id_col))
+        out = (hits.withColumn("rank", F.row_number().over(w))
+               .filter(F.col("rank") <= k)
+               .select("query_id", id_col, "score", "rank")
+               .localCheckpoint(eager=True))
+    finally:
+        x.unpersist()
+    return out

@@ -2082,3 +2082,34 @@ def intervals_match(df: DataFrame, node, text_col: str = "text",
                     F.col("_occs"), lambda o: o["e"] - o["s"] + 1))
                 .cast("long").alias("min_span"))
             .filter(F.col("n_occ") > 0))
+
+
+def significant_text(corpus: DataFrame, query_text: str,
+                     k_docs: int = 20, k_terms: int = 10,
+                     filter_duplicate_text: bool = True,
+                     text_col: str = "content", id_col: str = "doc_id",
+                     mode: str = "ascii_code",
+                     k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """ES ``significant_text`` aggregation: significant_terms over FREE
+    TEXT of a query's hits, with ES's ``filter_duplicate_text`` — the
+    option that makes it a distinct aggregation: boilerplate copies
+    (mirrored licenses, templated pages) would otherwise dominate the
+    foreground counts and every shared term would look "significant".
+    Dedup here is exact-content (md5 digest, keep lowest id) applied to
+    BOTH foreground and background before counting — the first-order
+    form of ES's near-duplicate sequence filter; the shingle-containment
+    operator (operators/dedup.shingle_containment) is the near-dup
+    upgrade path.
+
+    Physical shape mirrors ``significant_results_terms``: retrieval and
+    fg/bg stats share one tokenize pass over the DEDUPED corpus; the
+    k-row foreground id set broadcasts.
+    """
+    d = corpus
+    if filter_duplicate_text:
+        wdup = Window.partitionBy(F.md5(F.col(text_col))).orderBy(
+            F.col(id_col).asc())
+        d = (corpus.withColumn("_dup_rn", F.row_number().over(wdup))
+             .filter(F.col("_dup_rn") == 1).drop("_dup_rn"))
+    return significant_results_terms(d, query_text, k_docs, k_terms,
+                                     text_col, id_col, mode, k1, b)
