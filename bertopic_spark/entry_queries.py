@@ -9366,6 +9366,69 @@ SELECT term, df_fg, df_all, round(score, 6) AS score, CAST(rn AS BIGINT) AS rn
 FROM ranked WHERE rn <= {SIGT_KTERMS}"""
 
 
+UNIMAX_BUDGET, UNIMAX_EPOCHS, UNIMAX_SEED = 400, 1.5, 42
+
+
+def q_unimax_sample(spark, sf_dir):
+    """UniMax domain mixing (operators/pipeline.unimax_select, Chung et
+    al. 2023): a 400-doc budget waterfilled across languages with a
+    1.5-epoch per-domain cap — as uniform as the caps allow, in exact
+    integer arithmetic. Each doc carries its repeat count (epoching);
+    extras picked by md5 rank. The plan is the |domains|-sized agg; the
+    selection is one per-domain rank window."""
+    from bertopic_spark.operators.pipeline import unimax_select
+
+    return unimax_select(_docs(spark, sf_dir), "lang", UNIMAX_BUDGET,
+                         UNIMAX_EPOCHS, id_col="doc_id",
+                         seed=UNIMAX_SEED).select(
+        "doc_id", "domain", "n_copies")
+
+
+SQL_UNIMAX = f"""WITH sizes AS (
+  SELECT lang AS domain, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1),
+caps AS (SELECT domain, n,
+                CAST(floor(n * {UNIMAX_EPOCHS}) AS BIGINT) AS cap
+         FROM sizes),
+tot AS (SELECT CAST(sum(cap) AS BIGINT) AS total FROM caps),
+ord AS (SELECT domain, n, cap,
+               row_number() OVER (ORDER BY cap, domain) AS i,
+               count(*) OVER () AS m,
+               coalesce(sum(cap) OVER (ORDER BY cap, domain
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS prefix
+        FROM caps),
+lvl AS (SELECT i AS istar,
+               ({UNIMAX_BUDGET} - prefix) // (m - i + 1) AS lam,
+               ({UNIMAX_BUDGET} - prefix) -
+               (({UNIMAX_BUDGET} - prefix) // (m - i + 1)) * (m - i + 1)
+               AS leftover
+        FROM ord
+        WHERE cap > ({UNIMAX_BUDGET} - prefix) // (m - i + 1)
+        ORDER BY i LIMIT 1),
+alloc AS (
+  SELECT o.domain, o.n,
+         CASE WHEN t.total <= {UNIMAX_BUDGET} THEN o.cap
+              WHEN o.i < l.istar THEN o.cap
+              ELSE l.lam + CASE WHEN o.i - l.istar < l.leftover
+                                THEN 1 ELSE 0 END
+         END AS alloc
+  FROM ord o CROSS JOIN tot t LEFT JOIN lvl l ON TRUE),
+ranked AS (
+  SELECT doc_id, lang AS domain,
+         row_number() OVER (PARTITION BY lang
+             ORDER BY md5(concat('{UNIMAX_SEED}', '_',
+                                 CAST(doc_id AS VARCHAR))), doc_id) AS r
+  FROM documents)
+SELECT rk.doc_id, rk.domain,
+       CAST((a.alloc // a.n) +
+            CASE WHEN rk.r <= a.alloc % a.n THEN 1 ELSE 0 END
+            AS BIGINT) AS n_copies
+FROM ranked rk JOIN alloc a USING (domain)
+WHERE (a.alloc // a.n) +
+      CASE WHEN rk.r <= a.alloc % a.n THEN 1 ELSE 0 END > 0"""
+
+
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "approx_distribution": (q_approx_distribution, SQL_APPROX_DISTRIBUTION),
     "approx_distribution_tokens": (q_approx_distribution_tokens,
@@ -9617,4 +9680,5 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "intervals_match": (q_intervals_match, _sql_intervals()),
     "bm25l_topk": (q_bm25l_topk, SQL_BM25L),
     "significant_text_topk": (q_significant_text, _sql_significant_text()),
+    "unimax_sample": (q_unimax_sample, SQL_UNIMAX),
 }

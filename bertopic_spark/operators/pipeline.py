@@ -207,3 +207,79 @@ def dsir_sample(weights: DataFrame, n: int, id_col: str = "doc_id",
               .orderBy(F.desc("key"), F.asc(id_col)).limit(int(n)))
     w = Window.orderBy(F.desc("key"), F.asc(id_col))
     return ranked.withColumn("rank", F.row_number().over(w))
+
+
+def unimax_plan(df: DataFrame, domain_col: str, budget: int,
+                max_epochs: float = 1.0) -> list:
+    """UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    More Effective Language Sampling"): distribute a doc ``budget``
+    across domains as uniformly as possible, capping each domain at
+    ``max_epochs`` passes over its own data — the waterfilling
+
+        alloc_d = min(cap_d, λ),  cap_d = ⌊n_d · max_epochs⌋,
+        λ such that Σ alloc = min(budget, Σ cap)
+
+    in EXACT integer arithmetic (λ* = integer water level, the remainder
+    distributed +1 to uncapped domains in (cap, domain) order), so the
+    SQL oracle replays it bit-for-bit. Returns
+    [(domain, n_docs, cap, alloc)] sorted by (cap, domain) — computed on
+    the driver from the |domains|-sized agg (one groupBy; the plan is
+    never data-sized).
+    """
+    if budget <= 0:
+        raise ValueError("budget must be > 0")
+    if max_epochs <= 0:
+        raise ValueError("max_epochs must be > 0")
+    rows = (df.groupBy(F.col(domain_col).alias("domain"))
+            .agg(F.count(F.lit(1)).alias("n")).collect())
+    sizes = sorted(((r["domain"], int(r["n"])) for r in rows),
+                   key=lambda t: (int(t[1] * max_epochs), t[0]))
+    caps = [int(n * max_epochs) for _, n in sizes]
+    total_cap = sum(caps)
+    if budget >= total_cap:
+        return [(d, n, c, c) for (d, n), c in zip(sizes, caps)]
+    m = len(sizes)
+    alloc = [0] * m
+    remaining, k = budget, m
+    for i, c in enumerate(caps):
+        share = remaining // k
+        if c <= share:
+            alloc[i] = c          # capped: takes everything it may
+            remaining -= c
+            k -= 1
+        else:
+            lam = remaining // k  # uncapped tail: integer water level
+            leftover = remaining - lam * k
+            for j in range(i, m):
+                alloc[j] = lam + (1 if j - i < leftover else 0)
+            break
+    return [(d, n, c, a) for (d, n), c, a in zip(sizes, caps, alloc)]
+
+
+def unimax_select(df: DataFrame, domain_col: str, budget: int,
+                  max_epochs: float = 1.0, id_col: str = "doc_id",
+                  seed: int = 42) -> DataFrame:
+    """UniMax selection: materialize the ``unimax_plan`` allocation as
+    (id, domain, n_copies) with Σ n_copies per domain = alloc_d — every
+    domain doc repeats ⌊alloc/n⌋ times and the first alloc mod n docs by
+    md5(seed‖id) rank repeat once more (md5 exists in both engines, so
+    the oracle reproduces the exact pick). Docs with 0 copies are
+    dropped. One groupBy for the plan + one per-domain rank window; the
+    plan joins back as a broadcast literal."""
+    plan = unimax_plan(df, domain_col, budget, max_epochs)
+    spark = df.sparkSession
+    pdf = spark.createDataFrame(
+        [(d, n, a) for d, n, _, a in plan],
+        "domain string, n_docs long, alloc long")
+    w = Window.partitionBy(domain_col).orderBy(
+        F.md5(F.concat_ws("_", F.lit(seed), F.col(id_col).cast("string"))),
+        F.col(id_col))
+    ranked = df.select(F.col(id_col), F.col(domain_col)) \
+        .withColumn("_r", F.row_number().over(w))
+    out = (ranked.join(F.broadcast(pdf),
+                       ranked[domain_col] == pdf["domain"])
+           .select(F.col(id_col), F.col("domain"),
+                   (F.floor(F.col("alloc") / F.col("n_docs")) +
+                    F.when(F.col("_r") <= F.col("alloc") % F.col("n_docs"),
+                           1).otherwise(0)).cast("long").alias("n_copies")))
+    return out.filter(F.col("n_copies") > 0)
