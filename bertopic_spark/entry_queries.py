@@ -9429,6 +9429,77 @@ WHERE (a.alloc // a.n) +
       CASE WHEN rk.r <= a.alloc % a.n THEN 1 ELSE 0 END > 0"""
 
 
+MOVP_WINDOW, MOVP_LO, MOVP_HI, MOVP_BINS = 7, 0.0, 400.0, 32
+MOVP_QS = (0.5, 0.9)
+
+
+def q_moving_percentiles(spark, sf_dir):
+    """ES ``moving_percentiles`` (operators/rollup.moving_percentiles):
+    p50/p90 of event values over a trailing 7-day window per event_type,
+    computed by MERGING per-day fixed-grid histogram sketches over a
+    dense bucket spine — the combinable-sketch pipeline agg, exact
+    integer counts so the oracle replays it."""
+    from bertopic_spark.operators.rollup import moving_percentiles
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    t = moving_percentiles(ev, "ts", "value", "day", MOVP_WINDOW,
+                           MOVP_QS, MOVP_LO, MOVP_HI, MOVP_BINS,
+                           keys=("event_type",))
+    return t.select("event_type", "bucket", "q",
+                    _r6(F.col("est")).alias("est"))
+
+
+def _sql_moving_percentiles() -> str:
+    w = (MOVP_HI - MOVP_LO) / MOVP_BINS
+    qvals = ", ".join(f"({float(q)})" for q in sorted(set(MOVP_QS)))
+    return f"""WITH c AS (
+  SELECT event_type, date_trunc('day', ts) AS bucket,
+         least({MOVP_BINS - 1}, greatest(0,
+             CAST(floor((value - {MOVP_LO}) / {w}) AS INT))) AS bin,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3),
+spine AS (
+  SELECT event_type,
+         unnest(generate_series(date_trunc('day', mn),
+                                date_trunc('day', mx),
+                                INTERVAL 1 DAY)) AS bucket
+  FROM (SELECT event_type, min(ts) AS mn, max(ts) AS mx
+        FROM events GROUP BY 1)),
+bins AS (SELECT unnest(range({MOVP_BINS})) AS bin),
+dense AS (
+  SELECT s.event_type, s.bucket, b.bin, coalesce(c.cnt, 0) AS cnt
+  FROM spine s CROSS JOIN bins b
+  LEFT JOIN c ON c.event_type = s.event_type AND c.bucket = s.bucket
+             AND c.bin = b.bin),
+merged AS (
+  SELECT *, sum(cnt) OVER (PARTITION BY event_type, bin ORDER BY bucket
+             ROWS BETWEEN {MOVP_WINDOW - 1} PRECEDING AND CURRENT ROW)
+         AS mcnt
+  FROM dense),
+cum AS (
+  SELECT *, sum(mcnt) OVER (PARTITION BY event_type, bucket
+                            ORDER BY bin) AS cum,
+         sum(mcnt) OVER (PARTITION BY event_type, bucket
+                         ORDER BY bin) - mcnt AS cumb,
+         sum(mcnt) OVER (PARTITION BY event_type, bucket) AS n
+  FROM merged),
+qs(q) AS (VALUES {qvals}),
+probe AS (
+  SELECT cum.*, qs.q, qs.q * cum.n AS target
+  FROM cum CROSS JOIN qs
+  WHERE cum.n = 0 OR (cum.cum >= qs.q * cum.n AND cum.mcnt > 0)),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type, bucket, q
+                               ORDER BY bin) AS rn
+  FROM probe)
+SELECT event_type, bucket, q,
+       CASE WHEN n > 0 THEN round({MOVP_LO} + {w} *
+            (bin + CASE WHEN q = 0.0 THEN 0.0
+                        ELSE (target - cumb) / mcnt END), 6)
+       END AS est
+FROM ranked WHERE rn = 1"""
+
+
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "approx_distribution": (q_approx_distribution, SQL_APPROX_DISTRIBUTION),
     "approx_distribution_tokens": (q_approx_distribution_tokens,
@@ -9681,4 +9752,6 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "bm25l_topk": (q_bm25l_topk, SQL_BM25L),
     "significant_text_topk": (q_significant_text, _sql_significant_text()),
     "unimax_sample": (q_unimax_sample, SQL_UNIMAX),
+    "moving_percentiles_daily": (q_moving_percentiles,
+                                 _sql_moving_percentiles()),
 }

@@ -764,3 +764,87 @@ def filters_agg(df: DataFrame, filters: dict, other_bucket: bool = False,
         F.struct(F.lit(n).alias("filter_key"), F.col(n).alias("n_docs"))
         for n in names])).alias("p")
     return row.select(pairs).select("p.filter_key", "p.n_docs")
+
+
+def moving_percentiles(df: DataFrame, ts_col: str, value_col: str,
+                       interval: str, window: int, qs,
+                       lo: float, hi: float, n_bins: int = 32,
+                       keys: Sequence[str] = ()) -> DataFrame:
+    """ES ``moving_percentiles`` pipeline aggregation: per date-histogram
+    bucket, percentiles of the trailing ``window`` buckets (inclusive),
+    computed by MERGING per-bucket histogram sketches — the reason ES
+    requires the inner agg to be a combinable percentiles sketch. Here
+    the sketch is the deterministic fixed-grid histogram
+    (operators/sketch.histogram_sketch): counters are linear, so the
+    trailing merge is a window SUM per (keys, bin) over a DENSE bucket
+    spine (empty buckets contribute zeros, never silently skew the
+    window), and the estimate is the same closed-form interpolation as
+    ``histogram_quantiles`` — bit-identical across partitionings and
+    engines.
+
+    Returns (keys…, bucket, q, est), est NULL when the trailing window
+    is empty (ES skips those buckets; NULL keeps the spine visible).
+
+    Plan: one narrow scan builds (keys, bucket, bin) counts (shuffle
+    cardinality = |keys|·|buckets|·n_bins, never row count); the spine ×
+    bin grid is bucket-relation-sized; one window over bins × one over
+    the cumulative — nothing scales with raw rows.
+    """
+    iv = {"hour": "1 hour", "day": "1 day", "minute": "1 minute"}
+    if interval not in iv:
+        raise ValueError(f"interval must be one of {sorted(iv)}")
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    if not hi > lo:
+        raise ValueError("need hi > lo")
+    if not all(0.0 <= float(q) <= 1.0 for q in qs):
+        raise ValueError("quantiles must be in [0, 1]")
+    gb = list(keys)
+    wdt = (float(hi) - float(lo)) / n_bins
+    v = F.col(value_col).cast("double")
+    b = F.least(F.lit(n_bins - 1),
+                F.greatest(F.lit(0),
+                           F.floor((v - F.lit(float(lo))) / F.lit(wdt))
+                           .cast("int"))).cast("int")
+    bucket = F.date_trunc(interval, F.col(ts_col)).alias("bucket")
+    cnts = (df.where(v.isNotNull())
+            .groupBy(*gb, bucket, b.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("cnt")))
+    # dense bucket spine per key group (min..max of the group's buckets)
+    spine = (df.groupBy(*gb)
+             .agg(F.date_trunc(interval, F.min(ts_col)).alias("_mn"),
+                  F.date_trunc(interval, F.max(ts_col)).alias("_mx"))
+             .select(*gb, F.explode(F.expr(
+                 f"sequence(_mn, _mx, interval {iv[interval]})"))
+                 .alias("bucket")))
+    bins = df.sparkSession.createDataFrame(
+        [(i,) for i in range(n_bins)], "bin int")
+    grid = spine.crossJoin(F.broadcast(bins))
+    dense = (grid.join(cnts, gb + ["bucket", "bin"], "left")
+             .select(*gb, "bucket", "bin",
+                     F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt")))
+    wmov = Window.partitionBy(*gb, "bin").orderBy("bucket") \
+        .rowsBetween(-(window - 1), 0)
+    merged = dense.withColumn("mcnt", F.sum("cnt").over(wmov))
+    wcum = Window.partitionBy(*gb, "bucket").orderBy("bin")
+    cum = (merged
+           .withColumn("cum", F.sum("mcnt").over(wcum))
+           .withColumn("cumb", F.col("cum") - F.col("mcnt")))
+    wtot = Window.partitionBy(*gb, "bucket")
+    cum = cum.withColumn("n", F.sum("mcnt").over(wtot))
+    qdf = df.sparkSession.createDataFrame(
+        [(float(q),) for q in sorted(set(float(q) for q in qs))],
+        "q double")
+    probe = (cum.crossJoin(F.broadcast(qdf))
+             .withColumn("target", F.col("q") * F.col("n"))
+             .filter((F.col("n") == 0) |
+                     ((F.col("cum") >= F.col("target")) & (F.col("mcnt") > 0))))
+    est = (F.lit(float(lo)) + F.lit(wdt) *
+           (F.col("bin") +
+            F.when(F.col("q") == 0.0, F.lit(0.0))
+            .otherwise((F.col("target") - F.col("cumb")) / F.col("mcnt"))))
+    rw = Window.partitionBy(*gb, "bucket", "q").orderBy("bin")
+    return (probe.withColumn("_rn", F.row_number().over(rw))
+            .filter(F.col("_rn") == 1)
+            .select(*gb, "bucket", "q",
+                    F.when(F.col("n") > 0, est).alias("est")))
