@@ -9500,6 +9500,26 @@ SELECT event_type, bucket, q,
 FROM ranked WHERE rn = 1"""
 
 
+FUZZYDL_Q = "tabel"  # 'table' is ONE transposition away (lev would say 2)
+
+
+def q_fuzzy_dl_match(spark, sf_dir):
+    """ES-default fuzziness (operators/fulltext.fuzzy_terms_dl):
+    Damerau-Levenshtein ≤ 1 with adjacent transpositions — 'tabel'
+    reaches 'table' in one edit where plain Levenshtein needs two. Exact
+    lev∪swap decomposition against the dictionary, then the scan-path
+    disjunction count; DuckDB's native damerau_levenshtein oracles the
+    expansion."""
+    from bertopic_spark.operators.fulltext import (fuzzy_terms_dl,
+                                                   term_dictionary,
+                                                   term_set_match)
+
+    docs = _docs(spark, sf_dir)
+    terms = fuzzy_terms_dl(term_dictionary(docs, "text", "doc_id", MODE),
+                           FUZZYDL_Q)
+    return term_set_match(docs, terms, "text", "doc_id", MODE)
+
+
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "approx_distribution": (q_approx_distribution, SQL_APPROX_DISTRIBUTION),
     "approx_distribution_tokens": (q_approx_distribution_tokens,
@@ -9754,4 +9774,6 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "unimax_sample": (q_unimax_sample, SQL_UNIMAX),
     "moving_percentiles_daily": (q_moving_percentiles,
                                  _sql_moving_percentiles()),
+    "fuzzy_dl_match": (q_fuzzy_dl_match, _sql_term_set_match(
+        f"damerau_levenshtein(term, '{FUZZYDL_Q}') <= 1")),
 }

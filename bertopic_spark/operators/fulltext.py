@@ -2113,3 +2113,27 @@ def significant_text(corpus: DataFrame, query_text: str,
              .filter(F.col("_dup_rn") == 1).drop("_dup_rn"))
     return significant_results_terms(d, query_text, k_docs, k_terms,
                                      text_col, id_col, mode, k1, b)
+
+
+def fuzzy_terms_dl(dictionary: DataFrame, term: str,
+                   max_expand: int = 1000) -> list[str]:
+    """ES-default fuzzy expansion: Damerau-Levenshtein distance ≤ 1 WITH
+    adjacent transpositions (ES ``fuzziness`` counts a transposition as
+    ONE edit by default — plain ``fuzzy_terms`` charges it two). Exact
+    decomposition, no DL implementation needed JVM-side:
+
+        DL₁(t, q) ≤ 1  ⇔  lev(t, q) ≤ 1  ∨  t ∈ adjacent-swaps(q)
+
+    (a single DL edit is insert/delete/substitute — all lev — or one
+    adjacent swap). The ≤ |q|−1 swap variants are driver-side literals;
+    the length band prunes before the distance runs. The oracle is
+    DuckDB's native damerau_levenshtein."""
+    if len(term) < 1:
+        raise ValueError("term must be non-empty")
+    swaps = sorted({term[:i] + term[i + 1] + term[i] + term[i + 2:]
+                    for i in range(len(term) - 1)} - {term})
+    band = F.abs(F.length("term") - F.lit(len(term))) <= 1
+    close = F.levenshtein(F.col("term"), F.lit(term), 1) >= 0
+    if swaps:
+        close = close | F.col("term").isin(swaps)
+    return expand_terms(dictionary, band & close, max_expand)

@@ -1045,3 +1045,17 @@ def test_significant_terms_percentage_mode(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="scoring"):
         significant_terms(dt, scoring="chi2")
+
+
+def test_fuzzy_dl_transposition_counts_one(spark):
+    from bertopic_spark.operators.fulltext import (fuzzy_terms,
+                                                   fuzzy_terms_dl)
+    dic = spark.createDataFrame(
+        [("table",), ("tabel",), ("tablet",), ("cable",), ("stable",),
+         ("tbale",), ("zzz",)], "term string")
+    dl = set(fuzzy_terms_dl(dic, "tabel"))
+    lev = set(fuzzy_terms(dic, "tabel", 1))
+    # adjacent swap 'el'->'le' costs ONE Damerau edit, two Levenshtein
+    assert "table" in dl and "table" not in lev
+    assert lev <= dl  # DL1 is a superset of lev1
+    assert "zzz" not in dl and "cable" not in dl
