@@ -9520,6 +9520,44 @@ def q_fuzzy_dl_match(spark, sf_dir):
     return term_set_match(docs, terms, "text", "doc_id", MODE)
 
 
+QL_RANGE = "+table scan n_chars:[150 TO 300}"
+
+
+def q_search_query_range(spark, sf_dir):
+    """Range clauses in the query language (operators/querylang
+    ``field:[a TO b]``): Lucene bracket syntax with mixed bounds —
+    n_chars ≥ 150 inclusive, < 300 exclusive — applied as a
+    parquet-pushdown filter under the gating scan; +table required,
+    scan scored."""
+    from bertopic_spark.operators.querylang import search_query
+
+    out = search_query(_docs(spark, sf_dir), QL_RANGE, k=10,
+                       text_col="text", mode=MODE)
+    return out.select("doc_id", _r6(F.col("score")).alias("score"),
+                      F.col("rank").cast("long").alias("rn"))
+
+
+def _sql_search_query_range() -> str:
+    return f"""WITH
+tkq AS (SELECT doc_id, n_chars, {duckdb_tokens_sql('text', MODE)} AS ts
+        FROM documents),
+t2 AS (SELECT doc_id, unnest(ts) AS term FROM tkq),
+xdoc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         FROM t2 GROUP BY doc_id, term),
+{_scores_sql('xdoc', 'doc_id', True, False).lstrip(',').strip()},
+pos(term) AS (VALUES ('table'), ('scan')),
+cand AS (SELECT doc_id FROM tkq
+         WHERE list_contains(ts, 'table')
+           AND n_chars >= 150 AND n_chars < 300),
+hits AS (SELECT s.doc_id, sum(s.score) AS score
+         FROM scores s JOIN pos USING (term) JOIN cand USING (doc_id)
+         GROUP BY s.doc_id),
+ranked AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                      AS rn FROM hits)
+SELECT doc_id, round(score, 6) AS score, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 10"""
+
+
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "approx_distribution": (q_approx_distribution, SQL_APPROX_DISTRIBUTION),
     "approx_distribution_tokens": (q_approx_distribution_tokens,
@@ -9776,4 +9814,5 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
                                  _sql_moving_percentiles()),
     "fuzzy_dl_match": (q_fuzzy_dl_match, _sql_term_set_match(
         f"damerau_levenshtein(term, '{FUZZYDL_Q}') <= 1")),
+    "search_query_range": (q_search_query_range, _sql_search_query_range()),
 }

@@ -12,6 +12,10 @@ Grammar (whitespace-separated clauses):
                       score contribution is multiplied — Lucene ``^``;
                       repeating a term re-boosted last-wins)
 - ``field:value``     metadata equality on a non-text column
+- ``field:[a TO b]``  metadata range on a non-text column — ``[``/``]``
+                      inclusive, ``{``/``}`` exclusive (mixable, Lucene
+                      syntax), ``*`` = unbounded; numeric bounds compare
+                      numerically, anything else lexicographically
 
 Execution = parse → bounded dictionary expansion (``expand_terms`` raises
 past ``max_expand`` instead of broadcasting a huge literal) → ONE corpus
@@ -39,16 +43,26 @@ from bertopic_spark.operators.fulltext import (_bound, fuzzy_terms,
 from bertopic_spark.operators.postings import doc_term_counts
 from bertopic_spark.tokenizer import tokenize_one
 
-_CLAUSE = re.compile(r'([+-]?)(?:"([^"]*)"|(\S+))')
+_CLAUSE = re.compile(r'([+-]?)(?:"([^"]*)"|(\S+:[\[{][^\]}]*[\]}]|\S+))')
 _FUZZY = re.compile(r"^(.+?)~(\d?)$")
 _BOOST = re.compile(r"^(.+)\^(\d+(?:\.\d+)?)$")
+_RANGE = re.compile(r"^([A-Za-z_][\w.]*):([\[{])\s*(\S+)\s+TO\s+(\S+)\s*([\]}])$")
+
+
+def _range_bound(v: str):
+    if v == "*":
+        return None
+    try:
+        return float(v)
+    except ValueError:
+        return v
 
 
 def parse_query(q: str, mode: str = "ascii_code") -> dict:
     """Parse a query string into clause lists (terms already tokenized)."""
     spec = {"must": [], "must_not": [], "should": [], "phrases": [],
             "not_phrases": [], "wildcards": [], "fuzzies": [], "fields": [],
-            "boosts": {}}
+            "ranges": [], "boosts": {}}
     for sign, phrase, word in _CLAUSE.findall(q or ""):
         if phrase is not None and phrase != "" or (phrase == "" and word == ""):
             toks = tokenize_one(phrase, mode)
@@ -64,6 +78,21 @@ def parse_query(q: str, mode: str = "ascii_code") -> dict:
             if sign == "-" or any(c in word for c in "*?~:"):
                 raise ValueError(
                     f"boost only applies to plain/+ terms, got {word!r}")
+        rm = _RANGE.match(word)
+        if rm:
+            if sign:
+                raise ValueError(f"range clause {word!r} cannot take +/-")
+            col, lb, lo, hi, rb = rm.groups()
+            lo, hi = _range_bound(lo), _range_bound(hi)
+            if lo is None and hi is None:
+                raise ValueError(f"range clause {word!r} is unbounded "
+                                 "on both sides")
+            if (lo is not None and hi is not None and
+                    isinstance(lo, float) != isinstance(hi, float)):
+                raise ValueError(f"range clause {word!r} mixes numeric "
+                                 "and string bounds")
+            spec["ranges"].append((col, lo, hi, lb == "[", rb == "]"))
+            continue
         if ":" in word:
             col, _, val = word.partition(":")
             if sign:
@@ -93,6 +122,19 @@ def parse_query(q: str, mode: str = "ascii_code") -> dict:
             for t in toks:
                 spec["boosts"][t] = boost
     return spec
+
+
+def _range_pred(col: str, lo, hi, lo_incl: bool, hi_incl: bool) -> Column:
+    """Pushdown-able range predicate for a ``field:[a TO b]`` clause."""
+    c = F.col(col)
+    if isinstance(lo, float) or isinstance(hi, float):
+        c = c.cast("double")
+    pred = F.lit(True)
+    if lo is not None:
+        pred = pred & ((c >= F.lit(lo)) if lo_incl else (c > F.lit(lo)))
+    if hi is not None:
+        pred = pred & ((c <= F.lit(hi)) if hi_incl else (c < F.lit(hi)))
+    return pred
 
 
 def _apply_boosts(scores: DataFrame, boosts: dict) -> DataFrame:
@@ -159,6 +201,8 @@ def search_query(corpus: DataFrame, q: str, k: int = 10,
     cand = with_tokens(corpus, text_col, mode)
     for col, val in spec["fields"]:
         cand = cand.filter(F.col(col) == val)  # pushed to the parquet scan
+    for col, lo, hi, li, hi_ in spec["ranges"]:
+        cand = cand.filter(_range_pred(col, lo, hi, li, hi_))  # pushed too
     cand = (cand.filter(_bound(F.col("tokens"), gate))
             .select(id_col))
 
@@ -229,8 +273,8 @@ def search_query_indexed(spark, seg_path: str, pos_path: str, q: str,
                        *(t for p in spec["phrases"] for t in p)})
     if not positive:
         raise ValueError("query has no positive terms to rank")
-    if spec["fields"] and meta is None:
-        raise ValueError("field clauses need the meta relation")
+    if (spec["fields"] or spec["ranges"]) and meta is None:
+        raise ValueError("field/range clauses need the meta relation")
 
     gate_terms = sorted({*positive, *spec["must_not"],
                          *(t for p in spec["not_phrases"] for t in p)})
@@ -248,6 +292,9 @@ def search_query_indexed(spark, seg_path: str, pos_path: str, q: str,
     for col, val in spec["fields"]:
         cand = cand.join(meta.filter(F.col(col) == val).select(id_col),
                          id_col, "leftsemi")
+    for col, lo, hi, li, hi_ in spec["ranges"]:
+        cand = cand.join(meta.filter(_range_pred(col, lo, hi, li, hi_))
+                         .select(id_col), id_col, "leftsemi")
 
     scores = _apply_boosts(
         decode_blocks(pruned_block_scan(spark, seg_path, positive, nb), sp),

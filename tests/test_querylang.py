@@ -231,3 +231,34 @@ def test_boost_semantics(spark, docs):
     for d, s in boosted.items():
         want = base[d] + alone.get(d, 0.0)
         assert s == pytest.approx(want, abs=1e-9), d
+
+
+def test_range_clause_parse_and_gate(spark):
+    from bertopic_spark.operators.querylang import parse_query, search_query
+
+    spec = parse_query("+aa n_chars:[10 TO 20} lang:{ab TO *]")
+    assert spec["ranges"] == [("n_chars", 10.0, 20.0, True, False),
+                              ("lang", "ab", None, False, True)]
+    docs = spark.createDataFrame(
+        [(0, "aa bb", 10), (1, "aa bb", 20), (2, "aa bb", 15),
+         (3, "cc dd", 15)], "doc_id long, text string, n_chars long")
+    out = search_query(docs, "+aa n_chars:[10 TO 20}", k=10,
+                       text_col="text")
+    # inclusive 10, exclusive 20; doc 3 fails +aa
+    assert {r["doc_id"] for r in out.collect()} == {0, 2}
+    out2 = search_query(docs, "+aa n_chars:[* TO 15]", k=10,
+                        text_col="text")
+    assert {r["doc_id"] for r in out2.collect()} == {0, 2}
+
+
+def test_range_clause_validation():
+    import pytest as _pt
+
+    from bertopic_spark.operators.querylang import parse_query
+
+    with _pt.raises(ValueError):
+        parse_query("n:[* TO *]")
+    with _pt.raises(ValueError):
+        parse_query("n:[1 TO abc]")
+    with _pt.raises(ValueError):
+        parse_query("-n:[1 TO 2]")
