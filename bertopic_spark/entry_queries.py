@@ -9558,6 +9558,63 @@ SELECT doc_id, round(score, 6) AS score, CAST(rn AS BIGINT) AS rn
 FROM ranked WHERE rn <= 10"""
 
 
+MRL_PREFIX, MRL_CANDS = 16, 50
+
+
+def q_ann_matryoshka_topk(spark, sf_dir):
+    """Matryoshka two-stage ANN (operators/similarity.matryoshka_topk):
+    coarse cosine over the first 16 dims keeps 50 candidates/query, then
+    exact full-dim re-rank — the MRL "shortened embeddings" serving
+    pattern; stage 1 reads prefix/dim of the bytes when the prefix is
+    its own column."""
+    from bertopic_spark.operators.similarity import matryoshka_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return matryoshka_topk(emb, ANN_QUERY_IDS, k=10,
+                           prefix_dims=MRL_PREFIX, n_candidates=MRL_CANDS)
+
+
+def _sql_ann_matryoshka() -> str:
+    ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    return f"""WITH {_SQL_COS_CORE},
+pnorms AS (SELECT vec_id, sqrt(sum(val * val)) AS nrm FROM v
+           WHERE dim < {MRL_PREFIX} GROUP BY vec_id),
+pdots AS (
+  SELECT q.vec_id AS query_vec_id, d.vec_id AS vec_id,
+         sum(q.val * d.val) AS dot
+  FROM v q JOIN v d ON q.dim = d.dim
+  WHERE q.vec_id IN ({ids}) AND d.vec_id != q.vec_id
+    AND q.dim < {MRL_PREFIX}
+  GROUP BY q.vec_id, d.vec_id),
+coarse AS (
+  SELECT query_vec_id, pdots.vec_id AS vec_id,
+         dot / (nq.nrm * nd.nrm) AS ccos
+  FROM pdots JOIN pnorms nq ON nq.vec_id = query_vec_id
+             JOIN pnorms nd ON nd.vec_id = pdots.vec_id),
+cand AS (
+  SELECT query_vec_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_vec_id
+                                 ORDER BY ccos DESC, vec_id ASC) AS r1
+    FROM coarse)
+  WHERE r1 <= {MRL_CANDS}),
+dots AS (
+  SELECT c.query_vec_id, c.vec_id, sum(q.val * d.val) AS dot
+  FROM cand c JOIN v q ON q.vec_id = c.query_vec_id
+       JOIN v d ON d.vec_id = c.vec_id AND d.dim = q.dim
+  GROUP BY c.query_vec_id, c.vec_id),
+sims AS (
+  SELECT query_vec_id, dots.vec_id AS vec_id, dot / (nq.nrm * nd.nrm) AS cos
+  FROM dots JOIN norms nq ON nq.vec_id = query_vec_id
+            JOIN norms nd ON nd.vec_id = dots.vec_id),
+ranked AS (
+  SELECT query_vec_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_vec_id
+                            ORDER BY cos DESC, vec_id ASC) AS rn
+  FROM sims)
+SELECT query_vec_id, vec_id, round(cos, 6) AS cos, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 10"""
+
+
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "approx_distribution": (q_approx_distribution, SQL_APPROX_DISTRIBUTION),
     "approx_distribution_tokens": (q_approx_distribution_tokens,
@@ -9815,4 +9872,5 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "fuzzy_dl_match": (q_fuzzy_dl_match, _sql_term_set_match(
         f"damerau_levenshtein(term, '{FUZZYDL_Q}') <= 1")),
     "search_query_range": (q_search_query_range, _sql_search_query_range()),
+    "ann_matryoshka_topk": (q_ann_matryoshka_topk, _sql_ann_matryoshka()),
 }

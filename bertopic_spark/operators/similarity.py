@@ -832,3 +832,55 @@ def bq_hamming_topk(emb: DataFrame, query_ids, k: int = 10,
             .select("query_vec_id", id_col, "hamming",
                     F.round("cos", 6).alias("cos"),
                     F.col("rn").cast("long").alias("rn")))
+
+
+def matryoshka_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    prefix_dims: int = 16,
+    n_candidates: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka two-stage serving (Kusupati et al. 2022 MRL; the
+    OpenAI/Nomic "shortening" deployment pattern): stage 1 ranks the
+    whole corpus by cosine over only the FIRST ``prefix_dims``
+    dimensions and keeps ``n_candidates`` per query; stage 2 re-ranks
+    the survivors with exact full-dimension cosine. With MRL-trained
+    embeddings the prefix is a faithful coarse embedding, so recall@k
+    is near-1 at prefix/full of the FLOPs — and at 10⁹ vectors the
+    prefix can live as its OWN parquet column (column pruning reads
+    prefix_dims/dim of the bytes in stage 1; stage 2 fetches full
+    vectors for only n_candidates·|queries| rows).
+
+    Returns (query_vec_id, vec_id, cos, rn) — exact cosine of the
+    survivors, so rows are directly comparable to ``cosine_topk``.
+    Both stages are broadcast-query map passes; the only shuffles are
+    the two per-query top-k windows.
+    """
+    if prefix_dims < 1 or n_candidates < k:
+        raise ValueError("need prefix_dims >= 1 and n_candidates >= k")
+    proj = lambda df: df.select(  # noqa: E731
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    q = proj(emb.filter(F.col(id_col).isin(query_ids))).select(
+        F.col(id_col).alias("query_vec_id"), F.col("v").alias("qv"))
+    base = proj(emb)
+    pairs = (base.crossJoin(F.broadcast(q))
+             .filter(F.col(id_col) != F.col("query_vec_id")))
+    coarse = pairs.select(
+        "query_vec_id", id_col, "qv", "v",
+        cosine_expr(F.slice(F.col("qv"), 1, prefix_dims),
+                    F.slice(F.col("v"), 1, prefix_dims)).alias("ccos"))
+    w1 = Window.partitionBy("query_vec_id").orderBy(F.desc("ccos"),
+                                                    F.asc(id_col))
+    cand = (coarse.withColumn("_r1", F.row_number().over(w1))
+            .filter(F.col("_r1") <= n_candidates))
+    w2 = Window.partitionBy("query_vec_id").orderBy(F.desc("cos"),
+                                                    F.asc(id_col))
+    return (cand.select("query_vec_id", id_col,
+                        cosine_expr(F.col("qv"), F.col("v")).alias("cos"))
+            .withColumn("rn", F.row_number().over(w2).cast("long"))
+            .filter(F.col("rn") <= k)
+            .select("query_vec_id", id_col, F.round("cos", 6).alias("cos"),
+                    "rn"))

@@ -120,3 +120,34 @@ def test_bounds_validation(spark):
     with pytest.raises(ValueError):
         sq8_encode(t, empty)
     assert math.isfinite(1.0)  # keep math import honest
+
+
+def test_matryoshka_full_prefix_equals_brute(spark):
+    """prefix_dims = full dim and candidates = corpus: identical to
+    cosine_topk; small prefix still recovers exact top-k on separable
+    fixtures (recall property, not an accident of params)."""
+    import numpy as np
+
+    from bertopic_spark.operators.similarity import (cosine_topk,
+                                                     matryoshka_topk)
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(5, 32)
+    rows = []
+    for i in range(60):
+        c = i % 5
+        v = base[c] + 0.05 * rng.randn(32)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    brute = cosine_topk(emb, [0, 1], k=5).collect()
+    full = matryoshka_topk(emb, [0, 1], k=5, prefix_dims=32,
+                           n_candidates=60).collect()
+    assert sorted(map(tuple, brute)) == sorted(map(tuple, full))
+    short = matryoshka_topk(emb, [0, 1], k=5, prefix_dims=8,
+                            n_candidates=20).collect()
+    # cluster structure survives an 8-dim prefix: same ids recovered
+    assert ({(r["query_vec_id"], r["vec_id"]) for r in short} ==
+            {(r["query_vec_id"], r["vec_id"]) for r in brute})
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        matryoshka_topk(emb, [0], k=10, prefix_dims=8, n_candidates=5)
