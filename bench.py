@@ -185,6 +185,23 @@ BENCH_QUERIES = [
     "ann_bq_topk",
     "top_metrics_latest",
     "weighted_avg_value",
+    # round-3 late batch: feature scoring, bucket pipeline, span
+    # containment, intervals, similarity variants, mixing, MRL serving
+    "rank_feature_topk",
+    "distance_feature_topk",
+    "bucket_chain_hourly",
+    "rate_events_daily",
+    "date_range_clicks",
+    "filters_agg_docs",
+    "span_within_match",
+    "intervals_match",
+    "bm25l_topk",
+    "significant_text_topk",
+    "unimax_sample",
+    "moving_percentiles_daily",
+    "fuzzy_dl_match",
+    "search_query_range",
+    "ann_matryoshka_topk",
 ]
 
 
