@@ -125,15 +125,27 @@ def parse_query(q: str, mode: str = "ascii_code") -> dict:
 
 
 def _range_pred(col: str, lo, hi, lo_incl: bool, hi_incl: bool) -> Column:
-    """Pushdown-able range predicate for a ``field:[a TO b]`` clause."""
+    """Pushdown-able range predicate for a ``field:[a TO b]`` clause.
+
+    Integral numeric bounds compare as int literals with NO cast on the
+    column — a cast(col) would block parquet predicate pushdown, which
+    is the whole point of a metadata range at scale. Fractional bounds
+    (rare on metadata) pay the cast."""
     c = F.col(col)
-    if isinstance(lo, float) or isinstance(hi, float):
+    numeric = isinstance(lo, float) or isinstance(hi, float)
+    integral = numeric and all(
+        b is None or float(b).is_integer() for b in (lo, hi))
+    if numeric and not integral:
         c = c.cast("double")
+
+    def lit(b):
+        return F.lit(int(b)) if integral else F.lit(b)
+
     pred = F.lit(True)
     if lo is not None:
-        pred = pred & ((c >= F.lit(lo)) if lo_incl else (c > F.lit(lo)))
+        pred = pred & ((c >= lit(lo)) if lo_incl else (c > lit(lo)))
     if hi is not None:
-        pred = pred & ((c <= F.lit(hi)) if hi_incl else (c < F.lit(hi)))
+        pred = pred & ((c <= lit(hi)) if hi_incl else (c < lit(hi)))
     return pred
 
 
