@@ -9615,6 +9615,45 @@ SELECT query_vec_id, vec_id, round(cos, 6) AS cos, CAST(rn AS BIGINT) AS rn
 FROM ranked WHERE rn <= 10"""
 
 
+def q_perplexity_buckets(spark, sf_dir):
+    """CCNet head/middle/tail stratification (operators/textstats.
+    perplexity_buckets): equal-count terciles of the corpus by unigram-LM
+    perplexity, lowest third = 'head'. Global rank via the range-
+    repartition prefix-sum pattern, never a partition-less window."""
+    from bertopic_spark.operators.textstats import perplexity_buckets
+
+    out = perplexity_buckets(_docs(spark, sf_dir), "text", "doc_id",
+                             MODE, alpha=LM_ALPHA)
+    return out.select("doc_id", "n_tokens",
+                      _r6(F.col("perplexity")).alias("perplexity"),
+                      "bucket_idx", "bucket")
+
+
+def _sql_perplexity_buckets() -> str:
+    return f"""WITH
+tk AS (SELECT doc_id, {duckdb_tokens_sql('text', MODE)} AS ts FROM documents),
+x AS (SELECT doc_id, unnest(ts) AS term FROM tk),
+xc AS (SELECT doc_id, term, count(*) AS tf FROM x GROUP BY doc_id, term),
+lm AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ctf FROM xc GROUP BY term),
+tot AS (SELECT sum(ctf) AS total, count(*) AS v FROM lm),
+lp AS (SELECT term, ln((ctf + {LM_ALPHA}) / (tot.total + {LM_ALPHA} * tot.v))
+              AS logp FROM lm CROSS JOIN tot),
+dl AS (SELECT doc_id, len(ts) AS n FROM tk WHERE len(ts) > 0),
+h AS (SELECT xc.doc_id, -sum(xc.tf * lp.logp) / dl.n AS ce,
+             CAST(dl.n AS BIGINT) AS n_tokens
+      FROM xc JOIN lp USING (term) JOIN dl ON dl.doc_id = xc.doc_id
+      GROUP BY xc.doc_id, dl.n),
+ranked AS (SELECT *, row_number() OVER (ORDER BY ce, doc_id) - 1 AS rnk,
+                  count(*) OVER () AS nn
+           FROM h)
+SELECT doc_id, n_tokens, round(exp(ce), 6) AS perplexity,
+       CAST(floor(rnk * 3.0 / nn) AS BIGINT) AS bucket_idx,
+       CASE CAST(floor(rnk * 3.0 / nn) AS INT)
+            WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail'
+       END AS bucket
+FROM ranked"""
+
+
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "approx_distribution": (q_approx_distribution, SQL_APPROX_DISTRIBUTION),
     "approx_distribution_tokens": (q_approx_distribution_tokens,
@@ -9873,4 +9912,5 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
         f"damerau_levenshtein(term, '{FUZZYDL_Q}') <= 1")),
     "search_query_range": (q_search_query_range, _sql_search_query_range()),
     "ann_matryoshka_topk": (q_ann_matryoshka_topk, _sql_ann_matryoshka()),
+    "perplexity_buckets": (q_perplexity_buckets, _sql_perplexity_buckets()),
 }

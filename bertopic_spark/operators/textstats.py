@@ -648,3 +648,47 @@ def vocab_kl_drift(corpus_a: DataFrame, corpus_b: DataFrame,
             .filter(F.col("rn") <= k)
             .select("term", "cnt_a", "cnt_b", "contribution",
                     F.col("rn").cast("long").alias("rn")))
+
+
+def perplexity_buckets(df, text_col: str = "text", id_col: str = "doc_id",
+                       mode: str = "ascii_code", alpha: float = 0.5,
+                       n_buckets: int = 3, labels=("head", "middle", "tail"),
+                       lm_counts=None):
+    """CCNet quality stratification (Wenzek et al. 2020 §4.3): rank every
+    document by perplexity under the (frozen or corpus) unigram LM and
+    cut into ``n_buckets`` equal-count strata — ascending, so the lowest-
+    perplexity third is 'head', the training-data slice CCNet keeps
+    first. Returns (id, n_tokens, perplexity, bucket_idx, bucket).
+
+    The global rank uses the range-repartition + per-partition prefix-sum
+    pattern (``assign_doc_ids``) — never a partitionBy-less window, so
+    the sort scales like any repartition. Bucket index =
+    ⌊rank · n / N⌋ over the dense 0-based rank (exact equal-count up to
+    ±1, same cut DuckDB's row_number replays).
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    if labels is not None and len(labels) != n_buckets:
+        raise ValueError("labels must have n_buckets entries")
+    from bertopic_spark.index.segments import assign_doc_ids
+
+    ppl = lm_perplexity(df, text_col, id_col, mode, alpha,
+                        lm_counts=lm_counts)
+    ranked = assign_doc_ids(
+        ppl.select(id_col, "n_tokens", "cross_entropy", "perplexity"),
+        ["cross_entropy", id_col], out_col="_rank")
+    n = ranked.count()
+    idx = F.floor(F.col("_rank") * F.lit(int(n_buckets)) / F.lit(int(n))) \
+        .cast("int")
+    out = ranked.withColumn("bucket_idx", idx)
+    if labels is not None:
+        expr = None
+        for i, name in enumerate(labels):
+            c = F.when(F.col("bucket_idx") == i, F.lit(name))
+            expr = c if expr is None else expr.when(
+                F.col("bucket_idx") == i, F.lit(name))
+        out = out.withColumn("bucket", expr)
+    return out.select(id_col, F.col("n_tokens").cast("long").alias("n_tokens"),
+                      "perplexity", F.col("bucket_idx").cast("long")
+                      .alias("bucket_idx"),
+                      *( ["bucket"] if labels is not None else []))

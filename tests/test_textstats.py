@@ -363,3 +363,31 @@ def test_bigram_lm_self_trained_no_backoff(spark, documents_df):
     assert len(out) == n_docs and out  # corpus-backed, non-empty
     for r in out:
         assert r["cross_entropy"] > 0 and r["perplexity"] > 1
+
+
+def test_perplexity_buckets_equal_counts(spark):
+    from bertopic_spark.operators.textstats import perplexity_buckets
+    rows = [(i, " ".join(["common"] * 5 + [f"rare{i}"] * (i % 4)))
+            for i in range(30)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = perplexity_buckets(d, "text", "doc_id", "ascii_code",
+                             n_buckets=3).collect()
+    from collections import Counter
+    c = Counter(r["bucket"] for r in out)
+    assert c == {"head": 10, "middle": 10, "tail": 10}
+    # head = lowest perplexity stratum
+    by_b = {}
+    for r in out:
+        by_b.setdefault(r["bucket"], []).append(r["perplexity"])
+    assert max(by_b["head"]) <= min(by_b["middle"]) + 1e-12
+    assert max(by_b["middle"]) <= min(by_b["tail"]) + 1e-12
+
+
+def test_perplexity_buckets_validation(spark):
+    import pytest as _pt
+    from bertopic_spark.operators.textstats import perplexity_buckets
+    d = spark.createDataFrame([(0, "aa bb")], "doc_id long, text string")
+    with _pt.raises(ValueError):
+        perplexity_buckets(d, n_buckets=1)
+    with _pt.raises(ValueError):
+        perplexity_buckets(d, n_buckets=3, labels=("a", "b"))
