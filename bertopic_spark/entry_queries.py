@@ -9654,6 +9654,74 @@ SELECT doc_id, n_tokens, round(exp(ce), 6) AS perplexity,
 FROM ranked"""
 
 
+def q_multi_match_cross_fields(spark, sf_dir):
+    """ES multi_match type=cross_fields (operators/bm25.
+    multi_match_cross_fields_topk — Lucene BlendedTermQuery): title^2 +
+    body with BLENDED per-term document frequency (max over fields) and
+    per-TERM best-field combination (tie_breaker=0, the cross_fields
+    default) — vs best_fields' per-whole-query dis_max. Same title/body
+    split as the best_fields gate."""
+    from bertopic_spark.operators.bm25 import multi_match_cross_fields_topk
+    from bertopic_spark.tokenizer import tokens_expr
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(tokens_expr(F.col("text"), MODE), 1, 5))
+        .alias("title"),
+        F.col("text").alias("body"))
+    qt = query_terms(queries_df(spark, DRIVER_QUERIES), MODE)
+    t = multi_match_cross_fields_topk(
+        d, qt, {"title": MM_TITLE_BOOST, "body": 1.0}, k=10,
+        tie_breaker=0.0, k1=OKAPI_K1, b=OKAPI_B, mode=MODE)
+    return t.select(
+        "query_id", "doc_id", _r6(F.col("score")).alias("score"),
+        F.col("rank").cast("long").alias("rn"))
+
+
+def _sql_multi_match_cross() -> str:
+    okapi = (f"bi.idf * x.tf * {OKAPI_K1 + 1.0} / "
+             f"(x.tf + {OKAPI_K1} * (1.0 - {OKAPI_B} + "
+             f"{OKAPI_B} * d.dl / ns.avgdl))")
+    return f"""WITH {_TOKS}, {_XDOC},
+dlb AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM xdoc GROUP BY doc_id),
+nsb AS (SELECT avg(dl) AS avgdl FROM dlb),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+dfb AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM xdoc GROUP BY term),
+tt AS (SELECT doc_id,
+              unnest(({duckdb_tokens_sql('text', MODE)})[1:5]) AS term
+       FROM documents),
+xt AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM tt GROUP BY doc_id, term),
+dlt AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM xt GROUP BY doc_id),
+nst AS (SELECT avg(dl) AS avgdl FROM dlt),
+dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM xt GROUP BY term),
+q(query_id, term) AS (VALUES {_query_term_values()}),
+bdf AS (SELECT term, max(df) AS df FROM
+        (SELECT * FROM dfb UNION ALL SELECT * FROM dft) GROUP BY term),
+bidf AS (SELECT term, ln(1.0 + (nn.n - df + 0.5) / (df + 0.5)) AS idf
+         FROM bdf CROSS JOIN nn),
+hb AS (SELECT q.query_id, q.term, x.doc_id, 1.0 * {okapi} AS fscore
+       FROM q JOIN xdoc x USING (term) JOIN bidf bi USING (term)
+            JOIN dlb d ON d.doc_id = x.doc_id CROSS JOIN nsb ns),
+ht AS (SELECT q.query_id, q.term, x.doc_id,
+              {MM_TITLE_BOOST} * {okapi} AS fscore
+       FROM q JOIN xt x USING (term) JOIN bidf bi USING (term)
+            JOIN dlt d ON d.doc_id = x.doc_id CROSS JOIN nst ns),
+u AS (SELECT * FROM hb UNION ALL SELECT * FROM ht),
+pt AS (SELECT query_id, term, doc_id, max(fscore) AS tscore
+       FROM u GROUP BY query_id, term, doc_id),
+comb AS (SELECT query_id, doc_id, sum(tscore) AS score
+         FROM pt GROUP BY query_id, doc_id),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY round(score, 6) DESC,
+                                              doc_id ASC) AS rn
+           FROM comb)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+       round(score, 6) AS score, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 10"""
+
+
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "approx_distribution": (q_approx_distribution, SQL_APPROX_DISTRIBUTION),
     "approx_distribution_tokens": (q_approx_distribution_tokens,
@@ -9913,4 +9981,6 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "search_query_range": (q_search_query_range, _sql_search_query_range()),
     "ann_matryoshka_topk": (q_ann_matryoshka_topk, _sql_ann_matryoshka()),
     "perplexity_buckets": (q_perplexity_buckets, _sql_perplexity_buckets()),
+    "multi_match_cross_fields": (q_multi_match_cross_fields,
+                                 _sql_multi_match_cross()),
 }

@@ -2988,3 +2988,102 @@ def bm25l_topk(
     finally:
         x.unpersist()
     return out
+
+
+def multi_match_cross_fields_topk(
+    corpus: DataFrame,
+    qterms: DataFrame,
+    fields,
+    k: int = 10,
+    tie_breaker: float = 0.0,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    mode: str = "ascii_code",
+) -> DataFrame:
+    """ES ``multi_match`` type=cross_fields (Lucene BlendedTermQuery):
+    the "first_name/last_name" problem — treat the field GROUP as one
+    field by blending term STATISTICS across fields, then combine PER
+    TERM (not per whole-query leg, which is what best_fields does):
+
+        df(t)      = max_f df_f(t)           (blended document frequency)
+        s_f(t, d)  = boost_f · idf_blend(t) · okapi_tf(tf_f, dl_f, avgdl_f)
+        s(t, d)    = max_f s_f + tie_breaker · Σ_{f≠argmax} s_f
+        score(q,d) = Σ_{t∈q} s(t, d)
+
+    Blending fixes the classic failure: a last name that is RARE in
+    last_name but absent from first_name would otherwise get a giant
+    per-field idf in one leg and dominate; the max-df blend gives every
+    field the same (conservative) idf. tie_breaker=0 (ES default for
+    cross_fields) takes each term's best field only.
+
+    Physical shape: one tokenize+agg pass per field (inherent — fields
+    have their own tf/dl), per-field df aggs on query terms only
+    (broadcast), a |terms|-sized blended-df relation broadcast into each
+    leg, one union + per-(query, term, doc) agg + per-(query, doc) agg.
+    """
+    fields = dict(fields)
+    if not fields:
+        raise ValueError("fields must be a non-empty {column: boost} map")
+    if not 0.0 <= tie_breaker <= 1.0:
+        raise ValueError(f"tie_breaker must be in [0, 1], got {tie_breaker}")
+    # rank on the 6dp-rounded score: the blended-idf sum accumulates in
+    # engine-dependent order, and an ulp gap between genuinely-tied docs
+    # would otherwise flip the tie-break (score, id) across engines
+    rank_key = F.round(F.col("score"), 6)
+    terms_only = qterms.select("term").distinct()
+    n_docs = corpus.count()
+    if n_docs == 0:
+        return _empty_topk(corpus.sparkSession, id_col)
+    xs, dfs = {}, []
+    for col in fields:
+        x = doc_term_counts(corpus, col, [id_col], mode, with_len=True)
+        x = x.persist()
+        xs[col] = x
+        dfs.append(x.join(F.broadcast(terms_only), "term")
+                   .groupBy("term").agg(F.countDistinct(id_col).alias("df")))
+    try:
+        u_df = dfs[0]
+        for d in dfs[1:]:
+            u_df = u_df.unionAll(d)
+        blended = u_df.groupBy("term").agg(F.max("df").alias("df"))
+        idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) /
+                    (F.col("df") + 0.5))
+        bidf = F.broadcast(blended.select("term", idf.alias("idf")))
+        legs = []
+        for col, boost in fields.items():
+            x = xs[col]
+            row = (x.groupBy(id_col).agg(F.max("doc_len").alias("dl"))
+                   .agg(F.avg("dl").alias("avgdl")).collect()[0])
+            avgdl = row["avgdl"]
+            if avgdl is None:
+                continue
+            denom = (F.col("tf") + F.lit(k1) *
+                     (F.lit(1.0 - b) +
+                      F.lit(b) * F.col("doc_len") / F.lit(avgdl)))
+            legs.append(
+                x.join(F.broadcast(qterms), "term").join(bidf, "term")
+                .select("query_id", "term", F.col(id_col),
+                        (F.lit(float(boost)) * F.col("idf") * F.col("tf") *
+                         F.lit(k1 + 1.0) / denom).alias("fscore")))
+        if not legs:
+            return _empty_topk(corpus.sparkSession, id_col)
+        u = legs[0]
+        for leg in legs[1:]:
+            u = u.unionAll(leg)
+        per_term = (u.groupBy("query_id", "term", id_col)
+                    .agg((F.max("fscore") + F.lit(float(tie_breaker)) *
+                          (F.sum("fscore") - F.max("fscore")))
+                         .alias("tscore")))
+        hits = (per_term.groupBy("query_id", id_col)
+                .agg(F.sum("tscore").alias("score")))
+        w = Window.partitionBy("query_id").orderBy(F.desc(rank_key),
+                                                   F.asc(id_col))
+        out = (hits.withColumn("rank", F.row_number().over(w))
+               .filter(F.col("rank") <= k)
+               .select("query_id", id_col, "score", "rank")
+               .localCheckpoint(eager=True))
+    finally:
+        for x in xs.values():
+            x.unpersist()
+    return out

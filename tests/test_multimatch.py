@@ -67,3 +67,48 @@ def test_validation(spark, fielded):
         multi_match_topk(fielded, _qt(spark), {})
     with pytest.raises(ValueError, match="tie_breaker"):
         multi_match_topk(fielded, _qt(spark), {"body": 1.0}, tie_breaker=1.5)
+
+
+def test_cross_fields_blends_df(spark):
+    """The first_name/last_name failure: a term rare in one field but
+    absent from the other must NOT get that field's giant idf — the
+    blended (max) df gives both fields the same conservative idf."""
+    from bertopic_spark.operators.bm25 import (multi_match_cross_fields_topk,
+                                               multi_match_topk)
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, "will smith", "smith"),      # the right person
+        (1, "will", "turner"),           # first name only
+        (2, "smith", "jones"),           # 'smith' in the WRONG field
+    ] + [(10 + i, f"f{i}", f"l{i}") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, first string, last string")
+    qt = spark.createDataFrame([(0, "will"), (0, "smith")],
+                               "query_id long, term string")
+    cross = multi_match_cross_fields_topk(
+        docs, qt, {"first": 1.0, "last": 1.0}, k=3)
+    top = cross.orderBy("rank").collect()
+    assert top[0]["doc_id"] == 0  # both terms matched beats single-term
+    # blended df('smith') = max(df_first, df_last) = 1... both fields see
+    # the SAME idf for the same term:
+    one = multi_match_cross_fields_topk(
+        docs.filter(F.col("doc_id").isin(0, 2)), qt,
+        {"first": 1.0, "last": 1.0}, k=5, tie_breaker=0.0)
+    s = {r["doc_id"]: r["score"] for r in one.collect()}
+    assert 0 in s and 2 in s
+
+
+def test_cross_fields_tie_breaker_one_sums_fields(spark):
+    from bertopic_spark.operators.bm25 import multi_match_cross_fields_topk
+
+    docs = spark.createDataFrame(
+        [(0, "alpha", "alpha"), (1, "alpha", "beta"), (2, "gamma", "delta")],
+        "doc_id long, a string, b string")
+    qt = spark.createDataFrame([(0, "alpha")], "query_id long, term string")
+    mx = {r["doc_id"]: r["score"] for r in multi_match_cross_fields_topk(
+        docs, qt, {"a": 1.0, "b": 1.0}, k=5, tie_breaker=0.0).collect()}
+    sm = {r["doc_id"]: r["score"] for r in multi_match_cross_fields_topk(
+        docs, qt, {"a": 1.0, "b": 1.0}, k=5, tie_breaker=1.0).collect()}
+    # doc 0 matches in both fields: sum > max; doc 1 single field: equal
+    assert sm[0] > mx[0]
+    assert sm[1] == pytest.approx(mx[1], abs=1e-12)
