@@ -9722,6 +9722,63 @@ SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
 FROM ranked WHERE rn <= 10"""
 
 
+def q_cumulative_cardinality(spark, sf_dir):
+    """ES ``cumulative_cardinality`` (operators/sketch.
+    cumulative_cardinality): distinct users-to-date per day — HLL
+    registers merge by max, so the running union is ONE window max per
+    register over a dense bucket spine, never an exact distinct over a
+    growing window. Deterministic md5 registers replay in the oracle."""
+    from bertopic_spark.operators.sketch import cumulative_cardinality
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cumulative_cardinality(
+        ev.select("ts", F.col("user_id").cast("string").alias("uid")),
+        "ts", "uid", "day", p=HLL_P, seed=HLL_SEED).select(
+        "bucket", _r6(F.col("est")).alias("est"))
+
+
+def _sql_cumulative_cardinality() -> str:
+    m = 1 << HLL_P
+    alpha = 0.7213 / (1.0 + 1.079 / m) if m > 64 else {16: 0.673, 32: 0.697,
+                                                       64: 0.709}[m]
+    rho_max = 60 - HLL_P + 1
+    return f"""WITH
+e AS (SELECT date_trunc('day', ts) AS bucket,
+             CAST(concat('0x', substr(md5('{HLL_SEED}_' ||
+                 CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+r AS (SELECT bucket, h % {m} AS idx,
+             CASE WHEN CAST(floor(h / {m}) AS BIGINT) > 0
+                  THEN {rho_max} - length(bin(CAST(floor(h / {m}) AS BIGINT)))
+                  ELSE {rho_max} END AS rho
+      FROM e),
+per AS (SELECT bucket, idx, max(rho) AS rho FROM r GROUP BY bucket, idx),
+spine AS (SELECT unnest(generate_series(date_trunc('day', mn),
+                                        date_trunc('day', mx),
+                                        INTERVAL 1 DAY)) AS bucket
+          FROM (SELECT min(ts) AS mn, max(ts) AS mx FROM events
+                WHERE ts IS NOT NULL)),
+idxs AS (SELECT DISTINCT idx FROM per),
+grid AS (SELECT s.bucket, i.idx FROM spine s CROSS JOIN idxs i),
+dense AS (SELECT g.bucket, g.idx, p.rho
+          FROM grid g LEFT JOIN per p USING (bucket, idx)),
+cum AS (SELECT bucket, idx,
+               max(rho) OVER (PARTITION BY idx ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS rho_cum
+        FROM dense),
+agg AS (SELECT bucket, sum(power(2.0, -rho_cum)) AS s, count(*) AS nz
+        FROM cum WHERE rho_cum IS NOT NULL GROUP BY bucket),
+est AS (SELECT bucket,
+               CASE WHEN ({alpha * m * m}) / (s + ({m} - nz)) <= {2.5 * m}
+                         AND {m} - nz > 0
+                    THEN {float(m)} * ln({float(m)} / ({m} - nz))
+                    ELSE ({alpha * m * m}) / (s + ({m} - nz)) END AS est
+        FROM agg)
+SELECT sp.bucket, round(coalesce(e.est, 0.0), 6) AS est
+FROM spine sp LEFT JOIN est e USING (bucket)"""
+
+
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "approx_distribution": (q_approx_distribution, SQL_APPROX_DISTRIBUTION),
     "approx_distribution_tokens": (q_approx_distribution_tokens,
@@ -9983,4 +10040,6 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "perplexity_buckets": (q_perplexity_buckets, _sql_perplexity_buckets()),
     "multi_match_cross_fields": (q_multi_match_cross_fields,
                                  _sql_multi_match_cross()),
+    "cumulative_cardinality": (q_cumulative_cardinality,
+                               _sql_cumulative_cardinality()),
 }

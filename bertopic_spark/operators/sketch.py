@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from bertopic_spark.tokenizer import with_tokens
@@ -468,3 +468,70 @@ def theta_set_ops(sketch: DataFrame, pairs: Sequence[tuple], k: int = 256,
         F.when(F.col("union_n") > 0,
                F.col("inter_n").cast("double") / F.col("union_n"))
         .otherwise(F.lit(0.0)).alias("jaccard"))
+
+
+def cumulative_cardinality(df: DataFrame, ts_col: str, col: str,
+                           interval: str = "day", p: int = 12,
+                           seed: int = 42) -> DataFrame:
+    """ES ``cumulative_cardinality`` pipeline aggregation: per
+    date-histogram bucket, the number of DISTINCT ``col`` values seen up
+    to and including that bucket — "total unique users to date". The
+    reason ES restricts the inner agg to cardinality: HLL registers
+    merge by MAX, so the running union is a per-register running max
+    over the bucket order — no re-scan of history, no exact distinct
+    over an ever-growing window.
+
+    Physical shape: one scan → (bucket, idx, rho) register relation
+    (≤ |buckets|·2^p rows — sketch-sized, never data-sized); a dense
+    bucket×idx grid (same spine pattern as ``moving_percentiles``) so
+    carry-forward works through empty buckets; ONE window max per idx;
+    one per-bucket estimate agg using the same closed-form as
+    ``hll_estimate`` — deterministic md5 registers, so the estimate
+    replays exactly in the oracle AND is identical across cluster sizes.
+
+    Returns (bucket, est) for every spine bucket.
+    """
+    iv = {"hour": "1 hour", "day": "1 day", "minute": "1 minute"}
+    if interval not in iv:
+        raise ValueError(f"interval must be one of {sorted(iv)}")
+    if not (4 <= p <= 18):
+        raise ValueError("p must be in [4, 18]")
+    m = 1 << p
+    h = F.conv(F.substring(
+        F.md5(F.concat_ws("_", F.lit(seed), F.col(col))), 1, 15),
+        16, 10).cast("long")
+    idx = h % m
+    w_ = F.floor(h / m).cast("long")
+    rho = F.when(w_ > 0, F.lit(_HLL_BITS - p + 1) - F.length(F.bin(w_))
+                 ).otherwise(F.lit(_HLL_BITS - p + 1)).cast("int")
+    bucket = F.date_trunc(interval, F.col(ts_col)).alias("bucket")
+    per = (df.where(F.col(col).isNotNull() & F.col(ts_col).isNotNull())
+           .select(bucket, idx.alias("idx"), rho.alias("rho"))
+           .groupBy("bucket", "idx").agg(F.max("rho").alias("rho")))
+    spine = (df.where(F.col(ts_col).isNotNull())
+             .agg(F.date_trunc(interval, F.min(ts_col)).alias("_mn"),
+                  F.date_trunc(interval, F.max(ts_col)).alias("_mx"))
+             .select(F.explode(F.expr(
+                 f"sequence(_mn, _mx, interval {iv[interval]})"))
+                 .alias("bucket")))
+    idxs = per.select("idx").distinct()
+    grid = spine.crossJoin(idxs)
+    dense = grid.join(per, ["bucket", "idx"], "left")
+    wcum = (Window.partitionBy("idx").orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    cum = (dense.withColumn("rho_cum", F.max("rho").over(wcum))
+           .filter(F.col("rho_cum").isNotNull()))
+    agg = (cum.groupBy("bucket")
+           .agg(F.sum(F.pow(F.lit(2.0), -F.col("rho_cum"))).alias("s"),
+                F.count("*").alias("nz")))
+    raw = (F.lit(_hll_alpha(m) * m * m)
+           / (F.col("s") + (F.lit(m) - F.col("nz"))))
+    est = F.when((raw <= 2.5 * m) & (F.lit(m) - F.col("nz") > 0),
+                 F.lit(float(m)) * F.log(F.lit(float(m))
+                                         / (F.lit(m) - F.col("nz")))
+                 ).otherwise(raw)
+    out = agg.select("bucket", est.alias("est"))
+    # spine buckets BEFORE any data carry est of the empty sketch (0 via
+    # linear counting) — restore them so the histogram stays dense
+    return (spine.join(out, "bucket", "left")
+            .select("bucket", F.coalesce("est", F.lit(0.0)).alias("est")))

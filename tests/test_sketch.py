@@ -292,3 +292,24 @@ def test_bq_sign_codes_match_numpy(spark):
         lo = sum(b << j for j, b in enumerate(bits[:32]))
         hi = sum(b << j for j, b in enumerate(bits[32:]))
         assert got[i] == (lo, hi)
+
+
+def test_cumulative_cardinality_monotone_and_final(spark):
+    from pyspark.sql import functions as F
+
+    from bertopic_spark.operators.sketch import (cumulative_cardinality,
+                                                 hll_estimate, hll_registers)
+    rows = [("2024-01-01 01:00:00", "u1"), ("2024-01-01 02:00:00", "u2"),
+            ("2024-01-03 01:00:00", "u2"), ("2024-01-03 02:00:00", "u3"),
+            ("2024-01-04 01:00:00", "u4")]
+    ev = spark.createDataFrame(rows, "ts string, uid string").select(
+        F.col("ts").cast("timestamp").alias("ts"), "uid")
+    out = {str(r["bucket"]): r["est"]
+           for r in cumulative_cardinality(ev, "ts", "uid", "day",
+                                           p=8).collect()}
+    vals = [out[f"2024-01-0{d} 00:00:00"] for d in (1, 2, 3, 4)]
+    assert vals == sorted(vals)          # running union never shrinks
+    assert vals[0] == vals[1]            # empty day 2 carries forward
+    # final bucket == one-shot estimate over everything
+    ref = hll_estimate(hll_registers(ev, "uid", p=8), p=8).collect()[0]["est"]
+    assert vals[3] == pytest.approx(ref, abs=1e-9)
