@@ -9779,6 +9779,48 @@ SELECT sp.bucket, round(coalesce(e.est, 0.0), 6) AS est
 FROM spine sp LEFT JOIN est e USING (bucket)"""
 
 
+def q_categorize_text(spark, sf_dir):
+    """ES ``categorize_text`` / Drain-style log templating (operators/
+    textstats.categorize_text): events render deterministic log lines
+    ('<type> user <id> value <v>' — same construction in both engines,
+    the code_tokenize_counts precedent); categories key on (token count,
+    first token) and varying positions become '*'. A trillion log lines
+    collapse to templates with one explode + one (key, pos) agg."""
+    from bertopic_spark.operators.textstats import categorize_text
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    msg = F.concat(F.col("event_type"), F.lit(" user "),
+                   F.col("user_id").cast("string"), F.lit(" value "),
+                   F.floor(F.col("value")).cast("long").cast("string"))
+    return categorize_text(ev.select("event_id", msg.alias("msg")), "msg")
+
+
+SQL_CATEGORIZE_TEXT = r"""WITH msgs AS (
+  SELECT event_id,
+         event_type || ' user ' || CAST(user_id AS VARCHAR) ||
+         ' value ' || CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) AS msg
+  FROM events),
+base AS (SELECT event_id, string_split_regex(trim(msg), '\s+') AS tk
+         FROM msgs WHERE msg IS NOT NULL AND len(
+             string_split_regex(trim(msg), '\s+')) > 0),
+keyed AS (SELECT event_id, len(tk) AS n_tokens, tk[1] AS first_tok,
+                 unnest(tk) AS tok, unnest(range(len(tk))) AS pos
+          FROM base),
+per AS (SELECT n_tokens, first_tok, pos, count(DISTINCT tok) AS nd,
+               min(tok) AS tok0
+        FROM keyed GROUP BY 1, 2, 3),
+tmpl AS (SELECT n_tokens, first_tok,
+                string_agg(CASE WHEN nd = 1 THEN tok0 ELSE '*' END,
+                           ' ' ORDER BY pos) AS template
+         FROM per GROUP BY 1, 2),
+sizes AS (SELECT len(tk) AS n_tokens, tk[1] AS first_tok,
+                 CAST(count(*) AS BIGINT) AS n_docs
+          FROM base GROUP BY 1, 2)
+SELECT CAST(t.n_tokens AS BIGINT) AS n_tokens, t.first_tok, t.template,
+       s.n_docs
+FROM tmpl t JOIN sizes s USING (n_tokens, first_tok)"""
+
+
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "approx_distribution": (q_approx_distribution, SQL_APPROX_DISTRIBUTION),
     "approx_distribution_tokens": (q_approx_distribution_tokens,
@@ -10042,4 +10084,5 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
                                  _sql_multi_match_cross()),
     "cumulative_cardinality": (q_cumulative_cardinality,
                                _sql_cumulative_cardinality()),
+    "categorize_text": (q_categorize_text, SQL_CATEGORIZE_TEXT),
 }

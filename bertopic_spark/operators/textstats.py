@@ -692,3 +692,43 @@ def perplexity_buckets(df, text_col: str = "text", id_col: str = "doc_id",
                       "perplexity", F.col("bucket_idx").cast("long")
                       .alias("bucket_idx"),
                       *( ["bucket"] if labels is not None else []))
+
+
+def categorize_text(df, msg_col: str, id_col: str = "event_id"):
+    """ES ``categorize_text`` aggregation / Drain-style log-template
+    mining: cluster semi-structured messages into categories keyed by
+    (token_count, first_token) — the Drain parse-tree's first two levels
+    — and render each category's template with ``*`` at every position
+    whose token varies within the category. Returns
+    (n_tokens, first_tok, template, n_docs).
+
+    The observability workhorse at scale: a trillion log lines collapse
+    to thousands of templates. Fully relational — one whitespace split +
+    posexplode, one (key, pos) agg (distinct counts are per-position,
+    never across the corpus), one ordered re-concat. No UDF, no driver
+    state, unlike tree-based Drain implementations.
+    """
+    tk = F.split(F.trim(F.col(msg_col)), r"\s+")
+    base = (df.where(F.col(msg_col).isNotNull())
+            .select(F.col(id_col), tk.alias("tk"))
+            .filter(F.size("tk") > 0))
+    keyed = base.select(
+        F.col(id_col), F.size("tk").alias("n_tokens"),
+        F.get(F.col("tk"), 0).alias("first_tok"),
+        F.posexplode("tk").alias("pos", "tok"))
+    per_pos = (keyed.groupBy("n_tokens", "first_tok", "pos")
+               .agg(F.count_distinct("tok").alias("nd"),
+                    F.min("tok").alias("tok0")))
+    tmpl = (per_pos
+            .withColumn("piece", F.when(F.col("nd") == 1, F.col("tok0"))
+                        .otherwise(F.lit("*")))
+            .groupBy("n_tokens", "first_tok")
+            .agg(F.concat_ws(" ", F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "piece"))),
+                lambda s: s["piece"])).alias("template")))
+    sizes = (base.groupBy(F.size("tk").alias("n_tokens"),
+                          F.get(F.col("tk"), 0).alias("first_tok"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
+    return (tmpl.join(sizes, ["n_tokens", "first_tok"])
+            .select(F.col("n_tokens").cast("long").alias("n_tokens"),
+                    "first_tok", "template", "n_docs"))

@@ -391,3 +391,31 @@ def test_perplexity_buckets_validation(spark):
         perplexity_buckets(d, n_buckets=1)
     with _pt.raises(ValueError):
         perplexity_buckets(d, n_buckets=3, labels=("a", "b"))
+
+
+def test_categorize_text_templates(spark):
+    from bertopic_spark.operators.textstats import categorize_text
+    rows = [
+        (0, "error code 500 on host7"),
+        (1, "error code 404 on host3"),
+        (2, "error code 500 on host7"),
+        (3, "user alice logged in"),
+        (4, "user bob logged in"),
+        (5, "disk full"),
+    ]
+    d = spark.createDataFrame(rows, "event_id long, msg string")
+    out = {r["template"]: r["n_docs"]
+           for r in categorize_text(d, "msg").collect()}
+    assert out == {"error code * on *": 3,
+                   "user * logged in": 2,
+                   "disk full": 1}
+
+
+def test_categorize_text_null_and_whitespace(spark):
+    from bertopic_spark.operators.textstats import categorize_text
+    d = spark.createDataFrame(
+        [(0, None), (1, "  a  b "), (2, "a c")],
+        "event_id long, msg string")
+    out = {r["template"]: r["n_docs"]
+           for r in categorize_text(d, "msg").collect()}
+    assert out == {"a *": 2}
