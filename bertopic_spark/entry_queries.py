@@ -9821,6 +9821,40 @@ SELECT CAST(t.n_tokens AS BIGINT) AS n_tokens, t.first_tok, t.template,
 FROM tmpl t JOIN sizes s USING (n_tokens, first_tok)"""
 
 
+SPANM_FIRST, SPANM_PREFIX, SPANM_SLOP = "hash", "s", 5
+
+
+def q_span_multi_match(spark, sf_dir):
+    """ES ``span_multi`` (a multi-term query wrapped as a span clause):
+    'hash' followed within slop 5 by ANY dictionary term matching s* —
+    the wildcard expands against the term dictionary (bounded), then the
+    ordered OR-slot sweep runs in one corpus pass
+    (operators/fulltext.span_near_or_match over prefix_terms)."""
+    from bertopic_spark.operators.fulltext import (prefix_terms,
+                                                   span_near_or_match,
+                                                   term_dictionary)
+
+    docs = _docs(spark, sf_dir)
+    ex = prefix_terms(term_dictionary(docs, "text", "doc_id", MODE),
+                      SPANM_PREFIX)
+    return span_near_or_match(docs, [(SPANM_FIRST,), ex], SPANM_SLOP,
+                              text_col="text", mode=MODE)
+
+
+def _sql_span_multi() -> str:
+    return f"""WITH
+tk AS (SELECT doc_id, {duckdb_tokens_sql('text', MODE)} AS ts FROM documents),
+p AS (SELECT doc_id, unnest(ts) AS term, unnest(range(len(ts))) AS pos FROM tk),
+ex AS (SELECT DISTINCT term FROM p WHERE term LIKE '{SPANM_PREFIX}%'),
+sp AS (SELECT p0.doc_id, p1.pos - p0.pos + 1 AS span
+       FROM p p0 JOIN p p1 ON p1.doc_id = p0.doc_id AND p1.pos > p0.pos
+       JOIN ex ON ex.term = p1.term
+       WHERE p0.term = '{SPANM_FIRST}'),
+m AS (SELECT doc_id, CAST(min(span) AS BIGINT) AS min_span
+      FROM sp GROUP BY doc_id)
+SELECT doc_id, min_span FROM m WHERE min_span <= {2 + SPANM_SLOP}"""
+
+
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "approx_distribution": (q_approx_distribution, SQL_APPROX_DISTRIBUTION),
     "approx_distribution_tokens": (q_approx_distribution_tokens,
@@ -10085,4 +10119,5 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "cumulative_cardinality": (q_cumulative_cardinality,
                                _sql_cumulative_cardinality()),
     "categorize_text": (q_categorize_text, SQL_CATEGORIZE_TEXT),
+    "span_multi_match": (q_span_multi_match, _sql_span_multi()),
 }
