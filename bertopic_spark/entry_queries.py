@@ -9855,6 +9855,39 @@ m AS (SELECT doc_id, CAST(min(span) AS BIGINT) AS min_span
 SELECT doc_id, min_span FROM m WHERE min_span <= {2 + SPANM_SLOP}"""
 
 
+BLOOMJ_PRICE = 150000.0
+
+
+def q_bloom_semi_join(spark, sf_dir):
+    """Bloom-prefiltered semi-join (operators/sketch.bloom_semi_join):
+    lineitem rows of high-value orders — a broadcast Bloom over the
+    filtered order keys prunes the fact side MAP-SIDE before the exact
+    semi-join shuffle (no false negatives, so the answer is exactly the
+    semi-join; the sketch changes the plan, not the result). Output is
+    the survivor count + revenue sum."""
+    from bertopic_spark.operators.sketch import bloom_semi_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    keys = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .filter(F.col("o_totalprice") > BLOOMJ_PRICE)
+            .select(F.col("o_orderkey").alias("l_orderkey")))
+    out = bloom_semi_join(li, keys, "l_orderkey")
+    # decimal sum: order-independent, so a 40k-row sum at 1e9 magnitude
+    # matches the oracle exactly (a double sum differs in the last ulp)
+    return out.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double").alias("revenue"))
+
+
+SQL_BLOOM_SEMI = f"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem l
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_orderkey = l.l_orderkey
+                AND o.o_totalprice > {BLOOMJ_PRICE})"""
+
+
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "approx_distribution": (q_approx_distribution, SQL_APPROX_DISTRIBUTION),
     "approx_distribution_tokens": (q_approx_distribution_tokens,
@@ -10120,4 +10153,5 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
                                _sql_cumulative_cardinality()),
     "categorize_text": (q_categorize_text, SQL_CATEGORIZE_TEXT),
     "span_multi_match": (q_span_multi_match, _sql_span_multi()),
+    "bloom_semi_join": (q_bloom_semi_join, SQL_BLOOM_SEMI),
 }

@@ -535,3 +535,29 @@ def cumulative_cardinality(df: DataFrame, ts_col: str, col: str,
     # linear counting) — restore them so the histogram stays dense
     return (spine.join(out, "bucket", "left")
             .select("bucket", F.coalesce("est", F.lit(0.0)).alias("est")))
+
+
+def bloom_semi_join(big: DataFrame, keys: DataFrame, col: str,
+                    k_hashes: int = 4, n_bits: int = 1 << 16,
+                    seed: int = 42) -> DataFrame:
+    """Bloom-prefiltered semi-join: keep ``big`` rows whose ``col`` is in
+    ``keys[col]`` — the 100-TB join pattern Spark's runtime bloom join
+    automates, made explicit: a broadcast Bloom over the key side
+    prefilters the probe MAP-SIDE (no false negatives, so nothing is
+    lost), and only the survivors — |matches| + the Bloom's false-
+    positive residue — pay the exact semi-join shuffle. When the key
+    side is small but over-broadcast-threshold and the probe is a
+    petabyte fact table, the prefilter cuts the shuffle by the
+    selectivity factor.
+
+    Result is EXACTLY the semi-join (the exact join removes Bloom false
+    positives) — the sketch changes the plan, never the answer.
+    """
+    bloom = bloom_build(keys, col, k_hashes, n_bits, seed)
+    bits = [F.broadcast(bloom.select(F.col("bit").alias(f"_b{r}")))
+            for r in range(k_hashes)]
+    pre = big
+    for r in range(k_hashes):
+        pos = _bucket(F.col(col), r, n_bits, seed)
+        pre = (pre.join(bits[r], pos == F.col(f"_b{r}"), "leftsemi"))
+    return pre.join(keys.select(F.col(col)).distinct(), col, "leftsemi")

@@ -313,3 +313,23 @@ def test_cumulative_cardinality_monotone_and_final(spark):
     # final bucket == one-shot estimate over everything
     ref = hll_estimate(hll_registers(ev, "uid", p=8), p=8).collect()[0]["est"]
     assert vals[3] == pytest.approx(ref, abs=1e-9)
+
+
+def test_bloom_semi_join_exact_and_prefilter(spark):
+    from pyspark.sql import functions as F
+
+    from bertopic_spark.operators.sketch import bloom_contains, bloom_semi_join
+    big = spark.createDataFrame([(i, i % 50) for i in range(2000)],
+                                "row_id long, k long")
+    keys = spark.createDataFrame([(3,), (17,), (42,)], "k long")
+    got = bloom_semi_join(big, keys, "k").collect()
+    want = big.join(keys, "k", "leftsemi").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    # the prefilter never loses a member (no false negatives)
+    from bertopic_spark.operators.sketch import bloom_build
+
+    verdicts = {r["value"]: r["maybe"]
+                for r in bloom_contains(bloom_build(keys, "k"),
+                                        big.select("k").distinct(),
+                                        "k").collect()}
+    assert verdicts[3] and verdicts[17] and verdicts[42]
