@@ -9888,6 +9888,44 @@ WHERE EXISTS (SELECT 1 FROM orders o
                 AND o.o_totalprice > {BLOOMJ_PRICE})"""
 
 
+DK_ORIGIN, DK_SCALE, DK_OFFSET, DK_DECAY = 300.0, 100.0, 25.0, 0.5
+
+
+def q_decay_functions(spark, sf_dir):
+    """ES function_score decay functions (operators/bm25.
+    decay_score_expr): gauss / exp / linear over n_chars with origin
+    300, scale 100, offset 25, decay 0.5 — all three evaluate in ONE
+    projection (decay(origin±(offset+scale)) = 0.5 exactly, the ES
+    contract, pinned in pytest)."""
+    from bertopic_spark.operators.bm25 import decay_score_expr
+
+    d = _docs(spark, sf_dir)
+    cols = {k: decay_score_expr("n_chars", DK_ORIGIN, DK_SCALE,
+                                DK_OFFSET, DK_DECAY, k)
+            for k in ("gauss", "exp", "linear")}
+    return d.select("doc_id",
+                    _r6(cols["gauss"]).alias("gauss"),
+                    _r6(cols["exp"]).alias("exp_"),
+                    _r6(cols["linear"]).alias("linear"))
+
+
+def _sql_decay_functions() -> str:
+    import math
+    sigma2 = -(DK_SCALE * DK_SCALE) / (2.0 * math.log(DK_DECAY))
+    lam = math.log(DK_DECAY) / DK_SCALE
+    s = DK_SCALE / (1.0 - DK_DECAY)
+    return f"""WITH d AS (
+  SELECT doc_id,
+         greatest(0.0, abs(CAST(n_chars AS DOUBLE) - {DK_ORIGIN})
+                  - {DK_OFFSET}) AS dist
+  FROM documents)
+SELECT doc_id,
+       round(exp(-(dist * dist) / {2.0 * sigma2}), 6) AS gauss,
+       round(exp(dist * {lam}), 6) AS exp_,
+       round(greatest(0.0, ({s} - dist) / {s}), 6) AS linear
+FROM d"""
+
+
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "approx_distribution": (q_approx_distribution, SQL_APPROX_DISTRIBUTION),
     "approx_distribution_tokens": (q_approx_distribution_tokens,
@@ -10154,4 +10192,5 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "categorize_text": (q_categorize_text, SQL_CATEGORIZE_TEXT),
     "span_multi_match": (q_span_multi_match, _sql_span_multi()),
     "bloom_semi_join": (q_bloom_semi_join, SQL_BLOOM_SEMI),
+    "decay_functions": (q_decay_functions, _sql_decay_functions()),
 }

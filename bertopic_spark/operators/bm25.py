@@ -3087,3 +3087,44 @@ def multi_match_cross_fields_topk(
         for x in xs.values():
             x.unpersist()
     return out
+
+
+_DECAY_KINDS = ("gauss", "exp", "linear")
+
+
+def decay_score_expr(field, origin: float, scale: float,
+                     offset: float = 0.0, decay: float = 0.5,
+                     kind: str = "gauss"):
+    """ES function_score decay functions (gauss/exp/linear) over a
+    numeric or date-distance column — score 1.0 inside ``offset`` of
+    ``origin``, decaying so that a point at ``origin ± (offset+scale)``
+    scores exactly ``decay``:
+
+        d        = max(0, |field − origin| − offset)
+        gauss    = exp(−d² · ln(1/decay)... as σ² = −scale²/(2·ln decay))
+        exp      = exp(d · ln(decay)/scale)
+        linear   = max(0, (s − d)/s),  s = scale/(1 − decay)
+
+    Returns a Column — compose it as a ``function_score_topk`` function
+    (one projection evaluates any number of decays; nothing here costs a
+    pass). ``field`` may be a column name or a Column (e.g. a
+    unix_micros distance for date decay).
+    """
+    import math
+
+    if kind not in _DECAY_KINDS:
+        raise ValueError(f"kind must be one of {_DECAY_KINDS}")
+    if scale <= 0 or not 0.0 < decay < 1.0 or offset < 0:
+        raise ValueError("need scale > 0, 0 < decay < 1, offset >= 0")
+    x = F.col(field) if isinstance(field, str) else field
+    d = F.greatest(F.lit(0.0),
+                   F.abs(x.cast("double") - F.lit(float(origin)))
+                   - F.lit(float(offset)))
+    if kind == "gauss":
+        sigma2 = -(scale * scale) / (2.0 * math.log(decay))
+        return F.exp(-(d * d) / F.lit(2.0 * sigma2))
+    if kind == "exp":
+        lam = math.log(decay) / scale
+        return F.exp(d * F.lit(lam))
+    s = scale / (1.0 - decay)
+    return F.greatest(F.lit(0.0), (F.lit(s) - d) / F.lit(s))

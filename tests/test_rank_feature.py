@@ -93,3 +93,25 @@ def test_distance_feature_decay(spark):
              for r in distance_feature_topk(ev, "ts", "2024-01-15 00:00:00",
                                             piv, k=2).collect()}
     assert set(ranks) == {0, 1} and ranks[0] == 1  # ties broken by id; k cap
+
+
+def test_decay_contract_points(spark):
+    """ES contract: score 1 within offset; exactly `decay` at
+    origin +/- (offset + scale); monotone beyond."""
+    from bertopic_spark.operators.bm25 import decay_score_expr
+
+    rows = [(0, 300.0), (1, 320.0), (2, 425.0), (3, 175.0), (4, 600.0)]
+    d = spark.createDataFrame(rows, "doc_id long, x double")
+    for kind in ("gauss", "exp", "linear"):
+        out = {r["doc_id"]: r["s"] for r in d.select(
+            "doc_id", decay_score_expr("x", 300.0, 100.0, 25.0, 0.5,
+                                       kind).alias("s")).collect()}
+        assert out[0] == pytest.approx(1.0, abs=1e-12)   # at origin
+        assert out[1] == pytest.approx(1.0, abs=1e-12)   # inside offset
+        assert out[2] == pytest.approx(0.5, abs=1e-9)    # origin+offset+scale
+        assert out[3] == pytest.approx(0.5, abs=1e-9)    # symmetric
+        assert out[4] < 0.5                              # beyond decays
+    with pytest.raises(ValueError):
+        decay_score_expr("x", 0, -1.0)
+    with pytest.raises(ValueError):
+        decay_score_expr("x", 0, 1.0, decay=1.5)
