@@ -9926,6 +9926,60 @@ SELECT doc_id,
 FROM d"""
 
 
+INNER_SIZE = 3
+
+
+def q_collapse_inner_hits(spark, sf_dir):
+    """ES collapse + inner_hits (operators/bm25.collapse_inner_hits):
+    each collapsed winner carries its lang-group's top-3 members ("more
+    from this group") — the group window already ranks every member, so
+    inner hits cost no second scoring pass."""
+    from bertopic_spark.operators.bm25 import (bm25_topk_adhoc,
+                                               collapse_inner_hits)
+
+    docs = _docs(spark, sf_dir)
+    qt = query_terms(queries_df(spark, DRIVER_QUERIES), MODE)
+    hits = bm25_topk_adhoc(docs, qt, k=1 << 30, text_col="text",
+                           mode=MODE).drop("rank")
+    out = collapse_inner_hits(hits, docs.select("doc_id", "lang"), "lang",
+                              per_key=COLLAPSE_PER_KEY, k=COLLAPSE_K,
+                              inner_size=INNER_SIZE)
+    return out.select("query_id", "winner_id", "lang",
+                      _r6(F.col("winner_score")).alias("winner_score"),
+                      F.col("rank").cast("long").alias("rank"),
+                      "inner_id", _r6(F.col("inner_score")).alias("inner_score"),
+                      F.col("inner_rank").cast("long").alias("inner_rank"))
+
+
+SQL_COLLAPSE_INNER = f"""WITH {_TOKS}, {_XDOC}, {_scores_sql('xdoc', 'doc_id', True, False)},
+q(query_id, term) AS (VALUES {_query_term_values()}),
+hits AS (
+  SELECT q.query_id, s.doc_id, sum(s.score) AS score
+  FROM q JOIN scores s USING (term) GROUP BY q.query_id, s.doc_id),
+j AS (SELECT h.query_id, h.doc_id, h.score, d.lang
+      FROM hits h JOIN documents d USING (doc_id)),
+keyed AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id, lang
+                               ORDER BY score DESC, doc_id ASC) AS kr
+  FROM j),
+winners AS (
+  SELECT query_id, doc_id AS winner_id, lang, score AS winner_score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM keyed WHERE kr <= {COLLAPSE_PER_KEY}),
+inner7 AS (
+  SELECT query_id, lang, doc_id AS inner_id, score AS inner_score,
+         kr AS inner_rank
+  FROM keyed WHERE kr <= {INNER_SIZE})
+SELECT w.query_id, w.winner_id, w.lang,
+       round(w.winner_score, 6) AS winner_score,
+       CAST(w.rank AS BIGINT) AS rank, i.inner_id,
+       round(i.inner_score, 6) AS inner_score,
+       CAST(i.inner_rank AS BIGINT) AS inner_rank
+FROM winners w JOIN inner7 i USING (query_id, lang)
+WHERE w.rank <= {COLLAPSE_K}"""
+
+
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "approx_distribution": (q_approx_distribution, SQL_APPROX_DISTRIBUTION),
     "approx_distribution_tokens": (q_approx_distribution_tokens,
@@ -10193,4 +10247,5 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "span_multi_match": (q_span_multi_match, _sql_span_multi()),
     "bloom_semi_join": (q_bloom_semi_join, SQL_BLOOM_SEMI),
     "decay_functions": (q_decay_functions, _sql_decay_functions()),
+    "collapse_inner_hits": (q_collapse_inner_hits, SQL_COLLAPSE_INNER),
 }

@@ -3128,3 +3128,41 @@ def decay_score_expr(field, origin: float, scale: float,
         return F.exp(d * F.lit(lam))
     s = scale / (1.0 - decay)
     return F.greatest(F.lit(0.0), (F.lit(s) - d) / F.lit(s))
+
+
+def collapse_inner_hits(hits: DataFrame, meta: DataFrame,
+                        collapse_col: str, per_key: int = 1, k: int = 10,
+                        inner_size: int = 3,
+                        id_col: str = "doc_id") -> DataFrame:
+    """ES ``collapse`` with ``inner_hits``: beside each collapsed winner,
+    expose the group's top ``inner_size`` members (the "other results
+    from this repo/domain" expansion) — (query_id, winner id, collapse
+    value, score, rank, inner id, inner score, inner_rank), one row per
+    inner hit, inner_rank 1 = the winner itself.
+
+    Same single exchange as ``collapse_topk``: the group window already
+    ranks every member, so inner hits are the rows with group-rank ≤
+    inner_size joined back to their group's winner — no second scoring
+    pass, no per-group collect.
+    """
+    if per_key < 1 or k < 1 or inner_size < 1:
+        raise ValueError("per_key, k and inner_size must be >= 1")
+    j = hits.join(meta.select(id_col, collapse_col), id_col)
+    wk = Window.partitionBy("query_id", collapse_col).orderBy(
+        F.desc("score"), F.asc(id_col))
+    wq = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                                F.asc(id_col))
+    ranked = j.withColumn("kr", F.row_number().over(wk))
+    winners = (ranked.filter(F.col("kr") <= per_key)
+               .withColumn("rank", F.row_number().over(wq))
+               .filter(F.col("rank") <= k)
+               .select("query_id", F.col(id_col).alias("winner_id"),
+                       collapse_col, F.col("score").alias("winner_score"),
+                       "rank"))
+    inner = ranked.filter(F.col("kr") <= inner_size).select(
+        "query_id", collapse_col, F.col(id_col).alias("inner_id"),
+        F.col("score").alias("inner_score"),
+        F.col("kr").alias("inner_rank"))
+    return winners.join(inner, ["query_id", collapse_col]).select(
+        "query_id", "winner_id", collapse_col, "winner_score", "rank",
+        "inner_id", "inner_score", "inner_rank")
