@@ -9980,6 +9980,93 @@ FROM winners w JOIN inner7 i USING (query_id, lang)
 WHERE w.rank <= {COLLAPSE_K}"""
 
 
+MMRD_K, MMRD_LAMBDA, MMRD_CANDS = 5, 0.4, 12
+
+
+def q_mmr_diversify_ann(spark, sf_dir):
+    """Vector search-result diversification (operators/similarity.
+    mmr_diversify): greedy MMR over the brute-cosine top-12 candidates
+    per query — (1−λ)·rel − λ·max-cos-to-selected, λ=0.4. The per-query
+    loop runs as applyInPandas over the tiny candidate group; 6dp
+    rounding before every argmax keeps the greedy path engine-stable."""
+    from bertopic_spark.operators.similarity import (cosine_topk,
+                                                     mmr_diversify)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cands = cosine_topk(emb, ANN_QUERY_IDS, k=MMRD_CANDS).drop("rn")
+    out = mmr_diversify(emb, cands, k=MMRD_K, diversity=MMRD_LAMBDA)
+    return out.select("query_vec_id", "vec_id",
+                      _r6(F.col("cos")).alias("cos"),
+                      F.col("mmr_rank").cast("long").alias("mmr_rank"))
+
+
+def _sql_mmr_diversify() -> str:
+    ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    w_rel, w_div = repr(1.0 - MMRD_LAMBDA), repr(MMRD_LAMBDA)
+    parts = [f"""WITH {_SQL_COS_CORE},
+dots AS (
+  SELECT q.vec_id AS query_vec_id, d.vec_id AS vec_id,
+         sum(q.val * d.val) AS dot
+  FROM v q JOIN v d ON q.dim = d.dim
+  WHERE q.vec_id IN ({ids}) AND d.vec_id != q.vec_id
+  GROUP BY q.vec_id, d.vec_id),
+cand AS (
+  SELECT query_vec_id, vec_id, cos FROM (
+    SELECT query_vec_id, dots.vec_id AS vec_id,
+           round(dot / (nq.nrm * nd.nrm), 6) AS cos,
+           row_number() OVER (PARTITION BY query_vec_id
+               ORDER BY dot / (nq.nrm * nd.nrm) DESC, dots.vec_id ASC) AS rn
+    FROM dots JOIN norms nq ON nq.vec_id = query_vec_id
+              JOIN norms nd ON nd.vec_id = dots.vec_id)
+  WHERE rn <= {MMRD_CANDS}),
+psims AS (
+  SELECT a.query_vec_id, a.vec_id AS ia, b.vec_id AS ib,
+         round(sum(va.val * vb.val) / (na.nrm * nb.nrm), 6) AS sim
+  FROM cand a JOIN cand b ON b.query_vec_id = a.query_vec_id
+       AND b.vec_id != a.vec_id
+  JOIN v va ON va.vec_id = a.vec_id
+  JOIN v vb ON vb.vec_id = b.vec_id AND vb.dim = va.dim
+  JOIN norms na ON na.vec_id = a.vec_id
+  JOIN norms nb ON nb.vec_id = b.vec_id
+  GROUP BY a.query_vec_id, a.vec_id, b.vec_id, na.nrm, nb.nrm),
+sel1 AS (
+  SELECT query_vec_id, vec_id, 1 AS mmr_rank FROM (
+    SELECT query_vec_id, vec_id,
+           row_number() OVER (PARTITION BY query_vec_id
+               ORDER BY CAST({w_rel} AS DOUBLE) * cos DESC, vec_id ASC) AS rn
+    FROM cand) WHERE rn = 1)"""]
+    for i in range(2, MMRD_K + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT query_vec_id, vec_id FROM sel{j}" for j in range(1, i))
+        parts.append(f""",
+selu{i - 1} AS ({prev}),
+msi{i} AS (
+  SELECT s.query_vec_id, s.ia AS vec_id, max(s.sim) AS msim
+  FROM psims s JOIN selu{i - 1} p
+       ON p.query_vec_id = s.query_vec_id AND p.vec_id = s.ib
+  GROUP BY s.query_vec_id, s.ia),
+sel{i} AS (
+  SELECT query_vec_id, vec_id, {i} AS mmr_rank FROM (
+    SELECT c.query_vec_id, c.vec_id,
+           row_number() OVER (PARTITION BY c.query_vec_id
+               ORDER BY CAST({w_rel} AS DOUBLE) * c.cos
+                        - CAST({w_div} AS DOUBLE) * m.msim DESC,
+                        c.vec_id ASC) AS rn
+    FROM cand c
+    JOIN msi{i} m ON m.query_vec_id = c.query_vec_id
+         AND m.vec_id = c.vec_id
+    WHERE NOT EXISTS (SELECT 1 FROM selu{i - 1} p
+                      WHERE p.query_vec_id = c.query_vec_id
+                        AND p.vec_id = c.vec_id)) WHERE rn = 1)""")
+    allsel = " UNION ALL ".join(
+        f"SELECT * FROM sel{j}" for j in range(1, MMRD_K + 1))
+    parts.append(f"""
+SELECT s.query_vec_id, s.vec_id, c.cos,
+       CAST(s.mmr_rank AS BIGINT) AS mmr_rank
+FROM ({allsel}) s JOIN cand c USING (query_vec_id, vec_id)""")
+    return "".join(parts)
+
+
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "approx_distribution": (q_approx_distribution, SQL_APPROX_DISTRIBUTION),
     "approx_distribution_tokens": (q_approx_distribution_tokens,
@@ -10248,4 +10335,5 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "bloom_semi_join": (q_bloom_semi_join, SQL_BLOOM_SEMI),
     "decay_functions": (q_decay_functions, _sql_decay_functions()),
     "collapse_inner_hits": (q_collapse_inner_hits, SQL_COLLAPSE_INNER),
+    "mmr_diversify_ann": (q_mmr_diversify_ann, _sql_mmr_diversify()),
 }

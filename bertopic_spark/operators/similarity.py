@@ -884,3 +884,68 @@ def matryoshka_topk(
             .filter(F.col("rn") <= k)
             .select("query_vec_id", id_col, F.round("cos", 6).alias("cos"),
                     "rn"))
+
+
+def mmr_diversify(emb: DataFrame, cands: DataFrame, k: int = 5,
+                  diversity: float = 0.4, id_col: str = "vec_id",
+                  vec_col: str = "embedding",
+                  query_col: str = "query_vec_id",
+                  rel_col: str = "cos") -> DataFrame:
+    """Search-result diversification: greedy MMR over an ANN candidate
+    relation — step i keeps the candidate maximizing
+
+        (1−λ)·relevance − λ·max cosine-to-already-selected
+
+    (Carbonell & Goldstein 1998; the "don't show five near-identical
+    results" re-rank every vector search serves through). Returns
+    (query, id, rel, mmr_rank), mmr_rank 1..k.
+
+    Inherently sequential over ≤|candidates| items per query →
+    applyInPandas per query group (tiny — the candidate list), exactly
+    how ``topics.mmr_rerank`` scopes the same loop per topic. Relevance
+    and pairwise sims round to 6dp BEFORE the argmax so the greedy path
+    is engine-stable (the unrolled SQL oracle replays it step for step);
+    ties break on id ascending.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if k < 1 or not 0.0 <= diversity <= 1.0:
+        raise ValueError("need k >= 1 and 0 <= diversity <= 1")
+    vecs = emb.select(F.col(id_col),
+                      F.col(vec_col).cast("array<double>").alias("_v"))
+    j = cands.select(query_col, id_col, rel_col).join(vecs, id_col)
+    w_rel, w_div = 1.0 - diversity, diversity
+
+    def _g(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([rel_col, id_col],
+                              ascending=[False, True]).reset_index(drop=True)
+        ids = list(pdf[id_col])
+        rel = {i: round(float(r), 6)
+               for i, r in zip(pdf[id_col], pdf[rel_col])}
+        vs = {i: np.asarray(v, dtype=np.float64)
+              for i, v in zip(pdf[id_col], pdf["_v"])}
+        nrm = {i: float(np.sqrt(np.dot(v, v))) for i, v in vs.items()}
+
+        def sim(a, b):
+            return round(float(np.dot(vs[a], vs[b])) / (nrm[a] * nrm[b]), 6)
+
+        selected: list = []
+        remaining = list(ids)
+        while remaining and len(selected) < k:
+            best, best_v = None, None
+            for c in remaining:
+                ms = max((sim(c, s) for s in selected), default=0.0)
+                v = w_rel * rel[c] - w_div * ms
+                if best_v is None or v > best_v or (v == best_v and c < best):
+                    best, best_v = c, v
+            selected.append(best)
+            remaining.remove(best)
+        rows = [(pdf[query_col].iloc[0], i, rel[i], r + 1)
+                for r, i in enumerate(selected)]
+        return pd.DataFrame(rows,
+                            columns=[query_col, id_col, rel_col, "mmr_rank"])
+
+    schema = (f"{query_col} long, {id_col} long, {rel_col} double, "
+              "mmr_rank long")
+    return j.groupBy(query_col).applyInPandas(_g, schema)

@@ -151,3 +151,31 @@ def test_matryoshka_full_prefix_equals_brute(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         matryoshka_topk(emb, [0], k=10, prefix_dims=8, n_candidates=5)
+
+
+def test_mmr_diversify_prefers_spread(spark):
+    """Two near-duplicate top candidates: MMR keeps one and pulls the
+    next cluster in; lambda=0 degrades to pure relevance order."""
+    from bertopic_spark.operators.similarity import mmr_diversify
+
+    rows = [
+        (100, [1.0, 0.0, 0.0, 0.0]),            # query
+        (1, [0.99, 0.14, 0.0, 0.0]),            # near-dup pair, top rel
+        (2, [0.99, 0.141, 0.0, 0.0]),
+        (3, [0.7, 0.71, 0.0, 0.0]),             # different direction
+        (4, [0.6, 0.0, 0.8, 0.0]),
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>")
+    from bertopic_spark.operators.similarity import cosine_topk
+    cands = cosine_topk(emb, [100], k=4).drop("rn")
+    pure = mmr_diversify(emb, cands, k=3, diversity=0.0).collect()
+    assert [r["vec_id"] for r in sorted(pure, key=lambda r: r["mmr_rank"])][:2] == [1, 2]
+    div = mmr_diversify(emb, cands, k=3, diversity=0.6).collect()
+    order = [r["vec_id"] for r in sorted(div, key=lambda r: r["mmr_rank"])]
+    assert order[0] == 1          # best relevance first
+    assert order[1] != 2          # the near-duplicate is deferred
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        mmr_diversify(emb, cands, k=0)
