@@ -10067,6 +10067,57 @@ FROM ({allsel}) s JOIN cand c USING (query_vec_id, vec_id)""")
     return "".join(parts)
 
 
+PERC_PHRASES = ((1, "join order"), (5, "merge sort"))
+
+
+def q_percolate_phrases(spark, sf_dir):
+    """Percolator with phrase criteria (operators/fulltext.
+    percolate_phrases): standing queries 1 and 5 additionally require an
+    exact phrase ('join order' / 'merge sort') on top of 50% term
+    coverage — every phrase evaluates in ONE document pass, registry
+    still broadcast."""
+    from bertopic_spark.operators.fulltext import percolate_phrases
+
+    qt = query_terms(queries_df(spark, DRIVER_QUERIES), MODE)
+    ph = spark.createDataFrame(list(PERC_PHRASES),
+                               "query_id long, phrase string")
+    return percolate_phrases(_docs(spark, sf_dir), qt, ph,
+                             text_col="text", min_should_match=0.5,
+                             mode=MODE)
+
+
+def _sql_percolate_phrases() -> str:
+    vals = ", ".join(
+        "({}, '{}', '{}')".format(q, *p.split()) for q, p in PERC_PHRASES)
+    qids = ", ".join(str(q) for q, _ in PERC_PHRASES)
+    return f"""WITH {_TOKS},
+dt AS (SELECT DISTINCT doc_id, term FROM toks),
+q(query_id, term) AS (VALUES {_query_term_values()}),
+qn AS (SELECT query_id, CAST(count(DISTINCT term) AS BIGINT) AS n_q
+       FROM q GROUP BY query_id),
+hits AS (
+  SELECT dt.doc_id, q.query_id, CAST(count(*) AS BIGINT) AS n_matched
+  FROM dt JOIN q USING (term) GROUP BY dt.doc_id, q.query_id),
+base AS (
+  SELECT h.doc_id, h.query_id, h.n_matched, qn.n_q,
+         round(CAST(h.n_matched AS DOUBLE) / qn.n_q, 6) AS coverage
+  FROM hits h JOIN qn USING (query_id)
+  WHERE h.n_matched >= ceil(0.5 * qn.n_q)),
+tkp AS (SELECT doc_id, {duckdb_tokens_sql('text', MODE)} AS ts
+        FROM documents),
+p AS (SELECT doc_id, unnest(ts) AS term, unnest(range(len(ts))) AS pos
+      FROM tkp),
+ph(query_id, w1, w2) AS (VALUES {vals}),
+met AS (SELECT DISTINCT p0.doc_id, ph.query_id
+        FROM ph JOIN p p0 ON p0.term = ph.w1
+        JOIN p p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+             AND p1.term = ph.w2)
+SELECT b.* FROM base b
+WHERE b.query_id NOT IN ({qids})
+   OR EXISTS (SELECT 1 FROM met m
+              WHERE m.doc_id = b.doc_id AND m.query_id = b.query_id)"""
+
+
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "approx_distribution": (q_approx_distribution, SQL_APPROX_DISTRIBUTION),
     "approx_distribution_tokens": (q_approx_distribution_tokens,
@@ -10336,4 +10387,5 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "decay_functions": (q_decay_functions, _sql_decay_functions()),
     "collapse_inner_hits": (q_collapse_inner_hits, SQL_COLLAPSE_INNER),
     "mmr_diversify_ann": (q_mmr_diversify_ann, _sql_mmr_diversify()),
+    "percolate_phrases": (q_percolate_phrases, _sql_percolate_phrases()),
 }

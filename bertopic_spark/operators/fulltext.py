@@ -2137,3 +2137,66 @@ def fuzzy_terms_dl(dictionary: DataFrame, term: str,
     if swaps:
         close = close | F.col("term").isin(swaps)
     return expand_terms(dictionary, band & close, max_expand)
+
+
+def percolate_phrases(docs: DataFrame, queries: DataFrame,
+                      phrases: DataFrame,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      min_should_match: float = 1.0,
+                      mode: str = "ascii_code") -> DataFrame:
+    """Percolator with PHRASE criteria: a standing query may require, on
+    top of its term-coverage condition, one or more exact phrases
+    (``phrases``: (query_id, phrase) rows) — the full ES percolator
+    registers arbitrary queries, and phrases are the first capability
+    documents-as-queries registries actually use (brand names, error
+    signatures). A query with no phrase rows degrades to ``percolate``.
+
+    Physical shape: the term leg is ``percolate`` unchanged (broadcast
+    registry, map-side matching); the phrase leg tokenizes each distinct
+    registered phrase DRIVER-SIDE (a registry is small by contract),
+    evaluates every phrase's adjacency HOF in ONE document pass, and
+    anti-joins queries with unmet phrases. Still zero shuffles beyond
+    the bounded (doc, query) aggs.
+    """
+    from bertopic_spark.tokenizer import tokenize_one
+
+    base = percolate(docs, queries, text_col, id_col,
+                     min_should_match, mode)
+    ph = [(int(r["query_id"]), tokenize_one(r["phrase"], mode))
+          for r in phrases.select("query_id", "phrase").distinct().collect()]
+    ph = [(q, toks) for q, toks in ph if toks]
+    if not ph:
+        return base
+    need = {}
+    for q, _ in ph:
+        need[q] = need.get(q, 0) + 1
+    toks_df = with_tokens(docs.select(id_col, text_col), text_col, mode)
+    checks = [
+        F.when(F.size(_phrase_hits(F.col("tokens"), toks)) > 0,
+               F.lit(q)).alias(f"_q{i}")
+        for i, (q, toks) in enumerate(ph)]
+    met = (toks_df.select(F.col(id_col), F.array(*[
+        F.struct(c.alias("q")) for c in checks]).alias("_qs"))
+        .select(F.col(id_col), F.explode("_qs").alias("_s"))
+        .select(F.col(id_col), F.col("_s.q").alias("query_id"))
+        .filter(F.col("query_id").isNotNull())
+        .groupBy(id_col, "query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ph_met")))
+    need_df = F.broadcast(docs.sparkSession.createDataFrame(
+        list(need.items()), "query_id long, n_ph long"))
+    ok = (met.join(need_df, "query_id")
+          .filter(F.col("n_ph_met") >= F.col("n_ph"))
+          .select(id_col, "query_id"))
+    phrased = set(need)
+    keep_unphrased = base.filter(~F.col("query_id").isin(sorted(phrased)))
+    keep_phrased = base.join(ok, [id_col, "query_id"], "leftsemi")
+    return keep_unphrased.unionByName(keep_phrased)
+
+
+def _phrase_hits(tk, toks):
+    n = len(toks)
+    seq = F.when(F.size(tk) >= n, F.sequence(F.lit(0), F.size(tk) - n)
+                 ).otherwise(F.array().cast("array<int>"))
+    return F.filter(seq, lambda i: reduce(
+        lambda acc, j: acc & (F.get(tk, i + j) == F.lit(toks[j])),
+        range(1, n), F.get(tk, i) == F.lit(toks[0])))

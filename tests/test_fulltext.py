@@ -1059,3 +1059,30 @@ def test_fuzzy_dl_transposition_counts_one(spark):
     assert "table" in dl and "table" not in lev
     assert lev <= dl  # DL1 is a superset of lev1
     assert "zzz" not in dl and "cable" not in dl
+
+
+def test_percolate_phrases_gates_on_adjacency(spark):
+    from bertopic_spark.operators.fulltext import percolate, percolate_phrases
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "beta alpha gamma"),
+         (2, "alpha gamma")],
+        "doc_id long, text string")
+    qt = spark.createDataFrame(
+        [(10, "alpha"), (10, "beta"), (20, "gamma")],
+        "query_id long, term string")
+    ph = spark.createDataFrame([(10, "alpha beta")],
+                               "query_id long, phrase string")
+    base = {(r["doc_id"], r["query_id"])
+            for r in percolate(docs, qt, "text", "doc_id", 1.0).collect()}
+    out = {(r["doc_id"], r["query_id"])
+           for r in percolate_phrases(docs, qt, ph, "text", "doc_id",
+                                      1.0).collect()}
+    # doc 1 has both terms but not the phrase; query 20 is unphrased
+    assert (1, 10) in base and (1, 10) not in out
+    assert (0, 10) in out
+    assert {(d, q) for d, q in out if q == 20} == \
+        {(d, q) for d, q in base if q == 20}
+    # empty phrase registry degrades to plain percolate
+    none = spark.createDataFrame([], "query_id long, phrase string")
+    assert {(r["doc_id"], r["query_id"]) for r in percolate_phrases(
+        docs, qt, none, "text", "doc_id", 1.0).collect()} == base
