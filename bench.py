@@ -202,6 +202,16 @@ BENCH_QUERIES = [
     "fuzzy_dl_match",
     "search_query_range",
     "ann_matryoshka_topk",
+    "perplexity_buckets",
+    "multi_match_cross_fields",
+    "cumulative_cardinality",
+    "categorize_text",
+    "span_multi_match",
+    "bloom_semi_join",
+    "decay_functions",
+    "collapse_inner_hits",
+    "mmr_diversify_ann",
+    "percolate_phrases",
 ]
 
 
