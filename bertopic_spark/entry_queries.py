@@ -10118,6 +10118,58 @@ WHERE b.query_id NOT IN ({qids})
               WHERE m.doc_id = b.doc_id AND m.query_id = b.query_id)"""
 
 
+def q_rank_eval_err(spark, sf_dir):
+    """ERR@10 (Chapelle et al. 2009 cascade metric, operators/bm25.
+    rank_eval err_at_k): the probability-weighted reciprocal rank where
+    each relevant hit 'absorbs' later ones — the metric behind
+    click-model evaluation. Same deterministic graded judgments as
+    rank_eval_bm25; the cascade product is exp(cumsum(ln(1−R))), the
+    exact expression the oracle evaluates."""
+    from bertopic_spark.operators.bm25 import bm25_topk_adhoc, rank_eval
+
+    qt = query_terms(queries_df(spark, DRIVER_QUERIES), MODE)
+    hits = bm25_topk_adhoc(_docs(spark, sf_dir), qt, k=10,
+                           text_col="text", mode=MODE)
+    judg = (_doc_x(spark, sf_dir).join(F.broadcast(qt), "term")
+            .groupBy("query_id", "doc_id")
+            .agg(F.count_distinct("term").alias("grade"))
+            .filter(F.col("grade") >= 2)
+            .withColumn("grade", F.col("grade").cast("double")))
+    out = rank_eval(hits, judg, k=10)
+    return out.select("query_id", _r6(F.col("err_at_k")).alias("err_at_k"))
+
+
+SQL_RANK_EVAL_ERR = f"""WITH {_TOKS}, {_XDOC}, {_scores_sql('xdoc', 'doc_id', True, False)},
+q(query_id, term) AS (VALUES {_query_term_values()}),
+hits AS (
+  SELECT q.query_id, s.doc_id, sum(s.score) AS score
+  FROM q JOIN scores s USING (term) GROUP BY q.query_id, s.doc_id),
+win AS (
+  SELECT query_id, doc_id, rnk FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS rnk
+    FROM hits) WHERE rnk <= 10),
+judg AS (
+  SELECT q.query_id, x.doc_id, CAST(count(DISTINCT q.term) AS DOUBLE) AS grade
+  FROM q JOIN xdoc x USING (term)
+  GROUP BY q.query_id, x.doc_id HAVING count(DISTINCT q.term) >= 2),
+graded AS (
+  SELECT w.query_id, w.rnk,
+         (pow(2.0, coalesce(j.grade, 0.0)) - 1.0) / {2.0 ** 4} AS r
+  FROM win w LEFT JOIN judg j
+    ON w.query_id = j.query_id AND w.doc_id = j.doc_id),
+casc AS (
+  SELECT query_id, rnk, r,
+         exp(coalesce(sum(ln(1.0 - r)) OVER (PARTITION BY query_id
+             ORDER BY rnk ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0.0)) AS prod
+  FROM graded)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       round(sum(r / rnk * prod), 6) AS err_at_k
+FROM casc GROUP BY query_id"""
+
+
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "approx_distribution": (q_approx_distribution, SQL_APPROX_DISTRIBUTION),
     "approx_distribution_tokens": (q_approx_distribution_tokens,
@@ -10388,4 +10440,5 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "collapse_inner_hits": (q_collapse_inner_hits, SQL_COLLAPSE_INNER),
     "mmr_diversify_ann": (q_mmr_diversify_ann, _sql_mmr_diversify()),
     "percolate_phrases": (q_percolate_phrases, _sql_percolate_phrases()),
+    "rank_eval_err": (q_rank_eval_err, SQL_RANK_EVAL_ERR),
 }

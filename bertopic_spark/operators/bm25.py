@@ -2522,6 +2522,20 @@ def rank_eval(
                   win.join(judgments.select("query_id", id_col),
                            ["query_id", id_col], "left_anti")
                   .select("query_id", "rank", F.lit(0.0).alias("grade"))))
+    # ERR@k (Chapelle et al. 2009): Σ_r (R_r/r)·Π_{i<r}(1−R_i) with
+    # R = (2^g − 1)/2^max_grade. The cascade product is computed as
+    # exp(cumsum(ln(1−R)) over preceding ranks) — the same expression the
+    # SQL oracle evaluates, so both engines do identical double ops
+    # (requires max_grade > max observed grade so 1−R > 0).
+    max_grade = 4.0
+    rr = (F.pow(F.lit(2.0), F.col("grade")) - 1.0) / F.lit(2.0 ** max_grade)
+    werr = Window.partitionBy("query_id").orderBy("rank") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    errd = graded.withColumn("_r", rr).withColumn(
+        "_prod", F.exp(F.coalesce(F.sum(F.log(1.0 - F.col("_r"))).over(werr),
+                                  F.lit(0.0))))
+    err = errd.groupBy("query_id").agg(
+        F.sum(F.col("_r") / F.col("rank") * F.col("_prod")).alias("err"))
     per = graded.groupBy("query_id").agg(
         F.count(F.lit(1)).alias("n_ret"),
         F.sum(F.when(F.col("grade") > 0, 1).otherwise(0)).alias("n_rel_ret"),
@@ -2540,6 +2554,7 @@ def rank_eval(
     return (per
             .join(F.broadcast(ideal), "query_id", "left")
             .join(F.broadcast(nrel), "query_id", "left")
+            .join(F.broadcast(err), "query_id", "left")
             .select(
                 "query_id",
                 (F.col("n_rel_ret") / F.col("n_ret")).alias("p_at_k"),
@@ -2552,6 +2567,7 @@ def rank_eval(
                 F.when(F.coalesce(F.col("idcg"), F.lit(0.0)) > 0,
                        F.col("dcg") / F.col("idcg"))
                 .otherwise(F.lit(0.0)).alias("ndcg_at_k"),
+                F.coalesce(F.col("err"), F.lit(0.0)).alias("err_at_k"),
             ))
 
 

@@ -122,3 +122,21 @@ def test_clarity_score_hand_value(spark):
     q2 = spark.createDataFrame([(1, "bb")], "query_id long, term string")
     r2 = clarity_score(docs, q2, k=10).collect()[0]
     assert r2["n_fb"] == 2 and r2["clarity"] < r["clarity"]
+
+
+def test_err_hand_case(spark):
+    """ERR of a 2-hit list against the closed form."""
+    from bertopic_spark.operators.bm25 import rank_eval
+
+    hits = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)],
+        "query_id long, doc_id long, rank long")
+    judg = spark.createDataFrame(
+        [(0, 10, 3.0), (0, 12, 2.0)], "query_id long, doc_id long, grade double")
+    out = rank_eval(hits, judg, k=3).collect()[0]
+    r1, r3 = (2 ** 3 - 1) / 16.0, (2 ** 2 - 1) / 16.0
+    want = r1 / 1 + 0.0 / 2 + (1 - r1) * (1 - 0.0) * r3 / 3
+    assert out["err_at_k"] == pytest.approx(want, abs=1e-9)
+    # no relevant hits -> ERR 0
+    none = rank_eval(hits, judg.filter("grade < 0"), k=3).collect()[0]
+    assert none["err_at_k"] == pytest.approx(0.0, abs=1e-12)
