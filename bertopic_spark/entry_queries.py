@@ -10170,6 +10170,90 @@ SELECT CAST(query_id AS BIGINT) AS query_id,
 FROM casc GROUP BY query_id"""
 
 
+def q_seasonal_anomaly(spark, sf_dir):
+    """Seasonal-baseline anomaly scores (operators/rollup.
+    seasonal_anomalies): every hourly bucket z-scored against its
+    series' same-hour-of-day mean/stddev — alerting on periodic traffic.
+    Scores, not a thresholded set, so the relation is ulp-stable."""
+    from bertopic_spark.operators.rollup import seasonal_anomalies
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return seasonal_anomalies(ev, "ts", keys=("event_type",)).select(
+        "event_type", "bucket", "n", F.col("hod").cast("long").alias("hod"),
+        "z")
+
+
+SQL_SEASONAL_ANOM = """WITH b AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+b2 AS (SELECT *, CAST(extract(hour FROM bucket) AS BIGINT) AS hod FROM b),
+mom AS (SELECT event_type, hod, avg(n) AS mu,
+               stddev_samp(CAST(n AS DOUBLE)) AS sd
+        FROM b2 GROUP BY 1, 2)
+SELECT b2.event_type, b2.bucket, b2.n, b2.hod,
+       round(CASE WHEN coalesce(sd, 0) > 0 THEN (n - mu) / sd
+                  ELSE 0.0 END, 6) AS z
+FROM b2 JOIN mom USING (event_type, hod)"""
+
+
+EWMA_ALPHA = 0.3
+
+
+def q_ewma_daily(spark, sf_dir):
+    """ES moving_fn ewma (operators/rollup.ewma_smooth): exponentially
+    weighted daily event counts per type — the recursion evaluated in
+    closed form (rank window + triangular self-join over the BUCKET
+    relation), so nothing is sequential."""
+    from bertopic_spark.operators.rollup import ewma_smooth
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    b = (ev.groupBy("event_type", F.date_trunc("day", F.col("ts"))
+                    .alias("d"))
+         .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    return ewma_smooth(b, "d", "n", alpha=EWMA_ALPHA,
+                       keys=("event_type",))
+
+
+SQL_EWMA_DAILY = f"""WITH b AS (
+  SELECT event_type, date_trunc('day', ts) AS d,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY d) AS rr FROM b),
+pairs AS (
+  SELECT a.event_type, a.d, CAST(a.n AS DOUBLE) AS value,
+         CAST(bb.n AS DOUBLE) AS yb, a.rr AS ra, bb.rr AS rb
+  FROM r a JOIN r bb ON bb.event_type = a.event_type AND bb.rr <= a.rr)
+SELECT event_type, d, value,
+       round(sum(yb * CASE WHEN rb = 1
+                 THEN power({1.0 - EWMA_ALPHA}, ra - 1)
+                 ELSE {EWMA_ALPHA} * power({1.0 - EWMA_ALPHA}, ra - rb)
+            END), 6) AS ewma
+FROM pairs GROUP BY event_type, d, value"""
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix (operators/rollup.cohort_retention):
+    users bucketed by first-seen day, distinct-counted at each later
+    day offset — integer counts, exact cross-engine."""
+    from bertopic_spark.operators.rollup import cohort_retention
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cohort_retention(ev, "ts", "user_id", "day")
+
+
+SQL_COHORT_RETENTION = """WITH ev AS (
+  SELECT user_id AS u, date_trunc('day', ts) AS b
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+frst AS (SELECT u, min(b) AS cohort FROM ev GROUP BY u)
+SELECT f.cohort,
+       CAST((epoch(e.b) - epoch(f.cohort)) / 86400 AS BIGINT)
+         AS bucket_offset,
+       CAST(count(DISTINCT e.u) AS BIGINT) AS n_users
+FROM ev e JOIN frst f USING (u) GROUP BY 1, 2"""
+
+
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "approx_distribution": (q_approx_distribution, SQL_APPROX_DISTRIBUTION),
     "approx_distribution_tokens": (q_approx_distribution_tokens,
@@ -10441,4 +10525,7 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "mmr_diversify_ann": (q_mmr_diversify_ann, _sql_mmr_diversify()),
     "percolate_phrases": (q_percolate_phrases, _sql_percolate_phrases()),
     "rank_eval_err": (q_rank_eval_err, SQL_RANK_EVAL_ERR),
+    "seasonal_anomaly_hourly": (q_seasonal_anomaly, SQL_SEASONAL_ANOM),
+    "ewma_daily": (q_ewma_daily, SQL_EWMA_DAILY),
+    "cohort_retention_daily": (q_cohort_retention, SQL_COHORT_RETENTION),
 }

@@ -848,3 +848,100 @@ def moving_percentiles(df: DataFrame, ts_col: str, value_col: str,
             .filter(F.col("_rn") == 1)
             .select(*gb, "bucket", "q",
                     F.when(F.col("n") > 0, est).alias("est")))
+
+
+def seasonal_anomalies(df: DataFrame, ts_col: str,
+                       keys: Sequence[str] = (), dp: int = 6) -> DataFrame:
+    """Seasonal-baseline anomaly scores over an hourly histogram: each
+    (keys, hour) bucket is compared to the mean/stddev of SAME-HOUR-OF-
+    DAY buckets in its series — the "is this hour unusual for a 3am?"
+    check behind alerting on periodic traffic. Returns
+    (keys…, bucket, n, hod, z) for every bucket (z = 0 where the
+    seasonal stddev is 0; thresholding is the caller's policy — emitting
+    scores instead of a filtered set keeps the relation ulp-stable
+    across engines).
+
+    Two aggs over the BUCKET relation (one builds buckets from raw, one
+    derives per-(keys, hour-of-day) moments — 24·|keys| rows); the join
+    back broadcasts. Nothing scales with raw rows beyond the first agg.
+    """
+    gb = list(keys)
+    b = (df.groupBy(*gb, F.date_trunc("hour", F.col(ts_col)).alias("bucket"))
+         .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    b = b.withColumn("hod", F.hour("bucket").cast("int"))
+    mom = (b.groupBy(*gb, "hod")
+           .agg(F.avg("n").alias("mu"),
+                F.stddev_samp(F.col("n").cast("double")).alias("sd")))
+    z = F.when(F.coalesce(F.col("sd"), F.lit(0.0)) > 0,
+               (F.col("n") - F.col("mu")) / F.col("sd")).otherwise(F.lit(0.0))
+    return (b.join(F.broadcast(mom), gb + ["hod"])
+            .select(*gb, "bucket", "n", "hod", F.round(z, dp).alias("z")))
+
+
+def ewma_smooth(buckets: DataFrame, order_col: str, value_col: str,
+                alpha: float = 0.3, keys: Sequence[str] = (),
+                dp: int = 6) -> DataFrame:
+    """ES ``moving_fn`` ewma over a bucket series: s₁ = y₁,
+    sₜ = α·yₜ + (1−α)·sₜ₋₁ — evaluated in CLOSED FORM,
+
+        sₜ = Σ_{i=2..t} α(1−α)^{t−i} yᵢ + (1−α)^{t−1} y₁
+
+    so there is no sequential recursion to distribute: one rank window
+    per series plus a triangular self-join over the BUCKET relation
+    (t(t+1)/2 pairs per series — bucket-sized, never raw-sized; a decade
+    of hourly buckets is ~87k rows, ~4e9 pairs is the worst case where
+    you'd truncate the tail: weights below ~1e-12 of the current value
+    contribute nothing, so a ``max_lag`` cap of log(ε)/log(1−α) buckets
+    is exact to machine precision).
+
+    Returns (keys…, order_col, value, ewma).
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    gb = list(keys)
+    w = Window.partitionBy(*gb).orderBy(order_col)
+    r = buckets.select(*gb, F.col(order_col),
+                       F.col(value_col).cast("double").alias("_y")) \
+        .withColumn("_r", F.row_number().over(w))
+    a = r.select(*gb, F.col(order_col), F.col("_y").alias("_ya"),
+                 F.col("_r").alias("_ra"))
+    bb = r.select(*([F.col(c).alias(f"_k{i}") for i, c in enumerate(gb)]
+                    + [F.col("_y").alias("_yb"), F.col("_r").alias("_rb")]))
+    cond = [a[c] == bb[f"_k{i}"] for i, c in enumerate(gb)]
+    pairs = a.join(bb, cond + [bb["_rb"] <= a["_ra"]] if cond else
+                   [bb["_rb"] <= a["_ra"]])
+    weight = F.when(F.col("_rb") == 1,
+                    F.pow(F.lit(1.0 - alpha), F.col("_ra") - 1)) \
+        .otherwise(F.lit(alpha) *
+                   F.pow(F.lit(1.0 - alpha), F.col("_ra") - F.col("_rb")))
+    return (pairs.groupBy(*gb, order_col)
+            .agg(F.first("_ya").alias("value"),
+                 F.round(F.sum(F.col("_yb") * weight), dp).alias("ewma"))
+            .select(*gb, order_col, "value", "ewma"))
+
+
+def cohort_retention(df: DataFrame, ts_col: str, user_col: str,
+                     interval: str = "day") -> DataFrame:
+    """Cohort retention matrix: users grouped by their FIRST-seen bucket
+    (the cohort), counted distinct at each later offset —
+    (cohort, bucket_offset, n_users). The product-analytics staple ("of users
+    who arrived Jan 3, how many were back 7 days later?").
+
+    Two aggs: per-user first bucket (|users| rows), then distinct users
+    per (cohort, offset). The first-bucket relation joins back on the
+    user key — the natural shuffle key, skew-free unless one user id
+    dominates the event stream. Integer counts: exact cross-engine.
+    """
+    sec = {"day": 86400, "hour": 3600}
+    if interval not in sec:
+        raise ValueError(f"interval must be one of {sorted(sec)}")
+    b = F.date_trunc(interval, F.col(ts_col))
+    ev = df.where(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()) \
+        .select(F.col(user_col).alias("_u"), b.alias("_b"))
+    first = ev.groupBy("_u").agg(F.min("_b").alias("cohort"))
+    joined = ev.join(first, "_u")
+    offset = ((F.unix_timestamp("_b") - F.unix_timestamp("cohort"))
+              / F.lit(sec[interval])).cast("long")
+    return (joined.select("_u", "cohort", offset.alias("bucket_offset"))
+            .groupBy("cohort", "bucket_offset")
+            .agg(F.count_distinct("_u").cast("long").alias("n_users")))

@@ -1,0 +1,63 @@
+"""Observability/analytics operators: seasonal anomalies, closed-form
+EWMA, cohort retention."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bertopic_spark.operators.rollup import (cohort_retention, ewma_smooth,
+                                             seasonal_anomalies)
+
+
+def test_ewma_matches_sequential_recursion(spark):
+    rows = [("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 5.0), ("a", 4, 5.0),
+            ("b", 1, 100.0)]
+    b = spark.createDataFrame(rows, "k string, t int, y double")
+    out = {(r["k"], r["t"]): r["ewma"]
+           for r in ewma_smooth(b, "t", "y", alpha=0.3,
+                                keys=("k",)).collect()}
+    # sequential reference
+    s = 10.0
+    assert out[("a", 1)] == pytest.approx(s, abs=1e-9)
+    for t, y in [(2, 20.0), (3, 5.0), (4, 5.0)]:
+        s = 0.3 * y + 0.7 * s
+        assert out[("a", t)] == pytest.approx(s, abs=1e-6)
+    assert out[("b", 1)] == pytest.approx(100.0, abs=1e-9)
+    with pytest.raises(ValueError):
+        ewma_smooth(b, "t", "y", alpha=0.0)
+
+
+def test_seasonal_anomaly_flags_the_spike(spark):
+    rows = []
+    for day in range(1, 11):
+        for hod, n in ((3, 10), (12, 50)):
+            cnt = 300 if (day == 9 and hod == 3) else n  # planted spike
+            rows += [(f"2024-01-{day:02d} {hod:02d}:{i % 60:02d}:00",)
+                     for i in range(cnt)]
+    ev = spark.createDataFrame(rows, "ts string").select(
+        F.col("ts").cast("timestamp").alias("ts"))
+    out = seasonal_anomalies(ev, "ts").collect()
+    spike = [r for r in out if str(r["bucket"]).startswith("2024-01-09 03")]
+    others_3am = [r["z"] for r in out if r["hod"] == 3
+                  and not str(r["bucket"]).startswith("2024-01-09")]
+    assert spike and spike[0]["z"] > 2.5
+    assert all(abs(z) < 1.0 for z in others_3am)
+
+
+def test_cohort_retention_counts(spark):
+    rows = [
+        ("2024-01-01 10:00:00", 1), ("2024-01-01 11:00:00", 2),
+        ("2024-01-02 09:00:00", 1),                 # u1 back on day+1
+        ("2024-01-03 09:00:00", 1), ("2024-01-03 10:00:00", 2),
+        ("2024-01-02 12:00:00", 3),                 # new cohort Jan 2
+    ]
+    ev = spark.createDataFrame(rows, "ts string, user_id long").select(
+        F.col("ts").cast("timestamp").alias("ts"), "user_id")
+    out = {(str(r["cohort"]), r["bucket_offset"]): r["n_users"]
+           for r in cohort_retention(ev, "ts", "user_id").collect()}
+    jan1 = "2024-01-01 00:00:00"
+    jan2 = "2024-01-02 00:00:00"
+    assert out[(jan1, 0)] == 2
+    assert out[(jan1, 1)] == 1          # only u1 returned next day
+    assert out[(jan1, 2)] == 2          # both back on day+2
+    assert out[(jan2, 0)] == 1          # u3's own cohort
+    assert (jan2, 1) not in out
