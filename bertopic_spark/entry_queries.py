@@ -10254,6 +10254,107 @@ SELECT f.cohort,
 FROM ev e JOIN frst f USING (u) GROUP BY 1, 2"""
 
 
+FUNNEL_STEPS = ("view", "click", "purchase")
+FUNNEL_WINDOW_US = 7 * 86400 * 1_000_000
+
+
+def q_funnel_conversion(spark, sf_dir):
+    """Ordered funnel (operators/temporal.funnel_conversion): view →
+    click → purchase per user, greedy first-touch within a 7-day window
+    of the anchor — (step_idx, step, n_users), non-increasing. One
+    user-key shuffle; the chain evaluates in array HOFs."""
+    from bertopic_spark.operators.temporal import funnel_conversion
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel_conversion(ev, FUNNEL_STEPS,
+                             window_us=FUNNEL_WINDOW_US)
+
+
+def _sql_funnel() -> str:
+    s0, s1, s2 = FUNNEL_STEPS
+    return f"""WITH ev AS (
+  SELECT user_id AS u, event_type AS s, epoch_us(ts) AS t
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IN ('{s0}', '{s1}', '{s2}')),
+t0 AS (SELECT u, min(t) AS t0 FROM ev WHERE s = '{s0}' GROUP BY u),
+t1 AS (SELECT e.u, min(e.t) AS t1
+       FROM ev e JOIN t0 ON t0.u = e.u
+       WHERE e.s = '{s1}' AND e.t > t0.t0
+         AND e.t - t0.t0 <= {FUNNEL_WINDOW_US}
+       GROUP BY e.u),
+t2 AS (SELECT e.u, min(e.t) AS t2
+       FROM ev e JOIN t1 ON t1.u = e.u JOIN t0 ON t0.u = e.u
+       WHERE e.s = '{s2}' AND e.t > t1.t1
+         AND e.t - t0.t0 <= {FUNNEL_WINDOW_US}
+       GROUP BY e.u)
+SELECT CAST(1 AS BIGINT) AS step_idx, '{s0}' AS step,
+       CAST((SELECT count(*) FROM t0) AS BIGINT) AS n_users
+UNION ALL
+SELECT 2, '{s1}', CAST((SELECT count(*) FROM t1) AS BIGINT)
+UNION ALL
+SELECT 3, '{s2}', CAST((SELECT count(*) FROM t2) AS BIGINT)"""
+
+
+WAU_WINDOW = 7
+
+
+def q_rolling_cardinality(spark, sf_dir):
+    """7-day rolling distinct users (WAU) from daily HLL sketches
+    (operators/sketch.rolling_cardinality): the trailing union is a
+    windowed per-register MAX over the dense spine — a window-spec
+    change away from MAU, never an exact distinct over a sliding
+    window."""
+    from bertopic_spark.operators.sketch import rolling_cardinality
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return rolling_cardinality(
+        ev.select("ts", F.col("user_id").cast("string").alias("uid")),
+        "ts", "uid", "day", window=WAU_WINDOW, p=HLL_P,
+        seed=HLL_SEED).select("bucket", _r6(F.col("est")).alias("est"))
+
+
+def _sql_rolling_cardinality() -> str:
+    m = 1 << HLL_P
+    alpha = 0.7213 / (1.0 + 1.079 / m) if m > 64 else {16: 0.673, 32: 0.697,
+                                                       64: 0.709}[m]
+    rho_max = 60 - HLL_P + 1
+    return f"""WITH
+e AS (SELECT date_trunc('day', ts) AS bucket,
+             CAST(concat('0x', substr(md5('{HLL_SEED}_' ||
+                 CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+r AS (SELECT bucket, h % {m} AS idx,
+             CASE WHEN CAST(floor(h / {m}) AS BIGINT) > 0
+                  THEN {rho_max} - length(bin(CAST(floor(h / {m}) AS BIGINT)))
+                  ELSE {rho_max} END AS rho
+      FROM e),
+per AS (SELECT bucket, idx, max(rho) AS rho FROM r GROUP BY bucket, idx),
+spine AS (SELECT unnest(generate_series(date_trunc('day', mn),
+                                        date_trunc('day', mx),
+                                        INTERVAL 1 DAY)) AS bucket
+          FROM (SELECT min(ts) AS mn, max(ts) AS mx FROM events
+                WHERE ts IS NOT NULL)),
+idxs AS (SELECT DISTINCT idx FROM per),
+grid AS (SELECT s.bucket, i.idx FROM spine s CROSS JOIN idxs i),
+dense AS (SELECT g.bucket, g.idx, p.rho
+          FROM grid g LEFT JOIN per p USING (bucket, idx)),
+cum AS (SELECT bucket, idx,
+               max(rho) OVER (PARTITION BY idx ORDER BY bucket
+                   ROWS BETWEEN {WAU_WINDOW - 1} PRECEDING AND CURRENT ROW)
+               AS rho_w
+        FROM dense),
+agg AS (SELECT bucket, sum(power(2.0, -rho_w)) AS s, count(*) AS nz
+        FROM cum WHERE rho_w IS NOT NULL GROUP BY bucket),
+est AS (SELECT bucket,
+               CASE WHEN ({alpha * m * m}) / (s + ({m} - nz)) <= {2.5 * m}
+                         AND {m} - nz > 0
+                    THEN {float(m)} * ln({float(m)} / ({m} - nz))
+                    ELSE ({alpha * m * m}) / (s + ({m} - nz)) END AS est
+        FROM agg)
+SELECT sp.bucket, round(coalesce(e.est, 0.0), 6) AS est
+FROM spine sp LEFT JOIN est e USING (bucket)"""
+
+
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "approx_distribution": (q_approx_distribution, SQL_APPROX_DISTRIBUTION),
     "approx_distribution_tokens": (q_approx_distribution_tokens,
@@ -10528,4 +10629,7 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "seasonal_anomaly_hourly": (q_seasonal_anomaly, SQL_SEASONAL_ANOM),
     "ewma_daily": (q_ewma_daily, SQL_EWMA_DAILY),
     "cohort_retention_daily": (q_cohort_retention, SQL_COHORT_RETENTION),
+    "funnel_conversion": (q_funnel_conversion, _sql_funnel()),
+    "rolling_cardinality_wau": (q_rolling_cardinality,
+                                _sql_rolling_cardinality()),
 }

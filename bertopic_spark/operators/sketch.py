@@ -561,3 +561,64 @@ def bloom_semi_join(big: DataFrame, keys: DataFrame, col: str,
         pos = _bucket(F.col(col), r, n_bits, seed)
         pre = (pre.join(bits[r], pos == F.col(f"_b{r}"), "leftsemi"))
     return pre.join(keys.select(F.col(col)).distinct(), col, "leftsemi")
+
+
+def rolling_cardinality(df: DataFrame, ts_col: str, col: str,
+                        interval: str = "day", window: int = 7,
+                        p: int = 12, seed: int = 42) -> DataFrame:
+    """Trailing-window distinct counts from daily HLL sketches — the
+    WAU/MAU primitive ("distinct users in the last 7 days, every day")
+    without an exact distinct over a sliding window: registers merge by
+    max, so the trailing union is a windowed per-register MAX over the
+    same dense bucket spine as ``cumulative_cardinality``. At 100 TB
+    the per-bucket sketches are the ONLY state — 2^p rows per bucket —
+    and any window (7-day WAU, 30-day MAU) is a window-spec change, not
+    a recompute.
+
+    Returns (bucket, est) for every spine bucket (0.0 before any data
+    enters the window).
+    """
+    iv = {"hour": "1 hour", "day": "1 day", "minute": "1 minute"}
+    if interval not in iv:
+        raise ValueError(f"interval must be one of {sorted(iv)}")
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    if not (4 <= p <= 18):
+        raise ValueError("p must be in [4, 18]")
+    m = 1 << p
+    h = F.conv(F.substring(
+        F.md5(F.concat_ws("_", F.lit(seed), F.col(col))), 1, 15),
+        16, 10).cast("long")
+    idx = h % m
+    w_ = F.floor(h / m).cast("long")
+    rho = F.when(w_ > 0, F.lit(_HLL_BITS - p + 1) - F.length(F.bin(w_))
+                 ).otherwise(F.lit(_HLL_BITS - p + 1)).cast("int")
+    bucket = F.date_trunc(interval, F.col(ts_col)).alias("bucket")
+    per = (df.where(F.col(col).isNotNull() & F.col(ts_col).isNotNull())
+           .select(bucket, idx.alias("idx"), rho.alias("rho"))
+           .groupBy("bucket", "idx").agg(F.max("rho").alias("rho")))
+    spine = (df.where(F.col(ts_col).isNotNull())
+             .agg(F.date_trunc(interval, F.min(ts_col)).alias("_mn"),
+                  F.date_trunc(interval, F.max(ts_col)).alias("_mx"))
+             .select(F.explode(F.expr(
+                 f"sequence(_mn, _mx, interval {iv[interval]})"))
+                 .alias("bucket")))
+    idxs = per.select("idx").distinct()
+    grid = spine.crossJoin(idxs)
+    dense = grid.join(per, ["bucket", "idx"], "left")
+    wmov = (Window.partitionBy("idx").orderBy("bucket")
+            .rowsBetween(-(window - 1), 0))
+    cum = (dense.withColumn("rho_w", F.max("rho").over(wmov))
+           .filter(F.col("rho_w").isNotNull()))
+    agg = (cum.groupBy("bucket")
+           .agg(F.sum(F.pow(F.lit(2.0), -F.col("rho_w"))).alias("s"),
+                F.count("*").alias("nz")))
+    raw = (F.lit(_hll_alpha(m) * m * m)
+           / (F.col("s") + (F.lit(m) - F.col("nz"))))
+    est = F.when((raw <= 2.5 * m) & (F.lit(m) - F.col("nz") > 0),
+                 F.lit(float(m)) * F.log(F.lit(float(m))
+                                         / (F.lit(m) - F.col("nz")))
+                 ).otherwise(raw)
+    out = agg.select("bucket", est.alias("est"))
+    return (spine.join(out, "bucket", "left")
+            .select("bucket", F.coalesce("est", F.lit(0.0)).alias("est")))

@@ -143,3 +143,70 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     unmatched = l_null.withColumn(
         "_m", F.lit(None).cast(r.schema["_payload"].dataType))
     return out.unionByName(unmatched.select(*out_cols))
+
+
+def funnel_conversion(df, steps, ts_col: str = "ts",
+                      type_col: str = "event_type",
+                      user_col: str = "user_id",
+                      window_us: int | None = None):
+    """Ordered funnel analysis (the product-analytics staple): per user,
+    greedy first-touch matching — step 1 anchors at the user's EARLIEST
+    step-1 event, each later step at its earliest occurrence strictly
+    after the previous step (all within ``window_us`` microseconds of
+    the anchor when given). Returns one row per funnel depth:
+    (step_idx, step, n_users) with n_users = users whose greedy chain
+    reaches that step — monotonically non-increasing by construction.
+
+    Physical shape: events pruned to the step types, one groupBy(user)
+    collecting each user's per-step sorted timestamp arrays (bounded by
+    the user's own activity), the greedy chain evaluated in array HOFs
+    (min-after-previous per step — the same pre-event reasoning as the
+    span sweeps), then a |steps|-sized agg. One shuffle on the user key.
+    """
+    sts = [str(s) for s in steps]
+    if len(sts) < 2:
+        raise ValueError("a funnel needs >= 2 steps")
+    if len(set(sts)) != len(sts):
+        raise ValueError("steps must be distinct")
+    ev = (df.where(F.col(user_col).isNotNull() &
+                   F.col(type_col).isin(sts))
+          .select(F.col(user_col).alias("_u"),
+                  F.col(type_col).alias("_s"),
+                  F.unix_micros(F.col(ts_col).cast("timestamp"))
+                  .alias("_t")))
+    arrs = [F.sort_array(F.collect_list(
+        F.when(F.col("_s") == s, F.col("_t")))).alias(f"_a{i}")
+        for i, s in enumerate(sts)]
+    per_user = ev.groupBy("_u").agg(*arrs)
+    # greedy chain: t0 = min(a0); t_i = min value in a_i strictly after
+    # t_{i-1} (and within the window of t0); NULL once a step misses.
+    # Each step references the PREVIOUS step's column (withColumn), so
+    # the expression tree stays linear in funnel length.
+    depth = per_user.withColumn("_t0", F.array_min("_a0"))
+
+    def _after(prev_col):
+        # factory so the HOF lambda stays single-parameter (pyspark
+        # treats a second parameter as the element index)
+        return lambda t: t > F.col(prev_col)
+
+    def _in_window(t):
+        return t - F.col("_t0") <= F.lit(int(window_us))
+
+    for i in range(1, len(sts)):
+        cand = F.filter(F.col(f"_a{i}"), _after(f"_t{i - 1}"))
+        if window_us is not None:
+            cand = F.filter(cand, _in_window)
+        depth = depth.withColumn(
+            f"_t{i}", F.when(F.col(f"_t{i - 1}").isNotNull(),
+                             F.array_min(cand)))
+    depth = depth.select(*[f"_t{i}" for i in range(len(sts))])
+    counts = depth.agg(*[
+        F.count(F.col(f"_t{i}")).cast("long").alias(f"_n{i}")
+        for i in range(len(sts))])
+    pairs = F.explode(F.array(*[
+        F.struct(F.lit(i + 1).alias("step_idx"), F.lit(s).alias("step"),
+                 F.col(f"_n{i}").alias("n_users"))
+        for i, s in enumerate(sts)])).alias("p")
+    return (counts.select(pairs)
+            .select(F.col("p.step_idx").cast("long").alias("step_idx"),
+                    "p.step", "p.n_users"))

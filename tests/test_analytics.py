@@ -61,3 +61,53 @@ def test_cohort_retention_counts(spark):
     assert out[(jan1, 2)] == 2          # both back on day+2
     assert out[(jan2, 0)] == 1          # u3's own cohort
     assert (jan2, 1) not in out
+
+
+def test_funnel_greedy_window(spark):
+    from bertopic_spark.operators.temporal import funnel_conversion
+    day = 86400 * 1_000_000
+    rows = [
+        # u1 completes in order within window
+        ("2024-01-01 00:00:00", 1, "view"),
+        ("2024-01-02 00:00:00", 1, "click"),
+        ("2024-01-03 00:00:00", 1, "buy"),
+        # u2: click BEFORE view -> stalls at view
+        ("2024-01-02 00:00:00", 2, "click"),
+        ("2024-01-03 00:00:00", 2, "view"),
+        # u3: completes but buy outside the 7-day window of first view
+        ("2024-01-01 00:00:00", 3, "view"),
+        ("2024-01-02 00:00:00", 3, "click"),
+        ("2024-01-20 00:00:00", 3, "buy"),
+        # u4 never views
+        ("2024-01-01 00:00:00", 4, "buy"),
+    ]
+    ev = spark.createDataFrame(rows, "ts string, user_id long, event_type string") \
+        .select(F.col("ts").cast("timestamp").alias("ts"), "user_id",
+                "event_type")
+    out = {r["step"]: r["n_users"] for r in funnel_conversion(
+        ev, ("view", "click", "buy"), window_us=7 * day).collect()}
+    assert out == {"view": 3, "click": 2, "buy": 1}
+    nolimit = {r["step"]: r["n_users"] for r in funnel_conversion(
+        ev, ("view", "click", "buy")).collect()}
+    assert nolimit == {"view": 3, "click": 2, "buy": 2}  # u3 back in
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        funnel_conversion(ev, ("view",))
+
+
+def test_rolling_cardinality_window_scopes(spark):
+    from bertopic_spark.operators.sketch import (hll_estimate, hll_registers,
+                                                 rolling_cardinality)
+    rows = [("2024-01-01 01:00:00", "a"), ("2024-01-02 01:00:00", "b"),
+            ("2024-01-05 01:00:00", "c")]
+    ev = spark.createDataFrame(rows, "ts string, uid string").select(
+        F.col("ts").cast("timestamp").alias("ts"), "uid")
+    out = {str(r["bucket"]): r["est"]
+           for r in rolling_cardinality(ev, "ts", "uid", "day", window=2,
+                                        p=8).collect()}
+    one = hll_estimate(hll_registers(
+        ev.limit(0).unionByName(ev.filter("uid = 'a'")), "uid", p=8),
+        p=8).collect()[0]["est"]
+    # day 3: window [day2, day3] -> only b; day 4: empty window -> 0
+    assert out["2024-01-04 00:00:00"] == pytest.approx(0.0, abs=1e-12)
+    assert out["2024-01-01 00:00:00"] == pytest.approx(one, abs=1e-9)
