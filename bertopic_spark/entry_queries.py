@@ -10355,6 +10355,82 @@ SELECT sp.bucket, round(coalesce(e.est, 0.0), 6) AS est
 FROM spine sp LEFT JOIN est e USING (bucket)"""
 
 
+def q_path_hierarchy(spark, sf_dir):
+    """ES path_hierarchy tokenizer + directory rollup (operators/
+    codestruct.path_hierarchy_terms): deterministic pseudo-paths
+    lang/source/f<doc_id> emit every ancestor prefix; the rollup counts
+    files per directory — tree-sized, not file-sized."""
+    from bertopic_spark.operators.codestruct import path_hierarchy_terms
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws("/", F.col("lang"), F.col("source"),
+                    F.concat(F.lit("f"), F.col("doc_id").cast("string")))
+        .alias("path"))
+    t = path_hierarchy_terms(d, "path")
+    return (t.groupBy("prefix", "depth")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_files")))
+
+
+SQL_PATH_HIERARCHY = """WITH d AS (
+  SELECT doc_id,
+         lang || '/' || source || '/f' || CAST(doc_id AS VARCHAR) AS path
+  FROM documents),
+parts AS (SELECT doc_id, string_split(path, '/') AS ps FROM d),
+pref AS (
+  SELECT doc_id,
+         array_to_string(ps[1:CAST(depth AS INT)], '/') AS prefix,
+         CAST(depth AS BIGINT) AS depth
+  FROM parts, unnest(range(1, len(ps) + 1)) AS u(depth))
+SELECT prefix, depth, CAST(count(*) AS BIGINT) AS n_files
+FROM pref GROUP BY prefix, depth"""
+
+
+def q_cuped_reduction(spark, sf_dir):
+    """CUPED variance reduction (operators/evaluation.cuped_adjustment,
+    Deng et al. 2013): per-user pre metric (view-value sum) against post
+    metric (purchase-value sum); one algebraic moment pass yields theta
+    and the variance-reduction factor."""
+    from bertopic_spark.operators.evaluation import cuped_adjustment
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    per = ev.groupBy("user_id").agg(
+        F.coalesce(F.sum(F.when(F.col("event_type") == "view",
+                                F.col("value"))), F.lit(0.0)).alias("pre"),
+        F.coalesce(F.sum(F.when(F.col("event_type") == "purchase",
+                                F.col("value"))), F.lit(0.0)).alias("post"))
+    return cuped_adjustment(per, "user_id", "pre", "post")
+
+
+SQL_CUPED = """WITH per AS (
+  SELECT user_id,
+         coalesce(sum(CASE WHEN event_type = 'view' THEN value END), 0.0)
+           AS pre,
+         coalesce(sum(CASE WHEN event_type = 'purchase' THEN value END),
+                  0.0) AS post
+  FROM events GROUP BY user_id),
+mom AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, sum(pre) AS sx, sum(post) AS sy,
+         sum(pre * pre) AS sxx, sum(post * post) AS syy,
+         sum(pre * post) AS sxy
+  FROM per),
+c AS (
+  SELECT sxx / n - (sx / n) * (sx / n) AS var_x,
+         syy / n - (sy / n) * (sy / n) AS var_y,
+         sxy / n - sx * sy / (n * n) AS cov
+  FROM mom)
+SELECT round(CASE WHEN var_x > 0 THEN cov / var_x ELSE 0.0 END, 6) AS theta,
+       round(var_y, 6) AS var_y,
+       round(var_y - CASE WHEN var_x > 0 THEN cov * cov / var_x
+                          ELSE 0.0 END, 6) AS var_adj,
+       round(CASE WHEN var_y > 0
+                  THEN 1.0 - (var_y - CASE WHEN var_x > 0
+                                           THEN cov * cov / var_x
+                                           ELSE 0.0 END) / var_y
+                  ELSE 0.0 END, 6) AS reduction
+FROM c"""
+
+
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "approx_distribution": (q_approx_distribution, SQL_APPROX_DISTRIBUTION),
     "approx_distribution_tokens": (q_approx_distribution_tokens,
@@ -10632,4 +10708,6 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "funnel_conversion": (q_funnel_conversion, _sql_funnel()),
     "rolling_cardinality_wau": (q_rolling_cardinality,
                                 _sql_rolling_cardinality()),
+    "path_hierarchy_rollup": (q_path_hierarchy, SQL_PATH_HIERARCHY),
+    "cuped_reduction": (q_cuped_reduction, SQL_CUPED),
 }

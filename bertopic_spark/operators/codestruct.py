@@ -125,3 +125,28 @@ def import_edges(df: DataFrame, src_col: str,
                       .alias("module"))
             .groupBy("src", "module")
             .agg(F.count(F.lit(1)).cast("long").alias("n_imports")))
+
+
+def path_hierarchy_terms(df, path_col: str, id_col: str = "doc_id",
+                         delimiter: str = "/"):
+    """ES ``path_hierarchy`` tokenizer: a path emits every ancestor
+    prefix ('a/b/c' → 'a', 'a/b', 'a/b/c') — the analyzer behind
+    "search/facet by directory" over a code corpus. Returns
+    (id, prefix, depth), depth 1-based.
+
+    One split + one index-transform HOF per row (no shuffle); the usual
+    consumer is a groupBy(prefix) rollup whose cardinality is the tree
+    size, not the file count.
+    """
+    parts = F.split(F.col(path_col), F.lit(delimiter).cast("string"))
+    idx = F.when(F.size(parts) > 0,
+                 F.sequence(F.lit(1), F.size(parts))
+                 ).otherwise(F.array().cast("array<int>"))
+    prefixes = F.transform(
+        idx, lambda d: F.struct(
+            F.concat_ws(delimiter, F.slice(parts, 1, d)).alias("prefix"),
+            d.alias("depth")))
+    return (df.where(F.col(path_col).isNotNull())
+            .select(F.col(id_col), F.explode(prefixes).alias("_p"))
+            .select(F.col(id_col), F.col("_p.prefix").alias("prefix"),
+                    F.col("_p.depth").cast("long").alias("depth")))

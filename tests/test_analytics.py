@@ -111,3 +111,32 @@ def test_rolling_cardinality_window_scopes(spark):
     # day 3: window [day2, day3] -> only b; day 4: empty window -> 0
     assert out["2024-01-04 00:00:00"] == pytest.approx(0.0, abs=1e-12)
     assert out["2024-01-01 00:00:00"] == pytest.approx(one, abs=1e-9)
+
+
+def test_cuped_known_theta(spark):
+    from bertopic_spark.operators.evaluation import (cuped_adjustment,
+                                                     cuped_series)
+    # Y = 2X + noise-free -> theta = 2, full variance elimination
+    rows = [(i, float(i), 2.0 * i) for i in range(1, 11)]
+    d = spark.createDataFrame(rows, "u long, pre double, post double")
+    out = cuped_adjustment(d, "u", "pre", "post").collect()[0]
+    assert out["theta"] == pytest.approx(2.0, abs=1e-9)
+    assert out["reduction"] == pytest.approx(1.0, abs=1e-9)
+    adj = {r["u"]: r["y_adj"] for r in
+           cuped_series(d, "u", "pre", "post").collect()}
+    assert len(set(adj.values())) == 1  # all residual variance removed
+    # X uncorrelated with Y -> theta ~ 0, no reduction
+    rows2 = [(1, 1.0, 5.0), (2, 2.0, 5.0), (3, 3.0, 5.0)]
+    d2 = spark.createDataFrame(rows2, "u long, pre double, post double")
+    out2 = cuped_adjustment(d2, "u", "pre", "post").collect()[0]
+    assert out2["reduction"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_path_hierarchy_prefixes(spark):
+    from bertopic_spark.operators.codestruct import path_hierarchy_terms
+    d = spark.createDataFrame([(0, "a/b/c.py"), (1, "a/x.py"), (2, None)],
+                              "doc_id long, path string")
+    out = {(r["doc_id"], r["prefix"], r["depth"])
+           for r in path_hierarchy_terms(d, "path").collect()}
+    assert out == {(0, "a", 1), (0, "a/b", 2), (0, "a/b/c.py", 3),
+                   (1, "a", 1), (1, "a/x.py", 2)}
