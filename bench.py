@@ -212,6 +212,14 @@ BENCH_QUERIES = [
     "collapse_inner_hits",
     "mmr_diversify_ann",
     "percolate_phrases",
+    "rank_eval_err",
+    "seasonal_anomaly_hourly",
+    "ewma_daily",
+    "cohort_retention_daily",
+    "funnel_conversion",
+    "rolling_cardinality_wau",
+    "path_hierarchy_rollup",
+    "cuped_reduction",
 ]
 
 
