@@ -10431,6 +10431,65 @@ SELECT round(CASE WHEN var_x > 0 THEN cov / var_x ELSE 0.0 END, 6) AS theta,
 FROM c"""
 
 
+def _q_sig_heuristic(scoring):
+    def q(spark, sf_dir):
+        from bertopic_spark.operators.fulltext import significant_terms
+        from bertopic_spark.tokenizer import with_tokens
+
+        toks = with_tokens(_docs(spark, sf_dir), "text", MODE)
+        dt = toks.select(
+            "doc_id", (F.col("lang") == "en").alias("fg"),
+            F.explode(F.array_distinct("tokens")).alias("term"))
+        t = significant_terms(dt, k=15, scoring=scoring)
+        return t.select(
+            "term", "df_fg", "df_all", _r6(F.col("score")).alias("score"),
+            F.col("rank").cast("long").alias("rn"))
+    q.__doc__ = (f"significant_terms with ES's {scoring} heuristic "
+                 "(operators/fulltext.significant_terms): the classical "
+                 "2x2-contingency statistic over the same single "
+                 "conditional-agg pass; positive-signal filtered.")
+    return q
+
+
+def _sql_sig_heuristic(scoring: str) -> str:
+    if scoring == "chi_square":
+        score = """CASE WHEN (a + b) * (c + d) * (a + c) * (b + d) > 0
+              THEN n_all * ((a * d - b * c) * (a * d - b * c))
+                   / ((a + b) * (c + d) * (a + c) * (b + d))
+              ELSE 0.0 END"""
+    else:
+        score = """  CASE WHEN a > 0 THEN (a/n_all) * log2((a/n_all) /
+                   (((a+b)/n_all) * ((a+c)/n_all))) ELSE 0.0 END
++ CASE WHEN b > 0 THEN (b/n_all) * log2((b/n_all) /
+                   (((a+b)/n_all) * ((b+d)/n_all))) ELSE 0.0 END
++ CASE WHEN c > 0 THEN (c/n_all) * log2((c/n_all) /
+                   (((c+d)/n_all) * ((a+c)/n_all))) ELSE 0.0 END
++ CASE WHEN d > 0 THEN (d/n_all) * log2((d/n_all) /
+                   (((c+d)/n_all) * ((b+d)/n_all))) ELSE 0.0 END"""
+    return f"""WITH {_TOKS},
+dt AS (SELECT DISTINCT doc_id, lang = 'en' AS fg, term FROM toks),
+tot AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_all,
+               CAST(count(DISTINCT CASE WHEN fg THEN doc_id END)
+                    AS DOUBLE) AS n_fg FROM dt),
+per AS (SELECT term,
+               CAST(count(DISTINCT CASE WHEN fg THEN doc_id END) AS BIGINT) AS df_fg,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS df_all
+        FROM dt GROUP BY term),
+cells AS (SELECT term, df_fg, df_all, n_all, n_fg,
+                 CAST(df_fg AS DOUBLE) AS a,
+                 n_fg - df_fg AS b,
+                 CAST(df_all - df_fg AS DOUBLE) AS c,
+                 n_all - n_fg - (df_all - df_fg) AS d
+          FROM per CROSS JOIN tot
+          WHERE df_fg > 0 AND (df_fg / n_fg) > (df_all / n_all)),
+sc AS (SELECT term, df_fg, df_all, ({score}) AS score FROM cells),
+ranked AS (SELECT term, df_fg, df_all, score,
+                  row_number() OVER (ORDER BY score DESC, term ASC) AS rn
+           FROM sc)
+SELECT term, df_fg, df_all, round(score, 6) AS score, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 15"""
+
+
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "approx_distribution": (q_approx_distribution, SQL_APPROX_DISTRIBUTION),
     "approx_distribution_tokens": (q_approx_distribution_tokens,
@@ -10710,4 +10769,8 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
                                 _sql_rolling_cardinality()),
     "path_hierarchy_rollup": (q_path_hierarchy, SQL_PATH_HIERARCHY),
     "cuped_reduction": (q_cuped_reduction, SQL_CUPED),
+    "sig_terms_chi2": (_q_sig_heuristic("chi_square"),
+                       _sql_sig_heuristic("chi_square")),
+    "sig_terms_mi": (_q_sig_heuristic("mutual_information"),
+                     _sql_sig_heuristic("mutual_information")),
 }

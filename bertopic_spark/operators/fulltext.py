@@ -1221,11 +1221,15 @@ def significant_terms(dt: DataFrame, fg_col: str = "fg", k: int = 10,
     (fg_pct - bg_pct) * (fg_pct / bg_pct), keeping only fg_pct > bg_pct
     (the ES positive-signal constraint).
 
-    ``scoring``: "jlh" (default, above) or "percentage" — ES's percentage
-    heuristic, score = df_fg / df_all (the share of a term's documents
-    that are foreground; favors rare-but-exclusive terms where JLH
-    favors common-and-lifted ones). Both run on the same single-pass
-    stats; jlh additionally enforces the positive-signal constraint.
+    ``scoring``: "jlh" (default, above), "percentage" (score =
+    df_fg / df_all — the share of a term's documents that are
+    foreground; favors rare-but-exclusive terms where JLH favors
+    common-and-lifted ones), "chi_square" (the classical 2×2
+    contingency statistic N·(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) with the
+    background as superset, ES include_negatives=false so only
+    positively-lifted terms rank), or "mutual_information" (MI of the
+    same 2×2 table in bits, 0·log0 = 0, positive-signal filtered).
+    All run on the same single-pass stats.
 
     Plan: ONE groupBy(term) with conditional aggregation — the foreground
     df rides the same shuffle as the background df (no second scan, no
@@ -1233,8 +1237,11 @@ def significant_terms(dt: DataFrame, fg_col: str = "fg", k: int = 10,
     via a literal-free cross join of a 1-row agg. Final top-k is a window
     over the vocabulary-sized relation.
     """
-    if scoring not in ("jlh", "percentage"):
-        raise ValueError(f"scoring must be 'jlh' or 'percentage', got {scoring!r}")
+    if scoring not in ("jlh", "percentage", "chi_square",
+                       "mutual_information"):
+        raise ValueError(
+            "scoring must be one of jlh/percentage/chi_square/"
+            f"mutual_information, got {scoring!r}")
     tot = (dt.agg(
         F.count_distinct(id_col).alias("n_all"),
         F.count_distinct(F.when(F.col(fg_col), F.col(id_col))).alias("n_fg"),
@@ -1252,8 +1259,36 @@ def significant_terms(dt: DataFrame, fg_col: str = "fg", k: int = 10,
         sc = (sc.filter(F.col("fg_pct") > F.col("bg_pct"))
               .withColumn("score", (F.col("fg_pct") - F.col("bg_pct"))
                           * (F.col("fg_pct") / F.col("bg_pct"))))
-    else:
+    elif scoring == "percentage":
         sc = sc.withColumn("score", F.col("df_fg") / F.col("df_all"))
+    else:
+        # 2x2 contingency with background as superset:
+        #   a = fg docs with term          b = fg docs without
+        #   c = bg-only docs with term     d = bg-only docs without
+        a = F.col("df_fg").cast("double")
+        b = (F.col("n_fg") - F.col("df_fg")).cast("double")
+        c = (F.col("df_all") - F.col("df_fg")).cast("double")
+        d = (F.col("n_all") - F.col("n_fg") - c).cast("double")
+        n = F.col("n_all").cast("double")
+        sc = sc.filter(F.col("fg_pct") > F.col("bg_pct"))
+        if scoring == "chi_square":
+            denom = (a + b) * (c + d) * (a + c) * (b + d)
+            sc = sc.withColumn(
+                "score", F.when(denom > 0,
+                                n * F.pow(a * d - b * c, 2) / denom)
+                .otherwise(F.lit(0.0)))
+        else:  # mutual_information, bits; 0*log0 = 0
+            def term_mi(p_ij, p_i, p_j):
+                return F.when(p_ij > 0,
+                              p_ij * F.log2(p_ij / (p_i * p_j))
+                              ).otherwise(F.lit(0.0))
+            pa, pb, pc_, pd = a / n, b / n, c / n, d / n
+            p_fg, p_bg = (a + b) / n, (c + d) / n
+            p_t, p_nt = (a + c) / n, (b + d) / n
+            sc = sc.withColumn(
+                "score",
+                term_mi(pa, p_fg, p_t) + term_mi(pb, p_fg, p_nt) +
+                term_mi(pc_, p_bg, p_t) + term_mi(pd, p_bg, p_nt))
     # global top-k as sort+limit → TakeOrderedAndProject (per-partition
     # heaps, no single-partition window over the vocabulary); the rank
     # window then runs on k rows only.

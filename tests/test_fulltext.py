@@ -1086,3 +1086,29 @@ def test_percolate_phrases_gates_on_adjacency(spark):
     none = spark.createDataFrame([], "query_id long, phrase string")
     assert {(r["doc_id"], r["query_id"]) for r in percolate_phrases(
         docs, qt, none, "text", "doc_id", 1.0).collect()} == base
+
+
+def test_sig_heuristics_hand_table(spark):
+    """chi2 / MI on a known 2x2: fg = {d1, d2}, term in d1 (fg) and d3
+    (bg). a=1 b=1 c=1 d=1 -> chi2 = 0, MI = 0 (independent)."""
+    from bertopic_spark.operators.fulltext import significant_terms
+
+    rows = [(1, True, "tt"), (2, True, "zz"), (3, False, "tt"),
+            (4, False, "zz")]
+    dt = spark.createDataFrame(rows, "doc_id long, fg boolean, term string")
+    # independent table never passes the positive-signal filter
+    assert significant_terms(dt, scoring="chi_square").count() == 0
+    # perfectly associated: term only in fg docs
+    rows2 = [(1, True, "tt"), (2, True, "tt"), (3, False, "zz"),
+             (4, False, "zz")]
+    dt2 = spark.createDataFrame(rows2, "doc_id long, fg boolean, term string")
+    out = {r["term"]: r["score"]
+           for r in significant_terms(dt2, scoring="chi_square").collect()}
+    assert out["tt"] == pytest.approx(4.0, abs=1e-9)  # N*(ad-bc)^2/prod = 4
+    mi = {r["term"]: r["score"]
+          for r in significant_terms(dt2, scoring="mutual_information")
+          .collect()}
+    assert mi["tt"] == pytest.approx(1.0, abs=1e-9)  # 1 bit: fg==term
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        significant_terms(dt2, scoring="gnd")
