@@ -10490,6 +10490,37 @@ SELECT term, df_fg, df_all, round(score, 6) AS score, CAST(rn AS BIGINT) AS rn
 FROM ranked WHERE rn <= 15"""
 
 
+NH_INTERVAL, NH_OFFSET = 25.0, 5.0
+
+
+def q_numeric_histogram(spark, sf_dir):
+    """ES numeric ``histogram`` agg (operators/rollup.numeric_histogram):
+    interval-25 buckets offset by 5 over event values with
+    min_doc_count=0 — the dense spine surfaces empty buckets between the
+    observed extremes (spine-sized, never data-sized)."""
+    from bertopic_spark.operators.rollup import numeric_histogram
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return numeric_histogram(ev, "value", NH_INTERVAL, NH_OFFSET,
+                             min_doc_count=0)
+
+
+SQL_NUMERIC_HISTOGRAM = f"""WITH agg AS (
+  SELECT floor((value - {NH_OFFSET}) / {NH_INTERVAL}) * {NH_INTERVAL}
+             + {NH_OFFSET} AS key,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         round(sum(value), 6) AS sum_value
+  FROM events WHERE value IS NOT NULL GROUP BY 1),
+b AS (SELECT min(key) AS mn, max(key) AS mx FROM agg),
+spine AS (
+  SELECT mn + i * {NH_INTERVAL} AS key
+  FROM b, unnest(range(0,
+      CAST(round((mx - mn) / {NH_INTERVAL}) AS BIGINT) + 1)) AS u(i))
+SELECT s.key, coalesce(a.n_docs, 0) AS n_docs,
+       coalesce(a.sum_value, 0.0) AS sum_value
+FROM spine s LEFT JOIN agg a USING (key)"""
+
+
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "approx_distribution": (q_approx_distribution, SQL_APPROX_DISTRIBUTION),
     "approx_distribution_tokens": (q_approx_distribution_tokens,
@@ -10773,4 +10804,5 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
                        _sql_sig_heuristic("chi_square")),
     "sig_terms_mi": (_q_sig_heuristic("mutual_information"),
                      _sql_sig_heuristic("mutual_information")),
+    "numeric_histogram": (q_numeric_histogram, SQL_NUMERIC_HISTOGRAM),
 }

@@ -945,3 +945,43 @@ def cohort_retention(df: DataFrame, ts_col: str, user_col: str,
     return (joined.select("_u", "cohort", offset.alias("bucket_offset"))
             .groupBy("cohort", "bucket_offset")
             .agg(F.count_distinct("_u").cast("long").alias("n_users")))
+
+
+def numeric_histogram(df: DataFrame, value_col: str, interval: float,
+                      offset: float = 0.0, min_doc_count: int = 1,
+                      dp: int = 6) -> DataFrame:
+    """ES ``histogram`` aggregation over a numeric field: bucket key =
+    ⌊(v − offset)/interval⌋·interval + offset, with ES's
+    ``min_doc_count=0`` semantics — the bucket spine densifies between
+    the observed min and max key so empty buckets surface explicitly
+    (a sequence between two scalars; spine-sized, never data-sized).
+    Returns (key, n_docs, sum_value).
+    """
+    if interval <= 0:
+        raise ValueError("interval must be > 0")
+    if min_doc_count not in (0, 1):
+        raise ValueError("min_doc_count must be 0 or 1")
+    v = F.col(value_col).cast("double")
+    key = (F.floor((v - F.lit(float(offset))) / F.lit(float(interval)))
+           * F.lit(float(interval)) + F.lit(float(offset)))
+    agg = (df.where(v.isNotNull())
+           .groupBy(key.alias("key"))
+           .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.round(F.sum(v), dp).alias("sum_value")))
+    if min_doc_count == 1:
+        return agg
+    # dense spine: every interval step between the observed key extremes.
+    # sequence() is integral, so generate step indices and scale back.
+    bounds = agg.agg(F.min("key").alias("_mn"), F.max("key").alias("_mx"))
+    spine = (bounds.select(F.explode(F.sequence(
+        F.lit(0),
+        F.round((F.col("_mx") - F.col("_mn")) / F.lit(float(interval)))
+        .cast("long"))).alias("_i"),
+        F.col("_mn"))
+        .select((F.col("_mn") + F.col("_i") * F.lit(float(interval)))
+                .alias("key")))
+    return (spine.join(agg, "key", "left")
+            .select("key",
+                    F.coalesce("n_docs", F.lit(0)).cast("long")
+                    .alias("n_docs"),
+                    F.coalesce("sum_value", F.lit(0.0)).alias("sum_value")))

@@ -76,3 +76,21 @@ def test_filters_agg_other_and_overlap(spark):
     }, other_bucket=True).collect()}
     # row 3 matches neither filter; row 4's NULL lang still matches big
     assert out == {"en": 1, "big": 2, "_other_": 1}
+
+
+def test_numeric_histogram_offset_and_padding(spark):
+    from bertopic_spark.operators.rollup import numeric_histogram
+    d = spark.createDataFrame([(4.9,), (5.0,), (29.9,), (105.0,)],
+                              "value double")
+    out = {r["key"]: (r["n_docs"], r["sum_value"])
+           for r in numeric_histogram(d, "value", 25.0, 5.0,
+                                      min_doc_count=0).collect()}
+    # 4.9 -> bucket -20; 5.0 and 29.9 -> bucket 5; 105 -> bucket 105
+    assert out[-20.0][0] == 1
+    assert out[5.0] == (2, round(5.0 + 29.9, 6))
+    assert out[105.0][0] == 1
+    # empty buckets 30, 55, 80 padded
+    assert out[30.0] == (0, 0.0) and out[80.0] == (0, 0.0)
+    assert len(out) == 6
+    sparse = numeric_histogram(d, "value", 25.0, 5.0, min_doc_count=1)
+    assert sparse.count() == 3
