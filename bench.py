@@ -220,6 +220,9 @@ BENCH_QUERIES = [
     "rolling_cardinality_wau",
     "path_hierarchy_rollup",
     "cuped_reduction",
+    "sig_terms_chi2",
+    "sig_terms_mi",
+    "numeric_histogram",
 ]
 
 
