@@ -10521,6 +10521,93 @@ SELECT s.key, coalesce(a.n_docs, 0) AS n_docs,
 FROM spine s LEFT JOIN agg a USING (key)"""
 
 
+CTR_MOD = 5000
+
+
+def q_counter_rate(spark, sf_dir):
+    """Prometheus-style rate() with reset detection (operators/temporal.
+    counter_rate): a synthetic per-type monotonic counter (running value
+    sum mod 5000 — deterministic resets when it wraps) differenced per
+    hourly bucket; negative deltas mean the counter restarted and count
+    as the new value. One lag window over the bucket relation."""
+    from bertopic_spark.operators.temporal import counter_rate
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # integer cents keep the synthetic counter bit-identical across
+    # engines (a double cumsum floors differently at ulp boundaries)
+    b = (ev.groupBy("event_type",
+                    F.date_trunc("hour", F.col("ts")).alias("h"))
+         .agg(F.sum(F.round(F.col("value") * 100).cast("long"))
+              .alias("sv")))
+    w = Window.partitionBy("event_type").orderBy("h")
+    ctr = (F.sum("sv").over(w) % CTR_MOD).cast("double")
+    return counter_rate(b.withColumn("ctr", ctr), "h", "ctr", 3600.0,
+                        keys=("event_type",)).select(
+        "event_type", "h", F.col("value").alias("ctr"),
+        "increase", "rate")
+
+
+SQL_COUNTER_RATE = f"""WITH b AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sv
+  FROM events GROUP BY 1, 2),
+c AS (SELECT event_type, h,
+             CAST(CAST(floor(sum(sv) OVER (PARTITION BY event_type
+                 ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND
+                 CURRENT ROW)) AS BIGINT) % {CTR_MOD} AS DOUBLE) AS ctr
+      FROM b),
+d AS (SELECT event_type, h, ctr,
+             lag(ctr) OVER (PARTITION BY event_type ORDER BY h) AS prev
+      FROM c)
+SELECT event_type, h, ctr,
+       round(CASE WHEN prev IS NULL THEN NULL
+                  WHEN ctr >= prev THEN ctr - prev
+                  ELSE ctr END, 6) AS increase,
+       round(CASE WHEN prev IS NULL THEN NULL
+                  WHEN ctr >= prev THEN ctr - prev
+                  ELSE ctr END / 3600.0, 6) AS rate
+FROM d"""
+
+
+IVJ_A, IVJ_B = "click", "purchase"
+
+
+def q_interval_overlap(spark, sf_dir):
+    """Interval overlap join (operators/temporal.interval_overlap_join):
+    click and purchase events become [ts, ts + value·1s) intervals;
+    pairs that intersect are found by fixed-width bucket spreading +
+    equi-join (never a cross join) with the exact overlap predicate and
+    a groupBy dedup — (a_id, b_id, overlap_us)."""
+    from bertopic_spark.operators.temporal import interval_overlap_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def iv(t, idc):
+        # floor, not cast: DuckDB CAST(double AS BIGINT) rounds while
+        # Spark's cast truncates — floor agrees everywhere
+        dur = F.floor(F.col("value") * 1e6).cast("long")
+        return (ev.filter(F.col("event_type") == t)
+                .select(F.col("event_id").alias(idc),
+                        F.col("ts").alias("start"),
+                        F.timestamp_micros(
+                            F.unix_micros(F.col("ts").cast("timestamp"))
+                            + dur).alias("end")))
+    return interval_overlap_join(iv(IVJ_A, "a_id"), iv(IVJ_B, "b_id"),
+                                 "a_id", "b_id", bucket_seconds=600)
+
+
+SQL_INTERVAL_OVERLAP = f"""WITH
+a AS (SELECT event_id AS a_id, epoch_us(ts) AS s,
+             epoch_us(ts) + CAST(floor(value * 1000000) AS BIGINT) AS e
+      FROM events WHERE event_type = '{IVJ_A}'),
+b AS (SELECT event_id AS b_id, epoch_us(ts) AS s2,
+             epoch_us(ts) + CAST(floor(value * 1000000) AS BIGINT) AS e2
+      FROM events WHERE event_type = '{IVJ_B}')
+SELECT a.a_id, b.b_id,
+       CAST(least(a.e, b.e2) - greatest(a.s, b.s2) AS BIGINT) AS overlap_us
+FROM a JOIN b ON a.s < b.e2 AND b.s2 < a.e"""
+
+
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "approx_distribution": (q_approx_distribution, SQL_APPROX_DISTRIBUTION),
     "approx_distribution_tokens": (q_approx_distribution_tokens,
@@ -10805,4 +10892,6 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "sig_terms_mi": (_q_sig_heuristic("mutual_information"),
                      _sql_sig_heuristic("mutual_information")),
     "numeric_histogram": (q_numeric_histogram, SQL_NUMERIC_HISTOGRAM),
+    "counter_rate_hourly": (q_counter_rate, SQL_COUNTER_RATE),
+    "interval_overlap_pairs": (q_interval_overlap, SQL_INTERVAL_OVERLAP),
 }

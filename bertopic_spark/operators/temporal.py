@@ -210,3 +210,75 @@ def funnel_conversion(df, steps, ts_col: str = "ts",
     return (counts.select(pairs)
             .select(F.col("p.step_idx").cast("long").alias("step_idx"),
                     "p.step", "p.n_users"))
+
+
+def counter_rate(buckets, order_col: str, value_col: str,
+                 interval_seconds: float,
+                 keys=(), dp: int = 6):
+    """Prometheus-style ``rate()`` over a MONOTONIC COUNTER series with
+    reset detection: per adjacent bucket pair, increase = vₜ − vₜ₋₁ when
+    non-negative, else vₜ (the counter restarted from zero — the
+    standard single-reset assumption); rate = increase / interval.
+    First bucket of each series has NULL rate (no predecessor), like
+    PromQL. Returns (keys…, order_col, value, increase, rate).
+
+    One lag window over the BUCKET relation per series — the TSDB
+    operator that makes ever-growing counters (bytes served, requests
+    handled) chartable as throughput.
+    """
+    if interval_seconds <= 0:
+        raise ValueError("interval_seconds must be > 0")
+    gb = list(keys)
+    w = Window.partitionBy(*gb).orderBy(order_col)
+    base = buckets.select(*gb, F.col(order_col),
+                          F.col(value_col).cast("double").alias("value"))
+    v = F.col("value")
+    prev = F.lag(v).over(w)
+    inc = F.when(prev.isNull(), F.lit(None).cast("double")) \
+        .when(v >= prev, v - prev).otherwise(v)
+    return (base
+            .withColumn("increase", F.round(inc, dp))
+            .withColumn("rate", F.round(inc / F.lit(float(interval_seconds)),
+                                        dp)))
+
+
+def interval_overlap_join(a, b, a_id: str, b_id: str,
+                          start_col: str = "start", end_col: str = "end",
+                          bucket_seconds: int = 3600):
+    """Interval overlap join: pairs (a, b) whose HALF-OPEN time intervals
+    [start, end) intersect — the temporal-database primitive behind
+    "which deploys overlapped which incidents". Never a cross join: each
+    interval explodes to the fixed-width buckets it covers
+    (⌈len/width⌉ rows — bounded when interval lengths are), pairs
+    equi-join on the bucket, and the exact overlap predicate + a
+    min-bucket dedup keep each pair exactly once. Returns
+    (a_id, b_id, overlap_us).
+
+    Shuffle key = the time bucket: load spreads over the timeline, and
+    ``bucket_seconds`` trades bucket-row fanout against per-bucket pair
+    density exactly like the band-width range join.
+    """
+    if bucket_seconds <= 0:
+        raise ValueError("bucket_seconds must be > 0")
+    bus = int(bucket_seconds) * 1_000_000
+
+    def spread(df, idc):
+        s = F.unix_micros(F.col(start_col).cast("timestamp"))
+        e = F.unix_micros(F.col(end_col).cast("timestamp"))
+        out = df.select(F.col(idc), s.alias("_s"), e.alias("_e")) \
+            .where(F.col("_e") > F.col("_s"))
+        bks = F.sequence(F.floor(F.col("_s") / bus),
+                         F.floor((F.col("_e") - 1) / bus))
+        return out.select(idc, "_s", "_e", F.explode(bks).alias("_bk"))
+    aa = spread(a, a_id)
+    bbb = (spread(b, b_id)
+           .withColumnRenamed("_s", "_s2").withColumnRenamed("_e", "_e2"))
+    pairs = (aa.join(bbb, "_bk")
+             .where((F.col("_s") < F.col("_e2")) &
+                    (F.col("_s2") < F.col("_e")))
+             .groupBy(a_id, b_id)
+             .agg(F.first(F.least(F.col("_e"), F.col("_e2")) -
+                          F.greatest(F.col("_s"), F.col("_s2")))
+                  .alias("overlap_us")))  # constant per pair; groupBy dedups
+    return pairs.select(a_id, b_id,
+                        F.col("overlap_us").cast("long").alias("overlap_us"))

@@ -140,3 +140,40 @@ def test_path_hierarchy_prefixes(spark):
            for r in path_hierarchy_terms(d, "path").collect()}
     assert out == {(0, "a", 1), (0, "a/b", 2), (0, "a/b/c.py", 3),
                    (1, "a", 1), (1, "a/x.py", 2)}
+
+
+def test_counter_rate_resets(spark):
+    from bertopic_spark.operators.temporal import counter_rate
+    rows = [("a", 1, 100.0), ("a", 2, 300.0), ("a", 3, 50.0),
+            ("a", 4, 50.0), ("b", 1, 10.0)]
+    b = spark.createDataFrame(rows, "k string, t int, ctr double")
+    out = {(r["k"], r["t"]): (r["increase"], r["rate"])
+           for r in counter_rate(b, "t", "ctr", 100.0,
+                                 keys=("k",)).collect()}
+    assert out[("a", 1)] == (None, None)        # no predecessor
+    assert out[("a", 2)] == (200.0, 2.0)
+    assert out[("a", 3)] == (50.0, 0.5)         # reset: counts new value
+    assert out[("a", 4)] == (0.0, 0.0)          # flat counter
+    assert out[("b", 1)] == (None, None)
+
+
+def test_interval_overlap_join_semantics(spark):
+    from bertopic_spark.operators.temporal import interval_overlap_join
+    def mk(rows, idc):
+        return spark.createDataFrame(rows, f"{idc} long, start string, end string") \
+            .select(idc, F.col("start").cast("timestamp").alias("start"),
+                    F.col("end").cast("timestamp").alias("end"))
+    a = mk([(1, "2024-01-01 00:00:00", "2024-01-01 02:00:00"),
+            (2, "2024-01-05 00:00:00", "2024-01-05 01:00:00")], "a_id")
+    b = mk([(10, "2024-01-01 01:00:00", "2024-01-01 03:00:00"),  # overlaps 1
+            (11, "2024-01-01 02:00:00", "2024-01-01 04:00:00"),  # abuts 1
+            (12, "2024-01-04 23:00:00", "2024-01-05 00:30:00")], "b_id")
+    out = {(r["a_id"], r["b_id"]): r["overlap_us"]
+           for r in interval_overlap_join(a, b, "a_id", "b_id",
+                                          bucket_seconds=600).collect()}
+    # half-open: touching endpoints do NOT overlap
+    assert out == {(1, 10): 3600 * 1_000_000, (2, 12): 1800 * 1_000_000}
+    # wide buckets spanning whole intervals give the same pairs
+    wide = {(r["a_id"], r["b_id"]) for r in interval_overlap_join(
+        a, b, "a_id", "b_id", bucket_seconds=86400 * 7).collect()}
+    assert wide == set(out)
