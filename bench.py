@@ -223,6 +223,8 @@ BENCH_QUERIES = [
     "sig_terms_chi2",
     "sig_terms_mi",
     "numeric_histogram",
+    "counter_rate_hourly",
+    "interval_overlap_pairs",
 ]
 
 
