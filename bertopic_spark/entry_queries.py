@@ -10608,6 +10608,53 @@ SELECT a.a_id, b.b_id,
 FROM a JOIN b ON a.s < b.e2 AND b.s2 < a.e"""
 
 
+WRRF_W_TEXT, WRRF_W_DENSE = 2.0, 0.5
+
+
+def q_hybrid_weighted_rrf(spark, sf_dir):
+    """Weighted RRF (operators/bm25.weighted_rrf_fuse — the OpenSearch/
+    Vespa hybrid knob): the lexical leg trusted 2.0, the dense leg 0.5 —
+    per-retriever multipliers on the reciprocal-rank contributions,
+    still no score calibration. Same legs as hybrid_rrf."""
+    from bertopic_spark.operators.bm25 import (bm25_topk_adhoc, queries_df,
+                                               query_terms,
+                                               weighted_rrf_fuse)
+    from bertopic_spark.operators.similarity import cosine_topk
+
+    qs = {q: DRIVER_QUERIES[q] for q in HYBRID_QIDS}
+    qt = query_terms(queries_df(spark, qs), MODE)
+    leg_text = (bm25_topk_adhoc(_docs(spark, sf_dir), qt, k=HYBRID_K,
+                                text_col="text", id_col="doc_id", mode=MODE)
+                .select("query_id", "doc_id", "rank"))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    leg_dense = (cosine_topk(emb, list(HYBRID_QIDS), k=HYBRID_K)
+                 .select(F.col("query_vec_id").alias("query_id"),
+                         F.col("vec_id").alias("doc_id"),
+                         F.col("rn").alias("rank")))
+    out = weighted_rrf_fuse([leg_text, leg_dense],
+                            [WRRF_W_TEXT, WRRF_W_DENSE],
+                            k0=HYBRID_K0, k=HYBRID_K)
+    return out.select("query_id", "doc_id",
+                      _r6(F.col("score")).alias("score"),
+                      F.col("rank").cast("long").alias("rn"))
+
+
+def _sql_hybrid_weighted_rrf() -> str:
+    base = _sql_hybrid_rrf()
+    return base.replace(
+        f"SELECT query_id, doc_id, rn FROM branked WHERE rn <= {HYBRID_K}\n"
+        "  UNION ALL\n"
+        f"  SELECT query_id, doc_id, rn FROM cranked WHERE rn <= {HYBRID_K}",
+        f"SELECT query_id, doc_id, rn, {WRRF_W_TEXT} AS w FROM branked "
+        f"WHERE rn <= {HYBRID_K}\n"
+        "  UNION ALL\n"
+        f"  SELECT query_id, doc_id, rn, {WRRF_W_DENSE} AS w FROM cranked "
+        f"WHERE rn <= {HYBRID_K}"
+    ).replace(
+        f"sum(1.0 / ({HYBRID_K0} + rn)) AS score",
+        f"sum(w / ({HYBRID_K0} + rn)) AS score")
+
+
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "approx_distribution": (q_approx_distribution, SQL_APPROX_DISTRIBUTION),
     "approx_distribution_tokens": (q_approx_distribution_tokens,
@@ -10894,4 +10941,6 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "numeric_histogram": (q_numeric_histogram, SQL_NUMERIC_HISTOGRAM),
     "counter_rate_hourly": (q_counter_rate, SQL_COUNTER_RATE),
     "interval_overlap_pairs": (q_interval_overlap, SQL_INTERVAL_OVERLAP),
+    "hybrid_weighted_rrf": (q_hybrid_weighted_rrf,
+                            _sql_hybrid_weighted_rrf()),
 }

@@ -3182,3 +3182,35 @@ def collapse_inner_hits(hits: DataFrame, meta: DataFrame,
     return winners.join(inner, ["query_id", collapse_col]).select(
         "query_id", "winner_id", collapse_col, "winner_score", "rank",
         "inner_id", "inner_score", "inner_rank")
+
+
+def weighted_rrf_fuse(rankings, weights, k0: int = 60, k: int = 10,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Weighted reciprocal-rank fusion (the OpenSearch/Vespa hybrid
+    knob): score = Σ_legs w_leg / (k0 + rank_leg) — plain RRF with a
+    per-retriever trust multiplier, so a strong lexical leg can
+    outvote an experimental dense leg without score calibration.
+    w = 1 for every leg degrades exactly to ``rrf_fuse`` (pytest-
+    pinned). Same physical shape: union of top-k legs + one
+    (query, id) agg.
+    """
+    from functools import reduce as _reduce
+
+    legs = list(rankings)
+    ws = [float(x) for x in weights]
+    if not legs or len(ws) != len(legs):
+        raise ValueError("need one weight per ranking leg")
+    if any(x < 0 for x in ws):
+        raise ValueError("weights must be >= 0")
+    if k0 < 0 or k < 1:
+        raise ValueError("k0 must be >= 0 and k >= 1")
+    norm = [r.select("query_id", F.col(id_col),
+                     (F.lit(w) / (F.lit(k0) + F.col("rank"))).alias("c"))
+            for r, w in zip(legs, ws)]
+    hits = (_reduce(DataFrame.unionByName, norm)
+            .groupBy("query_id", id_col).agg(F.sum("c").alias("score")))
+    w_ = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                                F.asc(id_col))
+    return (hits.withColumn("rank", F.row_number().over(w_))
+            .filter(F.col("rank") <= k)
+            .select("query_id", id_col, "score", "rank"))

@@ -756,3 +756,25 @@ def test_bq_hamming(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="rerank"):
         bq_hamming_topk(emb, [0], k=10, rerank=5)
+
+
+def test_weighted_rrf_degrades_to_plain(spark):
+    from bertopic_spark.operators.bm25 import rrf_fuse, weighted_rrf_fuse
+
+    l1 = spark.createDataFrame([(0, 1, 1), (0, 2, 2)],
+                               "query_id long, doc_id long, rank long")
+    l2 = spark.createDataFrame([(0, 2, 1), (0, 3, 2)],
+                               "query_id long, doc_id long, rank long")
+    plain = sorted(map(tuple, rrf_fuse([l1, l2], k0=60, k=5).collect()))
+    unit = sorted(map(tuple, weighted_rrf_fuse([l1, l2], [1.0, 1.0],
+                                               k0=60, k=5).collect()))
+    assert plain == unit
+    # a heavy second leg promotes its exclusive doc above the shared one?
+    heavy = {r["doc_id"]: r["rank"] for r in weighted_rrf_fuse(
+        [l1, l2], [0.1, 10.0], k0=60, k=5).collect()}
+    assert heavy[3] < heavy[1]  # leg-2's doc 3 now outranks leg-1's doc 1
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        weighted_rrf_fuse([l1, l2], [1.0])
+    with _pt.raises(ValueError):
+        weighted_rrf_fuse([l1], [-1.0])
