@@ -225,6 +225,7 @@ BENCH_QUERIES = [
     "numeric_histogram",
     "counter_rate_hourly",
     "interval_overlap_pairs",
+    "hybrid_weighted_rrf",
 ]
 
 
