@@ -8299,17 +8299,54 @@ def q_dedup_containment(spark, sf_dir):
     """Directed shingle containment (operators/dedup.containment_pairs —
     Broder's asymmetric companion of resemblance): quote/excerpt
     detection Jaccard misses when the container dwarfs the contained
-    doc. 2-gram shingles, C >= 0.5."""
+    doc. 2-gram shingles, C >= 0.5, with the default "auto"
+    heavy-shingle guard (df > max(256, 0.5% of docs) dropped) — the
+    oracle applies the identical guard predicate."""
     from bertopic_spark.operators.dedup import containment_pairs
 
     return containment_pairs(_docs(spark, sf_dir), "text", "doc_id",
                              n=CONT_N, threshold=CONT_TAU)
 
 
+def q_dedup_containment_boiler(spark, sf_dir):
+    """Pathological boilerplate-cluster gate for the containment guard:
+    1,000 synthetic docs (each documents row x2) that ALL share an
+    8-token boilerplate prefix — unguarded, those 7 stop-shingles alone
+    create ~500k candidate pairs (m² in the cluster size); the "auto"
+    guard drops them and candidates stay LINEAR (20-doc groups sharing a
+    per-group phrase -> 50·20·19 = 19,000 directed rows). DuckDB oracle
+    reproduces the guarded result exactly."""
+    from bertopic_spark.operators.dedup import containment_pairs
+
+    base = _docs(spark, sf_dir).select("doc_id")
+    synth = (base.select("doc_id",
+                         F.explode(F.array(F.lit(0), F.lit(1))).alias("_r"))
+             .select((F.col("doc_id") * 2 + F.col("_r")).cast("long")
+                     .alias("sid")))
+    g = (F.col("sid") % 50).cast("string")
+    text = F.concat_ws(
+        " ", F.lit("b1 b2 b3 b4 b5 b6 b7 b8"),
+        F.concat(F.lit("g"), g, F.lit("a")),
+        F.concat(F.lit("g"), g, F.lit("b")),
+        F.concat(F.lit("g"), g, F.lit("c")),
+        F.concat(F.lit("g"), g, F.lit("d")),
+        F.concat(F.lit("u"), F.col("sid").cast("string")))
+    docs = synth.select("sid", text.alias("text"))
+    return containment_pairs(docs, "text", "sid", n=CONT_N,
+                             threshold=CONT_TAU)
+
+
 SQL_DEDUP_CONTAINMENT = f"""WITH
 tk AS (SELECT doc_id, {duckdb_tokens_sql('text', MODE)} AS ts FROM documents),
-sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] AS shingle
-       FROM tk, unnest(generate_series(1, greatest(len(ts)-1, 0))) AS u(i)),
+sh0 AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] AS shingle
+        FROM tk, unnest(generate_series(1, greatest(len(ts)-1, 0))) AS u(i)),
+-- the "auto" heavy-shingle guard (dedup.AUTO_MIN_DF/AUTO_DF_FRAC):
+-- drop shingles with df > max(256, ceil(0.005 * n_docs))
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM sh0),
+heavy AS (SELECT shingle FROM sh0 CROSS JOIN nd
+          GROUP BY shingle, nd.n
+          HAVING count(*) > greatest(256, CAST(ceil(0.005 * nd.n) AS BIGINT))),
+sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM heavy)),
 sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
 inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS i
           FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
@@ -8317,6 +8354,38 @@ inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS
 bo AS (SELECT id_a, id_b, i, sa.sz AS sz_a, sb.sz AS sz_b
          FROM inter JOIN sizes sa ON sa.doc_id = id_a
               JOIN sizes sb ON sb.doc_id = id_b),
+dirs AS (
+  SELECT id_a AS contained_id, id_b AS container_id,
+         i * 1.0 / sz_a AS c FROM bo
+  UNION ALL
+  SELECT id_b, id_a, i * 1.0 / sz_b FROM bo)
+SELECT contained_id, container_id, round(c, 6) AS containment
+FROM dirs WHERE c >= {CONT_TAU}"""
+
+
+SQL_DEDUP_CONTAINMENT_BOILER = f"""WITH
+ids AS (SELECT doc_id * 2 AS sid FROM documents
+        UNION ALL SELECT doc_id * 2 + 1 FROM documents),
+d AS (SELECT sid,
+             'b1 b2 b3 b4 b5 b6 b7 b8 g' || (sid % 50) || 'a g' ||
+             (sid % 50) || 'b g' || (sid % 50) || 'c g' || (sid % 50) ||
+             'd u' || sid AS text
+      FROM ids),
+tk AS (SELECT sid, {duckdb_tokens_sql('text', MODE)} AS ts FROM d),
+sh0 AS (SELECT DISTINCT sid, ts[i] || ' ' || ts[i+1] AS shingle
+        FROM tk, unnest(generate_series(1, greatest(len(ts)-1, 0))) AS u(i)),
+nd AS (SELECT count(DISTINCT sid) AS n FROM sh0),
+heavy AS (SELECT shingle FROM sh0 CROSS JOIN nd
+          GROUP BY shingle, nd.n
+          HAVING count(*) > greatest(256, CAST(ceil(0.005 * nd.n) AS BIGINT))),
+sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM heavy)),
+sizes AS (SELECT sid, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY sid),
+inter AS (SELECT a.sid AS id_a, b.sid AS id_b, CAST(count(*) AS BIGINT) AS i
+          FROM sh a JOIN sh b USING (shingle) WHERE a.sid < b.sid
+          GROUP BY a.sid, b.sid),
+bo AS (SELECT id_a, id_b, i, sa.sz AS sz_a, sb.sz AS sz_b
+         FROM inter JOIN sizes sa ON sa.sid = id_a
+              JOIN sizes sb ON sb.sid = id_b),
 dirs AS (
   SELECT id_a AS contained_id, id_b AS container_id,
          i * 1.0 / sz_a AS c FROM bo
@@ -10506,19 +10575,18 @@ def q_numeric_histogram(spark, sf_dir):
 
 
 SQL_NUMERIC_HISTOGRAM = f"""WITH agg AS (
-  SELECT floor((value - {NH_OFFSET}) / {NH_INTERVAL}) * {NH_INTERVAL}
-             + {NH_OFFSET} AS key,
+  SELECT CAST(floor((value - {NH_OFFSET}) / {NH_INTERVAL}) AS BIGINT) AS idx,
          CAST(count(*) AS BIGINT) AS n_docs,
          round(sum(value), 6) AS sum_value
   FROM events WHERE value IS NOT NULL GROUP BY 1),
-b AS (SELECT min(key) AS mn, max(key) AS mx FROM agg),
+b AS (SELECT min(idx) AS mn, max(idx) AS mx FROM agg),
 spine AS (
-  SELECT mn + i * {NH_INTERVAL} AS key
-  FROM b, unnest(range(0,
-      CAST(round((mx - mn) / {NH_INTERVAL}) AS BIGINT) + 1)) AS u(i))
-SELECT s.key, coalesce(a.n_docs, 0) AS n_docs,
+  SELECT mn + i AS idx
+  FROM b, unnest(range(0, mx - mn + 1)) AS u(i))
+SELECT CAST(s.idx AS DOUBLE) * {NH_INTERVAL} + {NH_OFFSET} AS key,
+       coalesce(a.n_docs, 0) AS n_docs,
        coalesce(a.sum_value, 0.0) AS sum_value
-FROM spine s LEFT JOIN agg a USING (key)"""
+FROM spine s LEFT JOIN agg a USING (idx)"""
 
 
 CTR_MOD = 5000
@@ -10605,7 +10673,8 @@ b AS (SELECT event_id AS b_id, epoch_us(ts) AS s2,
       FROM events WHERE event_type = '{IVJ_B}')
 SELECT a.a_id, b.b_id,
        CAST(least(a.e, b.e2) - greatest(a.s, b.s2) AS BIGINT) AS overlap_us
-FROM a JOIN b ON a.s < b.e2 AND b.s2 < a.e"""
+FROM a JOIN b ON a.s < b.e2 AND b.s2 < a.e
+WHERE a.e > a.s AND b.e2 > b.s2"""
 
 
 WRRF_W_TEXT, WRRF_W_DENSE = 2.0, 0.5
@@ -10880,6 +10949,8 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
                                   _sql_significant_results()),
     "pinned_topk": (q_pinned_topk, _sql_pinned()),
     "dedup_containment": (q_dedup_containment, SQL_DEDUP_CONTAINMENT),
+    "dedup_containment_boiler": (q_dedup_containment_boiler,
+                                 SQL_DEDUP_CONTAINMENT_BOILER),
     "auto_date_histogram": (q_auto_date_histogram,
                             _sql_auto_date_histogram()),
     "incremental_phrase_match": (q_incremental_phrase_match,

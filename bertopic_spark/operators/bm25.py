@@ -2491,6 +2491,7 @@ def rank_eval(
     judgments: DataFrame,
     k: int = 10,
     id_col: str = "doc_id",
+    max_grade: float = 4.0,
 ) -> DataFrame:
     """ES ``_rank_eval`` analog: per-query ranking-quality metrics of a
     ranked result list against a graded relevance-judgment relation —
@@ -2515,6 +2516,17 @@ def rank_eval(
     size. The per-query IDCG window runs over judgments only (eval-set
     sized, not corpus sized).
     """
+    if max_grade <= 0:
+        raise ValueError("max_grade must be > 0")
+    # A grade above max_grade makes R = (2^g-1)/2^max_grade exceed 1, so
+    # ln(1-R) is NULL and the ERR cascade silently zeroes out. Validate
+    # eagerly on the (eval-set sized) judgment relation instead — ES
+    # rank_eval exposes the same knob as maximum_relevance.
+    bad = judgments.filter(F.col("grade") > F.lit(float(max_grade))).limit(1)
+    if bad.count() > 0:
+        raise ValueError(
+            f"judgment grade exceeds max_grade={max_grade}; pass the "
+            "true maximum_relevance to rank_eval")
     win = hits.filter(F.col("rank") <= k).select("query_id", id_col, "rank")
     graded = (judgments.join(F.broadcast(win), ["query_id", id_col])
               .select("query_id", "rank", "grade")
@@ -2526,8 +2538,7 @@ def rank_eval(
     # R = (2^g − 1)/2^max_grade. The cascade product is computed as
     # exp(cumsum(ln(1−R)) over preceding ranks) — the same expression the
     # SQL oracle evaluates, so both engines do identical double ops
-    # (requires max_grade > max observed grade so 1−R > 0).
-    max_grade = 4.0
+    # (the eager check above guarantees 1−R > 0).
     rr = (F.pow(F.lit(2.0), F.col("grade")) - 1.0) / F.lit(2.0 ** max_grade)
     werr = Window.partitionBy("query_id").orderBy("rank") \
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -2887,7 +2898,10 @@ def rank_feature_topk(
         se = F.pow(s, F.lit(float(exponent)))
         fscore = F.when(s > 0, se / (se + p)).otherwise(F.lit(0.0))
     else:
-        fscore = s
+        # NULL features must score as plain Okapi, matching the other
+        # three variants (their when/otherwise already maps NULL → 0.0);
+        # a bare NULL here would otherwise null the final sum.
+        fscore = F.coalesce(s, F.lit(0.0))
     hits = _okapi_query_hits(corpus, qterms, k1, b, text_col, id_col, mode)
     feat = corpus.select(F.col(id_col),
                          (F.lit(float(boost)) * fscore).alias("_rf"))

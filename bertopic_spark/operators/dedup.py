@@ -57,21 +57,54 @@ def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3,
     return sh.distinct()
 
 
+# "auto" heavy-shingle guard: drop shingles with document frequency above
+# max(AUTO_MIN_DF, ceil(AUTO_DF_FRAC * n_docs)). The floor keeps small
+# corpora exact (no shingle in a 2k-doc test corpus is dropped unless it
+# really is boilerplate); the fraction keeps the per-shingle pair blowup
+# bounded at any corpus size (a shingle kept by the guard contributes at
+# most (frac*N)^2/2 candidate rows — linear in N per unit of frac^2*N).
+# Shared verbatim with the DuckDB oracle SQL (entry_queries builds the
+# guard predicate from these exact constants).
+AUTO_MIN_DF = 256
+AUTO_DF_FRAC = 0.005
+
+
+def _guard_heavy_shingles(sh: DataFrame, id_col: str, max_df) -> DataFrame:
+    """Anti-join the shingle relation against its heavy tail.
+
+    ``max_df``: None = no guard (exact; the documented oracle path),
+    an int = fixed document-frequency cap, "auto" = the corpus-relative
+    cap above. The heavy set is tiny by construction (broadcastable at
+    any corpus size), whereas the keep-set is nearly the whole shingle
+    vocabulary — hence anti-join against heavy, never semi-join on kept.
+    """
+    if max_df is None:
+        return sh
+    dfreq = sh.groupBy("shingle").count()
+    if max_df == "auto":
+        nd = sh.agg(F.count_distinct(id_col).alias("_nd"))
+        heavy = (dfreq.crossJoin(F.broadcast(nd))
+                 .filter(F.col("count") >
+                         F.greatest(F.lit(AUTO_MIN_DF),
+                                    F.ceil(F.lit(AUTO_DF_FRAC) *
+                                           F.col("_nd")))))
+    else:
+        heavy = dfreq.filter(F.col("count") > int(max_df))
+    return sh.join(F.broadcast(heavy.select("shingle")), "shingle",
+                   "left_anti")
+
+
 def jaccard_pairs(df: DataFrame, text_col: str, id_col: str, n: int = 3,
                   threshold: float = 0.5, mode: str = "ascii_code",
                   max_df: int | None = None) -> DataFrame:
     """Near-dup pairs by n-gram Jaccard ≥ threshold: (id_a, id_b, jaccard).
 
     id_a < id_b. ``max_df`` drops shingles occurring in more than that many
-    docs before the self-join (the candidate-explosion guard at scale).
+    docs before the self-join (the candidate-explosion guard at scale);
+    "auto" applies the corpus-relative cap (``_guard_heavy_shingles``).
     """
-    sh = shingles(df, text_col, id_col, n, mode)
-    if max_df is not None:
-        # Anti-join against the HEAVY shingles (df > max_df) — by
-        # construction a tiny set (broadcastable at any corpus size),
-        # whereas the keep-set is nearly the whole shingle vocabulary.
-        heavy = sh.groupBy("shingle").count().filter(F.col("count") > max_df)
-        sh = sh.join(F.broadcast(heavy.select("shingle")), "shingle", "left_anti")
+    sh = _guard_heavy_shingles(shingles(df, text_col, id_col, n, mode),
+                               id_col, max_df)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -677,7 +710,7 @@ def semdedup(emb: DataFrame, nlist: int = 8, tau: float = 0.95,
 
 def containment_pairs(df: DataFrame, text_col: str, id_col: str, n: int = 3,
                       threshold: float = 0.8, mode: str = "ascii_code",
-                      max_df: int | None = None) -> DataFrame:
+                      max_df="auto") -> DataFrame:
     """One-sided shingle containment C(A→B) = |S(A)∩S(B)| / |S(A)| —
     Broder's containment, the asymmetric companion of resemblance
     (Jaccard): detects quotes, excerpts and subset-duplicates that
@@ -687,14 +720,17 @@ def containment_pairs(df: DataFrame, text_col: str, id_col: str, n: int = 3,
 
     Same single shingle self-join as ``jaccard_pairs`` (the intersection
     is computed once per unordered pair, both directions derived from
-    it), same broadcast anti-join guard on heavy shingles (``max_df``).
+    it), same broadcast anti-join guard on heavy shingles — and here the
+    guard DEFAULTS ON ("auto"): with small n (quotes need n=2..3),
+    stop-shingles put a visible fraction of any code corpus into a
+    handful of keys, and an unguarded self-join is m² per heavy shingle
+    — the one plan that dies at 100×. Pass ``max_df=None`` explicitly
+    for the exact small-corpus/oracle path.
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    sh = shingles(df, text_col, id_col, n, mode)
-    if max_df is not None:
-        heavy = sh.groupBy("shingle").count().filter(F.col("count") > max_df)
-        sh = sh.join(F.broadcast(heavy.select("shingle")), "shingle", "left_anti")
+    sh = _guard_heavy_shingles(shingles(df, text_col, id_col, n, mode),
+                               id_col, max_df)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")

@@ -2178,7 +2178,8 @@ def percolate_phrases(docs: DataFrame, queries: DataFrame,
                       phrases: DataFrame,
                       text_col: str = "text", id_col: str = "doc_id",
                       min_should_match: float = 1.0,
-                      mode: str = "ascii_code") -> DataFrame:
+                      mode: str = "ascii_code",
+                      max_registry: int = 10_000) -> DataFrame:
     """Percolator with PHRASE criteria: a standing query may require, on
     top of its term-coverage condition, one or more exact phrases
     (``phrases``: (query_id, phrase) rows) — the full ES percolator
@@ -2192,13 +2193,25 @@ def percolate_phrases(docs: DataFrame, queries: DataFrame,
     evaluates every phrase's adjacency HOF in ONE document pass, and
     anti-joins queries with unmet phrases. Still zero shuffles beyond
     the bounded (doc, query) aggs.
+
+    The "registry is small" contract is ENFORCED, not assumed: the
+    driver-side collect is capped at ``max_registry`` distinct phrase
+    rows and raises beyond it (mirroring ``expand_terms``'s
+    ``max_expand`` guard) — an unbounded registry must fail loudly, not
+    OOM the driver or broadcast a million-HOF projection.
     """
     from bertopic_spark.tokenizer import tokenize_one
 
     base = percolate(docs, queries, text_col, id_col,
                      min_should_match, mode)
+    reg = (phrases.select("query_id", "phrase").distinct()
+           .limit(max_registry + 1).collect())
+    if len(reg) > max_registry:
+        raise ValueError(
+            f"phrase registry exceeds max_registry={max_registry}; "
+            "shard the registry or raise the cap")
     ph = [(int(r["query_id"]), tokenize_one(r["phrase"], mode))
-          for r in phrases.select("query_id", "phrase").distinct().collect()]
+          for r in reg]
     ph = [(q, toks) for q, toks in ph if toks]
     if not ph:
         return base

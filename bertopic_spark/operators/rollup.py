@@ -962,26 +962,27 @@ def numeric_histogram(df: DataFrame, value_col: str, interval: float,
     if min_doc_count not in (0, 1):
         raise ValueError("min_doc_count must be 0 or 1")
     v = F.col(value_col).cast("double")
-    key = (F.floor((v - F.lit(float(offset))) / F.lit(float(interval)))
-           * F.lit(float(interval)) + F.lit(float(offset)))
+    # Bucket identity is the integer step index; the double key is
+    # derived from it only for display. Joining spine→agg on a
+    # recomputed double key loses buckets to 1-ulp drift when interval
+    # is not binary-representable (e.g. 0.1).
+    idx = (F.floor((v - F.lit(float(offset))) / F.lit(float(interval)))
+           .cast("long"))
+    keyof = lambda c: (c.cast("double") * F.lit(float(interval))
+                       + F.lit(float(offset)))
     agg = (df.where(v.isNotNull())
-           .groupBy(key.alias("key"))
+           .groupBy(idx.alias("_idx"))
            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
                 F.round(F.sum(v), dp).alias("sum_value")))
     if min_doc_count == 1:
-        return agg
-    # dense spine: every interval step between the observed key extremes.
-    # sequence() is integral, so generate step indices and scale back.
-    bounds = agg.agg(F.min("key").alias("_mn"), F.max("key").alias("_mx"))
-    spine = (bounds.select(F.explode(F.sequence(
-        F.lit(0),
-        F.round((F.col("_mx") - F.col("_mn")) / F.lit(float(interval)))
-        .cast("long"))).alias("_i"),
-        F.col("_mn"))
-        .select((F.col("_mn") + F.col("_i") * F.lit(float(interval)))
-                .alias("key")))
-    return (spine.join(agg, "key", "left")
-            .select("key",
+        return agg.select(keyof(F.col("_idx")).alias("key"),
+                          "n_docs", "sum_value")
+    # dense spine: every integer step between the observed extremes.
+    bounds = agg.agg(F.min("_idx").alias("_mn"), F.max("_idx").alias("_mx"))
+    spine = (bounds.select(F.explode(
+        F.sequence(F.col("_mn"), F.col("_mx"))).alias("_idx")))
+    return (spine.join(agg, "_idx", "left")
+            .select(keyof(F.col("_idx")).alias("key"),
                     F.coalesce("n_docs", F.lit(0)).cast("long")
                     .alias("n_docs"),
                     F.coalesce("sum_value", F.lit(0.0)).alias("sum_value")))

@@ -257,6 +257,12 @@ def interval_overlap_join(a, b, a_id: str, b_id: str,
     Shuffle key = the time bucket: load spreads over the timeline, and
     ``bucket_seconds`` trades bucket-row fanout against per-bucket pair
     density exactly like the band-width range join.
+
+    Degenerate intervals (end <= start) are EMPTY under the half-open
+    convention and participate in no pair — both sides filter them
+    before spreading, and any paired oracle must apply the same
+    ``end > start`` filter (a bare ``a.s < b.e AND b.s < a.e`` predicate
+    would match a zero-length interval strictly inside the other side).
     """
     if bucket_seconds <= 0:
         raise ValueError("bucket_seconds must be > 0")

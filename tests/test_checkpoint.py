@@ -73,6 +73,29 @@ def test_sha_invariant_rejects_corruption(spark, corpus_df, root):
         IndexBuild(spark, str(root) + "_c").build(corrupted)
 
 
+def test_null_natural_key_fails_loudly(spark, corpus_df, root):
+    """A NULL in (repo, path, commit) survives distinct() (the map
+    cardinality still matches the corpus count) but falls out of the
+    equi-join (NULL != NULL) — the build must raise up front instead of
+    silently dropping the row from the postings."""
+    from pyspark.sql import functions as F
+
+    nulled = corpus_df.withColumn(
+        "path",
+        F.when(F.col("doc_id") == 7, F.lit(None)).otherwise(F.col("path")),
+    )
+    with pytest.raises(ValueError, match="NULL natural key .* on 1 rows"):
+        IndexBuild(spark, str(root) + "_n").build(nulled)
+
+
+def test_duplicate_natural_key_fails_loudly(spark, corpus_df, root):
+    """A duplicated (repo, path, commit) would multiply corpus rows
+    through the key→id map join — caught by the map-cardinality check."""
+    dup = corpus_df.unionByName(corpus_df.limit(1))
+    with pytest.raises(ValueError, match="not unique"):
+        IndexBuild(spark, str(root) + "_d").build(dup)
+
+
 def test_manifest_lineage_fields(spark, corpus_df, root):
     IndexBuild(spark, root).build(corpus_df)
     m = json.load(open(os.path.join(root, "postings", "_MANIFEST.json")))

@@ -589,3 +589,57 @@ class TestContainment:
         d = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
         with _pt.raises(ValueError, match="threshold"):
             containment_pairs(d, "text", "doc_id", threshold=0.0)
+
+
+class TestContainmentAutoGuard:
+    """The default "auto" heavy-shingle guard: a boilerplate cluster's
+    stop-shingles (df > max(256, 0.5% of docs)) are dropped before the
+    self-join, so candidates grow LINEARLY in the cluster size while
+    light (discriminative) shingles still pair up."""
+
+    def _boiler(self, spark, m, groups=10):
+        from pyspark.sql import functions as F
+        return (spark.range(m).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ", F.lit("b1 b2 b3 b4 b5 b6 b7 b8"),
+                F.concat(F.lit("g"), (F.col("id") % groups).cast("string"),
+                         F.lit("a")),
+                F.concat(F.lit("g"), (F.col("id") % groups).cast("string"),
+                         F.lit("b")),
+                F.concat(F.lit("u"), F.col("id").cast("string")))
+            .alias("text")))
+
+    def test_guard_kills_boiler_cluster_linear_candidates(self, spark):
+        from bertopic_spark.operators.dedup import containment_pairs
+        # 600 docs ALL share the 8-token boilerplate (df=600 > 256 ->
+        # dropped); per 60-doc group they share 3 light shingles
+        # (b8->g?a boundary, g?a->g?b, g?b->u? is unique). Guarded
+        # output = within-group directed pairs only: 10 * 60 * 59.
+        d = self._boiler(spark, 600)
+        out = containment_pairs(d, "text", "doc_id", n=2, threshold=0.5)
+        assert out.count() == 10 * 60 * 59
+        # linearity: 2x the docs -> exactly 2x the per-group pairs
+        # (groups double in size: 10 * 120 * 119), never the m^2 blowup
+        # of the unguarded join (1200*1199 boiler-driven directed pairs)
+        d2 = self._boiler(spark, 1200)
+        out2 = containment_pairs(d2, "text", "doc_id", n=2, threshold=0.5)
+        assert out2.count() == 10 * 120 * 119
+
+    def test_small_corpus_unaffected_by_auto(self, spark):
+        from bertopic_spark.operators.dedup import containment_pairs
+        # below the 256-df floor the guard is a no-op: auto == None
+        d = self._boiler(spark, 100)
+        auto = containment_pairs(d, "text", "doc_id", n=2, threshold=0.5)
+        exact = containment_pairs(d, "text", "doc_id", n=2, threshold=0.5,
+                                  max_df=None)
+        assert sorted(map(tuple, auto.collect())) == \
+            sorted(map(tuple, exact.collect()))
+
+    def test_fixed_max_df_still_works(self, spark):
+        from bertopic_spark.operators.dedup import containment_pairs
+        d = self._boiler(spark, 100)
+        # cap 50: the 100-df boiler shingles drop, 10-df group shingles stay
+        out = containment_pairs(d, "text", "doc_id", n=2, threshold=0.5,
+                                max_df=50)
+        assert out.count() == 10 * 10 * 9

@@ -1088,6 +1088,22 @@ def test_percolate_phrases_gates_on_adjacency(spark):
         docs, qt, none, "text", "doc_id", 1.0).collect()} == base
 
 
+def test_percolate_phrases_registry_cap(spark):
+    """The 'registry is small' contract is enforced: an oversized phrase
+    registry raises instead of collecting to the driver."""
+    from bertopic_spark.operators.fulltext import percolate_phrases
+    docs = spark.createDataFrame([(0, "alpha beta")],
+                                 "doc_id long, text string")
+    qt = spark.createDataFrame([(10, "alpha")],
+                               "query_id long, term string")
+    big = spark.range(5).select(
+        F.col("id").alias("query_id"),
+        F.concat(F.lit("p"), F.col("id").cast("string")).alias("phrase"))
+    with pytest.raises(ValueError, match="max_registry=3"):
+        percolate_phrases(docs, qt, big, "text", "doc_id", 1.0,
+                          max_registry=3)
+
+
 def test_sig_heuristics_hand_table(spark):
     """chi2 / MI on a known 2x2: fg = {d1, d2}, term in d1 (fg) and d3
     (bg). a=1 b=1 c=1 d=1 -> chi2 = 0, MI = 0 (independent)."""
