@@ -73,6 +73,7 @@ def blockmax_topk(
     persist_cand: bool = True,
     _persisted_out: list | None = None,
     codec: str = "varint",
+    stats_out: list | None = None,
 ) -> DataFrame:
     """(query_id, doc_id, score, rank) — rank-identical to the exhaustive
     scorer; prunes buckets whose block-max upper bound can't reach top-k.
@@ -86,6 +87,11 @@ def blockmax_topk(
     pass ``persist_cand=False`` or collect the handle via ``_persisted_out``
     and ``unpersist()`` it after materializing each batch — otherwise every
     batch pins another cached relation in executor storage.
+
+    ``stats_out``: pass a list to receive a LAZY per-query pruning-stats
+    relation (query_id, n_buckets, n_survivors, n_skipped, skip_rate) —
+    "pruning actually prunes" is measured, not assumed (cheap: counts over
+    the bucket-granular ub/survivor relations, never the postings).
     """
     cand = blocks.join(F.broadcast(qterms), "term").select(
         "query_id", "term", "blk", "max_score", "payload"
@@ -109,6 +115,18 @@ def blockmax_topk(
     survivors = ub.join(theta, "query_id", "left").filter(
         F.col("theta").isNull() | (F.col("ub") >= F.col("theta"))
     )
+    if stats_out is not None:
+        tot = ub.groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("n_buckets"))
+        sur = survivors.groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("n_survivors"))
+        nsur = F.coalesce("n_survivors", F.lit(0))
+        stats_out.append(
+            tot.join(sur, "query_id", "left").select(
+                "query_id", "n_buckets", nsur.alias("n_survivors"),
+                (F.col("n_buckets") - nsur).alias("n_skipped"),
+                F.round((F.col("n_buckets") - nsur) / F.col("n_buckets"),
+                        6).alias("skip_rate")))
     final = _decode_score(
         cand.join(survivors.select("query_id", "blk"), ["query_id", "blk"]), span, codec
     )

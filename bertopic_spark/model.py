@@ -1038,11 +1038,58 @@ class BERTopicSpark:
         `_bertopic.py:5097-5117`) into long-form state. Score-driven
         methods (get_topics / get_topic_info / find_topics / transform /
         hierarchy / merge) answer from the imported state; tf/df counts
-        aren't stored by that format and import as NULL, so
-        count-reaggregation paths need a refit."""
+        aren't stored by that format and import as NULL — call
+        ``attach_corpus`` with the fitted documents to enable the
+        count-reaggregation surfaces (topics_over_time, topics_per_class,
+        partial_fit, update_topics)."""
         from bertopic_spark.sources.reference_model import load_reference_dir
 
         return load_reference_dir(spark, path, topic_col)
+
+    def attach_corpus(self, docs: DataFrame, text_col: str = "content",
+                      id_col: str = "doc_id"):
+        """Reattach the fitted corpus to a reference-imported model —
+        finishing S5. The reference's safetensors artifact
+        (``_save_utils.py:318-399``) stores c-TF-IDF scores and the idf
+        diag but never the class-term COUNTS, so every count-driven
+        surface (topics_over_time / topics_per_class / partial_fit /
+        update_topics) is un-derivable from the artifact alone; the
+        corpus is the only faithful source. ``docs`` must carry the
+        class column(s) — the reference holds doc→topic in ``topics_``
+        and re-pairs by document order at load (`_bertopic.py:5103`);
+        here the same assignment rides the table explicitly (join-safe
+        under any partitioning, no order dependence).
+
+        Rebuilds doc_terms_/_state_x from the corpus, backfills the NULL
+        ``df``/``tf`` columns with corpus-derived counts, and keeps the
+        IMPORTED idf and scores untouched — ``get_topics`` stays
+        term-for-term, and the frozen-idf re-agg paths run unchanged.
+        """
+        self._check_fitted()
+        missing = [c for c in self.class_cols if c not in docs.columns]
+        if missing:
+            raise ValueError(
+                f"attach_corpus needs class column(s) {missing} on docs — "
+                "the reference pairs topics_ with documents by order; "
+                "attach them as a column")
+        self._text_col, self._id_col = text_col, id_col
+        self.doc_table_ = docs
+        dt = doc_term_counts(docs, text_col, [*self.class_cols, id_col],
+                             self.mode, self.ngram_range)
+        self.doc_terms_ = self._ckpt_replace("doc_terms", dt)
+        x = class_term_counts(self.doc_terms_, self.class_cols)
+        self._state_x = self._ckpt_replace(
+            "state_x", x.withColumn("tf", F.col("tf").cast("double")))
+        dfd = x.groupBy("term").agg(F.sum("tf").alias("df"))
+        self.stats_ = (self.stats_.drop("df")
+                       .join(dfd, "term", "left")
+                       .select("term", "df", "idf").persist())
+        self.scores_ = (self.scores_.drop("tf")
+                        .join(x.select(*self.class_cols, "term", "tf"),
+                              [*self.class_cols, "term"], "left")
+                        .select(*self.class_cols, "term", "tf", "score")
+                        .persist())
+        return self
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "BERTopicSpark":

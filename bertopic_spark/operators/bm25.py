@@ -2409,6 +2409,7 @@ def maxscore_topk(
     id_col: str = "doc_id",
     persist_probe: bool = True,
     _persisted_out: list | None = None,
+    stats_out: list | None = None,
 ) -> DataFrame:
     """MaxScore dynamic pruning (Turtle & Flood 1995) — the term-granular
     sibling of block-max WAND (index/wand.py), over ANY scored index
@@ -2439,6 +2440,11 @@ def maxscore_topk(
     candidate generation, full scoring) — persisted by default; serving
     loops should reap handles via ``_persisted_out`` (same contract as
     ``bm25_topk_adhoc``).
+
+    ``stats_out``: pass a list to receive a LAZY per-query pruning-stats
+    relation (query_id, n_postings, n_scored, n_skipped, skip_rate,
+    n_terms, n_essential) measuring how much posting volume the
+    essential-term split actually skipped.
     """
     qd = qterms.select("query_id", "term").distinct()
     sq = scores.join(F.broadcast(qd), "term")
@@ -2478,8 +2484,31 @@ def maxscore_topk(
            .select("query_id", "term"))
     cands = (sq.join(F.broadcast(ess), ["query_id", "term"])
              .select("query_id", id_col).distinct())
-    hits = (sq.join(cands, ["query_id", id_col], "left_semi")
-            .groupBy("query_id", id_col)
+    scored = sq.join(cands, ["query_id", id_col], "left_semi")
+    if stats_out is not None:
+        # per-query pruning counters — "pruning actually prunes" is
+        # measured, not assumed: postings the probe touched vs postings
+        # the scorer actually summed, plus the essential-term split.
+        tp = sq.groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("n_postings"))
+        sp = scored.groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("n_scored"))
+        nt = qmax.groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("n_terms"))
+        ne = ess.groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("n_essential"))
+        nsc = F.coalesce("n_scored", F.lit(0))
+        stats_out.append(
+            tp.join(sp, "query_id", "left").join(nt, "query_id")
+            .join(ne, "query_id", "left")
+            .select("query_id", "n_postings", nsc.alias("n_scored"),
+                    (F.col("n_postings") - nsc).alias("n_skipped"),
+                    F.round((F.col("n_postings") - nsc) /
+                            F.col("n_postings"), 6).alias("skip_rate"),
+                    "n_terms",
+                    F.coalesce("n_essential", F.lit(0))
+                    .alias("n_essential")))
+    hits = (scored.groupBy("query_id", id_col)
             .agg(F.sum("score").alias("score")))
     return (hits.withColumn("rank", F.row_number().over(w_seed))
             .filter(F.col("rank") <= k)

@@ -20,7 +20,11 @@ engine's long-form relations: scores (topic, term, tf, score), stats
 
 ``tf`` and ``df`` are NOT stored by the reference format; they import as
 NULL. Every score-driven query surface (get_topics, find_topics, merge,
-hierarchy, transform) works; count-reaggregation paths need a refit.
+hierarchy, transform) works immediately; count-reaggregation paths
+(topics_over_time, topics_per_class, partial_fit, update_topics) come
+back after ``BERTopicSpark.attach_corpus(docs)`` reattaches the fitted
+corpus — the only faithful source of class-term counts — which backfills
+tf/df while keeping the imported idf and scores untouched.
 """
 
 from __future__ import annotations

@@ -115,3 +115,64 @@ def test_import_requires_safetensors_file(spark, tmp_path):
                    "ctfidf_model": {}}, f)
     with pytest.raises(FileNotFoundError):
         BERTopicSpark.import_reference_model(spark, str(tmp_path))
+
+
+def test_attach_corpus_enables_count_paths(spark, tmp_path):
+    """S5 finish: import → attach_corpus → the count-reaggregation
+    surfaces (topics_over_time, partial_fit, update_topics) run, and
+    get_topics stays term-for-term with the imported scores."""
+    df = spark.createDataFrame(DOCS, "doc_id long, topic long, text string") \
+        .withColumn("ts", (F.col("doc_id") % 2).cast("long"))
+    native = BERTopicSpark(class_cols=["topic"]).fit(df, "text", "doc_id")
+    _export_reference_dir(native, str(tmp_path))
+    imported = BERTopicSpark.import_reference_model(spark, str(tmp_path))
+
+    # count paths are un-derivable from the artifact alone
+    with pytest.raises(Exception):
+        imported.topics_over_time("ts").collect()
+
+    imported.attach_corpus(df, "text", "doc_id")
+    # get_topics still answers from the imported scores, term-for-term
+    want = [(r["topic"], r["term"], round(r["score"], 5), r["rank"])
+            for r in native.get_topics(5).orderBy("topic", "rank").collect()]
+    got = [(r["topic"], r["term"], round(r["score"], 5), r["rank"])
+           for r in imported.get_topics(5).orderBy("topic", "rank").collect()]
+    assert got == want
+    # tf/df backfilled from the corpus (no NULLs on corpus terms)
+    assert imported.scores_.filter("tf IS NULL").count() == 0
+    assert imported.stats_.filter("df IS NULL").count() == 0
+
+    # topics_over_time matches the native model's (same corpus, frozen
+    # idf on both sides — scores imported at f32 → compare at 4dp)
+    nat = [(r["ts"], r["topic"], r["term"], r["rank"])
+           for r in native.topics_over_time("ts")
+           .orderBy("ts", "topic", "rank").collect()]
+    imp = [(r["ts"], r["topic"], r["term"], r["rank"])
+           for r in imported.topics_over_time("ts")
+           .orderBy("ts", "topic", "rank").collect()]
+    assert imp == nat
+
+    # partial_fit accumulates onto the attached state
+    batch = spark.createDataFrame(
+        [(10, 0, "spark spark join", 0), (11, 2, "cosine probe probe", 1)],
+        "doc_id long, topic long, text string, ts long")
+    imported.partial_fit(batch, "text", "doc_id")
+    assert imported.get_topic_info().count() == 3
+    sizes = {r["topic"]: r["count"]
+             for r in imported.get_topic_info().collect()}
+    assert sizes[0] >= 3  # grew by the batch
+
+    # update_topics re-extracts with new params over the attached corpus
+    imported2 = BERTopicSpark.import_reference_model(spark, str(tmp_path))
+    imported2.attach_corpus(df, "text", "doc_id")
+    imported2.update_topics(ngram_range=(1, 2))
+    assert imported2.scores_.filter(F.col("term").contains(" ")).count() > 0
+
+
+def test_attach_corpus_requires_class_column(spark, tmp_path):
+    df = spark.createDataFrame(DOCS, "doc_id long, topic long, text string")
+    native = BERTopicSpark(class_cols=["topic"]).fit(df, "text", "doc_id")
+    _export_reference_dir(native, str(tmp_path))
+    imported = BERTopicSpark.import_reference_model(spark, str(tmp_path))
+    with pytest.raises(ValueError, match="class column"):
+        imported.attach_corpus(df.drop("topic"), "text", "doc_id")

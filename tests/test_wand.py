@@ -38,12 +38,49 @@ def test_rank_identical_to_exhaustive(spark, setup):
             assert gs == pytest.approx(ws, abs=1e-12), q
 
 
-def test_pruning_actually_prunes(spark, setup):
-    # sanity: with tiny seed the survivor set must be smaller than all
-    # candidate buckets for at least the rare-term queries
+def test_stats_counters_consistent_on_fixture(spark, setup):
+    """stats_out counters are internally consistent on the corpus fixture
+    (at 500 docs / 8 buckets little should be pruned — that's fine; the
+    skip>0 assertion lives on the skewed fixture below)."""
     scores, blocks, qt = setup
-    n_blocks = blocks.join(F.broadcast(qt), "term").select("query_id", "blk").distinct().count()
-    assert n_blocks > 0
+    stats = []
+    out = blockmax_topk(blocks, qt, k=10, span=SPAN, seed_buckets=2,
+                        stats_out=stats)
+    out.count()  # materialize alongside the stats relation
+    rows = stats[0].collect()
+    assert rows, "stats relation empty"
+    for r in rows:
+        assert r["n_buckets"] == r["n_survivors"] + r["n_skipped"]
+        assert 0.0 <= r["skip_rate"] <= 1.0
+
+
+def test_pruning_actually_prunes(spark):
+    """The stats_out counters measure — not assume — that block-skipping
+    happens: on a stop-term-skewed corpus (one rare high-impact term
+    confined to bucket 0, one ubiquitous low-impact term) every bucket
+    except the rare one must be skipped, and the result stays
+    rank-identical to the exhaustive scorer."""
+    rows = [(i, "common", 1, 0.01) for i in range(1000)]
+    rows += [(i, "rare", 1, 5.0 + i * 0.001) for i in range(20)]
+    sc = spark.createDataFrame(
+        rows, "doc_id long, term string, tf long, score double")
+    blocks = build_block_index(sc, SPAN)
+    qt = spark.createDataFrame([(0, "common"), (0, "rare")],
+                               "query_id long, term string")
+    stats = []
+    got = sorted((r.rank, r.doc_id) for r in
+                 blockmax_topk(blocks, qt, k=10, span=SPAN, seed_buckets=2,
+                               stats_out=stats).collect())
+    exact = sorted((r.rank, r.doc_id) for r in
+                   bm25_topk(sc, qt, k=10).collect())
+    assert got == exact
+    r = stats[0].collect()[0]
+    # 1000 docs / span 64 = 16 buckets hold 'common'; θ from the rare
+    # bucket (~5.01) dwarfs every common-only ub (0.01) -> 15 skipped
+    assert r["n_buckets"] == 16
+    assert r["n_survivors"] == 1
+    assert r["n_skipped"] == 15
+    assert r["skip_rate"] == pytest.approx(15 / 16, abs=1e-6)
 
 
 def test_serve_loop_does_not_leak_cached_relations(spark, setup):
@@ -145,3 +182,25 @@ def test_maxscore_random_relations_property(spark):
         ms = sorted((r.query_id, r.rank, r.doc_id) for r in
                     maxscore_topk(sc, qt, k=7).collect())
         assert ms == exact and exact, trial
+
+
+def test_maxscore_stats_counters_on_skewed_fixture(spark):
+    """MaxScore's stats_out on a stop-term-skewed corpus: the ubiquitous
+    low-impact term's 1000 postings must be SKIPPED (not scored), and
+    the counters must say so."""
+    from bertopic_spark.operators.bm25 import maxscore_topk
+
+    rows = [(i, "stop", 0.01) for i in range(1000)]
+    rows += [(i, "rare", 5.0 + i * 0.001) for i in range(20)]
+    sc = spark.createDataFrame(rows, "doc_id long, term string, score double")
+    qt = spark.createDataFrame([(0, "stop"), (0, "rare")],
+                               "query_id long, term string")
+    stats = []
+    maxscore_topk(sc, qt, k=5, stats_out=stats).count()
+    r = stats[0].collect()[0]
+    assert r["n_terms"] == 2 and r["n_essential"] == 1
+    assert r["n_postings"] == 1020
+    # scored = rare's 20 postings + stop's postings on candidate docs (20)
+    assert r["n_scored"] == 40
+    assert r["n_skipped"] == 980
+    assert r["skip_rate"] == pytest.approx(980 / 1020, abs=1e-6)
