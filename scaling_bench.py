@@ -193,6 +193,19 @@ def main() -> None:
         payload["query_scaling_efficiency"] = best_pair["query_eff"]
         payload["query_batch"] = results[0].get("query_batch")
         payload["both_passed"] = bool(eff >= 0.8 and best_pair["query_eff"] >= 0.8)
+    # Per-stage decomposition (serial-fraction profile, VERDICT r3 #3):
+    # each stage's own N→4N efficiency from the per-stage timings both
+    # levels already record, plus the Amdahl parallel fraction implied by
+    # the overall speedup — the low-efficiency stage IS the serial tail.
+    lo_t = best_pair["lo"].get("stage_timings") or {}
+    hi_t = best_pair["hi"].get("stage_timings") or {}
+    payload["stage_timings"] = {"lo": lo_t, "hi": hi_t}
+    payload["stage_efficiencies"] = {
+        k: round(lo_t[k] / ((n4 / n) * hi_t[k]), 3)
+        for k in lo_t if hi_t.get(k, 0) > 0}
+    sp = best_pair["hi"]["docs_per_sec"] / best_pair["lo"]["docs_per_sec"]
+    payload["amdahl_parallel_fraction"] = round(
+        (1 - 1 / sp) / (1 - n / n4), 3) if sp > 1 else 0.0
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
         json.dump(payload, f, indent=1)
@@ -211,6 +224,8 @@ def main() -> None:
                                     for r in results},
             "trials_queries_per_sec": {str(r["cpus"]): r["trials_queries_per_sec"]
                                        for r in results},
+            "stage_efficiencies": payload["stage_efficiencies"],
+            "amdahl_parallel_fraction": payload["amdahl_parallel_fraction"],
         }) + "\n")
     with open(hist_path) as f:
         history = [json.loads(line) for line in f if line.strip()]
@@ -242,6 +257,23 @@ def main() -> None:
     md += [
         "",
         f"Formula: throughput@{n4} / ({n4 // n} × throughput@{n}).",
+        "",
+        "## Per-stage decomposition (serial-fraction profile)",
+        "",
+        "Each stage's own N→4N efficiency (t_lo·N / (t_hi·4N)) from the",
+        "stage timings both levels record — the low-efficiency row is the",
+        "serial tail; driver-side stages (manifest IO, fingerprint collect)",
+        "are expected to sit below the wide stages (tokenize/agg/encode).",
+        "",
+        "| stage | sec @ N | sec @ 4N | stage eff |",
+        "|---|---|---|---|",
+        *[f"| {k} | {payload['stage_timings']['lo'].get(k, '—')} | "
+          f"{payload['stage_timings']['hi'].get(k, '—')} | {v} |"
+          for k, v in sorted(payload["stage_efficiencies"].items(),
+                             key=lambda kv: kv[1])],
+        "",
+        f"Amdahl parallel fraction implied by the overall speedup: "
+        f"{payload['amdahl_parallel_fraction']}.",
         "",
         "## Environment ceiling",
         "",
