@@ -10724,6 +10724,174 @@ def _sql_hybrid_weighted_rrf() -> str:
         f"sum(w / ({HYBRID_K0} + rn)) AS score")
 
 
+HQ_LES = [10.0, 25.0, 50.0, 100.0, 250.0]
+HQ_Q = 0.9
+
+
+def q_prom_histogram_quantile(spark, sf_dir):
+    """PromQL histogram_quantile (operators/temporal.histogram_quantile):
+    per event_type, classic le-bucketed cumulative counts (le = 10, 25,
+    50, 100, 250, +Inf over event values) interpolated at q=0.9 — the
+    TSDB latency-SLO primitive. The bucket build is the one data pass;
+    the quantile itself is a window over |series|·|buckets| rows."""
+    from bertopic_spark.operators.temporal import histogram_quantile
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    les = F.array(*[F.lit(x) for x in [*HQ_LES, float("inf")]])
+    b = (ev.where(F.col("value").isNotNull())
+         .select("event_type", F.explode(les).alias("le"), "value")
+         .groupBy("event_type", "le")
+         .agg(F.sum(F.when(F.col("value") <= F.col("le"), 1).otherwise(0))
+              .alias("count")))
+    return histogram_quantile(b, HQ_Q, keys=("event_type",))
+
+
+_HQ_LE_VALUES = ", ".join(f"({x})" for x in HQ_LES)
+SQL_PROM_HISTOGRAM_QUANTILE = f"""WITH
+les(le) AS (VALUES {_HQ_LE_VALUES}, (CAST('infinity' AS DOUBLE))),
+b AS (SELECT event_type, CAST(le AS DOUBLE) AS le,
+             CAST(sum(CASE WHEN value <= le THEN 1 ELSE 0 END) AS DOUBLE) AS c
+      FROM events CROSS JOIN les WHERE value IS NOT NULL GROUP BY 1, 2),
+x AS (SELECT event_type, le, c,
+             coalesce(lag(c) OVER w, 0) AS prev,
+             coalesce(lag(le) OVER w, 0) AS lo,
+             max(c) OVER (PARTITION BY event_type) AS tot,
+             max(CASE WHEN le != CAST('infinity' AS DOUBLE) THEN le END)
+                 OVER (PARTITION BY event_type) AS maxfin
+      FROM b WINDOW w AS (PARTITION BY event_type ORDER BY le)),
+hit AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY le) AS rn
+        FROM x WHERE tot > 0 AND c >= {HQ_Q} * tot)
+SELECT event_type, CAST({HQ_Q} AS DOUBLE) AS q,
+       round(CASE WHEN le = CAST('infinity' AS DOUBLE) THEN maxfin
+             ELSE lo + (le - lo) * ({HQ_Q} * tot - prev) /
+                  (CASE WHEN c > prev THEN c - prev ELSE 1.0 END) END,
+             6) AS value
+FROM hit WHERE rn = 1"""
+
+
+def q_change_point_hourly(spark, sf_dir):
+    """CUSUM change-point detection (operators/temporal.
+    change_point_cusum — the ES 8.x change_point agg's shift test): per
+    event_type, the hourly event-count series' argmax |S_t| split with
+    the before/after mean shift. Integer counts keep the scaled-cusum
+    argmax exact integer arithmetic — bit-identical across engines."""
+    from bertopic_spark.operators.temporal import change_point_cusum
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    b = (ev.where(F.col("ts").isNotNull())
+         .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("h"))
+         .agg(F.count(F.lit(1)).cast("long").alias("v")))
+    return change_point_cusum(b, "h", "v", keys=("event_type",))
+
+
+SQL_CHANGE_POINT_HOURLY = """WITH
+b AS (SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(count(*) AS DOUBLE) AS v
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+x AS (SELECT event_type, h, v,
+             count(*) OVER (PARTITION BY event_type) AS n,
+             sum(v) OVER (PARTITION BY event_type) AS tot,
+             row_number() OVER w AS i,
+             sum(v) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum
+      FROM b WINDOW w AS (PARTITION BY event_type ORDER BY h)),
+s AS (SELECT *, n * cum - i * tot AS sc FROM x WHERE n >= 2),
+top AS (SELECT event_type, h AS cp_order, i AS cp,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY abs(sc) DESC, h ASC) AS rn
+        FROM s WHERE i < n),
+agg AS (SELECT s.event_type, t.cp_order,
+               avg(CASE WHEN s.i <= t.cp THEN s.v END) AS mb,
+               avg(CASE WHEN s.i > t.cp THEN s.v END) AS ma
+        FROM s JOIN top t ON t.event_type = s.event_type AND t.rn = 1
+        GROUP BY s.event_type, t.cp_order)
+SELECT event_type, cp_order, round(abs(ma - mb), 6) AS magnitude,
+       round(mb, 6) AS mean_before, round(ma, 6) AS mean_after
+FROM agg"""
+
+
+KS_A, KS_B = "click", "purchase"
+
+
+def q_ks_value_distributions(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov (operators/rollup.ks_test_two_sample
+    — the ES bucket_count_ks_test's underlying statistic, exact over raw
+    values): D between the value distributions of click vs purchase
+    events, with the attaining location. One distributed per-value
+    groupBy, then the ECDF window over distinct values only."""
+    from bertopic_spark.operators.rollup import ks_test_two_sample
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .where(F.col("event_type").isin(KS_A, KS_B)))
+    return ks_test_two_sample(ev, "value", F.col("event_type") == KS_A)
+
+
+SQL_KS_VALUE = f"""WITH
+base AS (SELECT value AS v, event_type = '{KS_A}' AS a
+         FROM events WHERE event_type IN ('{KS_A}', '{KS_B}')
+           AND value IS NOT NULL),
+cnt AS (SELECT v, sum(CASE WHEN a THEN 1 ELSE 0 END) AS na,
+               sum(CASE WHEN a THEN 0 ELSE 1 END) AS nb
+        FROM base GROUP BY v),
+cum AS (SELECT v,
+               sum(na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS ca,
+               sum(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cb
+        FROM cnt),
+tot AS (SELECT CAST(sum(na) AS BIGINT) AS n_a, CAST(sum(nb) AS BIGINT) AS n_b
+        FROM cnt),
+d AS (SELECT v, n_a, n_b, abs(ca * 1.0 / n_a - cb * 1.0 / n_b) AS dd
+      FROM cum CROSS JOIN tot),
+top AS (SELECT *, row_number() OVER (ORDER BY dd DESC, v ASC) AS rn FROM d)
+SELECT round(dd, 6) AS d_stat, v AS at_value, n_a, n_b FROM top WHERE rn = 1"""
+
+
+TL_DOC = 42
+
+
+def q_terms_lookup_topk(spark, sf_dir):
+    """ES terms-lookup query (operators/fulltext.terms_lookup_topk):
+    the filter's term set is doc 42's own vocabulary (fetched from the
+    lookup relation, never inlined by the caller), matching docs
+    Okapi-scored over those terms, self excluded — "docs like the one
+    I'm pointing at, by its exact vocabulary"."""
+    from bertopic_spark.operators.fulltext import terms_lookup_topk
+
+    d = _docs(spark, sf_dir)
+    t = terms_lookup_topk(d, d, TL_DOC, k=10, text_col="text",
+                          id_col="doc_id", mode=MODE,
+                          k1=OKAPI_K1, b=OKAPI_B)
+    return t.select("doc_id", _r6(F.col("score")).alias("score"),
+                    F.col("rank").cast("long").alias("rn"))
+
+
+SQL_TERMS_LOOKUP = f"""WITH
+toks AS (SELECT doc_id, unnest({duckdb_tokens_sql('text', MODE)}) AS term
+         FROM documents WHERE doc_id != {TL_DOC}),
+xdoc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM xdoc GROUP BY doc_id),
+nstats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM xdoc GROUP BY term),
+q AS (SELECT DISTINCT unnest({duckdb_tokens_sql('text', MODE)}) AS term
+      FROM documents WHERE doc_id = {TL_DOC}),
+hits AS (
+  SELECT x.doc_id,
+         sum(ln(1.0 + (ns.n - dfs.df + 0.5) / (dfs.df + 0.5)) *
+             x.tf * {OKAPI_K1 + 1.0} /
+             (x.tf + {OKAPI_K1} * (1.0 - {OKAPI_B} +
+                                   {OKAPI_B} * dl.dl / ns.avgdl))) AS score
+  FROM q JOIN xdoc x USING (term) JOIN dfs USING (term)
+       JOIN dl ON dl.doc_id = x.doc_id CROSS JOIN nstats ns
+  GROUP BY x.doc_id),
+ranked AS (SELECT doc_id, score,
+                  row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+           FROM hits)
+SELECT doc_id, round(score, 6) AS score, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 10"""
+
+
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "approx_distribution": (q_approx_distribution, SQL_APPROX_DISTRIBUTION),
     "approx_distribution_tokens": (q_approx_distribution_tokens,
@@ -10951,6 +11119,11 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "dedup_containment": (q_dedup_containment, SQL_DEDUP_CONTAINMENT),
     "dedup_containment_boiler": (q_dedup_containment_boiler,
                                  SQL_DEDUP_CONTAINMENT_BOILER),
+    "prom_histogram_quantile": (q_prom_histogram_quantile,
+                                SQL_PROM_HISTOGRAM_QUANTILE),
+    "change_point_hourly": (q_change_point_hourly, SQL_CHANGE_POINT_HOURLY),
+    "ks_value_click_vs_purchase": (q_ks_value_distributions, SQL_KS_VALUE),
+    "terms_lookup_topk": (q_terms_lookup_topk, SQL_TERMS_LOOKUP),
     "auto_date_histogram": (q_auto_date_histogram,
                             _sql_auto_date_histogram()),
     "incremental_phrase_match": (q_incremental_phrase_match,

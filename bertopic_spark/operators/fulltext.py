@@ -2248,3 +2248,35 @@ def _phrase_hits(tk, toks):
     return F.filter(seq, lambda i: reduce(
         lambda acc, j: acc & (F.get(tk, i + j) == F.lit(toks[j])),
         range(1, n), F.get(tk, i) == F.lit(toks[0])))
+
+
+def terms_lookup_topk(corpus: DataFrame, lookup: DataFrame,
+                      lookup_id, k: int = 10,
+                      lookup_id_col: str = "doc_id",
+                      terms_col: str = "text",
+                      text_col: str = "text", id_col: str = "doc_id",
+                      mode: str = "ascii_code",
+                      k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """ES ``terms`` query with LOOKUP (terms fetched from another
+    document rather than inlined): the filter's term set is the token
+    set of the lookup row ``lookup_id`` in ``lookup``; matching corpus
+    docs are Okapi-scored over those terms and top-k returned
+    (doc_id, score, rank). The "docs like the one I'm pointing at,
+    by its exact vocabulary" primitive — the lookup row never travels
+    to the driver as a query string; its tokens become a broadcast
+    term relation, so the plan is identical at any corpus size.
+    """
+    from bertopic_spark.operators.bm25 import bm25_topk, okapi_doc_scores
+    from bertopic_spark.tokenizer import with_tokens
+
+    src = lookup.filter(F.col(lookup_id_col) == lookup_id)
+    qt = (with_tokens(src.select(lookup_id_col, terms_col), terms_col, mode)
+          .select(F.explode("tokens").alias("term"))
+          .distinct()
+          .select(F.lit(0).alias("query_id"), "term"))
+    # exclude the lookup doc itself when corpus and lookup share ids
+    scores = okapi_doc_scores(
+        corpus.filter(F.col(id_col) != lookup_id),
+        text_col=text_col, id_col=id_col, mode=mode, k1=k1, b=b)
+    hits = bm25_topk(scores, qt, k=k, id_col=id_col)
+    return hits.select(id_col, "score", "rank")

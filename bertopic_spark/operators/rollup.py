@@ -986,3 +986,46 @@ def numeric_histogram(df: DataFrame, value_col: str, interval: float,
                     F.coalesce("n_docs", F.lit(0)).cast("long")
                     .alias("n_docs"),
                     F.coalesce("sum_value", F.lit(0.0)).alias("sum_value")))
+
+
+def ks_test_two_sample(df: DataFrame, value_col: str, group_col,
+                       dp: int = 6) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic (the ES
+    ``bucket_count_ks_test`` pipeline agg's underlying test, here exact
+    over raw values): D = sup_x |F̂_a(x) − F̂_b(x)| between the empirical
+    CDFs of the two groups selected by the boolean column/expression
+    ``group_col``, plus the location where the supremum is attained
+    (lowest such value on ties). Returns ONE row
+    (d_stat, at_value, n_a, n_b).
+
+    Shape: one DISTRIBUTED groupBy collapses the samples to per-distinct-
+    value counts (ties absorbed — the classic right-continuous CDF), then
+    the running sums ride one ordered window over that distinct-value
+    relation only. For continuous columns whose distinct-value count is
+    itself data-sized, pre-bin upstream (the ES agg operates on bucket
+    counts for the same reason). The final argmax is a 1-row agg. NULLs
+    are excluded (both engines).
+    """
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    v = F.col(value_col).cast("double")
+    base = (df.where(v.isNotNull() & g.isNotNull())
+            .select(v.alias("_v"), g.cast("boolean").alias("_a")))
+    cnt = base.groupBy("_v").agg(
+        F.sum(F.col("_a").cast("int")).alias("_na"),
+        F.sum((~F.col("_a")).cast("int")).alias("_nb"))
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding,
+                                         Window.currentRow)
+    cum = (cnt.withColumn("_ca", F.sum("_na").over(w))
+           .withColumn("_cb", F.sum("_nb").over(w)))
+    tot = cnt.agg(
+        F.sum("_na").cast("long").alias("n_a"),
+        F.sum("_nb").cast("long").alias("n_b"))
+    d = (cum.crossJoin(F.broadcast(tot))
+         .select("_v", "n_a", "n_b",
+                 F.abs(F.col("_ca") / F.col("n_a") -
+                       F.col("_cb") / F.col("n_b")).alias("_d")))
+    top = (d.withColumn("_rn", F.row_number().over(
+        Window.orderBy(F.desc("_d"), F.asc("_v"))))
+        .filter(F.col("_rn") == 1))
+    return top.select(F.round("_d", dp).alias("d_stat"),
+                      F.col("_v").alias("at_value"), "n_a", "n_b")

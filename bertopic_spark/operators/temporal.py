@@ -288,3 +288,106 @@ def interval_overlap_join(a, b, a_id: str, b_id: str,
                   .alias("overlap_us")))  # constant per pair; groupBy dedups
     return pairs.select(a_id, b_id,
                         F.col("overlap_us").cast("long").alias("overlap_us"))
+
+
+def histogram_quantile(buckets: DataFrame, q: float,
+                       keys: Sequence[str] = (),
+                       le_col: str = "le", count_col: str = "count",
+                       dp: int = 6) -> DataFrame:
+    """PromQL ``histogram_quantile(q, ...)`` over classic le-bucketed
+    CUMULATIVE counts: per series (``keys``), find the lowest bucket whose
+    cumulative count reaches rank = q·total and linearly interpolate
+    inside it,
+
+        value = lo + (le − lo) · (rank − c_prev) / (c − c_prev)
+
+    with lo = the previous bucket's upper bound (0 for the first finite
+    bucket, Prometheus convention) — and, when the rank lands in the
+    +Inf bucket, the highest finite ``le`` is returned (Prometheus caps
+    there rather than extrapolating). Series with zero total yield NULL.
+    Returns (keys…, q, value).
+
+    One lag/sum window pass over the BUCKET relation (|series|·|buckets|
+    rows — metadata-sized next to the raw events), so the operator costs
+    nothing at any corpus scale; building the buckets is the data pass
+    and is a plain groupBy the caller owns.
+    """
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"q must be in [0, 1], got {q}")
+    gb = list(keys)
+    w = Window.partitionBy(*gb).orderBy("_le")
+    wall = Window.partitionBy(*gb)
+    b = (buckets.select(*gb, F.col(le_col).cast("double").alias("_le"),
+                        F.col(count_col).cast("double").alias("_c"))
+         .withColumn("_prev", F.coalesce(F.lag("_c").over(w), F.lit(0.0)))
+         .withColumn("_lo", F.coalesce(F.lag("_le").over(w), F.lit(0.0)))
+         .withColumn("_tot", F.max("_c").over(wall))
+         .withColumn("_maxfin", F.max(F.when(
+             F.col("_le") != float("inf"), F.col("_le"))).over(wall)))
+    rank = F.lit(float(q)) * F.col("_tot")
+    # lowest bucket with cumulative count >= rank (ties -> lowest le)
+    hit = (b.filter((F.col("_tot") > 0) & (F.col("_c") >= rank))
+           .withColumn("_rn", F.row_number().over(
+               Window.partitionBy(*gb).orderBy("_le")))
+           .filter(F.col("_rn") == 1))
+    interp = F.when(
+        F.col("_le") == float("inf"), F.col("_maxfin")
+    ).otherwise(
+        F.col("_lo") + (F.col("_le") - F.col("_lo")) *
+        (rank - F.col("_prev")) /
+        F.when(F.col("_c") > F.col("_prev"),
+               F.col("_c") - F.col("_prev")).otherwise(F.lit(1.0)))
+    return hit.select(*gb, F.lit(float(q)).alias("q"),
+                      F.round(interp, dp).alias("value"))
+
+
+def change_point_cusum(series: DataFrame, order_col: str, value_col: str,
+                       keys: Sequence[str] = (), dp: int = 6) -> DataFrame:
+    """Offline change-point detection by CUSUM (Page 1954; the ES 8.x
+    ``change_point`` agg's simple_bulk shift test): per series, S_t =
+    Σ_{i≤t}(x_i − x̄); the change point is the argmax of |S_t| (earliest
+    on ties) and the shift estimate is the mean difference across it.
+    Returns (keys…, cp_order, magnitude, mean_before, mean_after) — one
+    row per series, NULL-free only for series with ≥ 2 points.
+
+    Two window passes over the SERIES relation (already aggregated to
+    buckets — metadata-sized): one for the cumulative sum, one argmax.
+    The argmax runs on the SCALED cusum n·S_t = n·cumsum(x) − t·Σx
+    (same argmax, positive scale) so that for integer-valued series every
+    compared quantity is exact integer arithmetic — bit-identical across
+    engines and partitionings, no ulp-flipped change points.
+    """
+    gb = list(keys)
+    w = Window.partitionBy(*gb).orderBy(order_col)
+    wall = Window.partitionBy(*gb)
+    b = (series.select(*gb, F.col(order_col).alias("_o"),
+                       F.col(value_col).cast("double").alias("_v"))
+         .withColumn("_n", F.count(F.lit(1)).over(wall))
+         .filter(F.col("_n") >= 2)
+         .withColumn("_tot", F.sum("_v").over(wall))
+         .withColumn("_i", F.row_number().over(
+             Window.partitionBy(*gb).orderBy("_o")))
+         .withColumn("_cum", F.sum("_v").over(
+             Window.partitionBy(*gb).orderBy("_o")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+         .withColumn("_s", F.col("_n") * F.col("_cum") -
+                     F.col("_i") * F.col("_tot")))
+    # argmax |S_t| over t = 1..n-1 (a split AFTER the last point is no
+    # split); earliest index wins ties — same rule in the oracle
+    cand = b.filter(F.col("_i") < F.col("_n"))
+    top = (cand.withColumn("_rn", F.row_number().over(
+        Window.partitionBy(*gb).orderBy(F.desc(F.abs(F.col("_s"))),
+                                        F.asc("_o"))))
+        .filter(F.col("_rn") == 1)
+        .select(*gb, F.col("_o").alias("cp_order"), F.col("_i").alias("_cp")))
+    stats = (b.join(top, gb) if gb else b.crossJoin(F.broadcast(top)))
+    agg = (stats.groupBy(*gb, "cp_order")
+           .agg(F.avg(F.when(F.col("_i") <= F.col("_cp"), F.col("_v")))
+                .alias("_mb"),
+                F.avg(F.when(F.col("_i") > F.col("_cp"), F.col("_v")))
+                .alias("_ma")))
+    return agg.select(
+        *gb, "cp_order",
+        F.round(F.abs(F.col("_ma") - F.col("_mb")), dp).alias("magnitude"),
+        F.round("_mb", dp).alias("mean_before"),
+        F.round("_ma", dp).alias("mean_after"))

@@ -1128,3 +1128,20 @@ def test_sig_heuristics_hand_table(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         significant_terms(dt2, scoring="gnd")
+
+
+def test_terms_lookup_topk(spark):
+    """Terms come from the lookup row's vocabulary; the lookup doc itself
+    is excluded; docs sharing no term never match."""
+    from bertopic_spark.operators.fulltext import terms_lookup_topk
+
+    docs = spark.createDataFrame(
+        [(42, "alpha beta gamma"), (1, "alpha beta xx"),
+         (2, "beta yy zz"), (3, "qq rr ss")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["rank"]
+           for r in terms_lookup_topk(docs, docs, 42, k=5).collect()}
+    assert 42 not in out          # self excluded
+    assert 3 not in out           # no shared term
+    assert set(out) == {1, 2}
+    assert out[1] == 1            # two shared terms beats one

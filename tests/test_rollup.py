@@ -444,3 +444,21 @@ def test_sibling_bucket_stats(spark):
                     r["sum_b"]) for r in
            sibling_bucket_stats(b, "n", keys=("k",)).collect()}
     assert got == {"a": (2, 20.0, 10, 30, 40), "b": (1, 7.0, 7, 7, 7)}
+
+
+def test_ks_two_sample_hand_case(spark):
+    """a=[1,2,3] vs b=[3,4]: D = 2/3 attained at value 2."""
+    from bertopic_spark.operators.rollup import ks_test_two_sample
+
+    rows = [(1.0, True), (2.0, True), (3.0, True), (3.0, False), (4.0, False)]
+    df = spark.createDataFrame(rows, "v double, is_a boolean")
+    r = ks_test_two_sample(df, "v", "is_a").collect()[0]
+    assert r["d_stat"] == pytest.approx(2 / 3, abs=1e-6)
+    assert r["at_value"] == pytest.approx(2.0)
+    assert (r["n_a"], r["n_b"]) == (3, 2)
+    # identical samples -> D = 0
+    same = spark.createDataFrame(
+        [(1.0, True), (2.0, True), (1.0, False), (2.0, False)],
+        "v double, is_a boolean")
+    assert ks_test_two_sample(same, "v", "is_a").collect()[0]["d_stat"] \
+        == pytest.approx(0.0)

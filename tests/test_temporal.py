@@ -133,3 +133,45 @@ def test_asof_join_null_timestamps(spark):
     got = {r["lid"]: (r["ts_right"], r["val_right"]) for r in
            asof_join(L, R, ["user"], "ts").collect()}
     assert got == {0: (None, None), 1: (None, None)}
+
+
+def test_histogram_quantile_hand_case(spark):
+    """le=[1,2,4,inf], cumulative=[2,5,9,10]: q=.5 -> rank 5 lands on
+    le=2 exactly (2.0); q=.95 -> +Inf bucket caps at 4.0; q=.1 -> 0.5."""
+    from bertopic_spark.operators.temporal import histogram_quantile
+
+    rows = [("s", 1.0, 2), ("s", 2.0, 5), ("s", 4.0, 9),
+            ("s", float("inf"), 10)]
+    b = spark.createDataFrame(rows, "series string, le double, count long")
+    for q, want in ((0.5, 2.0), (0.95, 4.0), (0.1, 0.5)):
+        out = histogram_quantile(b, q, keys=("series",)).collect()
+        assert len(out) == 1
+        assert out[0]["value"] == pytest.approx(want, abs=1e-9), q
+    # zero-total series yields no row
+    z = spark.createDataFrame([("z", 1.0, 0), ("z", float("inf"), 0)],
+                              "series string, le double, count long")
+    assert histogram_quantile(z, 0.5, keys=("series",)).count() == 0
+    with pytest.raises(ValueError):
+        histogram_quantile(b, 1.5)
+
+
+def test_change_point_cusum_hand_case(spark):
+    """[0,0,0,10,10]: CUSUM argmax |S| at the 3rd point; shift 0 -> 10."""
+    from bertopic_spark.operators.temporal import change_point_cusum
+
+    rows = [("a", i, v) for i, v in enumerate([0.0, 0.0, 0.0, 10.0, 10.0])]
+    s = spark.createDataFrame(rows, "k string, t long, v double")
+    r = change_point_cusum(s, "t", "v", keys=("k",)).collect()[0]
+    assert r["cp_order"] == 2
+    assert r["mean_before"] == pytest.approx(0.0)
+    assert r["mean_after"] == pytest.approx(10.0)
+    assert r["magnitude"] == pytest.approx(10.0)
+    # constant series: magnitude 0, still a deterministic earliest argmax
+    c = spark.createDataFrame([("c", i, 5.0) for i in range(4)],
+                              "k string, t long, v double")
+    rc = change_point_cusum(c, "t", "v", keys=("k",)).collect()[0]
+    assert rc["magnitude"] == pytest.approx(0.0)
+    assert rc["cp_order"] == 0
+    # 1-point series excluded
+    one = spark.createDataFrame([("o", 0, 1.0)], "k string, t long, v double")
+    assert change_point_cusum(one, "t", "v", keys=("k",)).count() == 0
