@@ -2453,16 +2453,25 @@ SQL_DEDUP_EXACT = (
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    """Near-dup pairs by 2-gram Jaccard ≥ 0.2."""
+    """Near-dup pairs by 2-gram Jaccard ≥ 0.2, with the "auto"
+    heavy-shingle guard (same as the containment gate: stop-bigrams with
+    df > max(256, 0.5% of docs) are dropped before the self-join — the
+    m²-per-heavy-shingle cut; the oracle applies the identical guard)."""
     from bertopic_spark.operators.dedup import jaccard_pairs
 
-    return jaccard_pairs(_docs(spark, sf_dir), "text", "doc_id", n=2, threshold=0.2)
+    return jaccard_pairs(_docs(spark, sf_dir), "text", "doc_id", n=2,
+                         threshold=0.2, max_df="auto")
 
 
 SQL_NGRAM_JACCARD = f"""WITH
 tk AS (SELECT doc_id, {duckdb_tokens_sql('text', MODE)} AS ts FROM documents),
-sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] AS shingle
-       FROM tk, unnest(generate_series(1, greatest(len(ts)-1, 0))) AS u(i)),
+sh0 AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] AS shingle
+        FROM tk, unnest(generate_series(1, greatest(len(ts)-1, 0))) AS u(i)),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM sh0),
+heavy AS (SELECT shingle FROM sh0 CROSS JOIN nd
+          GROUP BY shingle, nd.n
+          HAVING count(*) > greatest(256, CAST(ceil(0.005 * nd.n) AS BIGINT))),
+sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM heavy)),
 sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
 inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS i
           FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
