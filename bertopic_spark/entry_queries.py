@@ -10856,6 +10856,72 @@ top AS (SELECT *, row_number() OVER (ORDER BY dd DESC, v ASC) AS rn FROM d)
 SELECT round(dd, 6) AS d_stat, v AS at_value, n_a, n_b FROM top WHERE rn = 1"""
 
 
+def q_percentiles_bucket_daily(spark, sf_dir):
+    """ES percentiles_bucket sibling pipeline agg (operators/rollup.
+    percentiles_bucket): exact linear-interpolation p25/50/75/99 of the
+    DAILY event-count buckets per event_type — "how skewed are my days".
+    Spark percentile == DuckDB quantile_cont interpolation."""
+    from bertopic_spark.operators.rollup import percentiles_bucket
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    b = (ev.where(F.col("ts").isNotNull())
+         .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("d"))
+         .agg(F.count(F.lit(1)).cast("long").alias("v")))
+    return percentiles_bucket(b, "v", [25.0, 50.0, 75.0, 99.0],
+                              keys=("event_type",))
+
+
+SQL_PERCENTILES_BUCKET = """WITH
+b AS (SELECT event_type, date_trunc('day', ts) AS d,
+             CAST(count(*) AS DOUBLE) AS v
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+agg AS (SELECT event_type,
+               quantile_cont(v, [0.25, 0.50, 0.75, 0.99]) AS qs
+        FROM b GROUP BY event_type)
+SELECT event_type,
+       CAST([25.0, 50.0, 75.0, 99.0][i] AS DOUBLE) AS percent,
+       round(qs[i], 6) AS value
+FROM agg, unnest(generate_series(1, 4)) AS u(i)"""
+
+
+LWA_WINDOW = 4
+
+
+def q_lwa_hourly(spark, sf_dir):
+    """ES moving_fn linearWeightedAvg (operators/rollup.
+    linear_weighted_mavg): trailing 4-bucket linearly-weighted average
+    of hourly event counts per event_type — newest bucket weighs most.
+    Computed as two trailing window sums + a row_number (no per-row
+    lists); integer counts keep the sums exact cross-engine."""
+    from bertopic_spark.operators.rollup import linear_weighted_mavg
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    b = (ev.where(F.col("ts").isNotNull())
+         .groupBy("event_type",
+                  F.date_trunc("hour", F.col("ts")).alias("h"))
+         .agg(F.count(F.lit(1)).cast("long").alias("v")))
+    return linear_weighted_mavg(b, "h", "v", keys=("event_type",),
+                                window=LWA_WINDOW)
+
+
+SQL_LWA_HOURLY = f"""WITH
+b AS (SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(count(*) AS BIGINT) AS v
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM b),
+x AS (SELECT event_type, h, v, rn,
+             count(*) OVER wt AS m,
+             sum(rn * v) OVER wt AS srv,
+             sum(v) OVER wt AS sv
+      FROM r
+      WINDOW wt AS (PARTITION BY event_type ORDER BY h
+                    ROWS BETWEEN {LWA_WINDOW - 1} PRECEDING AND CURRENT ROW))
+SELECT event_type, h, v,
+       round((srv - (rn - m) * sv) / (m * (m + 1) / 2.0), 6) AS lwa_v
+FROM x"""
+
+
 TL_DOC = 42
 
 
@@ -11133,6 +11199,9 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "change_point_hourly": (q_change_point_hourly, SQL_CHANGE_POINT_HOURLY),
     "ks_value_click_vs_purchase": (q_ks_value_distributions, SQL_KS_VALUE),
     "terms_lookup_topk": (q_terms_lookup_topk, SQL_TERMS_LOOKUP),
+    "percentiles_bucket_daily": (q_percentiles_bucket_daily,
+                                 SQL_PERCENTILES_BUCKET),
+    "lwa_hourly": (q_lwa_hourly, SQL_LWA_HOURLY),
     "auto_date_histogram": (q_auto_date_histogram,
                             _sql_auto_date_histogram()),
     "incremental_phrase_match": (q_incremental_phrase_match,

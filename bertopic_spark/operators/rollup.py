@@ -1029,3 +1029,60 @@ def ks_test_two_sample(df: DataFrame, value_col: str, group_col,
         .filter(F.col("_rn") == 1))
     return top.select(F.round("_d", dp).alias("d_stat"),
                       F.col("_v").alias("at_value"), "n_a", "n_b")
+
+
+def percentiles_bucket(buckets: DataFrame, value_col: str,
+                       percents: Sequence[float],
+                       keys: Sequence[str] = (), dp: int = 6) -> DataFrame:
+    """ES ``percentiles_bucket`` sibling pipeline agg: exact
+    linear-interpolation percentiles of a metric ACROSS its sibling
+    buckets (e.g. "p99 of daily event counts"), one output row per
+    (keys…, percent). Spark's ``percentile`` and DuckDB's
+    ``quantile_cont`` share the interpolation rule, so the gate is
+    value-exact cross-engine. Consumes the bucket relation, never raw
+    rows — coordinator-sized, like every sibling agg.
+    """
+    ps = [float(p) for p in percents]
+    if not ps or any(not 0.0 <= p <= 100.0 for p in ps):
+        raise ValueError("percents must be within [0, 100]")
+    gb = list(keys)
+    v = F.col(value_col).cast("double")
+    agg = buckets.groupBy(*gb).agg(
+        *[F.round(F.percentile(v, F.lit(p / 100.0)), dp)
+          .alias(f"_p{i}") for i, p in enumerate(ps)])
+    pairs = F.array(*[
+        F.struct(F.lit(p).alias("percent"), F.col(f"_p{i}").alias("value"))
+        for i, p in enumerate(ps)])
+    return (agg.select(*gb, F.explode(pairs).alias("_e"))
+            .select(*gb, F.col("_e.percent").alias("percent"),
+                    F.col("_e.value").alias("value")))
+
+
+def linear_weighted_mavg(buckets: DataFrame, order_col: str, value_col: str,
+                         keys: Sequence[str] = (), window: int = 5,
+                         dp: int = 6) -> DataFrame:
+    """ES ``moving_fn`` with ``MovingFunctions.linearWeightedAvg``: a
+    trailing moving average whose weights rise linearly toward the
+    current bucket (oldest in the window weighs 1, newest weighs m for a
+    window holding m ≤ ``window`` buckets; partial head windows use
+    their actual size, like ES). Returns the bucket relation plus
+    ``lwa_<value_col>``.
+
+    No per-row lists: with rn = the bucket's rank in its series,
+    Σ weights·x over the window = Σ rn·x − (rn_t − m)·Σ x — two trailing
+    window sums and one row_number, identical expressions in the SQL
+    oracle. Integer-valued buckets keep the sums exact.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    gb = list(keys)
+    wo = Window.partitionBy(*gb).orderBy(order_col)
+    wt = wo.rowsBetween(-(window - 1), 0)
+    v = F.col(value_col).cast("double")
+    rn = F.row_number().over(wo)
+    m = F.count(F.lit(1)).over(wt)
+    num = (F.sum(rn * v).over(wt) -
+           (rn - m).cast("double") * F.sum(v).over(wt))
+    den = (m * (m + 1) / 2).cast("double")
+    return buckets.withColumn(
+        f"lwa_{value_col}", F.round(num / den, dp))

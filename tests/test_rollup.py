@@ -462,3 +462,33 @@ def test_ks_two_sample_hand_case(spark):
         "v double, is_a boolean")
     assert ks_test_two_sample(same, "v", "is_a").collect()[0]["d_stat"] \
         == pytest.approx(0.0)
+
+
+def test_percentiles_bucket_hand_case(spark):
+    from bertopic_spark.operators.rollup import percentiles_bucket
+
+    b = spark.createDataFrame([("k", i, float(i)) for i in range(1, 5)],
+                              "g string, b long, v double")
+    out = {r["percent"]: r["value"]
+           for r in percentiles_bucket(b, "v", [0, 50, 100],
+                                       keys=("g",)).collect()}
+    # linear interpolation over [1,2,3,4]
+    assert out[0.0] == 1.0 and out[100.0] == 4.0
+    assert out[50.0] == pytest.approx(2.5)
+    with pytest.raises(ValueError):
+        percentiles_bucket(b, "v", [150])
+
+
+def test_linear_weighted_mavg_hand_case(spark):
+    from bertopic_spark.operators.rollup import linear_weighted_mavg
+
+    b = spark.createDataFrame([("k", i, v) for i, v in
+                               enumerate([3.0, 6.0, 9.0, 12.0])],
+                              "g string, t long, v double")
+    out = {r["t"]: r["lwa_v"]
+           for r in linear_weighted_mavg(b, "t", "v", keys=("g",),
+                                         window=3).collect()}
+    assert out[0] == pytest.approx(3.0)                 # head: window of 1
+    assert out[1] == pytest.approx((1*3 + 2*6) / 3)     # window of 2
+    assert out[2] == pytest.approx((1*3 + 2*6 + 3*9) / 6)
+    assert out[3] == pytest.approx((1*6 + 2*9 + 3*12) / 6)
