@@ -10922,6 +10922,162 @@ SELECT event_type, h, v,
 FROM x"""
 
 
+Q3_SEG, Q3_DATE = "BUILDING", "1998-01-01"
+
+
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 analog (shipping priority): revenue of undelivered
+    orders for one market segment — customer (filtered, BROADCAST) ⨝
+    orders ⨝ lineitem, grouped per order, top 10 by revenue. The
+    dimension side never shuffles the fact table; Catalyst picks BHJ
+    from the size hint at any corpus scale."""
+    cu = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+          .filter(F.col("c_mktsegment") == Q3_SEG).select("c_custkey"))
+    o = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+         .filter(F.col("o_orderdate") < Q3_DATE))
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .filter(F.col("l_shipdate") > Q3_DATE))
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    out = (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+           .join(F.broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
+           .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+           .agg(F.round(rev, 2).alias("revenue")))
+    w = Window.orderBy(F.desc("revenue"), F.asc("o_orderdate"),
+                       F.asc("l_orderkey"))
+    return (out.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 10)
+            .select("l_orderkey", "o_orderdate", "o_orderpriority",
+                    "revenue", F.col("rn").cast("long").alias("rn")))
+
+
+SQL_SHIPPING_PRIORITY = f"""WITH agg AS (
+  SELECT l_orderkey, o_orderdate, o_orderpriority,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = '{Q3_SEG}' AND o_orderdate < '{Q3_DATE}'
+        AND l_shipdate > '{Q3_DATE}'
+  GROUP BY l_orderkey, o_orderdate, o_orderpriority),
+r AS (SELECT *, row_number() OVER (ORDER BY revenue DESC, o_orderdate ASC,
+                                   l_orderkey ASC) AS rn FROM agg)
+SELECT l_orderkey, o_orderdate, o_orderpriority, revenue,
+       CAST(rn AS BIGINT) AS rn
+FROM r WHERE rn <= 10"""
+
+
+Q5_REGION, Q5_LO, Q5_HI = "ASIA", "1996-01-01", "1997-01-01"
+
+
+def q_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 analog (local supplier volume): revenue where customer
+    and supplier share a nation, one region, one order-year. All four
+    dimension relations broadcast; lineitem (the fact) shuffles once on
+    the orders join key."""
+    n = (spark.read.parquet(f"{sf_dir}/nation.parquet")
+         .join(F.broadcast(
+             spark.read.parquet(f"{sf_dir}/region.parquet")
+             .filter(F.col("r_name") == Q5_REGION)),
+             F.col("n_regionkey") == F.col("r_regionkey")))
+    cu = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    su = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    o = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+         .filter((F.col("o_orderdate") >= Q5_LO) &
+                 (F.col("o_orderdate") < Q5_HI)))
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(cu),
+                  (F.col("o_custkey") == F.col("c_custkey")) &
+                  (F.col("c_nationkey") == F.col("s_nationkey")))
+            .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+            .groupBy("n_name")
+            .agg(F.round(rev, 2).alias("revenue")))
+
+
+SQL_LOCAL_SUPPLIER_VOLUME = f"""
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+     JOIN supplier ON l_suppkey = s_suppkey
+     JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+     JOIN nation ON s_nationkey = n_nationkey
+     JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = '{Q5_REGION}' AND o_orderdate >= '{Q5_LO}'
+      AND o_orderdate < '{Q5_HI}'
+GROUP BY n_name"""
+
+
+Q10_LO, Q10_HI = "1997-01-01", "1997-07-01"
+
+
+def q_returned_customers_topk(spark, sf_dir):
+    """TPC-H Q10 analog (returned-item reporting): customers who
+    returned the most revenue in a half-year window — lineitem
+    (returnflag R) ⨝ orders ⨝ broadcast customer ⨝ broadcast nation,
+    top 20 by lost revenue."""
+    cu = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    o = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+         .filter((F.col("o_orderdate") >= Q10_LO) &
+                 (F.col("o_orderdate") < Q10_HI)))
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .filter(F.col("l_returnflag") == "R"))
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    out = (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+           .join(F.broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
+           .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+           .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+           .agg(F.round(rev, 2).alias("revenue")))
+    w = Window.orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    return (out.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 20)
+            .select("c_custkey", "c_name", "n_name",
+                    F.round("c_acctbal", 2).alias("acctbal"), "revenue",
+                    F.col("rn").cast("long").alias("rn")))
+
+
+SQL_RETURNED_CUSTOMERS = f"""WITH agg AS (
+  SELECT c_custkey, c_name, n_name, round(c_acctbal, 2) AS acctbal,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R' AND o_orderdate >= '{Q10_LO}'
+        AND o_orderdate < '{Q10_HI}'
+  GROUP BY c_custkey, c_name, n_name, c_acctbal),
+r AS (SELECT *, row_number() OVER (ORDER BY revenue DESC, c_custkey ASC)
+                AS rn FROM agg)
+SELECT c_custkey, c_name, n_name, acctbal, revenue, CAST(rn AS BIGINT) AS rn
+FROM r WHERE rn <= 20"""
+
+
+FIS_MIN_SUP = 3
+
+
+def q_frequent_brand_pairs(spark, sf_dir):
+    """ES frequent_item_sets at size 2 (operators/pipeline.
+    frequent_item_pairs — exact market-basket pairs): part BRANDS
+    bought together in the same order, support >= 3. The pair join is
+    per-order and guarded by the basket-size cap; support is one
+    groupBy on the pair."""
+    from bertopic_spark.operators.pipeline import frequent_item_pairs
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    b = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")) \
+        .select("l_orderkey", "p_brand")
+    return frequent_item_pairs(b, "l_orderkey", "p_brand",
+                               min_support=FIS_MIN_SUP)
+
+
+SQL_FREQUENT_BRAND_PAIRS = f"""WITH
+b AS (SELECT DISTINCT l_orderkey AS bk, p_brand AS it
+      FROM lineitem JOIN part ON l_partkey = p_partkey)
+SELECT l.it AS item_a, r.it AS item_b, CAST(count(*) AS BIGINT) AS support
+FROM b l JOIN b r ON l.bk = r.bk AND l.it < r.it
+GROUP BY l.it, r.it HAVING count(*) >= {FIS_MIN_SUP}"""
+
+
 TL_DOC = 42
 
 
@@ -11202,6 +11358,13 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "percentiles_bucket_daily": (q_percentiles_bucket_daily,
                                  SQL_PERCENTILES_BUCKET),
     "lwa_hourly": (q_lwa_hourly, SQL_LWA_HOURLY),
+    "shipping_priority": (q_shipping_priority, SQL_SHIPPING_PRIORITY),
+    "local_supplier_volume": (q_local_supplier_volume,
+                              SQL_LOCAL_SUPPLIER_VOLUME),
+    "returned_customers_topk": (q_returned_customers_topk,
+                                SQL_RETURNED_CUSTOMERS),
+    "frequent_brand_pairs": (q_frequent_brand_pairs,
+                             SQL_FREQUENT_BRAND_PAIRS),
     "auto_date_histogram": (q_auto_date_histogram,
                             _sql_auto_date_histogram()),
     "incremental_phrase_match": (q_incremental_phrase_match,

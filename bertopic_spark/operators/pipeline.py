@@ -283,3 +283,35 @@ def unimax_select(df: DataFrame, domain_col: str, budget: int,
                     F.when(F.col("_r") <= F.col("alloc") % F.col("n_docs"),
                            1).otherwise(0)).cast("long").alias("n_copies")))
     return out.filter(F.col("n_copies") > 0)
+
+
+def frequent_item_pairs(df, basket_col: str, item_col: str,
+                        min_support: int = 2,
+                        max_basket: int | None = 256):
+    """ES ``frequent_item_sets`` at size 2 (the market-basket staple,
+    exact): pairs of DISTINCT items co-occurring in the same basket,
+    with support = number of baskets containing both. Returns
+    (item_a, item_b, support), item_a < item_b, support >= min_support.
+
+    Scale shape: the pair join is per-basket and quadratic in basket
+    size — ``max_basket`` drops baskets with more distinct items than
+    the cap BEFORE pairing (a crawler session touching 10^5 pages
+    contributes C(10^5, 2) candidate rows but no analytic value; ES's
+    own implementation samples such baskets). The join is co-partitioned
+    on the basket key; support counting is one groupBy on the pair.
+    """
+    from pyspark.sql import functions as F
+
+    b = df.select(F.col(basket_col).alias("_b"),
+                  F.col(item_col).alias("_i")).distinct()
+    if max_basket is not None:
+        big = (b.groupBy("_b").count()
+               .filter(F.col("count") > int(max_basket)).select("_b"))
+        b = b.join(F.broadcast(big), "_b", "left_anti")
+    l = b.select("_b", F.col("_i").alias("item_a"))
+    r = b.select("_b", F.col("_i").alias("item_b"))
+    return (l.join(r, "_b")
+            .filter(F.col("item_a") < F.col("item_b"))
+            .groupBy("item_a", "item_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("support"))
+            .filter(F.col("support") >= int(min_support)))

@@ -98,3 +98,22 @@ def _u(doc_id, seed=29):
     import hashlib
     h = int(hashlib.md5(f"{seed}_{doc_id}".encode()).hexdigest()[:15], 16)
     return (h + 0.5) / 16 ** 15
+
+
+def test_frequent_item_pairs_hand_case(spark):
+    """Baskets {a,b,c}, {a,b}, {b,c}, giant basket dropped by the cap."""
+    from bertopic_spark.operators.pipeline import frequent_item_pairs
+
+    rows = [(1, "a"), (1, "b"), (1, "c"), (2, "a"), (2, "b"),
+            (3, "b"), (3, "c"), (3, "c")]  # dup item collapses
+    rows += [(9, f"x{i}") for i in range(10)]  # over max_basket=5 -> dropped
+    df = spark.createDataFrame(rows, "basket long, item string")
+    got = {(r["item_a"], r["item_b"]): r["support"]
+           for r in frequent_item_pairs(df, "basket", "item",
+                                        min_support=2,
+                                        max_basket=5).collect()}
+    assert got == {("a", "b"): 2, ("b", "c"): 2}
+    # support 1 pairs appear when min_support=1; x-pairs stay dropped
+    all_p = frequent_item_pairs(df, "basket", "item", min_support=1,
+                                max_basket=5)
+    assert all_p.count() == 3
