@@ -11051,6 +11051,84 @@ SELECT c_custkey, c_name, n_name, acctbal, revenue, CAST(rn AS BIGINT) AS rn
 FROM r WHERE rn <= 20"""
 
 
+Q7_N1, Q7_N2 = 3, 1  # nation keys with traffic at every sf
+
+
+def q_nations_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 analog (volume shipping): yearly revenue flowing between
+    two nations in either direction — supplier nation x customer nation
+    pairs filtered to the two keys. Dims broadcast; fact shuffles once;
+    the year projection is a scan-level expression."""
+    su = spark.read.parquet(f"{sf_dir}/supplier.parquet") \
+        .select("s_suppkey", F.col("s_nationkey").alias("supp_nation"))
+    cu = spark.read.parquet(f"{sf_dir}/customer.parquet") \
+        .select("c_custkey", F.col("c_nationkey").alias("cust_nation"))
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pair = (((F.col("supp_nation") == Q7_N1) &
+             (F.col("cust_nation") == Q7_N2)) |
+            ((F.col("supp_nation") == Q7_N2) &
+             (F.col("cust_nation") == Q7_N1)))
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
+            .filter(pair)
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").alias("l_year"))
+            .agg(F.round(rev, 2).alias("revenue"))
+            .select(F.col("supp_nation").cast("long").alias("supp_nation"),
+                    F.col("cust_nation").cast("long").alias("cust_nation"),
+                    F.col("l_year").cast("long").alias("l_year"), "revenue"))
+
+
+SQL_NATIONS_VOLUME = f"""
+SELECT CAST(s_nationkey AS BIGINT) AS supp_nation,
+       CAST(c_nationkey AS BIGINT) AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+     JOIN supplier ON l_suppkey = s_suppkey
+     JOIN customer ON o_custkey = c_custkey
+WHERE (s_nationkey = {Q7_N1} AND c_nationkey = {Q7_N2})
+   OR (s_nationkey = {Q7_N2} AND c_nationkey = {Q7_N1})
+GROUP BY s_nationkey, c_nationkey, year(l_shipdate)"""
+
+
+Q18_QTY = 80
+
+
+def q_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 analog (large-volume customers): orders whose total
+    quantity exceeds a threshold, with their customer — the HAVING
+    pushdown shape: the per-order agg runs FIRST (one fact shuffle on
+    the order key), survivors (a tiny relation) drive broadcast joins
+    back to orders/customer."""
+    cu = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("_tq"))
+           .filter(F.col("_tq") > Q18_QTY)  # HAVING on the raw sum,
+           .select("l_orderkey",            # round for display only
+                   F.round("_tq", 2).alias("total_qty")))
+    return (o.join(F.broadcast(big),
+                   F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(F.broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
+            .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+                    F.round("o_totalprice", 2).alias("totalprice"),
+                    "total_qty"))
+
+
+SQL_LARGE_VOLUME = f"""WITH big AS (
+  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > {Q18_QTY})
+SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+       round(o_totalprice, 2) AS totalprice, total_qty
+FROM orders JOIN big ON o_orderkey = l_orderkey
+     JOIN customer ON o_custkey = c_custkey"""
+
+
 FIS_MIN_SUP = 3
 
 
@@ -11365,6 +11443,9 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str
                                 SQL_RETURNED_CUSTOMERS),
     "frequent_brand_pairs": (q_frequent_brand_pairs,
                              SQL_FREQUENT_BRAND_PAIRS),
+    "nations_volume_shipping": (q_nations_volume_shipping,
+                                SQL_NATIONS_VOLUME),
+    "large_volume_customers": (q_large_volume_customers, SQL_LARGE_VOLUME),
     "auto_date_histogram": (q_auto_date_histogram,
                             _sql_auto_date_histogram()),
     "incremental_phrase_match": (q_incremental_phrase_match,
