@@ -26,8 +26,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SMOKE = "--smoke" in sys.argv
+SF_DIR = os.environ.get(
+    "SPARK_GRAFT_SF_DIR",
+    "/root/testdata/sf0.001" if SMOKE else "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "4" if SMOKE else "32"))
 N_FILES = int(os.environ.get("SPARK_GRAFT_BENCH_FILES", "20000"))
 N_LAT_Q = int(os.environ.get("SPARK_GRAFT_BENCH_NQ", "12"))
 
@@ -234,6 +237,35 @@ def _run(df) -> int:
     return df.write.format("noop").mode("overwrite").save() or 0
 
 
+def _emit_and_exit(spark, payload: dict) -> None:
+    """Print the payload JSON as the GUARANTEED last stdout line.
+
+    Round 4's driver bench record was lost because Spark-teardown noise
+    (a PythonAccumulatorV2 broken-pipe stack) printed *after* the payload,
+    so the driver's tail-parse captured a stack trace (BENCH_r04.json
+    parsed:null). Order here: persist the payload to BENCH/last_run.json
+    first (belt-and-suspenders artifact), quiet the logs, stop the session
+    so its teardown noise lands *before* the JSON, flush, print, then
+    os._exit so no atexit/py4j shutdown hook can write another line."""
+    repo = os.path.dirname(os.path.abspath(__file__))
+    os.makedirs(os.path.join(repo, "BENCH"), exist_ok=True)
+    name = "last_run_smoke.json" if SMOKE else "last_run.json"
+    with open(os.path.join(repo, "BENCH", name), "w") as f:
+        json.dump(payload, f, indent=1)
+    try:
+        spark.sparkContext.setLogLevel("FATAL")
+    except Exception:
+        pass
+    try:
+        spark.stop()
+    except Exception:
+        pass
+    sys.stderr.flush()
+    sys.stdout.write(json.dumps(payload) + "\n")
+    sys.stdout.flush()
+    os._exit(0)
+
+
 def _spin(_):
     x = 0
     for i in range(20_000_000):
@@ -270,6 +302,26 @@ def main() -> None:
     spark = get_spark("bench", cpus=CPUS, shuffle_partitions=max(CPUS, 32))
     spark.sparkContext.setLogLevel("ERROR")
     timings: dict[str, float] = {}
+
+    if SMOKE:
+        # Tiny run exercising the exact emission path (same payload shape,
+        # same _emit_and_exit) so tests can assert the JSON is the last
+        # stdout line without paying for the full suite.
+        qs = entry.queries()
+        for name in ("topic_sizes", "events_hourly"):
+            t0 = time.perf_counter()
+            _run(qs[name](spark, SF_DIR))
+            timings[name] = round(time.perf_counter() - t0, 3)
+        sf = SF_DIR.rstrip("/").split("sf")[-1]
+        _emit_and_exit(spark, {
+            "metric": "bench_suite_total",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "cpus": CPUS,
+            "smoke": True,
+        })
 
     # --- north-star: full index build (scores → blocks → segments) ---
     # Measured FIRST, in a clean session: this is how the standalone
@@ -455,7 +507,7 @@ def main() -> None:
         **extras,
     }
     _write_baseline_md(payload)
-    print(json.dumps(payload))
+    _emit_and_exit(spark, payload)
 
 
 def _write_baseline_md(payload: dict) -> None:
