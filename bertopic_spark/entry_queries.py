@@ -11148,9 +11148,15 @@ def q_frequent_brand_pairs(spark, sf_dir):
                                min_support=FIS_MIN_SUP)
 
 
+# The basket-size cap CTE mirrors the engine's max_basket=256 default so
+# engine and oracle agree even on a dataset containing a pathological
+# basket with >256 distinct brands (ADVICE r4: without it the gate was
+# green only because TPC-H baskets are tiny).
 SQL_FREQUENT_BRAND_PAIRS = f"""WITH
-b AS (SELECT DISTINCT l_orderkey AS bk, p_brand AS it
-      FROM lineitem JOIN part ON l_partkey = p_partkey)
+b0 AS (SELECT DISTINCT l_orderkey AS bk, p_brand AS it
+       FROM lineitem JOIN part ON l_partkey = p_partkey),
+b AS (SELECT * FROM b0 WHERE bk IN
+      (SELECT bk FROM b0 GROUP BY bk HAVING count(*) <= 256))
 SELECT l.it AS item_a, r.it AS item_b, CAST(count(*) AS BIGINT) AS support
 FROM b l JOIN b r ON l.bk = r.bk AND l.it < r.it
 GROUP BY l.it, r.it HAVING count(*) >= {FIS_MIN_SUP}"""

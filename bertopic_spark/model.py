@@ -1081,14 +1081,24 @@ class BERTopicSpark:
         self._state_x = self._ckpt_replace(
             "state_x", x.withColumn("tf", F.col("tf").cast("double")))
         dfd = x.groupBy("term").agg(F.sum("tf").alias("df"))
-        self.stats_ = (self.stats_.drop("df")
+        # Replace-then-reap, mirroring _ckpt_replace: the new persisted
+        # relations are eagerly materialized first (their plans read the
+        # old ones), then the previous imported handles are unpersisted so
+        # repeat attach calls in a long-lived session don't compound
+        # pinned storage.
+        old_stats, old_scores = self.stats_, self.scores_
+        self.stats_ = (old_stats.drop("df")
                        .join(dfd, "term", "left")
                        .select("term", "df", "idf").persist())
-        self.scores_ = (self.scores_.drop("tf")
+        self.scores_ = (old_scores.drop("tf")
                         .join(x.select(*self.class_cols, "term", "tf"),
                               [*self.class_cols, "term"], "left")
                         .select(*self.class_cols, "term", "tf", "score")
                         .persist())
+        self.stats_.count()
+        self.scores_.count()
+        old_stats.unpersist(False)
+        old_scores.unpersist(False)
         return self
 
     @classmethod

@@ -96,12 +96,13 @@ def _guard_heavy_shingles(sh: DataFrame, id_col: str, max_df) -> DataFrame:
 
 def jaccard_pairs(df: DataFrame, text_col: str, id_col: str, n: int = 3,
                   threshold: float = 0.5, mode: str = "ascii_code",
-                  max_df: int | None = None) -> DataFrame:
+                  max_df: int | str | None = None) -> DataFrame:
     """Near-dup pairs by n-gram Jaccard ≥ threshold: (id_a, id_b, jaccard).
 
     id_a < id_b. ``max_df`` drops shingles occurring in more than that many
     docs before the self-join (the candidate-explosion guard at scale);
-    "auto" applies the corpus-relative cap (``_guard_heavy_shingles``).
+    "auto" applies the corpus-relative cap (``_guard_heavy_shingles``);
+    None (the default here) is the exact/oracle path.
     """
     sh = _guard_heavy_shingles(shingles(df, text_col, id_col, n, mode),
                                id_col, max_df)
@@ -710,7 +711,7 @@ def semdedup(emb: DataFrame, nlist: int = 8, tau: float = 0.95,
 
 def containment_pairs(df: DataFrame, text_col: str, id_col: str, n: int = 3,
                       threshold: float = 0.8, mode: str = "ascii_code",
-                      max_df="auto") -> DataFrame:
+                      max_df: int | str | None = "auto") -> DataFrame:
     """One-sided shingle containment C(A→B) = |S(A)∩S(B)| / |S(A)| —
     Broder's containment, the asymmetric companion of resemblance
     (Jaccard): detects quotes, excerpts and subset-duplicates that
@@ -726,6 +727,13 @@ def containment_pairs(df: DataFrame, text_col: str, id_col: str, n: int = 3,
     handful of keys, and an unguarded self-join is m² per heavy shingle
     — the one plan that dies at 100×. Pass ``max_df=None`` explicitly
     for the exact small-corpus/oracle path.
+
+    .. versionchanged:: round 4
+       The default flipped from ``max_df=None`` (exact) to ``"auto"``.
+       Callers on corpora where some shingle's df exceeds the auto floor
+       (max(256, 0.5% of docs)) now get guarded — slightly lossy —
+       results by default; pass ``max_df=None`` to restore the previous
+       exact behavior.
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")

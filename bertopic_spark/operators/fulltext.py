@@ -2256,7 +2256,8 @@ def terms_lookup_topk(corpus: DataFrame, lookup: DataFrame,
                       terms_col: str = "text",
                       text_col: str = "text", id_col: str = "doc_id",
                       mode: str = "ascii_code",
-                      k1: float = 1.2, b: float = 0.75) -> DataFrame:
+                      k1: float = 1.2, b: float = 0.75,
+                      exclude_self: bool = True) -> DataFrame:
     """ES ``terms`` query with LOOKUP (terms fetched from another
     document rather than inlined): the filter's term set is the token
     set of the lookup row ``lookup_id`` in ``lookup``; matching corpus
@@ -2265,6 +2266,15 @@ def terms_lookup_topk(corpus: DataFrame, lookup: DataFrame,
     by its exact vocabulary" primitive — the lookup row never travels
     to the driver as a query string; its tokens become a broadcast
     term relation, so the plan is identical at any corpus size.
+
+    ``exclude_self`` (default True) drops the corpus row whose ``id_col``
+    equals ``lookup_id`` — the right default when ``corpus`` IS the
+    lookup relation (ES semantics: the source doc should not match
+    itself). Note the excluded row also leaves the BM25 statistic set
+    (N, avgdl, df are computed over the filtered corpus). When corpus
+    and lookup are DIFFERENT relations with unrelated id spaces, pass
+    ``exclude_self=False`` so an innocent corpus doc that merely shares
+    the id value is not silently dropped from scoring and stats.
     """
     from bertopic_spark.operators.bm25 import bm25_topk, okapi_doc_scores
     from bertopic_spark.tokenizer import with_tokens
@@ -2274,9 +2284,9 @@ def terms_lookup_topk(corpus: DataFrame, lookup: DataFrame,
           .select(F.explode("tokens").alias("term"))
           .distinct()
           .select(F.lit(0).alias("query_id"), "term"))
-    # exclude the lookup doc itself when corpus and lookup share ids
+    if exclude_self:
+        corpus = corpus.filter(F.col(id_col) != lookup_id)
     scores = okapi_doc_scores(
-        corpus.filter(F.col(id_col) != lookup_id),
-        text_col=text_col, id_col=id_col, mode=mode, k1=k1, b=b)
+        corpus, text_col=text_col, id_col=id_col, mode=mode, k1=k1, b=b)
     hits = bm25_topk(scores, qt, k=k, id_col=id_col)
     return hits.select(id_col, "score", "rank")

@@ -141,12 +141,13 @@ def test_err_hand_case(spark):
     none = rank_eval(hits, judg.filter("grade < 0"), k=3).collect()[0]
     assert none["err_at_k"] == pytest.approx(0.0, abs=1e-12)
     # a grade above max_grade would silently null the ERR cascade
-    # (ln(1-R) with R > 1) — must raise eagerly instead (ES exposes the
-    # same knob as maximum_relevance)
+    # (ln(1-R) with R > 1) — the in-plan assert_true guard must raise at
+    # execution (the API stays lazy; no eager validation job). ES exposes
+    # the same knob as maximum_relevance.
     big = spark.createDataFrame([(0, 10, 7.0)],
                                 "query_id long, doc_id long, grade double")
-    with pytest.raises(ValueError, match="max_grade"):
-        rank_eval(hits, big, k=3)
+    with pytest.raises(Exception, match="max_grade"):
+        rank_eval(hits, big, k=3).collect()
     # …and raising max_grade accepts it: ERR with R=(2^7-1)/2^7
     out7 = rank_eval(hits, big, k=3, max_grade=7.0).collect()[0]
     assert out7["err_at_k"] == pytest.approx((2 ** 7 - 1) / 2 ** 7, abs=1e-9)

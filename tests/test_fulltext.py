@@ -1145,3 +1145,15 @@ def test_terms_lookup_topk(spark):
     assert 3 not in out           # no shared term
     assert set(out) == {1, 2}
     assert out[1] == 1            # two shared terms beats one
+    # distinct relations with unrelated id spaces: exclude_self=False keeps
+    # the corpus doc that merely shares the lookup id value (and keeps it
+    # in the N/avgdl/df statistic set)
+    lookup = spark.createDataFrame([(42, "alpha beta gamma")],
+                                   "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(42, "alpha beta gamma"), (1, "alpha beta xx")],
+        "doc_id long, text string")
+    keep = {r["doc_id"]
+            for r in terms_lookup_topk(corpus, lookup, 42, k=5,
+                                       exclude_self=False).collect()}
+    assert keep == {42, 1}
