@@ -424,6 +424,51 @@ def embedding_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
     )
 
 
+def embedding_neardup_lsh_pairs(emb: DataFrame, id_col: str = "vec_id",
+                                vec_col: str = "embedding",
+                                threshold: float = 0.95,
+                                n_planes: int = 6, n_tables: int = 8,
+                                seed: int = 42,
+                                max_bucket: int | None = 4096) -> DataFrame:
+    """The SCALE path for embedding-cosine near-dup: banded sign-LSH
+    candidate generation (pairs colliding in ANY of ``n_tables`` hash
+    tables of ``n_planes`` bits) + exact cosine verification ≥ threshold.
+    Precision 1 by construction — every emitted pair is exact-verified —
+    so output ⊆ ``embedding_neardup_pairs``; recall is the banded-LSH
+    collision probability 1−(1−p^n_planes)^n_tables with
+    p = 1−θ/π (tests pin it against the brute oracle on a bounded slice).
+
+    Plan shape at 100 TB: two narrow shuffles to bucket, a per-
+    (table, bucket) co-partitioned self-join bounded by ``max_bucket``
+    (oversized buckets — near-constant vectors hashing together — are
+    dropped, mirroring the heavy-shingle guard), and exact cosine only on
+    candidates. No crossJoin anywhere.
+    """
+    from bertopic_spark.operators.similarity import (
+        cosine_expr, random_hyperplane_buckets_multi)
+
+    b = random_hyperplane_buckets_multi(emb, n_planes, n_tables, seed,
+                                        id_col, vec_col)
+    if max_bucket is not None:
+        big = (b.groupBy("table", "bucket").count()
+               .filter(F.col("count") > int(max_bucket))
+               .select("table", "bucket"))
+        b = b.join(F.broadcast(big), ["table", "bucket"], "left_anti")
+    l = b.select("table", "bucket", F.col(id_col).alias("id_a"))
+    r = b.select("table", "bucket", F.col(id_col).alias("id_b"))
+    cand = (l.join(r, ["table", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    va = emb.select(F.col(id_col).alias("id_a"),
+                    F.col(vec_col).cast("array<double>").alias("va"))
+    vb = emb.select(F.col(id_col).alias("id_b"),
+                    F.col(vec_col).cast("array<double>").alias("vb"))
+    return (cand.join(va, "id_a").join(vb, "id_b")
+            .withColumn("cos", cosine_expr(F.col("va"), F.col("vb")))
+            .filter(F.col("cos") >= threshold)
+            .select("id_a", "id_b", F.round("cos", 6).alias("cos")))
+
+
 def _release_local_checkpoint(df: DataFrame) -> None:
     """Eagerly free a ``localCheckpoint`` generation's storage blocks.
 

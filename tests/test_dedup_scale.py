@@ -643,3 +643,55 @@ class TestContainmentAutoGuard:
         out = containment_pairs(d, "text", "doc_id", n=2, threshold=0.5,
                                 max_df=50)
         assert out.count() == 10 * 10 * 9
+
+
+def test_embedding_neardup_lsh_vs_brute(spark):
+    """The LSH scale path for embedding near-dup is precision-1 (every
+    emitted pair exact-verified, so output ⊆ brute) and catches planted
+    high-cosine near-dups at banded-collision recall. Deterministic:
+    md5-derived hyperplanes + a fixed fixture → a fixed recall."""
+    import math
+    import random
+
+    from bertopic_spark.operators.dedup import (embedding_neardup_lsh_pairs,
+                                                embedding_neardup_pairs)
+
+    rng = random.Random(7)
+    rows = []
+    vid = 0
+    # 40 base vectors, each with one noisy near-copy (cos ≈ 0.97-0.999)
+    for _ in range(40):
+        base = [rng.gauss(0, 1) for _ in range(32)]
+        nrm = math.sqrt(sum(x * x for x in base))
+        base = [x / nrm for x in base]
+        rows.append((vid, base)); vid += 1
+        noisy = [x + rng.gauss(0, 0.05) for x in base]
+        rows.append((vid, noisy)); vid += 1
+    # 80 unrelated fillers
+    for _ in range(80):
+        rows.append((vid, [rng.gauss(0, 1) for _ in range(32)])); vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    brute = {(r.id_a, r.id_b): r.cos
+             for r in embedding_neardup_pairs(emb, threshold=0.9).collect()}
+    lsh = {(r.id_a, r.id_b): r.cos
+           for r in embedding_neardup_lsh_pairs(emb, threshold=0.9).collect()}
+    assert set(lsh) <= set(brute)                 # precision 1
+    assert lsh == {p: brute[p] for p in lsh}      # identical verified scores
+    assert len(brute) >= 35                       # the plant worked
+    recall = len(lsh) / len(brute)
+    assert recall >= 0.9, recall                  # banded-collision recall
+
+
+def test_embedding_neardup_lsh_max_bucket_guard(spark):
+    """Oversized buckets (identical vectors colliding everywhere) are
+    dropped before the pair join, bounding the per-bucket self-join."""
+    from bertopic_spark.operators.dedup import embedding_neardup_lsh_pairs
+
+    same = [1.0] * 16
+    emb = spark.createDataFrame([(i, same) for i in range(30)],
+                                "vec_id long, embedding array<double>")
+    capped = embedding_neardup_lsh_pairs(emb, threshold=0.5, max_bucket=10)
+    assert capped.count() == 0
+    uncapped = embedding_neardup_lsh_pairs(emb, threshold=0.5,
+                                           max_bucket=None)
+    assert uncapped.count() == 30 * 29 // 2
