@@ -450,10 +450,14 @@ def embedding_neardup_lsh_pairs(emb: DataFrame, id_col: str = "vec_id",
     b = random_hyperplane_buckets_multi(emb, n_planes, n_tables, seed,
                                         id_col, vec_col)
     if max_bucket is not None:
-        big = (b.groupBy("table", "bucket").count()
-               .filter(F.col("count") > int(max_bucket))
-               .select("table", "bucket"))
-        b = b.join(F.broadcast(big), ["table", "bucket"], "left_anti")
+        # window over the join key, not a separate size relation: the
+        # guard then costs no extra scan of the bucketing subtree, and
+        # its shuffle pre-partitions both legs of the pair self-join
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("table", "bucket")
+        b = (b.withColumn("_m", F.count(F.lit(1)).over(w))
+             .filter(F.col("_m") <= int(max_bucket)).drop("_m"))
     l = b.select("table", "bucket", F.col(id_col).alias("id_a"))
     r = b.select("table", "bucket", F.col(id_col).alias("id_b"))
     cand = (l.join(r, ["table", "bucket"])
