@@ -1677,9 +1677,12 @@ def q_common_terms_topk(spark, sf_dir):
 
     qt = query_terms(queries_df(spark, DRIVER_QUERIES), MODE)
     handles: list = []
-    scores = doc_scores(_docs(spark, sf_dir), text_col="text",
+    d = _docs(spark, sf_dir)
+    scores = doc_scores(d, text_col="text",
                         id_col="doc_id", mode=MODE, _persisted_out=handles)
-    t = common_terms_topk(scores, qt, k=10, max_df=0.78)
+    # N from the parquet metadata count — skips the operator's fallback
+    # count_distinct shuffle over the postings (its widest job)
+    t = common_terms_topk(scores, qt, k=10, max_df=0.78, n_docs=d.count())
     return t.select(
         "query_id", "doc_id", _r6(F.col("score")).alias("score"),
         F.col("rank").cast("long").alias("rn"),

@@ -2087,6 +2087,7 @@ def common_terms_topk(
     k: int = 10,
     max_df: float = 0.05,
     id_col: str = "doc_id",
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Lucene CommonTermsQuery: candidates are generated ONLY from the
     query's rare terms (df ≤ ``max_df``, a fraction of the corpus when
@@ -2103,6 +2104,13 @@ def common_terms_topk(
     prunes them map-side, before the scoring shuffle ever sees them. A
     query with no rare terms degrades to the plain disjunction (Lucene's
     own fallback: every clause becomes candidate-generating).
+
+    ``n_docs``: corpus document count, used only to resolve a fractional
+    ``max_df`` cutoff. Pass it when the caller already knows N (parquet
+    metadata count, index manifest) — otherwise the operator pays one
+    exact count_distinct shuffle over the postings to derive it (the
+    single widest job in this plan; measured ~2s of the gate's cost at
+    sf0.1).
     """
     # df is needed ONLY for the query's own terms: push the term semi-join
     # BELOW the df aggregation so the agg sees |query-term postings| rows,
@@ -2112,14 +2120,20 @@ def common_terms_topk(
     qset = qterms.select("term").distinct()
     dfq = (scores.join(F.broadcast(qset), "term")
            .groupBy("term").agg(F.count(F.lit(1)).alias("df")))
-    nd = scores.agg(F.count_distinct(id_col).alias("n_docs"))
-    cutoff = (F.ceil(F.lit(float(max_df)) * F.col("n_docs")).cast("long")
-              if 0 < max_df < 1 else F.lit(int(max_df)).cast("long"))
-    qd = (qterms.select("query_id", "term").distinct()
-          .join(F.broadcast(dfq), "term", "left")
-          .crossJoin(F.broadcast(nd))
-          .withColumn("is_rare",
-                      F.coalesce(F.col("df"), F.lit(0)) <= cutoff))
+    qd = qterms.select("query_id", "term").distinct() \
+        .join(F.broadcast(dfq), "term", "left")
+    if 0 < max_df < 1:
+        if n_docs is not None:
+            cutoff = F.lit(int(-(-max_df * n_docs // 1))).cast("long")
+        else:
+            nd = scores.agg(F.count_distinct(id_col).alias("n_docs"))
+            qd = qd.crossJoin(F.broadcast(nd))
+            cutoff = F.ceil(F.lit(float(max_df)) * F.col("n_docs")) \
+                .cast("long")
+    else:
+        cutoff = F.lit(int(max_df)).cast("long")
+    qd = qd.withColumn(
+        "is_rare", F.coalesce(F.col("df"), F.lit(0)) <= cutoff)
     has_rare = (qd.groupBy("query_id")
                 .agg(F.max(F.col("is_rare").cast("int")).alias("hr")))
     qd = (qd.join(F.broadcast(has_rare), "query_id")

@@ -578,6 +578,11 @@ def test_common_terms_candidates_and_fallback(spark):
     plain = bm25_topk(scores, q2, 10)
     assert sorted((r["doc_id"], r["rank"]) for r in fb.collect()) == \
         sorted((r["doc_id"], r["rank"]) for r in plain.collect())
+    # the n_docs shortcut (caller-supplied N, no count_distinct job)
+    # resolves the same fractional cutoff: identical output both ways
+    fast = common_terms_topk(scores, q, k=10, max_df=0.5, n_docs=5).collect()
+    assert [(r["doc_id"], r["rank"], r["score"]) for r in fast] == \
+        [(r["doc_id"], r["rank"], r["score"]) for r in out]
 
 
 def test_rank_eval_hand_values(spark):
