@@ -29,8 +29,10 @@ SAMPLE += ["dedup_containment", "dedup_containment_boiler",
            "frequent_brand_pairs", "percentiles_bucket_daily", "lwa_hourly",
            "prom_histogram_quantile", "change_point_hourly",
            "ks_value_click_vs_purchase", "terms_lookup_topk",
-           # round-5 additions
-           "dedup_embedding_neardup", "dedup_embedding_neardup_lsh"]
+           # round-5 additions and round-5-touched gates
+           "dedup_embedding_neardup", "dedup_embedding_neardup_lsh",
+           "common_terms_topk", "percolate", "percolate_phrases",
+           "rank_eval_err"]
 SAMPLE = sorted(set(SAMPLE))
 
 
